@@ -1,13 +1,774 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Bm25, Dedup, IrMetrics, Knn, Rrf, TextAnalysis}
+import graft.pipeline.Predicates
+
+/** Driver contract — the declared query surface (SURVEY.md §2), one
+  * entry per implemented operator, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Conventions shared by every query/oracle pair:
+  *  - identical output column names on both sides (driver hashes by
+  *    sorted column name)
+  *  - deterministic total ORDER BY on output columns with a unique
+  *    tie-break key
+  *  - floating outputs rounded to 6 (scores/ratios) or 2-4 (money/qty)
+  *    decimals in BOTH engines, computed raw and rounded only at the
+  *    final projection
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared SQL fragments for the DuckDB oracles -------------------
+  private val Pat = TextFunctions.TokenPattern // same regex in RE2 & Java
+  private val SwList =
+    TextFunctions.EnglishStopwordsSorted.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB list of BM25 tokens for a text expression. */
+  private def sqlToks(textExpr: String): String =
+    s"list_filter(regexp_extract_all(lower($textExpr), '$Pat'), " +
+      s"x -> length(x) >= 2 AND x NOT IN ($SwList))"
+
+  /** DuckDB list of tokens without stopword removal (len filter only). */
+  private def sqlToksKeepStop(textExpr: String): String =
+    s"list_filter(regexp_extract_all(lower($textExpr), '$Pat'), " +
+      s"x -> length(x) >= 2)"
+
+  private val Bm25StatsCtes =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents),
+       |lens AS (
+       |  SELECT doc_id, len(${sqlToks("text")}) AS doc_len FROM documents),
+       |gstats AS (
+       |  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM lens),
+       |stats AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+       |idf AS (
+       |  SELECT term, df, n_docs,
+       |         greatest(0.0, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS idf
+       |  FROM stats, gstats)""".stripMargin
+
+  private val Bm25WeightsCtes =
+    s"""$Bm25StatsCtes,
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |weights AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         idf.idf * (CAST(tf.tf AS DOUBLE) * 2.5) /
+       |           (CAST(tf.tf AS DOUBLE) + 1.5 *
+       |             (CASE WHEN gstats.avgdl > 0
+       |               THEN 0.25 + 0.75 * CAST(lens.doc_len AS DOUBLE) / gstats.avgdl
+       |               ELSE 1.0 END)) AS weight
+       |  FROM tf
+       |  JOIN lens ON tf.doc_id = lens.doc_id
+       |  JOIN idf ON tf.term = idf.term, gstats
+       |  WHERE idf.idf * (CAST(tf.tf AS DOUBLE) * 2.5) /
+       |          (CAST(tf.tf AS DOUBLE) + 1.5 *
+       |            (CASE WHEN gstats.avgdl > 0
+       |              THEN 0.25 + 0.75 * CAST(lens.doc_len AS DOUBLE) / gstats.avgdl
+       |              ELSE 1.0 END)) > 0)""".stripMargin
+
+  /** BM25 search query used by bm25_topk / rrf_fuse. */
+  private val SearchQuery = "spark hash join stream data table"
+
+  private def bm25QueryValues: String =
+    TextFunctions.tokenize(SearchQuery)
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      .map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+
+  private val Bm25ScoresCtes =
+    s"""$Bm25WeightsCtes,
+       |qterms AS (
+       |  SELECT q.term, q.q_tf FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+       |qweights AS (
+       |  SELECT qterms.term, CAST(qterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+       |  FROM qterms JOIN idf ON qterms.term = idf.term
+       |  WHERE idf.idf > 0),
+       |bm25_scores AS (
+       |  SELECT w.doc_id, sum(w.weight * qw.q_weight) AS score
+       |  FROM weights w JOIN qweights qw ON w.term = qw.term
+       |  GROUP BY w.doc_id)""".stripMargin
+
+  // =====================================================================
+  // Queries
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation (A6/A7-style; SURVEY §2.4) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- multi-way equi-join + agg (J3/J6-style; broadcast dims) ----
+    "q2_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // ---- global top-k (W7: TakeOrderedAndProject, not a full sort) ----
+    "q3_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- per-group ranking (W3) ----
+    "q4_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- semi / anti joins (J4, J5/P7) ----
+    "q5_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q6_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- set operations (E1-E4) ----
+    "e1_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    }),
+    "e2_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val withF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .except(withF)
+        .orderBy("c_custkey")
+    }),
+    "e3_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.filter(col("c_acctbal") > 1000).select("c_custkey")
+        .intersect(withOrders)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- filter pushdown (P2) ----
+    "q8_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") < 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- events aggregation ----
+    "q9_events_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // ---- first-hit dedup window (W6 shape on events) ----
+    "q10_first_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // ---- predicate language (P1) compiled to Columns ----
+    "p1_predicates" -> ((s, dir) => {
+      val pred = Predicates.compile(Map(
+        "p_type" -> "S*",          // glob
+        "p_size" -> ">=10",        // numeric comparison
+        "p_brand" -> "!Brand#1?")) // negated glob
+      t(s, dir, "part").filter(pred)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")
+    }),
+    "p1_predicates_or" -> ((s, dir) => {
+      val pred = Predicates.compile(Map(
+        "p_brand" -> Seq("Brand#1", "Brand#7"), // array OR
+        "p_retailprice" -> "<1500"))
+      t(s, dir, "part").filter(pred)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    // ---- change-skip anti-join (P7: content_hash dedup vs existing) ----
+    "p7_change_skip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val incoming = docs.select(col("doc_id"),
+        Dedup.contentHash(col("text")).as("content_hash"))
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), Dedup.contentHash(col("text")).as("content_hash"))
+      incoming.join(existing, Seq("doc_id", "content_hash"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
+    // ---- BM25 corpus stats (A1) ----
+    "bm25_stats" -> ((s, dir) => {
+      Bm25.corpusStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("term"), col("df"), round(col("idf"), 6).as("idf"),
+          col("n_docs"))
+        .orderBy("term")
+    }),
+
+    // ---- BM25 document vectors (A2) ----
+    "bm25_docvec" -> ((s, dir) => {
+      Bm25.docTermWeights(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("id") < 50)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // ---- BM25 sparse top-k (A3 + W2) ----
+    "bm25_topk" -> ((s, dir) => {
+      Bm25.searchTopK(t(s, dir, "documents"), "doc_id", "text",
+          SearchQuery, 20)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- dense k-NN over stored embeddings (W1) ----
+    "knn_vec" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("raw", VectorFunctions.cosine(col("embedding"), col("q_vec")))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("raw"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- RRF hybrid fusion (J1 + W3) ----
+    "rrf_fuse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dense = docs
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val sparse = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 50)
+        .withColumnRenamed("id", "doc_id")
+      Rrf.fuse(dense, sparse, "doc_id", "score", k = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("_dense_rank"), col("_sparse_rank"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- exact dedup (content hash) ----
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("content_hash"),
+          col("dup_count"), col("keep_id"), col("is_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- n-gram Jaccard on a bounded pair set ----
+    "dedup_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      Dedup.ngramJaccard(docs, "doc_id", "text", pairs, n = 3)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // ---- MinHash LSH near-dup (rows-only oracle: xxhash64 has no
+    //      DuckDB twin; verified by ScalaTest invariants instead) ----
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 8, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash near-dup (rows-only oracle) ----
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- embedding-cosine near-dup via LSH buckets (rows-only) ----
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.3, nPlanes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- ANN via LSH bucket restriction (rows-only oracle) ----
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      Knn.lshTopK(e, "vec_id", "embedding", qv, k = 10, nPlanes = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- language ID heuristic ----
+    "lang_id" -> ((s, dir) => {
+      val (lang, score) = TextAnalysis.langId(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), lang.as("predicted_lang"),
+          round(score, 6).as("lang_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality scoring ----
+    "quality" -> ((s, dir) => {
+      TextAnalysis.qualitySignals(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting ----
+    "token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprint ----
+    "fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- IR metrics macro-averaged (A5) over a deterministic run ----
+    "ir_metrics" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = ev.groupBy(col("event_type").as("query_id"),
+          col("user_id").as("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cnt").desc, col("doc_id"))
+      val runs = counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "doc_id")
+      val qrels = ev.filter(col("user_id") % 3 === 0)
+        .select(col("event_type").as("query_id"),
+          col("user_id").as("doc_id"),
+          (col("user_id") % 4).cast("int").as("grade"))
+        .distinct()
+      IrMetrics.macroAveraged(runs, qrels)
+        .select(col("metric"), col("k"), round(col("value"), 6).as("value"),
+          col("n_queries"))
+        .orderBy("metric", "k")
+    })
+  )
+
+  // =====================================================================
+  // Oracles (DuckDB SQL on the same parquet tables)
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_agg" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q5_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "e1_union" ->
+      """SELECT DISTINCT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "e2_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "e3_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q9_events_agg" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q10_first_event" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "p1_predicates" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_type LIKE 'S%' AND p_size >= 10
+        |  AND NOT p_brand LIKE 'Brand#1_'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "p1_predicates_or" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#7') AND p_retailprice < 1500
+        |ORDER BY p_partkey""".stripMargin,
+
+    "p7_change_skip" ->
+      """SELECT doc_id, sha256(text) AS content_hash FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 2 = 0 AND e.doc_id = d.doc_id
+        |    AND sha256(e.text) = sha256(d.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "bm25_stats" ->
+      s"""WITH $Bm25StatsCtes
+         |SELECT term, df, round(idf, 6) AS idf, n_docs
+         |FROM idf ORDER BY term""".stripMargin,
+
+    "bm25_docvec" ->
+      s"""WITH $Bm25WeightsCtes
+         |SELECT doc_id, term, tf, round(weight, 6) AS weight
+         |FROM weights WHERE doc_id < 50
+         |ORDER BY doc_id, term""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH $Bm25ScoresCtes
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "knn_vec" ->
+      """SELECT vec_id, round(raw, 6) AS score FROM (
+        |  SELECT b.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS raw
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |  ORDER BY raw DESC, b.vec_id LIMIT 10)
+        |ORDER BY score DESC, vec_id""".stripMargin,
+
+    "rrf_fuse" ->
+      s"""WITH $Bm25ScoresCtes,
+         |dense AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY n_chars DESC, doc_id) AS r
+         |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50),
+         |sparse AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS r
+         |  FROM bm25_scores ORDER BY score DESC, doc_id LIMIT 50),
+         |fused AS (
+         |  SELECT coalesce(d.doc_id, sp.doc_id) AS doc_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + sp.r), 0.0) AS score,
+         |    d.r AS _dense_rank, sp.r AS _sparse_rank
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.doc_id = sp.doc_id)
+         |SELECT doc_id, round(score, 6) AS score, _dense_rank, _sparse_rank
+         |FROM (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, content_hash,
+        |  count(*) OVER (PARTITION BY content_hash) AS dup_count,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_kept
+        |FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT d1.doc_id AS id_a, d2.doc_id AS id_b
+         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+         |inters AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a AS id_a, p.id_b AS id_b,
+         |  coalesce(i.n_inter, 0) AS n_inter,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  round(CASE WHEN sa.n + sb.n - coalesce(i.n_inter, 0) = 0 THEN 0.0
+         |    ELSE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - coalesce(i.n_inter, 0)) END, 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inters i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |ORDER BY id_a""".stripMargin
+    },
+
+    "lang_id" -> {
+      val toks = sqlToksKeepStop("text")
+      val langRows = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map {
+        case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"SELECT doc_id, '$lang' AS lang, " +
+            s"CAST(len(list_filter($toks, t -> t IN ($lst))) AS DOUBLE) / " +
+            s"greatest(len($toks), 1) AS score FROM documents"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH scored AS (
+         |  $langRows),
+         |best AS (
+         |  SELECT doc_id, lang, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang DESC) AS rn
+         |  FROM scored)
+         |SELECT doc_id,
+         |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang,
+         |  round(score, 6) AS lang_score
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "quality" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safec,
+         |    CAST(len($toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter($toks, t -> t IN ($SwList))) AS DOUBLE) AS nstop,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS nalpha,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+         |    CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) AS toklen
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, nc, nt,
+         |    CASE WHEN nt > 0 THEN toklen / nt ELSE 0.0 END AS mean_tok,
+         |    nalpha / safec AS alpha, npunct / safec AS punct,
+         |    CASE WHEN nt > 0 THEN nstop / nt ELSE 0.0 END AS stopr
+         |  FROM raw)
+         |SELECT doc_id,
+         |  CAST(nc AS BIGINT) AS n_chars, CAST(nt AS BIGINT) AS n_tokens,
+         |  round(mean_tok, 6) AS mean_token_len,
+         |  round(alpha, 6) AS alpha_ratio,
+         |  round(punct, 6) AS punct_ratio,
+         |  round(stopr, 6) AS stopword_ratio,
+         |  round(0.4 * least(nt / 100.0, 1.0) + 0.3 * alpha +
+         |        0.3 * (1.0 - least(punct * 5.0, 1.0)), 6) AS quality_score
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+|\s+')) AS bpe_pieces,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+        |    AS char_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fingerprint" ->
+      """SELECT doc_id,
+        |  substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |    1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ir_metrics" -> {
+      val ks = IrMetrics.DefaultKValues
+      val perKCtes = ks.map { k =>
+        s"""mk_$k AS (
+           |  SELECT q.query_id,
+           |    coalesce(a.rel_at_k, 0) AS rel_at_k,
+           |    coalesce(a.dcg, 0.0) AS dcg,
+           |    coalesce(i.idcg, 0.0) AS idcg,
+           |    coalesce(t.n_relevant, 0) AS n_rel
+           |  FROM qs q
+           |  LEFT JOIN (
+           |    SELECT query_id, sum(is_rel) AS rel_at_k,
+           |      sum(CAST(grade AS DOUBLE) / log2(rank + 1)) AS dcg
+           |    FROM cum WHERE rank <= $k GROUP BY query_id) a USING (query_id)
+           |  LEFT JOIN (
+           |    SELECT query_id,
+           |      sum(CAST(grade AS DOUBLE) / log2(irank + 1)) AS idcg
+           |    FROM ideal WHERE irank <= $k GROUP BY query_id) i USING (query_id)
+           |  LEFT JOIN truth t USING (query_id))""".stripMargin
+      }.mkString(",\n")
+      val perKSelects = ks.map { k =>
+        s"""SELECT 'precision' AS metric, $k AS k,
+           |  avg(rel_at_k / $k.0) AS value, count(*) AS n_queries FROM mk_$k
+           |UNION ALL
+           |SELECT 'recall' AS metric, $k AS k,
+           |  avg(CASE WHEN n_rel > 0 THEN CAST(rel_at_k AS DOUBLE) / n_rel
+           |    ELSE 0.0 END) AS value, count(*) AS n_queries FROM mk_$k
+           |UNION ALL
+           |SELECT 'ndcg' AS metric, $k AS k,
+           |  avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END) AS value,
+           |  count(*) AS n_queries FROM mk_$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH counts AS (
+         |  SELECT event_type AS query_id, user_id AS doc_id,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY event_type, user_id),
+         |runs AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cnt DESC, doc_id) AS rank
+         |    FROM counts) WHERE rank <= 10),
+         |qrels AS (
+         |  SELECT DISTINCT event_type AS query_id, user_id AS doc_id,
+         |    CAST(user_id % 4 AS INT) AS grade
+         |  FROM events WHERE user_id % 3 = 0),
+         |qs AS (SELECT DISTINCT query_id FROM runs),
+         |graded AS (
+         |  SELECT r.query_id, r.rank, r.doc_id,
+         |    coalesce(q.grade, 0) AS grade,
+         |    CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END AS is_rel
+         |  FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)),
+         |cum AS (
+         |  SELECT *, sum(is_rel) OVER (PARTITION BY query_id
+         |    ORDER BY rank) AS cum_rel FROM graded),
+         |truth AS (
+         |  SELECT query_id,
+         |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_relevant
+         |  FROM qrels GROUP BY query_id),
+         |ideal AS (
+         |  SELECT query_id, grade,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY grade DESC, doc_id) AS irank
+         |  FROM qrels),
+         |firstrel AS (
+         |  SELECT c.query_id,
+         |    min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+         |    sum(CASE WHEN is_rel = 1
+         |      THEN CAST(cum_rel AS DOUBLE) / rank END) AS p_sum
+         |  FROM cum c GROUP BY c.query_id),
+         |$perKCtes,
+         |tail AS (
+         |  SELECT q.query_id, f.first_rel, f.p_sum,
+         |    coalesce(t.n_relevant, 0) AS n_rel
+         |  FROM qs q
+         |  LEFT JOIN firstrel f USING (query_id)
+         |  LEFT JOIN truth t USING (query_id)),
+         |allm AS (
+         |  $perKSelects
+         |  UNION ALL
+         |  SELECT 'mrr' AS metric, 0 AS k,
+         |    avg(coalesce(1.0 / first_rel, 0.0)) AS value,
+         |    count(*) AS n_queries FROM tail
+         |  UNION ALL
+         |  SELECT 'ap' AS metric, 0 AS k,
+         |    avg(CASE WHEN n_rel > 0 THEN coalesce(p_sum, 0.0) / n_rel
+         |      ELSE 0.0 END) AS value,
+         |    count(*) AS n_queries FROM tail)
+         |SELECT metric, k, round(value, 6) AS value, n_queries
+         |FROM allm ORDER BY metric, k""".stripMargin
+    }
+  )
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("rrf_fuse")(spark, "/root/testdata/sf0.001")
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BM25 sparse indexing and scoring as declarative DataFrame plans.
+  *
+  * Formula (ref packages/shared/plugins/builtins/bm25_sparse_indexer.py:11-23):
+  *   idf(t)      = max(0, ln((N - n(t) + 0.5) / (n(t) + 0.5) + 1))
+  *   w(t, D)     = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+  *   w(t, Q)     = tf_q(t) · idf(t)           (no length normalization,
+  *                 ref :414-464; unknown terms dropped)
+  *   score(D, Q) = Σ_t w(t,Q) · w(t,D)        (sparse dot product, ref
+  *                 packages/vecpipe/sparse.py:118-156)
+  *
+  * Statefulness deviation (SURVEY.md §7.4 risk 2): the reference updates
+  * IDF incrementally mid-batch under a lock; we define SNAPSHOT stats over
+  * the full corpus — order-independent and embarrassingly parallel, which
+  * is the only semantics that scales to 100 TB. Scores remain
+  * self-consistent; the deviation is documented here.
+  *
+  * Scale posture: one shuffle on `term` for corpus stats (map-side
+  * combined), one shuffle on (id, term) for TF, one join on `term`
+  * (sort-merge; the vocabulary is heavy-tailed but n(t) rows are tiny),
+  * and the N/avgdl scalars ride a broadcast of a 1-row DF — no global
+  * window in the scoring path.
+  */
+object Bm25 {
+  final case class Params(k1: Double = 1.5, b: Double = 0.75)
+  val Default: Params = Params()
+
+  /** Explode a corpus into (id, term) rows, duplicates preserved. */
+  def tokens(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.tokensCol(col(textCol))).as("term"))
+
+  /** Per-document token length, INCLUDING zero-token docs (the reference
+    * counts every added chunk toward N and avgdl). */
+  def docLengths(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
+      size(TextFunctions.tokensCol(col(textCol))).as("doc_len"))
+
+  /** (term, df): number of distinct docs containing each term. */
+  def termDocFreqs(toks: DataFrame): DataFrame =
+    toks.groupBy("term").agg(countDistinct("id").as("df"))
+
+  /** One-row (n_docs, avg_doc_len) — broadcast-joined everywhere. */
+  def corpusGlobals(lens: DataFrame): DataFrame =
+    lens.agg(
+      count("*").cast("long").as("n_docs"),
+      coalesce(avg("doc_len"), lit(0.0)).as("avg_doc_len"))
+
+  /** idf column from df and N (both already joined in). */
+  private def idfCol(dfCol: Column, nCol: Column): Column =
+    greatest(lit(0.0),
+      log((nCol.cast("double") - dfCol + 0.5) / (dfCol.cast("double") + 0.5) + 1.0))
+
+  /** Full corpus statistics in one relation: (term, df, idf, n_docs,
+    * avg_doc_len). This is operator A1's queryable surface. */
+  def corpusStats(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(corpus, idCol, textCol)
+    val lens = docLengths(corpus, idCol, textCol)
+    termDocFreqs(toks)
+      .crossJoin(broadcast(corpusGlobals(lens)))
+      .withColumn("idf", idfCol(col("df"), col("n_docs")))
+  }
+
+  /** Per-(doc, term) BM25 weights — operator A2 in relational form.
+    * Zero/negative-weight terms are dropped (idf clamp), mirroring the
+    * reference's `if weight > 0` guard. */
+  def docTermWeights(corpus: DataFrame, idCol: String, textCol: String,
+                     p: Params = Default): DataFrame = {
+    val toks = tokens(corpus, idCol, textCol)
+    val lens = docLengths(corpus, idCol, textCol)
+    val stats = termDocFreqs(toks)
+      .crossJoin(broadcast(corpusGlobals(lens)))
+      .withColumn("idf", idfCol(col("df"), col("n_docs")))
+    val tf = toks.groupBy("id", "term").agg(count("*").as("tf"))
+    val lengthNorm = when(col("avg_doc_len") > 0.0,
+      lit(1.0 - p.b) + lit(p.b) * col("doc_len").cast("double") / col("avg_doc_len"))
+      .otherwise(lit(1.0))
+    tf.join(lens, "id")
+      .join(stats, "term")
+      .withColumn("weight",
+        col("idf") * (col("tf").cast("double") * lit(p.k1 + 1.0)) /
+          (col("tf").cast("double") + lit(p.k1) * lengthNorm))
+      .filter(col("weight") > 0.0)
+      .select(col("id"), col("term"), col("tf"), col("weight"))
+  }
+
+  /** Assemble (id, indices, values) sparse vectors. Term ids are the
+    * rank of the term in the sorted vocabulary (snapshot semantics; the
+    * reference uses insertion order, which is inherently sequential).
+    * The vocab window is a single global sort over DISTINCT terms — the
+    * vocabulary, not the corpus — acceptable because |vocab| ≪ |tokens|;
+    * swap for zipWithIndex over a sorted RDD if vocab outgrows one
+    * partition's sort buffer. */
+  def sparseVectors(corpus: DataFrame, idCol: String, textCol: String,
+                    p: Params = Default): DataFrame = {
+    val weights = docTermWeights(corpus, idCol, textCol, p)
+    val vocab = weights.select("term").distinct()
+      .withColumn("term_id",
+        row_number().over(Window.orderBy("term")).cast("int") - 1)
+    weights.join(vocab, "term")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("term_id"), col("weight"))))
+        .as("pairs"))
+      .select(
+        col("id"),
+        col("pairs.term_id").as("indices"),
+        col("pairs.weight").as("values"))
+  }
+
+  /** Query-side term weights for a literal query string: tf_q · idf,
+    * unknown terms dropped. Returns (term, q_weight). Built as a plan
+    * against the corpus stats so it composes; the query itself is a
+    * handful of rows and broadcasts. */
+  def queryTermWeights(stats: DataFrame, queryText: String,
+                       spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val qTerms = TextFunctions.tokenize(queryText)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+    import spark.implicits._
+    val q = qTerms.toDF("term", "q_tf")
+    q.join(stats.select("term", "idf"), "term")
+      .filter(col("idf") > 0.0)
+      .withColumn("q_weight", col("q_tf").cast("double") * col("idf"))
+      .select("term", "q_weight")
+  }
+
+  /** Sparse dot-product top-k — operator W2. Scores every doc sharing a
+    * term with the query via a broadcast join on term (the query side is
+    * tiny), then TakeOrderedAndProject for the top-k. Deterministic
+    * tie-break on id. */
+  def searchTopK(corpus: DataFrame, idCol: String, textCol: String,
+                 queryText: String, k: Int, p: Params = Default): DataFrame = {
+    val spark = corpus.sparkSession
+    val docW = docTermWeights(corpus, idCol, textCol, p)
+    val stats = corpusStats(corpus, idCol, textCol)
+    val qW = queryTermWeights(stats, queryText, spark)
+    docW.join(broadcast(qW), "term")
+      .groupBy("id")
+      .agg(sum(col("weight") * col("q_weight")).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions => V}
+
+/** Dense k-NN: exact brute-force cosine top-k (the correctness
+  * baseline — operator W1) and a random-hyperplane LSH bucketed variant
+  * (the 100 TB scale path).
+  *
+  * Ref: packages/vecpipe/search/dense_search.py:75-137 (COSINE top-k
+  * delegated to Qdrant HNSW); we compute the exact equivalent as a
+  * DataFrame plan. Exact top-k compiles to TakeOrderedAndProject — a
+  * per-partition heap + driver merge, NOT a global sort, so it scales
+  * linearly with executors (SURVEY.md §7.4 risk 7).
+  */
+object Knn {
+
+  /** Exact cosine top-k of `vectors(idCol, vecCol)` against one query
+    * vector (scores computed in codegen'd higher-order functions). */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Double], k: Int,
+                     preNormalized: Boolean = false): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val score = if (preNormalized) V.dot(col(vecCol), q)
+                else V.cosine(col(vecCol), q)
+    vectors.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact text-query k-NN using the deterministic mock embedding. */
+  def searchText(vectors: DataFrame, idCol: String, vecCol: String,
+                 queryText: String, dim: Int, k: Int): DataFrame =
+    bruteForceTopK(vectors, idCol, vecCol,
+      TextFunctions.mockEmbeddingDouble(queryText, dim), k)
+
+  /** Deterministic pseudo-random unit hyperplanes for LSH, derived from
+    * the mock-embedding scheme (seeded by plane index) so runs are
+    * reproducible without Math.random. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: String = "graft-lsh"): Seq[Array[Double]] =
+    (0 until nPlanes).map(i => TextFunctions.mockEmbeddingDouble(s"$seed:$i", dim))
+
+  /** Bit-signature bucket id for a vector column under the given
+    * hyperplanes: bit i = sign(v · hᵢ). Pure column arithmetic. */
+  def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      when(V.dot(vecCol, array(h.map(lit): _*)) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate k-NN: restrict the exact scan to the query's LSH
+    * bucket. With B buckets this prunes ~ (1 − 1/B) of the corpus per
+    * probe; recall is traded via `nPlanes`. The bucket column should be
+    * precomputed and the table partitioned by it at scale, turning each
+    * query into a single-partition scan. */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int, nPlanes: Int = 8): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(nPlanes, dim)
+    var bucket = 0L
+    planes.zipWithIndex.foreach { case (h, i) =>
+      if (V.dotS(query, h) >= 0.0) bucket |= (1L << i)
+    }
+    vectors
+      .withColumn("_bucket", lshBucket(col(vecCol), planes))
+      .filter(col("_bucket") === lit(bucket))
+      .drop("_bucket")
+      .transform(bruteForceTopK(_, idCol, vecCol, query, k))
+  }
+
+  /** All-pairs top-k similarity join (each left row → its k nearest
+    * right rows). Exact O(|L|·|R|) — use only on candidate sets or
+    * within LSH/IVF buckets at scale; the window is partitioned by the
+    * left id so ranking shuffles once on that key. */
+  def topKJoin(left: DataFrame, right: DataFrame, leftId: String,
+               rightId: String, leftVec: String, rightVec: String,
+               k: Int): DataFrame = {
+    val scored = left.select(col(leftId), col(leftVec))
+      .crossJoin(right.select(col(rightId), col(rightVec)))
+      .withColumn("score", V.cosine(col(leftVec), col(rightVec)))
+    val w = Window.partitionBy(leftId).orderBy(col("score").desc, col(rightId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(leftId), col(rightId), col("score"), col("rn").as("rank"))
+  }
+}

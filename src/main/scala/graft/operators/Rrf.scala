@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal Rank Fusion of a dense and a sparse result list.
+  *
+  * Ref: packages/vecpipe/search/sparse_search.py:21-63 — ranks are
+  * 1-based positions in each score-descending list; fused score is
+  * Σ 1/(rrf_k + rank) over the lists containing the id; top-k by fused
+  * score; per-leg rank/score annotations are kept (`_dense_rank` etc.).
+  *
+  * Scale posture: both inputs are candidate lists (≤ candidate_k ≈ 200
+  * rows per query, ref rerank.py:24-34), so the full-outer join is a
+  * broadcast join and the rank windows run on tiny partitions. For
+  * batch evaluation over many queries, pass a `queryCol` to rank within
+  * each query's partition instead of globally.
+  */
+object Rrf {
+  val DefaultRrfK = 60 // ref: shared/contracts/search.py:49-54
+
+  /** Rank a result list: 1-based by score desc, deterministic id
+    * tie-break (the reference inherits Qdrant's stable ordering). */
+  def ranked(results: DataFrame, idCol: String, scoreCol: String,
+             queryCol: Option[String] = None): DataFrame = {
+    val w = queryCol match {
+      case Some(q) => Window.partitionBy(q).orderBy(col(scoreCol).desc, col(idCol))
+      case None    => Window.orderBy(col(scoreCol).desc, col(idCol))
+    }
+    results.withColumn("rank", row_number().over(w))
+  }
+
+  /** Fuse two ranked lists. Inputs need columns (idCol, scoreCol)
+    * [+ queryCol]; output: id [+ query], score (fused), _dense_rank,
+    * _sparse_rank, _dense_score, _sparse_score, top-k per query. */
+  def fuse(dense: DataFrame, sparse: DataFrame, idCol: String,
+           scoreCol: String, k: Int, rrfK: Int = DefaultRrfK,
+           queryCol: Option[String] = None): DataFrame = {
+    val keys = queryCol.toSeq :+ idCol
+    val d = ranked(dense, idCol, scoreCol, queryCol)
+      .select(keys.map(col) :+ col("rank").as("_dense_rank") :+
+        col(scoreCol).cast("double").as("_dense_score"): _*)
+    val s = ranked(sparse, idCol, scoreCol, queryCol)
+      .select(keys.map(col) :+ col("rank").as("_sparse_rank") :+
+        col(scoreCol).cast("double").as("_sparse_score"): _*)
+    val fused = d.join(s, keys, "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))
+    queryCol match {
+      case Some(q) =>
+        val w = Window.partitionBy(q).orderBy(col("score").desc, col(idCol))
+        fused.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k).drop("_rn")
+          .orderBy(col(q), col("score").desc, col(idCol))
+      case None =>
+        fused.orderBy(col("score").desc, col(idCol)).limit(k)
+    }
+  }
+}
