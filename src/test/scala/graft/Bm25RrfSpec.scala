@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, Rrf}
+
+/** Hand-computed BM25 goldens (k1=1.5, b=0.75) and RRF fixtures
+  * (FIXTURES.md §7-8). */
+class Bm25RrfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "")).toDF("doc_id", "text")
+
+  test("corpus stats: df, N, avgdl, idf (empty doc counts toward N)") {
+    val stats = Bm25.corpusStats(corpus, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    // (term -> (df, n_docs, idf))
+    assert(stats("apple")._1 == 1 && stats("banana")._1 == 2 &&
+      stats("cherry")._1 == 1)
+    assert(stats("apple")._2 == 3) // N includes the empty doc
+    assert(math.abs(stats("apple")._3 - 0.9808292530117263) < 1e-12)
+    assert(math.abs(stats("banana")._3 - 0.47000362924573563) < 1e-12)
+  }
+
+  test("document term weights match the closed-form values") {
+    val w = Bm25.docTermWeights(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(w((1L, "apple")) - 1.1145786966042344) < 1e-12)
+    assert(math.abs(w((1L, "banana")) - 0.3455909038571585) < 1e-12)
+    assert(math.abs(w((2L, "banana")) - 0.43119599013370247) < 1e-12)
+    assert(math.abs(w((2L, "cherry")) - 0.8998433513869051) < 1e-12)
+    assert(!w.contains((3L, ""))) // empty doc emits no terms
+  }
+
+  test("query scoring: tf_q * idf, unknown terms dropped") {
+    val top = Bm25.searchTopK(corpus, "doc_id", "text",
+      "apple cherry cherry durian", 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(top(2L) - 1.765185364336773) < 1e-12)
+    assert(math.abs(top(1L) - 1.0932113904131147) < 1e-12)
+    assert(!top.contains(3L))
+  }
+
+  test("sparse vectors: sorted term ids aligned with weights") {
+    val sv = Bm25.sparseVectors(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+    // vocab sorted: apple=0, banana=1, cherry=2
+    assert(sv(1L)._1 == Seq(0, 1))
+    assert(sv(2L)._1 == Seq(1, 2))
+    assert(math.abs(sv(1L)._2.head - 1.1145786966042344) < 1e-12)
+  }
+
+  test("RRF fusion: overlap, disjoint, and payload-side semantics") {
+    val dense = Seq(("d1", 0.9), ("d2", 0.8), ("d3", 0.7)).toDF("id", "score")
+    val sparse = Seq(("d2", 5.0), ("d4", 4.0)).toDF("id", "score")
+    val fused = Rrf.fuse(dense, sparse, "id", "score", k = 10).collect()
+    val order = fused.map(_.getString(0)).toSeq
+    assert(order == Seq("d2", "d1", "d4", "d3"))
+    val scores = fused.map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    assert(math.abs(scores("d2") - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(scores("d1") - 1.0 / 61) < 1e-15)
+    assert(math.abs(scores("d4") - 1.0 / 62) < 1e-15)
+    assert(math.abs(scores("d3") - 1.0 / 63) < 1e-15)
+    // rank annotations
+    val d2 = fused.find(_.getString(0) == "d2").get
+    assert(d2.getAs[Int]("_dense_rank") == 2 && d2.getAs[Int]("_sparse_rank") == 1)
+    val d3 = fused.find(_.getString(0) == "d3").get
+    assert(d3.isNullAt(d3.fieldIndex("_sparse_rank")))
+  }
+
+  test("RRF: empty side degrades to rank-only of the other") {
+    val dense = Seq(("a", 1.0), ("b", 0.5)).toDF("id", "score")
+    val sparse = spark.emptyDataFrame
+      .select(lit("").as("id"), lit(0.0).as("score")).limit(0)
+    val fused = Rrf.fuse(dense, sparse, "id", "score", k = 10).collect()
+    assert(fused.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(math.abs(fused.head.getAs[Double]("score") - 1.0 / 61) < 1e-15)
+  }
+
+  test("RRF top-k truncates by fused score") {
+    val dense = (1 to 30).map(i => (s"d$i", 1.0 / i)).toDF("id", "score")
+    val sparse = (1 to 30).map(i => (s"s$i", 1.0 / i)).toDF("id", "score")
+    val fused = Rrf.fuse(dense, sparse, "id", "score", k = 5).collect()
+    assert(fused.length == 5)
+    // ties (same rank on each side) break by id: d before s
+    assert(fused.map(_.getString(0)).toSeq ==
+      Seq("d1", "s1", "d2", "s2", "d3"))
+  }
+}

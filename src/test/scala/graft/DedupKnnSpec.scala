@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Knn}
+
+class DedupKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "xy")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps smallest id") {
+    val got = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, true)))
+    assert(got(2L) == ((2L, 1L, false)))
+    assert(got(3L) == ((1L, 3L, true)))
+  }
+
+  test("shingles: distinct n-grams, short docs yield none") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" === 1 || $"doc_id" === 5),
+      "doc_id", "text", 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // tokens keep stopwords here: the quick brown fox jumps over the lazy dog
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).contains("the lazy dog"))
+    assert(sh(1L).size == 7)
+    assert(!sh.contains(5L)) // "xy" has 1 token < n
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated one") {
+    val dups = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 2, numHashes = 16, bands = 8, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L)))
+    assert(!dups.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of identical docs is identical") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhash: identical docs have distance 0; near-dups are close") {
+    val fp = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val d14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(d13 < d14, s"near-dup distance $d13 should beat unrelated $d14")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard on an explicit pair") {
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", pairs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // 8 bigrams each; differ in last token -> intersection 7, union 9
+    assert(math.abs(j((1L, 3L)) - 7.0 / 9) < 1e-12)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("brute-force knn matches scala cosine; lsh returns a subset") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val q = Array(1.0, 0.0, 0.0)
+    val top = Knn.bruteForceTopK(vecs, "id", "vec", q, 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq == Seq(1L, 2L))
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
+    val expected2 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(top(1)._2 - expected2) < 1e-6) // float storage
+
+    val lsh = Knn.lshTopK(vecs, "id", "vec", q, 4, nPlanes = 2).collect()
+      .map(_.getLong(0)).toSet
+    val brute = Knn.bruteForceTopK(vecs, "id", "vec", q, 4).collect()
+      .map(_.getLong(0)).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains(1L)) // the query itself is in its own bucket
+  }
+
+  test("topKJoin ranks per left row") {
+    val left = Seq((1L, Array(1.0f, 0.0f))).toDF("lid", "lvec")
+    val right = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
+      (12L, Array(0.7f, 0.7f))).toDF("rid", "rvec")
+    val got = Knn.topKJoin(left, right, "lid", "rid", "lvec", "rvec", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 10L, 1), (1L, 12L, 2)))
+  }
+
+  test("column tokenizer agrees with the pure-Scala tokenizer") {
+    val texts = Seq("Hello big-world X a_b 1 THE data",
+      "Spark 4.1 runs FAST; really-fast code_paths!", "", "a -- b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val colToks = df.select($"i",
+        TextFunctions.tokensCol($"t").as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(colToks(i) == TextFunctions.tokenize(t).toList, s"text: $t")
+    }
+  }
+}

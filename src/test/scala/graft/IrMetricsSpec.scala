@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IrMetrics
+
+/** Golden-value metric tests ported from the reference
+  * (packages/shared/benchmarks/metrics.py examples and
+  * tests/unit/benchmarks/test_metrics.py). */
+class IrMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(results: Seq[(Int, Int, String)],
+                  qrels: Seq[(Int, String, Int)],
+                  ks: Seq[Int]): Map[(String, Int, Int), Double] = {
+    val r = results.toDF("query_id", "rank", "doc_id")
+    val q = qrels.toDF("query_id", "doc_id", "grade")
+    IrMetrics.perQuery(r, q, ks).collect()
+      .map(row => ((row.getString(1), row.getInt(2), row.getInt(0)),
+        row.getDouble(3))).toMap
+  }
+
+  test("precision/recall/mrr/ap/ndcg goldens") {
+    // run: q1 retrieves a,b,c,d,e in order
+    val results = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"), (1, 5, "e"))
+    // relevant = {a, c, e} all grade>0
+    val m1 = run(results, Seq((1, "a", 1), (1, "c", 1), (1, "e", 1)), Seq(5))
+    assert(m1(("precision", 5, 1)) == 0.6) // metrics.py P@5 example
+    assert(m1(("recall", 5, 1)) == 1.0)
+
+    // recall with a relevant doc never retrieved: {a, c, f} -> 2/3
+    val m2 = run(results, Seq((1, "a", 1), (1, "c", 1), (1, "f", 1)), Seq(5))
+    assert(math.abs(m2(("recall", 5, 1)) - 2.0 / 3) < 1e-12)
+
+    // MRR(['a','b','c'], {c}) = 1/3
+    val m3 = run(Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c")),
+      Seq((1, "c", 1)), Seq(5))
+    assert(math.abs(m3(("mrr", 0, 1)) - 1.0 / 3) < 1e-12)
+
+    // AP(['a','b','c','d'], {a,c}) = (1/1 + 2/3) / 2
+    val m4 = run(Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d")),
+      Seq((1, "a", 1), (1, "c", 1)), Seq(5))
+    assert(math.abs(m4(("ap", 0, 1)) - (1.0 + 2.0 / 3) / 2) < 1e-12)
+
+    // nDCG@3(['a','b','c'], {a:3,b:1,c:2}) — computed from the formula
+    val m5 = run(Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c")),
+      Seq((1, "a", 3), (1, "b", 1), (1, "c", 2)), Seq(3))
+    assert(math.abs(m5(("ndcg", 3, 1)) - 0.9725044904464192) < 1e-12)
+
+    // compute_all_metrics docstring: ['a','b'], {a:3, c:2}, k=5
+    val m6 = run(Seq((1, 1, "a"), (1, 2, "b")),
+      Seq((1, "a", 3), (1, "c", 2)), Seq(5))
+    assert(math.abs(m6(("precision", 5, 1)) - 0.2) < 1e-12)
+    assert(math.abs(m6(("recall", 5, 1)) - 0.5) < 1e-12)
+    assert(math.abs(m6(("ndcg", 5, 1)) - 0.7039180890341347) < 1e-12)
+    assert(m6(("mrr", 0, 1)) == 1.0)
+    assert(m6(("ap", 0, 1)) == 0.5)
+  }
+
+  test("query with no qrels scores zero everywhere") {
+    val m = run(Seq((7, 1, "x"), (7, 2, "y")), Seq((8, "x", 2)), Seq(5))
+    assert(m(("precision", 5, 7)) == 0.0)
+    assert(m(("recall", 5, 7)) == 0.0)
+    assert(m(("ndcg", 5, 7)) == 0.0)
+    assert(m(("mrr", 0, 7)) == 0.0)
+    assert(m(("ap", 0, 7)) == 0.0)
+  }
+
+  test("collapse keeps first hit per doc and re-ranks (metrics.py:12-41)") {
+    val chunks = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"))
+      .toDF("query_id", "rank", "doc_id")
+    val got = IrMetrics.collapseToDocs(chunks)
+      .orderBy("rank").select("doc_id", "rank")
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("macro average across two queries") {
+    val res = Seq((1, 1, "a"), (1, 2, "b"), (2, 1, "x"))
+    val qr = Seq((1, "a", 1), (2, "y", 1))
+    val df = IrMetrics.macroAveraged(
+      res.toDF("query_id", "rank", "doc_id"),
+      qr.toDF("query_id", "doc_id", "grade"), Seq(5))
+    val m = df.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // q1: P@5 = 1/5, q2: 0 -> avg 0.1 over 2 queries
+    assert(math.abs(m(("precision", 5))._1 - 0.1) < 1e-12)
+    assert(m(("precision", 5))._2 == 2L)
+  }
+}
