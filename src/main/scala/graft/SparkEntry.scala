@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bm25, Dedup, IrMetrics, Knn, Rrf, TextAnalysis}
+import graft.operators.{Bm25, Chunking, Dedup, IrMetrics, Knn, Rrf, TextAnalysis}
 import graft.pipeline.Predicates
+import graft.search.{Ingest, SearchEngine}
 
 /** Driver contract — the declared query surface (SURVEY.md §2), one
   * entry per implemented operator, each with a DuckDB oracle where the
@@ -75,8 +76,41 @@ object SparkEntry {
        |              THEN 0.25 + 0.75 * CAST(lens.doc_len AS DOUBLE) / gstats.avgdl
        |              ELSE 1.0 END)) > 0)""".stripMargin
 
-  /** BM25 search query used by bm25_topk / rrf_fuse. */
+  /** BM25 search query used by bm25_topk / rrf_fuse / knn_text. */
   private val SearchQuery = "spark hash join stream data table"
+
+  /** Mock-embedding query vector (dim 32) for the dense-search oracle:
+    * the instruction-formatted query embedded with F3. Only the first 8
+    * dims are nonzero. */
+  private val KnnTextDim = 32
+  private lazy val KnnQueryVec: Array[Double] =
+    TextFunctions.mockEmbeddingDouble(
+      SearchEngine.formatQuery(SearchQuery, "semantic", None), KnnTextDim)
+
+  /** DuckDB arithmetic mirroring mockEmbeddingCol: 8 uint32s from the
+    * sha256 hex -> [-1,1) -> L2-normalize -> dot with the literal query
+    * vector. Same operation order as the Spark plan, so results agree
+    * to the last ulp. */
+  private def knnTextOracle: String = {
+    val raws = (0 until 8).map(i =>
+      s"(('0x' || substr(sha256(text), ${i * 8 + 1}, 8))::UBIGINT " +
+        s"/ 4294967296.0) * 2 - 1 AS r$i").mkString(",\n    ")
+    val normExpr = (0 until 8).map(i => s"r$i*r$i").mkString(" + ")
+    val dotExpr = (0 until 8)
+      .map(i => s"(r$i / nn) * (${KnnQueryVec(i)})").mkString(" + ")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    $raws
+       |  FROM documents),
+       |nrm AS (
+       |  SELECT doc_id, sqrt($normExpr) AS nn, * FROM raw),
+       |scored AS (
+       |  SELECT doc_id, $dotExpr AS raw_score FROM nrm)
+       |SELECT doc_id, round(raw_score, 6) AS score FROM (
+       |  SELECT doc_id, raw_score FROM scored
+       |  ORDER BY raw_score DESC, doc_id LIMIT 20)
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
 
   private def bm25QueryValues: String =
     TextFunctions.tokenize(SearchQuery)
@@ -388,6 +422,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- chunking UDTFs (C1/C2/C5; offsets dumped, text omitted for
+    //      size — invariants covered by ChunkingSpec; rows-only) ----
+    "chunk_character" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "character", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40,
+            overlapTokens = 5))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+    "chunk_recursive" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "recursive", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+    "chunk_hier" -> ((s, dir) => {
+      Chunking.chunkHierarchical(t(s, dir, "documents"), "doc_id", "text",
+          Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
+        .select("doc_id", "level", "chunk_id", "parent_id", "chunk_index",
+          "start_offset", "end_offset", "token_count")
+        .orderBy(col("doc_id").cast("long"), col("level"), col("chunk_index"))
+    }),
+
+    // ---- dense text search with full SQL oracle (W1 + F3 + F6) ----
+    "knn_text" -> ((s, dir) => {
+      val q = array(KnnQueryVec.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("raw_score", VectorFunctions.dot(
+          TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim), q))
+        .orderBy(col("raw_score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), round(col("raw_score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- end-to-end hybrid search over an ingested chunks table
+    //      (§3.1 + §3.3; rows-only — chunker not SQL-expressible) ----
+    "search_hybrid" -> ((s, dir) => {
+      val chunks = Ingest.buildChunks(t(s, dir, "documents"), "docs",
+        "doc_id", "text", "recursive",
+        Chunking.ChunkConfig(minTokens = 5, maxTokens = 40), dim = 32)
+      SearchEngine.search(chunks, SearchEngine.SearchRequest(
+          query = SearchQuery, searchMode = "hybrid", k = 10,
+          useReranker = true, vectorDim = 32))
+        .select(col("doc_id"), col("chunk_id"),
+          round(col("score"), 6).as("score"),
+          round(col("reranked_score"), 6).as("reranked_score"))
+        .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
+    }),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -674,6 +760,8 @@ object SparkEntry {
         |  substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
         |    1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "knn_text" -> knnTextOracle,
 
     "ir_metrics" -> {
       val ks = IrMetrics.DefaultKValues

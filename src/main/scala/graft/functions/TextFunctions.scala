@@ -100,6 +100,23 @@ object TextFunctions {
   def mockEmbedding(text: String, dim: Int = DefaultDim): Array[Float] =
     mockEmbeddingDouble(text, dim).map(_.toFloat)
 
+  /** Column form of the mock embedding, built entirely from codegen'd
+    * SQL functions (sha2 hex → 8 uint32 via conv → scale → normalize):
+    * no UDF in the embed path, and the same arithmetic is expressible in
+    * the DuckDB oracle. Only the first 8 dims are nonzero (32 hash
+    * bytes / 4), matching the reference's zero-pad. */
+  def mockEmbeddingCol(text: Column, dim: Int = DefaultDim): Column = {
+    require(dim >= 8, "mock embedding needs dim >= 8")
+    val hex = sha2(text.cast("binary"), 256)
+    val raw = (0 until 8).map { i =>
+      conv(substring(hex, i * 8 + 1, 8), 16, 10).cast("double") /
+        lit(4294967296.0) * 2.0 - 1.0
+    }
+    val norm = sqrt(raw.map(r => r * r).reduce(_ + _))
+    val vals = raw.map(_ / norm) ++ Seq.fill(dim - 8)(lit(0.0))
+    array(vals: _*)
+  }
+
   // -------------------------------------------------------------------
   // Sentence / cleaning / similarity helpers
   // -------------------------------------------------------------------

@@ -1,0 +1,91 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Chunking, Dedup}
+
+/** The ingestion pipeline (SURVEY.md §3.3) as one batch lineage:
+  * documents → chunk (flatMap UDTF) → mock-embed (column ops) → wide
+  * chunks table (FIXTURES.md §2), partitioned by collection_id.
+  *
+  * Scale posture: chunking and embedding are narrow (no shuffle); the
+  * only shuffle is the per-doc window for total_chunks, keyed by doc_id.
+  * The write partitions by collection_id so every query prunes to its
+  * collection (the reference's 100-way hash layout,
+  * shared/database/partition_utils.py:149,200, is mirrored by the
+  * partition_key column).
+  */
+object Ingest {
+
+  /** Build the queryable chunks table for one collection. */
+  def buildChunks(docs: DataFrame, collectionId: String,
+                  idCol: String, textCol: String,
+                  strategy: String = "recursive",
+                  cfg: Chunking.ChunkConfig = Chunking.ChunkConfig(),
+                  dim: Int = 64): DataFrame = {
+    val chunks = Chunking.chunkDocuments(docs, idCol, textCol, strategy, cfg)
+    val perDoc = Window.partitionBy("doc_id")
+    chunks
+      .withColumn("collection_id", lit(collectionId))
+      .withColumn("chunk_id",
+        concat(col("doc_id"), lit("_"), col("chunk_index")))
+      .withColumn("total_chunks", count("*").over(perDoc).cast("int"))
+      .withColumn("path", col("doc_id"))
+      .withColumn("path_id", lit(null).cast("string"))
+      .withColumnRenamed("text", "content")
+      .withColumn("vector", TextFunctions.mockEmbeddingCol(col("content"), dim))
+      .withColumn("partition_key",
+        pmod(abs(hash(col("collection_id"))), lit(100)))
+      .select("collection_id", "doc_id", "chunk_id", "chunk_index",
+        "total_chunks", "path", "content", "start_offset", "end_offset",
+        "token_count", "path_id", "vector", "partition_key")
+  }
+
+  /** Change-skip (P7): drop incoming docs whose (doc_id, content_hash)
+    * already exists — a left-anti join, the scalable form of the
+    * reference's per-file hash lookup (executor.py:713-744). */
+  def changeSkip(incoming: DataFrame, existing: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val in = incoming.withColumn("content_hash",
+      Dedup.contentHash(col(textCol)))
+    val ex = existing
+      .select(col(idCol), Dedup.contentHash(col(textCol)).as("content_hash"))
+    in.join(ex, Seq(idCol, "content_hash"), "left_anti")
+  }
+
+  /** Persist partitioned by collection_id (S6 sink equivalent). */
+  def writeChunks(chunks: DataFrame, path: String): Unit =
+    chunks.write.mode("overwrite").partitionBy("collection_id").parquet(path)
+
+  /** Blue/green reindex (T6): build into a staging dir, then atomically
+    * swap the `current` pointer file — readers resolve the pointer and
+    * never observe a half-written table. */
+  def reindexSwap(spark: SparkSession, chunks: DataFrame,
+                  tableRoot: String): String = {
+    val fs = new java.io.File(tableRoot)
+    fs.mkdirs()
+    val current = new java.io.File(fs, "CURRENT")
+    val gen = if (current.exists())
+      new String(java.nio.file.Files.readAllBytes(current.toPath)).trim
+        .stripPrefix("gen-").toInt + 1
+    else 0
+    val target = s"$tableRoot/gen-$gen"
+    writeChunks(chunks, target)
+    val tmp = new java.io.File(fs, "CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, s"gen-$gen")
+    java.nio.file.Files.move(tmp.toPath, current.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
+  /** Resolve the current generation of a blue/green table. */
+  def readCurrent(spark: SparkSession, tableRoot: String): DataFrame = {
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(tableRoot, "CURRENT").toPath)).trim
+    spark.read.parquet(s"$tableRoot/$gen")
+  }
+}

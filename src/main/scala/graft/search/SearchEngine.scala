@@ -1,0 +1,176 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Bm25, Rrf}
+import graft.pipeline.Predicates
+
+/** The core retrieval query (SURVEY.md §3.1) as ONE DataFrame plan:
+  * dense cosine top-k ⊕ BM25 sparse top-k → RRF fusion → shaping →
+  * filters → optional rerank → top-k.
+  *
+  * The chunks-table contract is FIXTURES.md §2: a wide DataFrame with at
+  * least (collection_id, doc_id, chunk_id, chunk_index, total_chunks,
+  * path, content, path_id, vector). Dense scoring assumes vectors are
+  * L2-normalized at index time (cosine == dot).
+  *
+  * Scale posture: both legs end in TakeOrderedAndProject over a
+  * partition-pruned scan (filter on collection_id first); RRF joins two
+  * ≤candidate_k row sets (broadcast); the only full-corpus work per
+  * query is the scan+score map — brute-force exact, by design the
+  * correctness-equivalent of the reference's ANN (SURVEY.md §0). Swap in
+  * Knn.lshTopK bucketing for the approximate path.
+  */
+object SearchEngine {
+
+  /** Search request mirroring shared/contracts/search.py:17-143. */
+  final case class SearchRequest(
+      query: String,
+      denseQuery: Option[String] = None, // HyDE-expanded (F14): dense leg only
+      k: Int = 10,
+      searchMode: String = "hybrid", // dense | sparse | hybrid
+      searchType: String = "semantic",
+      instruction: Option[String] = None,
+      rrfK: Int = 60,
+      scoreThreshold: Double = 0.0,
+      filters: Map[String, Any] = Map.empty,
+      pathId: Option[String] = None,
+      useReranker: Boolean = false,
+      includeContent: Boolean = false,
+      vectorDim: Int = 64)
+
+  /** Per-search-type query instructions
+    * (ref packages/vecpipe/search/service.py:49-54). */
+  val SearchInstructions: Map[String, String] = Map(
+    "semantic" -> "Represent this sentence for searching relevant passages:",
+    "question" -> "Represent this question for retrieving supporting documents:",
+    "code" -> "Represent this code query for finding similar code snippets:",
+    "hybrid" -> "Generate a comprehensive embedding for multi-modal search:")
+
+  /** Instruction formatting (F6): queries embed as
+    * "Instruct: {instruction}\nQuery:{text}"; documents embed unchanged.
+    * Ref: shared/embedding/dense.py:450-452. */
+  def formatQuery(text: String, searchType: String,
+                  instruction: Option[String]): String = {
+    val instr = instruction.orElse(SearchInstructions.get(searchType))
+    instr match {
+      case Some(i) => s"Instruct: $i\nQuery:$text"
+      case None => text
+    }
+  }
+
+  /** Candidate pool size when reranking: clamp(k*5, 20, 200) — W4.
+    * Ref: vecpipe/search/rerank.py:24-34. */
+  def candidateK(k: Int): Int = math.max(20, math.min(k * 5, 200))
+
+  /** Deterministic mock reranker (W5 stand-in): token-overlap ratio
+    * between query and content — monotone, model-free, order-stable.
+    * Real cross-encoders plug in behind the same (query, content) =>
+    * score column contract. */
+  def mockRerankScore(query: String)(content: Column): Column = {
+    val qToks = TextFunctions.tokenize(query).distinct
+    if (qToks.isEmpty) lit(0.0)
+    else {
+      val q = array(qToks.map(lit): _*)
+      size(array_intersect(q, TextFunctions.tokensCol(content)))
+        .cast("double") / qToks.size
+    }
+  }
+
+  /** Dense leg (W1): cosine top-k via the deterministic mock embedding
+    * of the (instruction-formatted) query. */
+  def denseLeg(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame = {
+    val qText = formatQuery(req.denseQuery.getOrElse(req.query),
+      req.searchType, req.instruction)
+    val qVec = TextFunctions.mockEmbeddingDouble(qText, req.vectorDim)
+    chunks
+      .withColumn("score",
+        VectorFunctions.dot(col("vector"), array(qVec.map(lit): _*)))
+      .orderBy(col("score").desc, col("chunk_id"))
+      .limit(limit)
+  }
+
+  /** Sparse leg (W2): BM25 over chunk content — uses the ORIGINAL query
+    * even when HyDE expanded the dense leg (contracts/search.py:21-26). */
+  def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame = {
+    Bm25.searchTopK(chunks, "chunk_id", "content", req.query, limit)
+      .withColumnRenamed("id", "chunk_id")
+      .join(chunks, Seq("chunk_id"))
+  }
+
+  /** Full §3.1 plan over one collection's chunks table. Output columns:
+    * doc_id, chunk_id, score, path, chunk_index, total_chunks, path_id
+    * [+ content when included] [+ reranked_score when reranking]. */
+  def search(chunks: DataFrame, req: SearchRequest): DataFrame = {
+    // P2: user metadata filters push into the scan
+    val filtered =
+      if (req.filters.isEmpty) chunks
+      else chunks.filter(Predicates.compile(req.filters))
+    val fetchK = if (req.useReranker) candidateK(req.k) else req.k
+
+    val fused: DataFrame = req.searchMode match {
+      case "dense" => denseLeg(filtered, req, fetchK)
+      case "sparse" => sparseLeg(filtered, req, fetchK)
+      case "hybrid" =>
+        val d = denseLeg(filtered, req, fetchK)
+          .select("chunk_id", "score")
+        val s = sparseLeg(filtered, req, fetchK)
+          .select("chunk_id", "score")
+        // J1 fusion, then payload enrichment from the dense-first union
+        Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK)
+          .select("chunk_id", "score", "_dense_rank", "_sparse_rank",
+            "_dense_score", "_sparse_score")
+          .join(chunks, Seq("chunk_id")) // J3 payload enrichment
+      case other =>
+        throw new IllegalArgumentException(s"unknown search mode: $other")
+    }
+
+    val shaped = fused
+      .filter(col("doc_id").isNotNull) // P5 malformed-row guard
+      .transform(df => req.pathId match { // P4 path filter
+        case Some(p) =>
+          df.filter(coalesce(col("path_id"), lit("default")) === lit(p))
+        case None => df
+      })
+      .filter(col("score") >= req.scoreThreshold) // P3 before rerank
+
+    // P6 projection + W5 rerank
+    val base = Seq("doc_id", "chunk_id", "score", "path", "chunk_index",
+      "total_chunks", "path_id")
+    val withContent = req.includeContent || req.useReranker
+    val cols = if (withContent) base :+ "content" else base
+    val projected = shaped.select(cols.map(col): _*)
+
+    if (req.useReranker) {
+      val reranked = projected
+        .withColumn("reranked_score", mockRerankScore(req.query)(col("content")))
+        .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
+        .limit(req.k)
+      if (req.includeContent) reranked else reranked.drop("content")
+    } else {
+      projected.orderBy(col("score").desc, col("chunk_id")).limit(req.k)
+    }
+  }
+
+  /** Multi-collection search (§3.2, J7 + W7): fan the request out over
+    * up to 10 collections, tag rows with collection identity, global
+    * sort by coalesce(reranked_score, score) desc, top k.
+    * Heterogeneous vector dims stay inside each per-collection sub-plan
+    * (SURVEY.md §7.4 risk 6). */
+  def searchMany(collections: Seq[(String, DataFrame)],
+                 req: SearchRequest): DataFrame = {
+    require(collections.nonEmpty && collections.size <= 10,
+      "1-10 collections per query (webui/api/v2/search.py:54)")
+    val per = collections.map { case (cid, chunks) =>
+      search(chunks, req).withColumn("collection_id", lit(cid))
+    }
+    val all = per.reduce(_ unionByName _)
+    val sortKey =
+      if (req.useReranker) coalesce(col("reranked_score"), col("score"), lit(0.0))
+      else coalesce(col("score"), lit(0.0)) // F15 score fallback
+    all.orderBy(sortKey.desc, col("collection_id"), col("chunk_id"))
+      .limit(req.k)
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.search.{Ingest, SearchEngine}
+import graft.search.SearchEngine.SearchRequest
+
+class SearchEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 32
+
+  private lazy val docs = Seq(
+    (1L, "spark shuffle join performance tuning guide. partitions and executors."),
+    (2L, "cooking pasta with tomato sauce. boil water and add salt."),
+    (3L, "spark streaming watermark semantics. stateful aggregation windows."),
+    (4L, "gardening tips for tomato plants in summer heat."),
+    (5L, "join strategies in distributed query engines: broadcast and shuffle."))
+    .toDF("doc_id", "text")
+
+  private lazy val chunks = Ingest.buildChunks(docs, "c1", "doc_id", "text",
+    strategy = "recursive",
+    cfg = graft.operators.Chunking.ChunkConfig(minTokens = 1, maxTokens = 50),
+    dim = Dim).cache()
+
+  test("mockEmbeddingCol is bit-close to the Scala implementation") {
+    val got = Seq("hello world", "spark", "x").toDF("t")
+      .select(TextFunctions.mockEmbeddingCol(col("t"), Dim).as("v"), col("t"))
+      .collect().map(r => r.getString(1) -> r.getSeq[Double](0)).toMap
+    for (t <- Seq("hello world", "spark", "x")) {
+      val exp = TextFunctions.mockEmbeddingDouble(t, Dim)
+      got(t).zip(exp).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-12, s"'$t' dim $i: $a vs $b")
+      }
+    }
+  }
+
+  test("chunks table honors the FIXTURES schema and unit vectors") {
+    val row = chunks.filter($"doc_id" === "1").head()
+    assert(row.getAs[String]("chunk_id") == "1_0")
+    val v = row.getSeq[Double](row.fieldIndex("vector"))
+    assert(v.length == Dim)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(chunks.select("partition_key").distinct().count() == 1)
+  }
+
+  test("dense search ranks the lexically-identical query text first") {
+    // mock embeddings are hash-based: only an EXACT text match aligns;
+    // craft a chunk whose content equals the formatted query embedding
+    // input to pin determinism end-to-end instead
+    val req = SearchRequest(query = "spark shuffle join", searchMode = "dense",
+      k = 3, vectorDim = Dim)
+    val got = SearchEngine.search(chunks, req).collect()
+    // default score_threshold = 0.0 drops negative-cosine hits (P3),
+    // mirroring contracts/search.py — so <= k rows, all non-negative
+    assert(got.nonEmpty && got.length <= 3)
+    got.foreach(r => assert(r.getDouble(2) >= 0.0))
+    // with the threshold disabled we get exactly k
+    val all = SearchEngine.search(chunks,
+      req.copy(scoreThreshold = -1e9)).collect()
+    assert(all.length == 3)
+    // deterministic: same request twice -> same result
+    val again = SearchEngine.search(chunks, req).collect()
+    assert(got.map(_.getString(1)).toSeq == again.map(_.getString(1)).toSeq)
+  }
+
+  test("sparse search finds BM25 term matches") {
+    val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 5,
+      vectorDim = Dim)
+    val got = SearchEngine.search(chunks, req).collect()
+    val docIds = got.map(_.getString(0)).toSet
+    assert(docIds == Set("2", "4"))
+  }
+
+  test("hybrid fuses both legs with RRF and keeps annotations internal") {
+    val req = SearchRequest(query = "spark join", searchMode = "hybrid",
+      k = 5, vectorDim = Dim)
+    val got = SearchEngine.search(chunks, req)
+    assert(got.columns.toSeq == Seq("doc_id", "chunk_id", "score", "path",
+      "chunk_index", "total_chunks", "path_id"))
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // RRF scores are sums of 1/(60+rank) terms
+    rows.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) <= 2.0 / 61))
+  }
+
+  test("score threshold and path filter apply before rerank") {
+    val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 5,
+      scoreThreshold = 1e9, vectorDim = Dim)
+    assert(SearchEngine.search(chunks, req).count() == 0)
+    val reqPath = SearchRequest(query = "tomato", searchMode = "sparse",
+      k = 5, pathId = Some("nonexistent"), vectorDim = Dim)
+    assert(SearchEngine.search(chunks, reqPath).count() == 0)
+    // null path_id counts as "default"
+    val reqDefault = SearchRequest(query = "tomato", searchMode = "sparse",
+      k = 5, pathId = Some("default"), vectorDim = Dim)
+    assert(SearchEngine.search(chunks, reqDefault).count() == 2)
+  }
+
+  test("reranker expands candidates, reorders by overlap, returns k") {
+    val req = SearchRequest(query = "broadcast shuffle join strategies",
+      searchMode = "hybrid", k = 2, useReranker = true, vectorDim = Dim)
+    val got = SearchEngine.search(chunks, req).collect()
+    assert(got.length <= 2)
+    // doc 5 has the densest token overlap with the query
+    assert(got.head.getString(0) == "5")
+    assert(got.head.schema.fieldNames.contains("reranked_score"))
+    assert(!got.head.schema.fieldNames.contains("content")) // not requested
+    assert(SearchEngine.candidateK(2) == 20)
+    assert(SearchEngine.candidateK(10) == 50)
+    assert(SearchEngine.candidateK(100) == 200)
+  }
+
+  test("include_content projects content") {
+    val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 2,
+      includeContent = true, vectorDim = Dim)
+    val got = SearchEngine.search(chunks, req)
+    assert(got.columns.contains("content"))
+  }
+
+  test("metadata filters restrict the corpus (P2)") {
+    val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 5,
+      filters = Map("doc_id" -> "4"), vectorDim = Dim)
+    val got = SearchEngine.search(chunks, req).collect()
+    assert(got.map(_.getString(0)).toSet == Set("4"))
+  }
+
+  test("HyDE dense_query drives ONLY the dense leg (F14)") {
+    val base = SearchRequest(query = "tomato", searchMode = "sparse", k = 5,
+      vectorDim = Dim)
+    val hyde = base.copy(denseQuery = Some("totally different expansion"))
+    // sparse results identical regardless of denseQuery
+    val a = SearchEngine.search(chunks, base).collect().map(_.getString(1))
+    val b = SearchEngine.search(chunks, hyde).collect().map(_.getString(1))
+    assert(a.toSeq == b.toSeq)
+    // dense results change with denseQuery
+    val d1 = SearchEngine.search(chunks, base.copy(searchMode = "dense"))
+      .collect().map(_.getDouble(2)).toSeq
+    val d2 = SearchEngine.search(chunks, hyde.copy(searchMode = "dense"))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(d1 != d2)
+  }
+
+  test("instruction formatting (F6)") {
+    assert(SearchEngine.formatQuery("q", "semantic", None) ==
+      "Instruct: Represent this sentence for searching relevant passages:\nQuery:q")
+    assert(SearchEngine.formatQuery("q", "unknown", None) == "q")
+    assert(SearchEngine.formatQuery("q", "semantic", Some("Custom:")) ==
+      "Instruct: Custom:\nQuery:q")
+  }
+
+  test("multi-collection fan-out tags and globally sorts (J7/W7)") {
+    val docs2 = Seq((10L, "tomato tomato tomato soup recipe"))
+      .toDF("doc_id", "text")
+    val chunks2 = Ingest.buildChunks(docs2, "c2", "doc_id", "text",
+      cfg = graft.operators.Chunking.ChunkConfig(minTokens = 1, maxTokens = 50),
+      dim = Dim)
+    val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 4,
+      vectorDim = Dim)
+    val got = SearchEngine.searchMany(
+      Seq("c1" -> chunks, "c2" -> chunks2), req).collect()
+    assert(got.map(_.getAs[String]("collection_id")).toSet == Set("c1", "c2"))
+    val scores = got.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assertThrows[IllegalArgumentException] {
+      SearchEngine.searchMany(Seq.empty, req)
+    }
+  }
+
+  test("change-skip drops unchanged docs (P7)") {
+    val incoming = Seq((1L, "same text"), (2L, "changed text v2"))
+      .toDF("doc_id", "text")
+    val existing = Seq((1L, "same text"), (2L, "changed text v1"))
+      .toDF("doc_id", "text")
+    val toProcess = Ingest.changeSkip(incoming, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(toProcess == Set(2L))
+  }
+
+  test("blue/green reindex swap is atomic and generational (T6)") {
+    val root = java.nio.file.Files.createTempDirectory("bg").toString
+    Ingest.reindexSwap(spark, chunks.limit(2), root)
+    assert(Ingest.readCurrent(spark, root).count() == 2)
+    Ingest.reindexSwap(spark, chunks.limit(4), root)
+    assert(Ingest.readCurrent(spark, root).count() == 4)
+    assert(new java.io.File(root, "gen-1").exists())
+  }
+}
