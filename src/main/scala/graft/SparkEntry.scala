@@ -5,9 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bm25, Chunking, Dedup, IrMetrics, Knn, Rrf, TextAnalysis}
+import graft.operators.{Bm25, Chunking, Dedup, IrMetrics, Knn, Maintenance, Rake, Rrf, TextAnalysis}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
+import graft.streaming.Sync
 
 /** Driver contract — the declared query surface (SURVEY.md §2), one
   * entry per implemented operator, each with a DuckDB oracle where the
@@ -474,6 +475,78 @@ object SparkEntry {
         .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
     }),
 
+    // ---- RAKE keyword extraction (A4) ----
+    "rake_keywords" -> ((s, dir) => {
+      Rake.extractKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 5)
+        .select(col("doc_id"), col("phrase"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy(col("doc_id").cast("long"), col("rank"))
+    }),
+
+    // ---- chunk stats (A6) ----
+    "a6_chunk_stats" -> ((s, dir) => {
+      Maintenance.chunkStats(t(s, dir, "documents"), tokenCol = "n_chars")
+        .select(col("min_tokens"), col("max_tokens"),
+          round(col("avg_tokens"), 6).as("avg_tokens"),
+          col("total_tokens"), col("n_chunks"))
+    }),
+
+    // ---- collection counters (A7; source acts as collection id) ----
+    "a7_counters" -> ((s, dir) => {
+      val asChunks = t(s, dir, "documents").select(
+        col("source").as("collection_id"),
+        col("doc_id"),
+        col("text").as("content"),
+        when(col("doc_id") % 10 === 0, lit(null))
+          .otherwise(array(lit(1.0f))).as("vector"))
+      Maintenance.collectionCounters(asChunks)
+        .orderBy("collection_id")
+    }),
+
+    // ---- orphan cleanup (J5) ----
+    "j5_orphans" -> ((s, dir) => {
+      val vectors = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+      Maintenance.orphanVectors(vectors, docs)
+        .orderBy("doc_id")
+    }),
+
+    // ---- doc_ref resolution (J8) ----
+    "j8_docrefs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(concat(lit("doc://"), col("doc_id")).as("uri"),
+          col("doc_id").cast("string").as("doc_id"))
+      val refs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(concat(lit("doc://"), col("doc_id")).as("doc_ref"))
+        .union(t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+          .select(concat(lit("doc://missing/"), col("doc_id")).as("doc_ref")))
+      Maintenance.resolveDocRefs(refs, docs)
+        .orderBy("doc_ref")
+    }),
+
+    // ---- incremental sync merge (T2) ----
+    "sync_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // state: docs except id%3==2, with a stale hash for id%5==0
+      val state = docs.filter(col("doc_id") % 3 =!= 2).select(
+        col("doc_id"),
+        concat(lit("doc://"), col("doc_id")).as("uri"),
+        sha2(when(col("doc_id") % 5 === 0, concat(col("text"), lit("OLD")))
+          .otherwise(col("text")).cast("binary"), 256).as("content_hash"),
+        lit("unchanged").as("status"),
+        lit(0L).as("last_seen_at"),
+        lit(false).as("is_stale"))
+      // batch: the even-id docs with their current hash
+      val batch = docs.filter(col("doc_id") % 2 === 0).select(
+        col("doc_id"),
+        concat(lit("doc://"), col("doc_id")).as("uri"),
+        sha2(col("text").cast("binary"), 256).as("content_hash"))
+      Sync.mergeBatch(state, batch, syncId = 7L)
+        .select("doc_id", "status", "last_seen_at", "is_stale")
+        .orderBy("doc_id")
+    }),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -762,6 +835,123 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "knn_text" -> knnTextOracle,
+
+    "rake_keywords" -> {
+      val stopList = Rake.StopWords.toSeq.sorted
+        .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+      s"""WITH sents AS (
+         |  SELECT doc_id, s.sidx, s.sent FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(len(string_split_regex(text, '[.!?\\n]+'))),
+         |      i -> {'sidx': i,
+         |            'sent': string_split_regex(text, '[.!?\\n]+')[i+1]})) AS s
+         |    FROM documents)),
+         |words AS (
+         |  SELECT doc_id, sidx, u.idx, u.word,
+         |    u.word IN ($stopList) AS is_stop
+         |  FROM (
+         |    SELECT doc_id, sidx, unnest(list_transform(
+         |      range(len(regexp_extract_all(lower(sent),
+         |        '[a-zA-Z][a-zA-Z0-9]*(''[a-zA-Z]+)?'))),
+         |      i -> {'idx': i,
+         |            'word': regexp_extract_all(lower(sent),
+         |              '[a-zA-Z][a-zA-Z0-9]*(''[a-zA-Z]+)?')[i+1]})) AS u
+         |    FROM sents)),
+         |grouped AS (
+         |  SELECT doc_id, sidx, idx, word,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, sidx ORDER BY idx) AS gid,
+         |    is_stop
+         |  FROM words),
+         |phrases AS (
+         |  SELECT doc_id, sidx, gid,
+         |    string_agg(word, ' ' ORDER BY idx) AS phrase,
+         |    count(*) AS nwords
+         |  FROM grouped WHERE NOT is_stop
+         |  GROUP BY doc_id, sidx, gid
+         |  HAVING count(*) <= 4 AND length(string_agg(word, ' ' ORDER BY idx)) >= 3),
+         |pwords AS (
+         |  SELECT g.doc_id, g.sidx, g.gid, g.word, p.nwords
+         |  FROM grouped g JOIN phrases p
+         |    ON p.doc_id = g.doc_id AND p.sidx = g.sidx AND p.gid = g.gid
+         |  WHERE NOT g.is_stop),
+         |wscores AS (
+         |  SELECT doc_id, word,
+         |    (sum(nwords - 1) + count(*)) * 1.0 / count(*) AS wscore
+         |  FROM pwords GROUP BY doc_id, word),
+         |pscores AS (
+         |  SELECT DISTINCT p.doc_id, p.phrase, ps.score FROM phrases p
+         |  JOIN (
+         |    SELECT pw.doc_id, pw.sidx, pw.gid, sum(ws.wscore) AS score
+         |    FROM pwords pw
+         |    JOIN wscores ws ON ws.doc_id = pw.doc_id AND ws.word = pw.word
+         |    GROUP BY pw.doc_id, pw.sidx, pw.gid) ps
+         |    ON ps.doc_id = p.doc_id AND ps.sidx = p.sidx AND ps.gid = p.gid),
+         |ranked AS (
+         |  SELECT doc_id, phrase, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, phrase) AS rank
+         |  FROM pscores)
+         |SELECT doc_id, phrase, round(score, 6) AS score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin
+    },
+
+    "a6_chunk_stats" ->
+      """SELECT min(n_chars) AS min_tokens, max(n_chars) AS max_tokens,
+        |  round(avg(n_chars), 6) AS avg_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_chunks
+        |FROM documents""".stripMargin,
+
+    "a7_counters" ->
+      """SELECT source AS collection_id,
+        |  count(DISTINCT doc_id) AS document_count,
+        |  count(*) AS chunks_total_count,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_size_bytes,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS vector_count
+        |FROM documents GROUP BY source ORDER BY collection_id""".stripMargin,
+
+    "j5_orphans" ->
+      """SELECT vec_id AS doc_id, label FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |  WHERE d.doc_id < 400 AND d.doc_id = e.vec_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "j8_docrefs" ->
+      """WITH refs AS (
+        |  SELECT 'doc://' || doc_id AS doc_ref FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'doc://missing/' || doc_id FROM documents WHERE doc_id % 50 = 0),
+        |docs AS (
+        |  SELECT 'doc://' || doc_id AS doc_ref, CAST(doc_id AS VARCHAR) AS doc_id
+        |  FROM documents)
+        |SELECT r.doc_ref AS doc_ref, d.doc_id AS doc_id,
+        |  CASE WHEN d.doc_id IS NOT NULL THEN 'matched'
+        |    ELSE 'unmatched' END AS match_status
+        |FROM refs r LEFT JOIN docs d USING (doc_ref)
+        |ORDER BY doc_ref""".stripMargin,
+
+    "sync_merge" ->
+      """WITH state AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 5 = 0 THEN text || 'OLD' ELSE text END)
+        |      AS s_hash
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |batch AS (
+        |  SELECT doc_id, sha256(text) AS b_hash
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN s.s_hash IS NULL THEN 'new'
+        |    WHEN b.b_hash IS NULL THEN 'unchanged'
+        |    WHEN b.b_hash <> s.s_hash THEN 'updated'
+        |    ELSE 'unchanged' END AS status,
+        |  CAST(CASE WHEN b.b_hash IS NOT NULL THEN 7 ELSE 0 END AS BIGINT)
+        |    AS last_seen_at,
+        |  b.b_hash IS NULL AS is_stale
+        |FROM state s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "ir_metrics" -> {
       val ks = IrMetrics.DefaultKValues

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous-sync / incremental ingestion (SURVEY.md §2.9 T1/T2/T5).
+  *
+  * The reference's "streaming" is incremental batch over files: re-scan
+  * sources on a schedule, detect changed docs by content_hash, mark
+  * docs not seen this sync as stale. We model it as a snapshot MERGE in
+  * `foreachBatch` — the Spark-native equivalent of the tracker diff
+  * (document_tracker.py:70-142) — driven either by a one-shot call
+  * (Trigger.AvailableNow) or a file-source stream.
+  *
+  * State-table contract (FIXTURES.md §3 subset):
+  *   documents(doc_id, uri, content_hash, status, last_seen_at BIGINT,
+  *             is_stale BOOLEAN)
+  * `last_seen_at` carries the driver-supplied syncId (a monotone
+  * logical clock) rather than a wall clock, keeping runs reproducible.
+  *
+  * Scale: the merge is one full-outer join keyed on doc_id — the state
+  * table and the batch are both hash-partitioned on the key; with Delta
+  * this is exactly `MERGE WHEN MATCHED / NOT MATCHED [BY SOURCE]`.
+  */
+object Sync {
+
+  /** One sync round (T2 semantics):
+    *  - new doc → insert status=new
+    *  - same doc_id, different content_hash → status=updated
+    *  - same doc_id, same hash → status=unchanged (last_seen bumped)
+    *  - state doc missing from the batch → is_stale=true, status kept
+    * Returns the NEW state snapshot. */
+  def mergeBatch(state: DataFrame, batch: DataFrame, syncId: Long): DataFrame = {
+    val s = state.select(
+      col("doc_id"), col("uri").as("s_uri"),
+      col("content_hash").as("s_hash"), col("status").as("s_status"),
+      col("last_seen_at").as("s_seen"), col("is_stale").as("s_stale"))
+    val b = batch.select(
+      col("doc_id"), col("uri").as("b_uri"),
+      col("content_hash").as("b_hash"))
+    s.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("b_uri"), col("s_uri")).as("uri"),
+        coalesce(col("b_hash"), col("s_hash")).as("content_hash"),
+        when(col("s_hash").isNull, lit("new"))
+          .when(col("b_hash").isNull, col("s_status"))
+          .when(col("b_hash") =!= col("s_hash"), lit("updated"))
+          .otherwise(lit("unchanged")).as("status"),
+        when(col("b_hash").isNotNull, lit(syncId))
+          .otherwise(col("s_seen")).as("last_seen_at"),
+        // stale = not seen this sync (the reference's staleness grace,
+        // models.py:369-370)
+        col("b_hash").isNull.as("is_stale"))
+  }
+
+  /** Docs that need (re)processing after a merge: new or updated —
+    * the P7 change-skip complement. */
+  def toProcess(merged: DataFrame): DataFrame =
+    merged.filter(col("status").isin("new", "updated") && !col("is_stale"))
+
+  /** Continuous sync (T1): stream new files from a directory, MERGE
+    * each micro-batch into the parquet state table. The caller supplies
+    * how to load the current state and persist the next snapshot (a
+    * pointer-swap table via Ingest.reindexSwap, or Delta in prod).
+    * Returns the streaming query (AvailableNow = one scheduled run). */
+  def continuousSync(spark: SparkSession, incomingDir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     loadState: () => DataFrame,
+                     saveState: DataFrame => Unit,
+                     checkpointDir: String,
+                     availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000")
+      .parquet(incomingDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = mergeBatch(loadState(), batch, batchId)
+        saveState(merged)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  // ---- T5: failure classification + retry backoff ----
+
+  /** Transient vs permanent error classification
+    * (webui/tasks/error_classifier.py:26-221, collapsed to the
+    * observable contract: retryable patterns vs not). */
+  def classifyError(message: String): String = {
+    val m = if (message == null) "" else message.toLowerCase
+    val transient = Seq("timeout", "timed out", "connection", "temporarily",
+      "unavailable", "too many requests", "rate limit", "503", "502", "429")
+    if (transient.exists(m.contains)) "transient" else "permanent"
+  }
+
+  /** Exponential backoff with cap: min(2^attempt * base, max) seconds. */
+  def retryBackoffSeconds(attempt: Int, base: Double = 1.0,
+                          max: Double = 300.0): Double =
+    math.min(math.pow(2.0, attempt) * base, max)
+
+  /** Halt decision: stop the pipeline after N consecutive failures
+    * (executor.py:214-224). Pure fold over an ordered status sequence. */
+  def shouldHalt(statuses: Seq[Boolean], threshold: Int): Boolean = {
+    var consecutive = 0
+    for (ok <- statuses) {
+      if (ok) consecutive = 0
+      else {
+        consecutive += 1
+        if (consecutive >= threshold) return true
+      }
+    }
+    false
+  }
+}
