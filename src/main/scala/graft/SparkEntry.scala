@@ -463,9 +463,11 @@ object SparkEntry {
     // ---- end-to-end hybrid search over an ingested chunks table
     //      (§3.1 + §3.3; rows-only — chunker not SQL-expressible) ----
     "search_hybrid" -> ((s, dir) => {
+      // cache: the chunks relation feeds the dense leg, the sparse
+      // leg's weight/stats branches, and the payload-enrichment join
       val chunks = Ingest.buildChunks(t(s, dir, "documents"), "docs",
         "doc_id", "text", "recursive",
-        Chunking.ChunkConfig(minTokens = 5, maxTokens = 40), dim = 32)
+        Chunking.ChunkConfig(minTokens = 5, maxTokens = 40), dim = 32).cache()
       SearchEngine.search(chunks, SearchEngine.SearchRequest(
           query = SearchQuery, searchMode = "hybrid", k = 10,
           useReranker = true, vectorDim = 32))

@@ -17,23 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision — custom codegen Expression (the
+    * higher-order-function form is CodegenFallback and ~10× slower in
+    * the scoring loop; kept below as dotHof for reference/tests). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotExpr(a, b)
+
+  /** L2 norm ‖a‖₂. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Single-pass cosine similarity; 0.0 when either norm is zero. */
+  def cosine(a: Column, b: Column): Column =
+    VectorExpressions.cosineExpr(a, b)
+
+  /** Interpreted higher-order-function twin of [[dot]] (reference
+    * implementation for parity tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
-
-  /** L2 norm ‖a‖₂. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) =>
-      acc + v.cast("double") * v.cast("double")))
-
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
 
   /** Cosine for pre-normalized vectors — just the dot product. Use this
     * in the k-NN path when the store guarantees unit vectors. */

@@ -135,12 +135,29 @@ object Bm25 {
   /** Sparse dot-product top-k — operator W2. Scores every doc sharing a
     * term with the query via a broadcast join on term (the query side is
     * tiny), then TakeOrderedAndProject for the top-k. Deterministic
-    * tie-break on id. */
+    * tie-break on id.
+    *
+    * The token explosion, doc lengths, and term stats are built ONCE and
+    * shared between the doc-weight and query-weight branches (identical
+    * subplans also let Spark reuse the shuffle exchange). */
   def searchTopK(corpus: DataFrame, idCol: String, textCol: String,
                  queryText: String, k: Int, p: Params = Default): DataFrame = {
     val spark = corpus.sparkSession
-    val docW = docTermWeights(corpus, idCol, textCol, p)
-    val stats = corpusStats(corpus, idCol, textCol)
+    val toks = tokens(corpus, idCol, textCol)
+    val lens = docLengths(corpus, idCol, textCol)
+    val stats = termDocFreqs(toks)
+      .crossJoin(broadcast(corpusGlobals(lens)))
+      .withColumn("idf", idfCol(col("df"), col("n_docs")))
+    val tf = toks.groupBy("id", "term").agg(count("*").as("tf"))
+    val lengthNorm = when(col("avg_doc_len") > 0.0,
+      lit(1.0 - p.b) + lit(p.b) * col("doc_len").cast("double") / col("avg_doc_len"))
+      .otherwise(lit(1.0))
+    val docW = tf.join(lens, "id")
+      .join(stats, "term")
+      .withColumn("weight",
+        col("idf") * (col("tf").cast("double") * lit(p.k1 + 1.0)) /
+          (col("tf").cast("double") + lit(p.k1) * lengthNorm))
+      .filter(col("weight") > 0.0)
     val qW = queryTermWeights(stats, queryText, spark)
     docW.join(broadcast(qW), "term")
       .groupBy("id")
