@@ -549,6 +549,100 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- pipeline DAG execution with predicate routing (§3.3) ----
+    "dag_pipeline" -> ((s, dir) => {
+      import graft.pipeline.Dag
+      val dag = Dag.PipelineDag("p",
+        nodes = Seq(
+          Dag.Node("chunk_en", Dag.NodeType.Chunker,
+            Map("strategy" -> "recursive", "min_tokens" -> "5",
+              "max_tokens" -> "40", "overlap_tokens" -> "0")),
+          Dag.Node("chunk_rest", Dag.NodeType.Chunker,
+            Map("strategy" -> "character", "min_tokens" -> "5",
+              "max_tokens" -> "40", "overlap_tokens" -> "0")),
+          Dag.Node("embed", Dag.NodeType.Embedder, Map("dim" -> "16"))),
+        edges = Seq(
+          Dag.Edge(Dag.Source, "chunk_en", when = Map("lang" -> "en"),
+            pathName = Some("english")),
+          Dag.Edge(Dag.Source, "chunk_rest"),
+          Dag.Edge("chunk_en", "embed"),
+          Dag.Edge("chunk_rest", "embed")))
+      Dag.execute(dag, t(s, dir, "documents"))
+        .groupBy("path_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("path_id")
+    }),
+
+    // ---- batch benchmark evaluation (A5+J6+W6 in one plan) ----
+    "bench_eval" -> ((s, dir) => {
+      import graft.operators.BenchmarkRunner
+      val chunks = Ingest.buildChunks(t(s, dir, "documents"), "docs",
+        "doc_id", "text", "recursive",
+        Chunking.ChunkConfig(minTokens = 5, maxTokens = 40), dim = 32).cache()
+      val spark = s
+      import spark.implicits._
+      val queries = Seq((1, "spark hash join"), (2, "window sort batch"),
+        (3, "customer order line")).toDF("query_id", "query_text")
+      // deterministic qrels: docs whose id ends in the query id's digit
+      val qrels = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"),
+          (col("doc_id") % 3 + 1).cast("int").as("query_id"),
+          (col("doc_id") % 4).cast("int").as("grade"))
+        .select("query_id", "doc_id", "grade")
+      BenchmarkRunner.evaluate(chunks, queries, qrels,
+          mode = "hybrid", k = 20, dim = 32)
+        .select(col("metric"), col("k"), round(col("value"), 6).as("value"),
+          col("n_queries"))
+        .orderBy("metric", "k")
+    }),
+
+    // ---- PCA 2-D projection of the embedding space ----
+    "pca_project" -> ((s, dir) => {
+      graft.operators.Projection.pca2d(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, sampleLimit = 500)
+        .select(col("vec_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- SPLADE-shaped sparse encoding (F12 activation shape) ----
+    "splade_mock" -> ((s, dir) => {
+      graft.plugins.Providers.SpladeLikeMockIndexer()
+        .encodeDocuments(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"), col("term"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // ---- multimodal decode (binary -> typed metadata; stub codec) ----
+    "multimodal_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        lit("image").as("media_type"),
+        col("text").cast("binary").as("content"))
+      Multimodal.decode(media)
+        .select(col("doc_id").cast("long").as("doc_id"), col("width"),
+          col("height"), col("channels"), col("codec"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal feature extraction (binary -> embedding) ----
+    "multimodal_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        lit("image").as("media_type"),
+        col("text").cast("binary").as("content"))
+      val feats = Multimodal.extractFeatures(media, dim = 32)
+      // project to a scalar surface: cosine self-check + dims
+      feats.select(col("doc_id").cast("long").as("doc_id"),
+          size(col("feature")).as("dim"),
+          round(VectorFunctions.norm(col("feature")), 4).as("norm"))
+        .orderBy("doc_id")
+    }),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -837,6 +931,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "knn_text" -> knnTextOracle,
+
+    // FakeCodec image metadata is pure sha256 arithmetic: u(i) = the
+    // big-endian uint16 at hash byte i -> width = 64 + u(0) % 4032 etc.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(64 + ('0x' || substr(sha256(text), 1, 4))::UINTEGER % 4032
+        |    AS INT) AS width,
+        |  CAST(64 + ('0x' || substr(sha256(text), 5, 4))::UINTEGER % 2096
+        |    AS INT) AS height,
+        |  3 AS channels, 'fake/png' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id, 32 AS dim, 1.0 AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "rake_keywords" -> {
       val stopList = Rake.StopWords.toSeq.sorted

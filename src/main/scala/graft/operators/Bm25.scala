@@ -132,17 +132,13 @@ object Bm25 {
       .select("term", "q_weight")
   }
 
-  /** Sparse dot-product top-k — operator W2. Scores every doc sharing a
-    * term with the query via a broadcast join on term (the query side is
-    * tiny), then TakeOrderedAndProject for the top-k. Deterministic
-    * tie-break on id.
-    *
-    * The token explosion, doc lengths, and term stats are built ONCE and
-    * shared between the doc-weight and query-weight branches (identical
-    * subplans also let Spark reuse the shuffle exchange). */
-  def searchTopK(corpus: DataFrame, idCol: String, textCol: String,
-                 queryText: String, k: Int, p: Params = Default): DataFrame = {
-    val spark = corpus.sparkSession
+  /** A reusable BM25 index: the token explosion, doc lengths, and term
+    * stats built ONCE and shared by every consumer (identical subplans
+    * also let Spark reuse the shuffle exchanges). */
+  final case class Index(stats: DataFrame, docWeights: DataFrame)
+
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+                 p: Params = Default): Index = {
     val toks = tokens(corpus, idCol, textCol)
     val lens = docLengths(corpus, idCol, textCol)
     val stats = termDocFreqs(toks)
@@ -158,8 +154,19 @@ object Bm25 {
         col("idf") * (col("tf").cast("double") * lit(p.k1 + 1.0)) /
           (col("tf").cast("double") + lit(p.k1) * lengthNorm))
       .filter(col("weight") > 0.0)
-    val qW = queryTermWeights(stats, queryText, spark)
-    docW.join(broadcast(qW), "term")
+      .select(col("id"), col("term"), col("tf"), col("weight"))
+    Index(stats, docW)
+  }
+
+  /** Sparse dot-product top-k — operator W2. Scores every doc sharing a
+    * term with the query via a broadcast join on term (the query side is
+    * tiny), then TakeOrderedAndProject for the top-k. Deterministic
+    * tie-break on id. */
+  def searchTopK(corpus: DataFrame, idCol: String, textCol: String,
+                 queryText: String, k: Int, p: Params = Default): DataFrame = {
+    val idx = buildIndex(corpus, idCol, textCol, p)
+    val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    idx.docWeights.join(broadcast(qW), "term")
       .groupBy("id")
       .agg(sum(col("weight") * col("q_weight")).as("score"))
       .orderBy(col("score").desc, col("id"))

@@ -55,8 +55,11 @@ object Dedup {
     * shingle, |A∪B| = |A|+|B|−|A∩B|. Never all-pairs: feed it LSH
     * candidates (or any bounded pair relation). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   pairs: DataFrame, n: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+                   pairs: DataFrame, n: Int): DataFrame =
+    ngramJaccardFrom(shingles(df, idCol, textCol, n).cache(), pairs)
+
+  /** [[ngramJaccard]] over a precomputed (id, shingle) relation. */
+  def ngramJaccardFrom(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("id").agg(count("*").as("n_shingles"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
@@ -82,8 +85,11 @@ object Dedup {
     * shingles' distinct); signatures are fixed-width regardless of doc
     * size. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+                        n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFrom(shingles(df, idCol, textCol, n), numHashes)
+
+  /** [[minhashSignatures]] over a precomputed (id, shingle) relation. */
+  def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val hashed = sh.select(col("id"),
       array((0 until numHashes).map(s =>
         xxhash64(lit(s), col("shingle"))): _*).as("hs"))
@@ -122,9 +128,12 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // one shingle relation feeds both the signature and the verify
+    // branches (otherwise the explode+distinct shuffle runs twice)
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sigs = minhashSignaturesFrom(sh, numHashes)
     val cands = minhashCandidates(sigs, numHashes, bands)
-    ngramJaccard(df, idCol, textCol, cands, n)
+    ngramJaccardFrom(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *    retrieved ones); nDCG = 0 when a query has no qrels
   *  - MRR = 1 / rank of first relevant, 0 if none
   *
-  * Scale posture: everything is partitioned by query_id — one shuffle,
-  * then window functions inside each query's partition; the macro
-  * average is a second tiny aggregation. No driver-side loops.
+  * Plan shape: ALL metrics at ALL k values come out of ONE aggregation
+  * per input (conditional sums per k) followed by a single explode into
+  * long format — no per-metric union fan-out, so the upstream retrieval
+  * DAG executes exactly once regardless of |kValues|. Everything is
+  * partitioned by query_id; the macro average is one tiny extra
+  * aggregation.
   */
 object IrMetrics {
   val DefaultKValues: Seq[Int] = Seq(5, 10, 20) // ref metrics.py:271-272
@@ -49,64 +52,61 @@ object IrMetrics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = graded.withColumn("cum_rel", sum("is_rel").over(wCum))
 
-    // per-query ground-truth totals (from qrels, incl. docs never retrieved)
-    val truth = qrels.groupBy("query_id").agg(
-      sum((col("grade") > 0).cast("int")).as("n_relevant"),
-      count("*").as("n_qrels"))
-
-    // ideal DCG at each k: rank qrels grades desc within query
-    val wIdeal = Window.partitionBy("query_id")
-      .orderBy(col("grade").desc, col("doc_id"))
-    val idealRanked = qrels
-      .withColumn("irank", row_number().over(wIdeal))
-
-    val perK = kValues.map { k =>
-      val atK = cum.filter(col("rank") <= k)
-      val dcg = atK.groupBy("query_id").agg(
-        sum(col("is_rel")).as("rel_at_k"),
-        sum(col("grade").cast("double") / log2(col("rank") + 1)).as("dcg"))
-      val idcg = idealRanked.filter(col("irank") <= k)
-        .groupBy("query_id")
-        .agg(sum(col("grade").cast("double") / log2(col("irank") + 1)).as("idcg"))
-      val base = results.select("query_id").distinct()
-        .join(dcg, Seq("query_id"), "left")
-        .join(idcg, Seq("query_id"), "left")
-        .join(truth, Seq("query_id"), "left")
-        .na.fill(0.0, Seq("dcg", "idcg"))
-        .na.fill(0L, Seq("rel_at_k", "n_relevant", "n_qrels"))
-      base.select(col("query_id"),
-        lit("precision").as("metric"), lit(k).as("k"),
-        (col("rel_at_k").cast("double") / k).as("value"))
-        .unionAll(base.select(col("query_id"),
-          lit("recall").as("metric"), lit(k).as("k"),
-          when(col("n_relevant") > 0,
-            col("rel_at_k").cast("double") / col("n_relevant"))
-            .otherwise(0.0).as("value")))
-        .unionAll(base.select(col("query_id"),
-          lit("ndcg").as("metric"), lit(k).as("k"),
-          when(col("idcg") > 0, col("dcg") / col("idcg"))
-            .otherwise(0.0).as("value")))
+    // one aggregation computes every @k accumulator plus MRR/AP inputs
+    val perKAggs = kValues.flatMap { k =>
+      Seq(
+        sum(when(col("rank") <= k, col("is_rel")).otherwise(0))
+          .as(s"rel_$k"),
+        sum(when(col("rank") <= k,
+          col("grade").cast("double") / log2(col("rank") + 1)).otherwise(0.0))
+          .as(s"dcg_$k"))
     }
-
-    // MRR + AP (k-independent)
-    val mrrAp = cum.groupBy("query_id").agg(
+    val tailAggs = Seq(
       min(when(col("is_rel") === 1, col("rank"))).as("first_rel"),
       sum(when(col("is_rel") === 1,
         col("cum_rel").cast("double") / col("rank"))).as("p_sum"))
-    val tail = results.select("query_id").distinct()
-      .join(mrrAp, Seq("query_id"), "left")
-      .join(truth, Seq("query_id"), "left")
-      .na.fill(0L, Seq("n_relevant"))
-    val mrr = tail.select(col("query_id"),
-      lit("mrr").as("metric"), lit(0).as("k"),
-      coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("value"))
-    val ap = tail.select(col("query_id"),
-      lit("ap").as("metric"), lit(0).as("k"),
-      when(col("n_relevant") > 0,
-        coalesce(col("p_sum"), lit(0.0)) / col("n_relevant"))
-        .otherwise(0.0).as("value"))
+    val perQ = cum.groupBy("query_id")
+      .agg((perKAggs ++ tailAggs).head, (perKAggs ++ tailAggs).tail: _*)
 
-    (perK :+ mrr :+ ap).reduce(_ unionAll _)
+    // ground truth: relevant count + ideal DCG per k, one aggregation
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("grade").desc, col("doc_id"))
+    val idealAggs = kValues.map { k =>
+      sum(when(col("irank") <= k,
+        col("grade").cast("double") / log2(col("irank") + 1)).otherwise(0.0))
+        .as(s"idcg_$k")
+    } :+ sum((col("grade") > 0).cast("int")).as("n_relevant")
+    val truth = qrels
+      .withColumn("irank", row_number().over(wIdeal))
+      .groupBy("query_id")
+      .agg(idealAggs.head, idealAggs.tail: _*)
+
+    val base = results.select("query_id").distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .join(truth, Seq("query_id"), "left")
+
+    def z(c: Column): Column = coalesce(c, lit(0.0))
+    val metricStructs: Seq[Column] = kValues.flatMap { k =>
+      Seq(
+        struct(lit("precision").as("metric"), lit(k).as("k"),
+          (z(col(s"rel_$k").cast("double")) / k).as("value")),
+        struct(lit("recall").as("metric"), lit(k).as("k"),
+          when(col("n_relevant") > 0,
+            z(col(s"rel_$k").cast("double")) / col("n_relevant"))
+            .otherwise(0.0).as("value")),
+        struct(lit("ndcg").as("metric"), lit(k).as("k"),
+          when(col(s"idcg_$k") > 0, z(col(s"dcg_$k")) / col(s"idcg_$k"))
+            .otherwise(0.0).as("value")))
+    } ++ Seq(
+      struct(lit("mrr").as("metric"), lit(0).as("k"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("value")),
+      struct(lit("ap").as("metric"), lit(0).as("k"),
+        when(col("n_relevant") > 0, z(col("p_sum")) / col("n_relevant"))
+          .otherwise(0.0).as("value")))
+
+    base.select(col("query_id"), explode(array(metricStructs: _*)).as("m"))
+      .select(col("query_id"), col("m.metric").as("metric"),
+        col("m.k").as("k"), col("m.value").as("value"))
   }
 
   /** Macro average across queries per (metric, k) — the run-level
