@@ -255,6 +255,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- event-time tumbling window aggregation (streaming-capable
+    //      shape; ts arrives as nanos-since-epoch per Tables.load) ----
+    "q11_window_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_utc",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+      ev.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- predicate language (P1) compiled to Columns ----
     "p1_predicates" -> ((s, dir) => {
       val pred = Predicates.compile(Map(
@@ -753,6 +767,13 @@ object SparkEntry {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    "q11_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "p1_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part

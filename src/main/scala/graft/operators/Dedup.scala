@@ -38,16 +38,22 @@ object Dedup {
       .select("id", "content_hash", "dup_count", "keep_id", "is_kept")
   }
 
-  /** Distinct token n-gram shingles per doc: (id, shingle). */
+  /** Distinct token n-gram shingles per doc: (id, shingle).
+    * The token array is projected FIRST so the gram lambda references a
+    * materialized attribute — inlining the tokenizer expression into the
+    * lambda would re-run the regex once per gram (O(tokens²)/doc). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextFunctions.tokensCol(col(textCol), removeStopwords = false)
+    val toks = col("_toks")
     // sequence(0, -1) would count DOWN; guard short docs with an
     // explicit empty array instead
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+    df.select(col(idCol).as("id"),
+        TextFunctions.tokensCol(col(textCol), removeStopwords = false).as("_toks"))
+      .select(col("id"), explode(grams).as("shingle"))
+      .distinct()
   }
 
   /** Pairwise n-gram Jaccard for a given candidate pair set

@@ -54,8 +54,18 @@ object TextAnalysis {
     * score = 0.4·clamp(n_tokens/100) + 0.3·alpha + 0.3·(1 − punct·5 clamped)
     */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the token array once; inlining the tokenizer into
+    // every consumer would re-run the regex per reference
+    val staged = df.select(col(idCol), col(textCol),
+      TextFunctions.tokensCol(col(textCol), removeStopwords = false)
+        .as("_toks"))
+    qualityFromTokens(staged, idCol, textCol)
+  }
+
+  private def qualityFromTokens(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
     val text = col(textCol)
-    val toksAll = TextFunctions.tokensCol(text, removeStopwords = false)
+    val toksAll = col("_toks")
     val nChars = length(text).cast("double")
     val safeChars = greatest(nChars, lit(1.0))
     val nTokens = size(toksAll).cast("double")

@@ -65,19 +65,23 @@ object SearchEngine {
     * Ref: vecpipe/search/rerank.py:24-34. */
   def candidateK(k: Int): Int = math.max(20, math.min(k * 5, 200))
 
-  /** Deterministic mock reranker (W5 stand-in): token-overlap ratio
-    * between query and content — monotone, model-free, order-stable.
-    * Real cross-encoders plug in behind the same (query, content) =>
-    * score column contract. */
-  def mockRerankScore(query: String)(content: Column): Column = {
-    val qToks = TextFunctions.tokenize(query).distinct
-    if (qToks.isEmpty) lit(0.0)
-    else {
-      val q = array(qToks.map(lit): _*)
-      size(array_intersect(q, TextFunctions.tokensCol(content)))
-        .cast("double") / qToks.size
+  /** Deterministic mock reranker (W5 stand-in) — delegates to the
+    * plugin-surface default; real cross-encoders plug in behind the
+    * same (query)(content) => score contract via [[search]]'s
+    * `reranker` parameter. */
+  def mockRerankScore(query: String)(content: Column): Column =
+    graft.plugins.Providers.MockReranker().score(query)(content)
+
+  /** HyDE expansion (F14): expand the dense query via the pluggable
+    * expander; failure (None) falls back to the original query with the
+    * original always driving the sparse leg
+    * (shared/llm/hyde.py:40-173; search_service.py:469-498). */
+  def withHyde(req: SearchRequest,
+               expander: graft.plugins.Providers.QueryExpander): SearchRequest =
+    expander.expand(req.query) match {
+      case Some(expanded) => req.copy(denseQuery = Some(expanded))
+      case None => req
     }
-  }
 
   /** Dense leg (W1): cosine top-k via the deterministic mock embedding
     * of the (instruction-formatted) query. */
@@ -103,7 +107,9 @@ object SearchEngine {
   /** Full §3.1 plan over one collection's chunks table. Output columns:
     * doc_id, chunk_id, score, path, chunk_index, total_chunks, path_id
     * [+ content when included] [+ reranked_score when reranking]. */
-  def search(chunks: DataFrame, req: SearchRequest): DataFrame = {
+  def search(chunks: DataFrame, req: SearchRequest,
+             reranker: graft.plugins.Providers.Reranker =
+               graft.plugins.Providers.MockReranker()): DataFrame = {
     // P2: user metadata filters push into the scan
     val filtered =
       if (req.filters.isEmpty) chunks
@@ -145,7 +151,7 @@ object SearchEngine {
 
     if (req.useReranker) {
       val reranked = projected
-        .withColumn("reranked_score", mockRerankScore(req.query)(col("content")))
+        .withColumn("reranked_score", reranker.score(req.query)(col("content")))
         .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
         .limit(req.k)
       if (req.includeContent) reranked else reranked.drop("content")

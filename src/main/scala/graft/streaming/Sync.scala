@@ -86,6 +86,43 @@ object Sync {
       .start()
   }
 
+  // ---- T3: incremental BM25 corpus statistics ----
+
+  /** Merge a batch of new documents into running BM25 corpus stats.
+    * State: termStats(term, df) + one-row globals(n_docs,
+    * total_doc_len). Because df, N, and Σlen are all sums, incremental
+    * merge over any batch partitioning equals the batch recompute over
+    * the union — the order-independent snapshot semantics SURVEY.md
+    * §7.4 risk 2 pins (vs the reference's sequential mid-batch updates,
+    * bm25_sparse_indexer.py:545-591). Runs inside foreachBatch; with
+    * Delta this is two MERGEs. */
+  def mergeBm25Stats(termStats: DataFrame, globals: DataFrame,
+                     batch: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Bm25
+    val toks = Bm25.tokens(batch, idCol, textCol)
+    val lens = Bm25.docLengths(batch, idCol, textCol)
+    val batchTerm = Bm25.termDocFreqs(toks)
+    val newTerm = termStats.select(col("term"), col("df"))
+      .unionByName(batchTerm)
+      .groupBy("term").agg(sum("df").as("df"))
+    val batchGlobal = lens.agg(
+      count("*").cast("long").as("n_docs"),
+      coalesce(sum("doc_len"), lit(0L)).cast("long").as("total_doc_len"))
+    val newGlobal = globals.select(col("n_docs"), col("total_doc_len"))
+      .unionByName(batchGlobal)
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_doc_len").cast("long").as("total_doc_len"))
+    (newTerm, newGlobal)
+  }
+
+  /** Empty BM25 stats state. */
+  def emptyBm25State(spark: SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    (Seq.empty[(String, Long)].toDF("term", "df"),
+      Seq((0L, 0L)).toDF("n_docs", "total_doc_len"))
+  }
+
   // ---- T5: failure classification + retry backoff ----
 
   /** Transient vs permanent error classification

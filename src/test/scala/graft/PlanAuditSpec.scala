@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality audits: the physical plans the engine MUST produce for
+  * 100 TB viability — filter/column pushdown into the parquet scan,
+  * broadcast joins for dims, TakeOrderedAndProject for top-k (per-
+  * partition heap + driver merge, never a global sort). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q8_pushdown: filters reach the parquet scan; columns pruned") {
+    val p = plan("q8_pushdown")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual"),
+      s"shipdate filter not pushed:\n$p")
+    // projection pruning: the scan must NOT read all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q2_join_agg: nation joins as broadcast, not shuffle") {
+    val p = plan("q2_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q3_topk: TakeOrderedAndProject, not a global Sort+Limit") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("knn_text: dense scoring is one scan + top-k, no shuffle join") {
+    val p = plan("knn_text")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("bm25 doc-weight plan partial-aggregates before the shuffle") {
+    val p = graft.operators.Bm25
+      .docTermWeights(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // map-side combine: HashAggregate appears on both sides of the
+    // exchange for the tf groupBy
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("chunks scan prunes partitions by collection_id") {
+    val tmp = java.nio.file.Files.createTempDirectory("pp").toString
+    import spark.implicits._
+    val chunks = graft.search.Ingest.buildChunks(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), "colA",
+      "doc_id", "text",
+      cfg = graft.operators.Chunking.ChunkConfig(minTokens = 1), dim = 8)
+      .unionByName(graft.search.Ingest.buildChunks(
+        Seq((2L, "delta epsilon")).toDF("doc_id", "text"), "colB",
+        "doc_id", "text",
+        cfg = graft.operators.Chunking.ChunkConfig(minTokens = 1), dim = 8))
+    graft.search.Ingest.writeChunks(chunks, tmp)
+    val read = spark.read.parquet(tmp).filter(col("collection_id") === "colA")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.contains("collection_id"), p)
+    assert(read.count() == 1)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25
+import graft.plugins.Providers
+import graft.search.SearchEngine
+import graft.streaming.Sync
+
+/** T3: incremental BM25 stats == batch recompute; HyDE plumbing;
+  * streaming window aggregation (the q11 shape under a real stream). */
+class StreamingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental BM25 stats merge equals batch recompute (T3)") {
+    val batch1 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((3L, "cherry durian"), (4L, "")).toDF("doc_id", "text")
+    val all = batch1.unionByName(batch2)
+
+    var (term, global) = Sync.emptyBm25State(spark)
+    for (b <- Seq(batch1, batch2)) {
+      val (t2, g2) = Sync.mergeBm25Stats(term, global, b, "doc_id", "text")
+      term = t2.cache(); global = g2.cache()
+      term.count(); global.count()
+    }
+    val incTerm = term.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val incGlobal = global.head()
+
+    val batchStats = Bm25.corpusStats(all, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(incTerm == batchStats.view.mapValues(_._1).toMap)
+    assert(incGlobal.getLong(0) == 4L) // N includes the empty doc
+    val batchLens = Bm25.docLengths(all, "doc_id", "text")
+      .agg(sum("doc_len")).head().getLong(0)
+    assert(incGlobal.getLong(1) == batchLens)
+  }
+
+  test("HyDE expander rewrites only the dense query, with fallback") {
+    val req = SearchEngine.SearchRequest(query = "spark tuning")
+    val expanded = SearchEngine.withHyde(req, Providers.MockHyde())
+    assert(expanded.query == "spark tuning") // sparse leg unchanged
+    assert(expanded.denseQuery.get.contains("Hypothetical"))
+    // failure -> unchanged request (fallback with warning semantics)
+    val failed = SearchEngine.withHyde(
+      SearchEngine.SearchRequest(query = ""), Providers.MockHyde())
+    assert(failed.denseQuery.isEmpty)
+  }
+
+  test("tumbling-window aggregation runs under Structured Streaming") {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("ck").toString + "/ck"
+    val rows = Seq(
+      (1L, 0L, "click", 1.0),
+      (2L, 10L * 60 * 1000000000L, "click", 2.0), // +10 min
+      (3L, 70L * 60 * 1000000000L, "view", 5.0)) // +70 min
+      .toDF("event_id", "ts", "event_type", "value")
+    rows.write.parquet(dir)
+    val stream = spark.readStream.schema(rows.schema).parquet(dir)
+      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg")
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_type, n, v FROM winagg ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
