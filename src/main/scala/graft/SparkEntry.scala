@@ -491,6 +491,31 @@ object SparkEntry {
         .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
     }),
 
+    // ---- full build path: chunk -> embed -> index-ready rows; Bench
+    //      time / 500 docs gives the BASELINE docs/s comparison ----
+    "build_pipeline" -> ((s, dir) => {
+      Ingest.buildChunks(t(s, dir, "documents"), "bench", "doc_id", "text",
+          "character", Chunking.ChunkConfig(minTokens = 10, maxTokens = 100,
+            overlapTokens = 10), dim = 64)
+        .select(col("chunk_id"), col("doc_id"), col("token_count"),
+          size(col("vector")).as("dim"))
+        .orderBy("chunk_id")
+    }),
+
+    // ---- parser registry dispatch (S8 first-match semantics) ----
+    "parser_dispatch" -> ((s, dir) => {
+      import graft.sources.Parsers
+      val files = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("text").cast("binary").as("content"),
+        element_at(array(lit(".md"), lit(".py"), lit(".json"), lit(".txt"),
+          lit(".pdf")), (col("doc_id") % 5 + 1).cast("int")).as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("extension"), col("parser"),
+          col("parse_status"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---- RAKE keyword extraction (A4) ----
     "rake_keywords" -> ((s, dir) => {
       Rake.extractKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 5)
@@ -967,6 +992,23 @@ object SparkEntry {
     "multimodal_features" ->
       """SELECT doc_id, 32 AS dim, 1.0 AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "parser_dispatch" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    (['.md', '.py', '.json', '.txt', '.pdf'])[CAST(doc_id % 5 + 1 AS INT)]
+        |      AS extension
+        |  FROM documents)
+        |SELECT doc_id, extension,
+        |  CASE extension
+        |    WHEN '.md' THEN 'markdown' WHEN '.py' THEN 'code'
+        |    WHEN '.json' THEN 'structured' WHEN '.txt' THEN 'text'
+        |    WHEN '.pdf' THEN 'binary_stub' END AS parser,
+        |  CASE WHEN extension = '.pdf' THEN 'stubbed' ELSE 'ok' END
+        |    AS parse_status,
+        |  CAST(CASE WHEN extension = '.pdf' THEN 0 ELSE length(text) END
+        |    AS INT) AS text_len
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "rake_keywords" -> {
       val stopList = Rake.StopWords.toSeq.sorted

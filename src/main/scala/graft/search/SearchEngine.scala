@@ -97,11 +97,21 @@ object SearchEngine {
   }
 
   /** Sparse leg (W2): BM25 over chunk content — uses the ORIGINAL query
-    * even when HyDE expanded the dense leg (contracts/search.py:21-26). */
+    * even when HyDE expanded the dense leg (contracts/search.py:21-26).
+    * If the table carries `original_chunk_id` (sparse points indexed
+    * under derived ids), hits re-key to the original chunk first —
+    * operator J2 (service.py:248-274). */
   def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame = {
-    Bm25.searchTopK(chunks, "chunk_id", "content", req.query, limit)
+    val hits = Bm25.searchTopK(chunks, "chunk_id", "content", req.query, limit)
       .withColumnRenamed("id", "chunk_id")
-      .join(chunks, Seq("chunk_id"))
+    val remapped =
+      if (chunks.columns.contains("original_chunk_id"))
+        hits.join(chunks.select("chunk_id", "original_chunk_id"), "chunk_id")
+          .withColumn("chunk_id",
+            coalesce(col("original_chunk_id"), col("chunk_id")))
+          .drop("original_chunk_id")
+      else hits
+    remapped.join(chunks, Seq("chunk_id"))
   }
 
   /** Full §3.1 plan over one collection's chunks table. Output columns:
