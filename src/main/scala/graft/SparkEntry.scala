@@ -88,6 +88,18 @@ object SparkEntry {
     TextFunctions.mockEmbeddingDouble(
       SearchEngine.formatQuery(SearchQuery, "semantic", None), KnnTextDim)
 
+  /** DuckDB bucket expression mirroring Knn.lshBucket for literal
+    * hyperplanes (mock-embedding-derived planes have only 8 nonzero
+    * dims, so the dot truncates exactly). */
+  private def lshBucketSql(vecExpr: String,
+                           planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, b) =>
+      val dot = (0 until 8)
+        .map(i => s"CAST($vecExpr[${i + 1}] AS DOUBLE) * (${p(i)})")
+        .mkString(" + ")
+      s"(CASE WHEN $dot >= 0.0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** DuckDB arithmetic mirroring mockEmbeddingCol: 8 uint32s from the
     * sha256 hex -> [-1,1) -> L2-normalize -> dot with the literal query
     * vector. Same operation order as the Spark plan, so results agree
@@ -402,6 +414,19 @@ object SparkEntry {
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       Knn.lshTopK(e, "vec_id", "embedding", qv, k = 10, nPlanes = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- ANN via IVF coarse quantizer (scale path #2) ----
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val centroids = Knn.ivfFit(e, "vec_id", "embedding", 64, k = 8,
+        iters = 2)
+      Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
+          nprobe = 3)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
@@ -846,6 +871,35 @@ object SparkEntry {
         |  WHERE a.vec_id = 0 AND b.vec_id <> 0
         |  ORDER BY raw DESC, b.vec_id LIMIT 10)
         |ORDER BY score DESC, vec_id""".stripMargin,
+
+    "ann_lsh" -> {
+      val bucketE = lshBucketSql("e.embedding", Knn.hyperplanes(4, 64))
+      val bucketQ = lshBucketSql("q.embedding", Knn.hyperplanes(4, 64))
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT $bucketQ AS b FROM q),
+         |scored AS (
+         |  SELECT e.vec_id AS vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])) AS raw
+         |  FROM embeddings e, q, qb
+         |  WHERE $bucketE = qb.b)
+         |SELECT vec_id, round(raw, 6) AS score FROM (
+         |  SELECT vec_id, raw FROM scored ORDER BY raw DESC, vec_id LIMIT 10)
+         |ORDER BY score DESC, vec_id""".stripMargin
+    },
+
+    "dedup_embedding" -> {
+      val bucketA = lshBucketSql("a.embedding", Knn.hyperplanes(4, 64))
+      val bucketB = lshBucketSql("b.embedding", Knn.hyperplanes(4, 64))
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON ($bucketA) = ($bucketB) AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |  CAST(b.embedding AS DOUBLE[])) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "rrf_fuse" ->
       s"""WITH $Bm25ScoresCtes,

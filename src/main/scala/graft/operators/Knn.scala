@@ -71,6 +71,86 @@ object Knn {
       .transform(bruteForceTopK(_, idCol, vecCol, query, k))
   }
 
+  // -------------------------------------------------------------------
+  // IVF: coarse-quantizer ANN — the second scale path beside LSH.
+  // Deterministic throughout: centroids init from the first k vectors
+  // by id; Lloyd refinement via DataFrame aggregation.
+  // -------------------------------------------------------------------
+
+  /** Fit `k` coarse centroids with `iters` Lloyd steps. Assignment is
+    * a broadcast of k centroids against a narrow scan; the update step
+    * aggregates (cluster, dim) sums — k·dim rows to the driver, never
+    * the data. */
+  def ivfFit(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+             k: Int, iters: Int = 3): Seq[Array[Double]] = {
+    def toDouble(s: Seq[Any]): Array[Double] = {
+      val a = new Array[Double](dim)
+      var i = 0
+      while (i < dim && i < s.length) {
+        a(i) = s(i) match {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }
+        i += 1
+      }
+      a
+    }
+    var centroids: Seq[Array[Double]] = vectors
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(r => toDouble(r.getSeq[Any](0))).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(vectors, vecCol, centroids)
+      val sums = assigned
+        .select(col("cluster_id"), posexplode(col(vecCol)))
+        .groupBy("cluster_id", "pos")
+        .agg(sum(col("col").cast("double")).as("s"), count("*").as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val a = new Array[Double](dim)
+            rows.foreach(r => a(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            a
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Tag every vector with its nearest centroid id (max dot — vectors
+    * and centroids need not be normalized identically since ranking by
+    * cosine within probes re-scores exactly). */
+  def ivfAssign(vectors: DataFrame, vecCol: String,
+                centroids: Seq[Array[Double]]): DataFrame = {
+    // argmax over k dots as a struct-max: (score, -index) picks the
+    // LOWEST index on ties, deterministically
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(V.dot(col(vecCol), array(c.map(lit): _*)).as("s"),
+        lit(-i).as("negi"))
+    }
+    vectors.withColumn("cluster_id",
+      -greatest(scored: _*).getField("negi"))
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest the query, exact
+    * cosine top-k inside those clusters only. With the table
+    * pre-partitioned by cluster_id this prunes to nprobe partitions. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int,
+              centroids: Seq[Array[Double]], nprobe: Int): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (V.dotS(query, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+    ivfAssign(vectors, vecCol, centroids)
+      .filter(col("cluster_id").isin(probes: _*))
+      .drop("cluster_id")
+      .transform(bruteForceTopK(_, idCol, vecCol, query, k))
+  }
+
   /** All-pairs top-k similarity join (each left row → its k nearest
     * right rows). Exact O(|L|·|R|) — use only on candidate sets or
     * within LSH/IVF buckets at scale; the window is partitioned by the
