@@ -281,6 +281,18 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- schema-on-read over JSON metadata (§1.2 meta columns) ----
+    "q12_json_props" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("k"), 6).as("avg_k"),
+          max("k").as("max_k"),
+          sum(when(col("k") > 50, 1).otherwise(0)).as("n_over_50"))
+        .orderBy("event_type")
+    }),
+
     // ---- predicate language (P1) compiled to Columns ----
     "p1_predicates" -> ((s, dir) => {
       val pred = Predicates.compile(Map(
@@ -824,6 +836,14 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q12_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+        |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+        |  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "p1_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
