@@ -388,6 +388,9 @@ object Chunking {
   case class DocIn(id: String, text: String)
   case class ChunkRow(doc_id: String, chunk_index: Int, text: String,
       start_offset: Int, end_offset: Int, token_count: Int)
+  case class ChunkRowT(doc_id: String, chunk_index: Int, text: String,
+      start_offset: Int, end_offset: Int, token_count: Int,
+      total_chunks: Int)
   case class HierRow(doc_id: String, level: Int, chunk_id: String,
       parent_id: String, chunk_index: Int, start_offset: Int,
       end_offset: Int, token_count: Int)
@@ -406,6 +409,24 @@ object Chunking {
       fn(d.text, cfg).map(c => ChunkRow(d.id, c.chunkIndex, c.text,
         c.start, c.end, c.tokenCount))
     }(Encoders.product[ChunkRow]).toDF()
+  }
+
+  /** [[chunkDocuments]] + a total_chunks column computed INSIDE the
+    * flatMap — the per-doc chunk count is known at emit time, so the
+    * ingest pipeline needs no per-doc window/shuffle for it. */
+  def chunkDocumentsWithTotal(df: DataFrame, idCol: String, textCol: String,
+                              strategy: String,
+                              cfg: ChunkConfig = ChunkConfig()): DataFrame = {
+    val fn = byName(strategy)
+    val ds = df.select(col(idCol).cast("string").as("id"),
+        col(textCol).as("text"))
+      .as(Encoders.product[DocIn])
+    ds.flatMap { d =>
+      val chunks = fn(d.text, cfg)
+      val n = chunks.size
+      chunks.map(c => ChunkRowT(d.id, c.chunkIndex, c.text,
+        c.start, c.end, c.tokenCount, n))
+    }(Encoders.product[ChunkRowT]).toDF()
   }
 
   /** Hierarchical chunking rows with deterministic parent links. */

@@ -26,13 +26,14 @@ object Ingest {
                   strategy: String = "recursive",
                   cfg: Chunking.ChunkConfig = Chunking.ChunkConfig(),
                   dim: Int = 64): DataFrame = {
-    val chunks = Chunking.chunkDocuments(docs, idCol, textCol, strategy, cfg)
-    val perDoc = Window.partitionBy("doc_id")
+    // total_chunks comes out of the chunk flatMap itself — the whole
+    // build stays narrow (zero shuffles scan -> table)
+    val chunks = Chunking.chunkDocumentsWithTotal(docs, idCol, textCol,
+      strategy, cfg)
     chunks
       .withColumn("collection_id", lit(collectionId))
       .withColumn("chunk_id",
         concat(col("doc_id"), lit("_"), col("chunk_index")))
-      .withColumn("total_chunks", count("*").over(perDoc).cast("int"))
       .withColumn("path", col("doc_id"))
       .withColumn("path_id", lit(null).cast("string"))
       .withColumnRenamed("text", "content")
