@@ -396,19 +396,21 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
-    // ---- MinHash LSH near-dup (rows-only oracle: xxhash64 has no
-    //      DuckDB twin; verified by ScalaTest invariants instead) ----
+    // ---- MinHash LSH near-dup (sha hash family: the whole
+    //      shingle→signature→band→verify pipeline is oracle-checked;
+    //      xxhash64 stays the scale default in the API) ----
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, numHashes = 16, bands = 8, threshold = 0.2)
+          n = 3, numHashes = 16, bands = 8, threshold = 0.2,
+          hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- SimHash near-dup (rows-only oracle) ----
+    // ---- SimHash near-dup (32-bit sha family, oracle-checked) ----
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          maxDist = 3)
+          maxDist = 3, bits = 32, hashFamily = Dedup.shaHashFamily)
         .orderBy("id_a", "id_b")
     }),
 
@@ -684,7 +686,7 @@ object SparkEntry {
 
     // ---- SPLADE-shaped sparse encoding (F12 activation shape) ----
     "splade_mock" -> ((s, dir) => {
-      graft.plugins.Providers.SpladeLikeMockIndexer()
+      graft.plugins.Providers.SpladeLikeMockIndexer(Dedup.shaHashFamily)
         .encodeDocuments(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").cast("long").as("doc_id"), col("term"),
           round(col("weight"), 6).as("weight"))
@@ -981,6 +983,84 @@ object SparkEntry {
          |ORDER BY id_a""".stripMargin
     },
 
+    "dedup_minhash" -> {
+      val toks = sqlToksKeepStop("text")
+      def shaH(seed: Int) =
+        s"('0x' || substr(sha256('$seed:' || shingle), 1, 8))::UBIGINT::BIGINT"
+      val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
+        .mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ',' || " +
+          s"CAST(m${2 * b + 1} AS VARCHAR) AS band_val FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM documents),
+         |sig AS (
+         |  SELECT id,
+         |    $hashCols
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandSelects),
+         |cands AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.id < r.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inters AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN sh a ON a.id = c.id_a
+         |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT c.id_a AS id_a, c.id_b AS id_b,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |    (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |FROM cands c
+         |LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN sizes sa ON sa.id = c.id_a
+         |JOIN sizes sb ON sb.id = c.id_b
+         |WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |  (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val toks = sqlToksKeepStop("text")
+      val h = "('0x' || substr(sha256('0:' || term), 1, 8))::UBIGINT::BIGINT"
+      val bitSums = (0 until 32).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS b$b")
+        .mkString(",\n    ")
+      val fp = (0 until 32).map(b =>
+        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val blocks = (0 until 4).map(i =>
+        s"SELECT id, $i AS block, (fp >> ${i * 8}) & 255 AS block_val, fp FROM fps")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH tf AS (
+         |  SELECT doc_id AS id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toks) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |hashed AS (
+         |  SELECT id, tf, $h AS h FROM tf),
+         |sums AS (
+         |  SELECT id,
+         |    $bitSums
+         |  FROM hashed GROUP BY id),
+         |fps AS (SELECT id, $fp AS fp FROM sums),
+         |blocks AS (
+         |  $blocks)
+         |SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         |  CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+         |FROM blocks l JOIN blocks r
+         |  ON l.block = r.block AND l.block_val = r.block_val AND l.id < r.id
+         |WHERE bit_count(xor(l.fp, r.fp)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "lang_id" -> {
       val toks = sqlToksKeepStop("text")
       val langRows = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map {
@@ -1200,6 +1280,21 @@ object SparkEntry {
         |  b.b_hash IS NULL AS is_stale
         |FROM state s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "splade_mock" -> {
+      val toks = sqlToks("text")
+      val h = "('0x' || substr(sha256('0:' || term), 1, 8))::UBIGINT::BIGINT"
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($toks) AS term FROM documents),
+         |acts AS (
+         |  SELECT doc_id, term,
+         |    max(ln(1.0 + greatest(
+         |      CAST($h % 4096 AS DOUBLE) / 1024.0 - 1.0, 0.0))) AS weight
+         |  FROM terms GROUP BY doc_id, term)
+         |SELECT doc_id, term, round(weight, 6) AS weight
+         |FROM acts WHERE weight > 0.0
+         |ORDER BY doc_id, term""".stripMargin
+    },
 
     "ir_metrics" -> {
       val ks = IrMetrics.DefaultKValues

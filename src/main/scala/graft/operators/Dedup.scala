@@ -85,8 +85,18 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Seeded hash families for MinHash/SimHash.
+    * - xxhash64: the scale default (cheapest; codegen'd)
+    * - sha-32-bit: slower but expressible in the DuckDB oracle
+    *   (('0x' || substr(sha256(seed || ':' || x), 1, 8))::UBIGINT),
+    *   so the full LSH pipeline can be hash-verified end-to-end */
+  def xxHashFamily(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
+  def shaHashFamily(seed: Int, c: Column): Column =
+    conv(substring(sha2(concat(lit(s"$seed:"), c).cast("binary"), 256), 1, 8),
+      16, 10).cast("long")
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles of xxhash64(seed, shingle).
+    * the min over the doc's shingles of hash(seed, shingle).
     * Output: (id, signature ARRAY<BIGINT>). One shuffle (the groupBy in
     * shingles' distinct); signatures are fixed-width regardless of doc
     * size. */
@@ -95,10 +105,12 @@ object Dedup {
     minhashSignaturesFrom(shingles(df, idCol, textCol, n), numHashes)
 
   /** [[minhashSignatures]] over a precomputed (id, shingle) relation. */
-  def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+  def minhashSignaturesFrom(sh: DataFrame, numHashes: Int,
+                            hashFamily: (Int, Column) => Column =
+                              xxHashFamily): DataFrame = {
     val hashed = sh.select(col("id"),
       array((0 until numHashes).map(s =>
-        xxhash64(lit(s), col("shingle"))): _*).as("hs"))
+        hashFamily(s, col("shingle"))): _*).as("hs"))
     // one min() per seed — partial-aggregates map-side, so the shuffle
     // carries numHashes longs per doc, not the shingle set
     val mins = (0 until numHashes).map(i =>
@@ -116,11 +128,12 @@ object Dedup {
                         bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
     val rows = numHashes / bands
+    // the joined string IS the bucket key (hashing it again only fixed
+    // the width; the string form is also oracle-expressible)
     val banded = signatures.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          array_join(transform(slice(col("signature"), b * rows + 1, lit(rows)),
-            x => x.cast("string")), ",")))))
+        b => array_join(transform(slice(col("signature"), b * rows + 1, lit(rows)),
+          x => x.cast("string")), ","))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -133,34 +146,41 @@ object Dedup {
     * Jaccard ≥ threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      hashFamily: (Int, Column) => Column =
+                        xxHashFamily): DataFrame = {
     // one shingle relation feeds both the signature and the verify
     // branches (otherwise the explode+distinct shuffle runs twice)
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sigs = minhashSignaturesFrom(sh, numHashes)
+    val sigs = minhashSignaturesFrom(sh, numHashes, hashFamily)
     val cands = minhashCandidates(sigs, numHashes, bands)
     ngramJaccardFrom(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over tokens (Charikar): bit b of the fingerprint is
-    * the sign of Σ_terms tf · (bit b of xxhash64(term) ? +1 : −1).
-    * Computed as 64 conditional sums in one aggregation — single
-    * shuffle on id, fully codegen'd. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over tokens (Charikar): bit b of the fingerprint is the
+    * sign of Σ_terms tf · (bit b of hash(term) ? +1 : −1). Computed as
+    * `bits` conditional sums in one aggregation — single shuffle on id,
+    * fully codegen'd. Default 64-bit xxhash; the sha family gives a
+    * 32-bit fingerprint that the DuckDB oracle reproduces. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 64,
+              hashFamily: (Int, Column) => Column = xxHashFamily)
+      : DataFrame = {
+    require(bits >= 4 && bits <= 64 && bits % 4 == 0)
     val toks = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokensCol(col(textCol), removeStopwords = false))
         .as("term"))
     val tf = toks.groupBy("id", "term").agg(count("*").as("tf"))
-      .withColumn("h", xxhash64(col("term")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", hashFamily(0, col("term")))
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, col("tf"))
         .otherwise(-col("tf"))).as(s"b$b")
     }
     tf.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -170,12 +190,17 @@ object Dedup {
     * agree exactly on ≥ 1 block, so candidates meet on an equi-join on
     * (block_idx, block_value); verified with bit_count(xor). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, bits: Int = 64,
+                      hashFamily: (Int, Column) => Column =
+                        xxHashFamily): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole covers Hamming distance <= 3")
-    val fp = simhash(df, idCol, textCol).cache()
+    val blockBits = bits / 4
+    val mask = (1L << blockBits) - 1
+    val fp = simhash(df, idCol, textCol, bits, hashFamily).cache()
     val blocks = fp.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)))
+        shiftrightunsigned(col("simhash"), i * blockBits)
+          .bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
     val l = blocks.select(col("block"), col("block_val"),
       col("id").as("id_a"), col("simhash").as("sim_a"))

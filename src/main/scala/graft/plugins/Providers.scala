@@ -62,10 +62,12 @@ object Providers {
     * hash function of the term — the F12 activation SHAPE
     * (splade_indexer.py:292-344) with max-pooling over repeated terms,
     * no model. Real SPLADE replaces only `logit`. */
-  final case class SpladeLikeMockIndexer() extends SparseIndexer {
+  final case class SpladeLikeMockIndexer(
+      hashFamily: (Int, Column) => Column =
+        graft.operators.Dedup.xxHashFamily) extends SparseIndexer {
     private def weightCol(term: Column): Column = {
       // logit in [-1, 3): hash-derived, deterministic
-      val logit = (pmod(xxhash64(term), lit(4096L)).cast("double") /
+      val logit = (pmod(hashFamily(0, term), lit(4096L)).cast("double") /
         lit(1024.0)) - lit(1.0)
       log1p(greatest(logit, lit(0.0))) // log(1 + relu(logit))
     }
