@@ -176,11 +176,19 @@ object SearchEngine {
     * Heterogeneous vector dims stay inside each per-collection sub-plan
     * (SURVEY.md §7.4 risk 6). */
   def searchMany(collections: Seq[(String, DataFrame)],
-                 req: SearchRequest): DataFrame = {
+                 req: SearchRequest,
+                 dims: Map[String, Int] = Map.empty): DataFrame = {
     require(collections.nonEmpty && collections.size <= 10,
       "1-10 collections per query (webui/api/v2/search.py:54)")
     val per = collections.map { case (cid, chunks) =>
-      search(chunks, req).withColumn("collection_id", lit(cid))
+      // heterogeneous embedding models: each collection's sub-plan
+      // embeds the query at ITS dimension; vector columns never mix
+      // across models (service.py:185-207 dimension validation)
+      val perReq = dims.get(cid) match {
+        case Some(d) => req.copy(vectorDim = d)
+        case None => req
+      }
+      search(chunks, perReq).withColumn("collection_id", lit(cid))
     }
     val all = per.reduce(_ unionByName _)
     val sortKey =
