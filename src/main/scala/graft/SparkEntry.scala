@@ -503,7 +503,7 @@ object SparkEntry {
 
     // ---- dense text search with full SQL oracle (W1 + F3 + F6) ----
     "knn_text" -> ((s, dir) => {
-      val q = array(KnnQueryVec.map(lit): _*)
+      val q = array(KnnQueryVec.toIndexedSeq.map(lit): _*)
       t(s, dir, "documents")
         .withColumn("raw_score", VectorFunctions.dot(
           TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim), q))

@@ -23,7 +23,7 @@ object Knn {
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
                      query: Array[Double], k: Int,
                      preNormalized: Boolean = false): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     val score = if (preNormalized) V.dot(col(vecCol), q)
                 else V.cosine(col(vecCol), q)
     vectors.select(col(idCol), score.as("score"))
@@ -47,7 +47,7 @@ object Knn {
     * hyperplanes: bit i = sign(v · hᵢ). Pure column arithmetic. */
   def lshBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (h, i) =>
-      when(V.dot(vecCol, array(h.map(lit): _*)) >= 0.0, lit(1L << i))
+      when(V.dot(vecCol, array(h.toIndexedSeq.map(lit): _*)) >= 0.0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -128,7 +128,7 @@ object Knn {
     // argmax over k dots as a struct-max: (score, -index) picks the
     // LOWEST index on ties, deterministically
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(V.dot(col(vecCol), array(c.map(lit): _*)).as("s"),
+      struct(V.dot(col(vecCol), array(c.toIndexedSeq.map(lit): _*)).as("s"),
         lit(-i).as("negi"))
     }
     vectors.withColumn("cluster_id",

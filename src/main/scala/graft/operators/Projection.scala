@@ -100,12 +100,12 @@ object Projection {
   def project(vectors: DataFrame, idCol: String, vecCol: String,
               mean: Array[Double], pc1: Array[Double],
               pc2: Array[Double]): DataFrame = {
-    val m = array(mean.map(lit): _*)
+    val m = array(mean.toIndexedSeq.map(lit): _*)
     val centered = zip_with(col(vecCol), m, (v, mu) => v.cast("double") - mu)
     vectors.select(
       col(idCol),
-      VectorFunctions.dot(centered, array(pc1.map(lit): _*)).as("x"),
-      VectorFunctions.dot(centered, array(pc2.map(lit): _*)).as("y"))
+      VectorFunctions.dot(centered, array(pc1.toIndexedSeq.map(lit): _*)).as("x"),
+      VectorFunctions.dot(centered, array(pc2.toIndexedSeq.map(lit): _*)).as("y"))
   }
 
   /** Fit on a sample, project the full table (the projection_build
