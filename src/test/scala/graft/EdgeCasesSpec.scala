@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.search.{Ingest, SearchEngine}
+
+/** Degenerate-input sweep: empty corpora, empty queries, single rows —
+  * every operator must return an empty/benign result, never throw. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val oneDoc = Seq((1L, "solo document text")).toDF("doc_id", "text")
+
+  test("BM25 over an empty corpus") {
+    assert(Bm25.corpusStats(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Bm25.searchTopK(emptyDocs, "doc_id", "text", "q", 5).count() == 0)
+    // stopword-only / OOV query over a real corpus
+    assert(Bm25.searchTopK(oneDoc, "doc_id", "text", "the and of", 5)
+      .count() == 0)
+    assert(Bm25.searchTopK(oneDoc, "doc_id", "text", "", 5).count() == 0)
+  }
+
+  test("dedup family over empty and single-doc corpora") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDups(oneDoc, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDups(oneDoc, "doc_id", "text").count() == 0)
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDups(e, "vec_id", "embedding", 8).count() == 0)
+  }
+
+  test("kNN over empty vectors; k larger than corpus") {
+    val e = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(Knn.bruteForceTopK(e, "id", "vec", Array(1.0, 0.0), 5).count() == 0)
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    assert(Knn.bruteForceTopK(one, "id", "vec", Array(1.0, 0.0), 100)
+      .count() == 1)
+  }
+
+  test("search over an empty chunks table") {
+    val chunks = Ingest.buildChunks(emptyDocs, "c", "doc_id", "text",
+      cfg = Chunking.ChunkConfig(minTokens = 1), dim = 8)
+    for (mode <- Seq("dense", "sparse", "hybrid")) {
+      val got = SearchEngine.search(chunks,
+        SearchEngine.SearchRequest(query = "q", searchMode = mode,
+          vectorDim = 8))
+      assert(got.count() == 0, s"mode $mode")
+    }
+    // reranker path on empty input
+    assert(SearchEngine.search(chunks,
+      SearchEngine.SearchRequest(query = "q", searchMode = "hybrid",
+        useReranker = true, vectorDim = 8)).count() == 0)
+  }
+
+  test("metrics with empty runs or empty qrels") {
+    val emptyRuns = Seq.empty[(Int, Int, String)]
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1, "a", 2)).toDF("query_id", "doc_id", "grade")
+    assert(IrMetrics.perQuery(emptyRuns, qrels).count() == 0)
+    val runs = Seq((1, 1, "a")).toDF("query_id", "rank", "doc_id")
+    val emptyQrels = Seq.empty[(Int, String, Int)]
+      .toDF("query_id", "doc_id", "grade")
+    val m = IrMetrics.perQuery(runs, emptyQrels).collect()
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(m.values.forall(_ == 0.0)) // no ground truth -> all zeros
+  }
+
+  test("RAKE / langId / quality / chunkers over empty and whitespace") {
+    assert(Rake.extract("   \n\t  ").isEmpty)
+    val ws = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(Rake.extractKeywords(ws, "doc_id", "text").count() == 0)
+    val q = TextAnalysis.qualitySignals(ws, "doc_id", "text").head()
+    assert(q.getAs[Long]("n_tokens") == 0L)
+    assert(Chunking.character("   ", Chunking.ChunkConfig()).isEmpty)
+    assert(Chunking.recursive("", Chunking.ChunkConfig()).isEmpty)
+    assert(Chunking.markdown(null, Chunking.ChunkConfig()).isEmpty)
+    assert(Chunking.semantic("", Chunking.ChunkConfig()).isEmpty)
+    assert(Chunking.hierarchical("", Chunking.ChunkConfig()).isEmpty)
+  }
+
+  test("RRF with both sides empty; projection guards") {
+    val empty = Seq.empty[(String, Double)].toDF("id", "score")
+    assert(Rrf.fuse(empty, empty, "id", "score", 10).count() == 0)
+    assertThrows[IllegalArgumentException] {
+      Projection.fitPca(
+        Seq((1L, Array(1.0f))).toDF("id", "v"), "v", 1, 10)
+    }
+  }
+}
