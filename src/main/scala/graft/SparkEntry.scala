@@ -986,7 +986,8 @@ object SparkEntry {
     "dedup_minhash" -> {
       val toks = sqlToksKeepStop("text")
       def shaH(seed: Int) =
-        s"('0x' || substr(sha256('$seed:' || shingle), 1, 8))::UBIGINT::BIGINT"
+        s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
+          s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
       val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
         .mkString(",\n    ")
       val bandSelects = (0 until 8).map { b =>

@@ -91,9 +91,15 @@ object Dedup {
     *   (('0x' || substr(sha256(seed || ':' || x), 1, 8))::UBIGINT),
     *   so the full LSH pipeline can be hash-verified end-to-end */
   def xxHashFamily(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
+
+  /** Seed s reads 8 hex chars at offset (s%8)·8 of sha256("{s/8}:" ||
+    * x): one digest yields EIGHT independent 32-bit hashes, so 16
+    * minhash seeds cost 2 sha256 evaluations per shingle (Spark's
+    * common-subexpression elimination computes each digest once). */
   def shaHashFamily(seed: Int, c: Column): Column =
-    conv(substring(sha2(concat(lit(s"$seed:"), c).cast("binary"), 256), 1, 8),
-      16, 10).cast("long")
+    conv(substring(
+      sha2(concat(lit(s"${seed / 8}:"), c).cast("binary"), 256),
+      (seed % 8) * 8 + 1, 8), 16, 10).cast("long")
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles of hash(seed, shingle).

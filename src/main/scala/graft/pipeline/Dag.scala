@@ -176,8 +176,10 @@ object Dag {
         if (entry.parallel) files.filter(Predicates.compile(entry.when))
         else files.withColumn("_route", firstMatch)
           .filter(col("_route") === pathId).drop("_route")
-      // walk the unique chain from entry.to (first outgoing edge each
-      // step — branching mid-DAG routes the same way recursively)
+      // walk the chain from entry.to following the FIRST outgoing edge
+      // at each step — predicate routing happens at the _source entry
+      // (the reference's router decides there too); mid-DAG branches
+      // beyond the first edge are not traversed in this version
       def chain(nodeId: String, df: DataFrame): DataFrame = {
         val node = nodesById(nodeId)
         val out = applyNode(node, df)
