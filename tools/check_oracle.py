@@ -20,6 +20,9 @@ def canon(rows, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in idx]
 
 def val_eq(a, b):
+    # EXACT comparison: the identical-rounding discipline makes every
+    # Spark/DuckDB value bit-equal (verified 2026-08-12), so the local
+    # gate is at least as strict as any driver-side hash compare.
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
@@ -29,7 +32,7 @@ def val_eq(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return fa == fb
     return a == b or str(a) == str(b)
 
 def main(sf_dir, out_dir):
