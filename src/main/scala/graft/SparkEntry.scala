@@ -272,7 +272,9 @@ object SparkEntry {
     "q11_window_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("ts_utc",
-          timestamp_micros((col("ts") / 1000).cast("long")))
+          // integer division: `/` promotes to DOUBLE and nano epochs
+          // (~1.7e18) exceed 2^53, losing up to ~1us near hour bounds
+          timestamp_micros(expr("ts div 1000")))
       ev.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 4).as("sum_value"))
@@ -1211,7 +1213,8 @@ object SparkEntry {
          |pscores AS (
          |  SELECT DISTINCT p.doc_id, p.phrase, ps.score FROM phrases p
          |  JOIN (
-         |    SELECT pw.doc_id, pw.sidx, pw.gid, sum(ws.wscore) AS score
+         |    SELECT pw.doc_id, pw.sidx, pw.gid,
+         |      list_sum(list(ws.wscore ORDER BY ws.wscore)) AS score
          |    FROM pwords pw
          |    JOIN wscores ws ON ws.doc_id = pw.doc_id AND ws.word = pw.word
          |    GROUP BY pw.doc_id, pw.sidx, pw.gid) ps

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -19,24 +18,25 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * windows partitioned by query_id.
   *
   * Scale: |Q| queries ride a broadcast; chunk-side work is one scan per
-  * leg. The cross product exists only as the scored top-k per query
-  * (pruned by the rank window), never materialized in full.
+  * leg. The query×chunk product is scored inside the narrow scan stage
+  * and reduced to per-partition top-k buffers by [[TopK.perGroup]]
+  * before any exchange — no full-product shuffle at any corpus size.
   */
 object BenchmarkRunner {
 
   /** Dense leg for all queries at once: broadcast the embedded queries,
-    * score every (query, chunk) pair with the codegen dot product,
-    * keep top-k per query. Chunk vectors must be L2-normalized. */
+    * score every (query, chunk) pair with the codegen dot product, keep
+    * top-k per query via [[TopK.perGroup]] — the scored cross product
+    * stays inside the narrow scan stage; only ≤ |parts|·|Q|·k candidate
+    * rows ever cross an exchange. Chunk vectors must be L2-normalized. */
   def denseRuns(chunks: DataFrame, queries: DataFrame, k: Int,
                 dim: Int): DataFrame = {
     val q = broadcast(queries.select(col("query_id"),
       TextFunctions.mockEmbeddingCol(col("query_text"), dim).as("q_vec")))
     val scored = chunks.crossJoin(q)
       .withColumn("score", VectorFunctions.dot(col("vector"), col("q_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("chunk_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "score")
+    TopK.perGroup(scored, "query_id", k)
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 
@@ -59,10 +59,8 @@ object BenchmarkRunner {
       .withColumnRenamed("id", "chunk_id")
     val withDoc = scored.join(
       chunks.select("chunk_id", "doc_id"), "chunk_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("chunk_id"))
-    withDoc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "score")
+    TopK.perGroup(withDoc, "query_id", k)
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 
@@ -73,14 +71,15 @@ object BenchmarkRunner {
       .select("query_id", "chunk_id", "doc_id", "score")
     val s = sparseRuns(chunks, queries, k)
       .select("query_id", "chunk_id", "doc_id", "score")
+    // fused is ≤ |Q|·2k rows — broadcast it against the chunks table so
+    // the doc_id enrichment never shuffles the big side
     val fused = Rrf.fuse(
       d.drop("doc_id"), s.drop("doc_id"), "chunk_id", "score", k, rrfK,
       queryCol = Some("query_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("chunk_id"))
-    fused.join(chunks.select("chunk_id", "doc_id"), "chunk_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val withDoc = chunks.select("chunk_id", "doc_id")
+      .join(broadcast(fused), "chunk_id")
+      .select("query_id", "doc_id", "chunk_id", "score")
+    TopK.perGroup(withDoc, "query_id", k)
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 

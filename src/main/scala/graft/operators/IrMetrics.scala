@@ -81,9 +81,10 @@ object IrMetrics {
       .groupBy("query_id")
       .agg(idealAggs.head, idealAggs.tail: _*)
 
-    val base = results.select("query_id").distinct()
-      .join(perQ, Seq("query_id"), "left")
-      .join(truth, Seq("query_id"), "left")
+    // perQ has exactly one row per query_id present in `results`, so it
+    // IS the query universe — deriving it from `results` again would
+    // re-execute the (often deep) upstream retrieval DAG a second time.
+    val base = perQ.join(truth, Seq("query_id"), "left")
 
     def z(c: Column): Column = coalesce(c, lit(0.0))
     val metricStructs: Seq[Column] = kValues.flatMap { k =>

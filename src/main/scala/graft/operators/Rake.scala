@@ -86,8 +86,12 @@ object Rake {
     }
     val wordScore = freq.keys.map(w =>
       w -> (degree(w) + freq(w)).toDouble / freq(w)).toMap
+    // Sum word scores in ASCENDING value order: float addition is
+    // non-associative, so a canonical order is required for the result
+    // to be reproducible across engines (the DuckDB oracle mirrors
+    // this with list_sum(list(wscore ORDER BY wscore))).
     val phraseScores = phrases.map(p => p.mkString(" ") ->
-      p.map(wordScore.getOrElse(_, 0.0)).sum).toMap
+      p.map(wordScore.getOrElse(_, 0.0)).sorted.sum).toMap
     phraseScores.toSeq
       .sortBy { case (p, s) => (-s, p) }
       .take(topK)

@@ -160,8 +160,15 @@ object SearchEngine {
     val projected = shaped.select(cols.map(col): _*)
 
     if (req.useReranker) {
+      // W5 failure fallback (ref vecpipe/search/rerank.py:37-126): a
+      // reranker that throws at plan build degrades to the retrieval
+      // order; a reranker that yields NULL scores degrades per-row to
+      // the retrieval score. Either way the request still answers.
+      val rerankCol = scala.util.Try(reranker.score(req.query)(col("content")))
+        .toOption.map(c => coalesce(c, col("score")))
+        .getOrElse(col("score"))
       val reranked = projected
-        .withColumn("reranked_score", reranker.score(req.query)(col("content")))
+        .withColumn("reranked_score", rerankCol)
         .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
         .limit(req.k)
       if (req.includeContent) reranked else reranked.drop("content")

@@ -112,6 +112,35 @@ class SearchEngineSpec extends SparkSpec {
     assert(SearchEngine.candidateK(100) == 200)
   }
 
+  test("W5 rerank failure degrades to pre-rerank retrieval order") {
+    val req = SearchRequest(query = "broadcast shuffle join strategies",
+      searchMode = "hybrid", k = 3, useReranker = true, vectorDim = Dim)
+    // a reranker that throws while building its plan
+    val throwing = new graft.plugins.Providers.Reranker {
+      override def score(q: String)(content: org.apache.spark.sql.Column) =
+        throw new RuntimeException("model down")
+    }
+    val degraded = SearchEngine.search(chunks, req, reranker = throwing)
+      .collect()
+    assert(degraded.nonEmpty && degraded.length <= 3)
+    // the request still answers, ordered by the RETRIEVAL score
+    // (reranked_score degrades to score per row)
+    val scores = degraded.map(r => (r.getDouble(2),
+      r.getDouble(r.fieldIndex("reranked_score"))))
+    scores.foreach { case (s, rs) => assert(rs == s) }
+    assert(scores.map(_._1).zip(scores.map(_._1).tail)
+      .forall { case (a, b) => a >= b }, "fallback keeps retrieval order")
+    // a reranker that yields NULL scores degrades per-row, same result
+    val nullScoring = new graft.plugins.Providers.Reranker {
+      override def score(q: String)(content: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.functions.lit(null).cast("double")
+    }
+    val nulled = SearchEngine.search(chunks, req, reranker = nullScoring)
+      .collect()
+    assert(nulled.map(_.getString(1)).toSeq ==
+      degraded.map(_.getString(1)).toSeq)
+  }
+
   test("include_content projects content") {
     val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 2,
       includeContent = true, vectorDim = Dim)
