@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the driver-supplied
   * scale factor and prints ONE JSON line.
   *
-  * Each query runs twice and reports the per-query MIN — the first pass
-  * also serves as JVM/codegen warm-up, and min-of-2 damps the
-  * considerable scheduler noise of a loaded local[32] host. A trivial
-  * action warms the session before timing starts.
+  * Each query runs three times and reports the per-query MIN. The first
+  * pass doubles as JVM/codegen warm-up; the passes traverse the query
+  * list in alternating order (forward, reverse, forward) so a transient
+  * host-load spike cannot inflate the same queries in every pass —
+  * min-of-3 over interleaved passes damps the scheduler noise of a
+  * loaded local[32] host. A trivial action warms the session first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,11 +35,11 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val first = names.map(n => n -> once(n)).toMap
+    val passes = Seq(names, names.reverse, names)
+      .map(order => order.map(n => n -> once(n)).toMap)
     val results = names.map { n =>
-      val a = first(n)
-      val b = once(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = passes.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -25,8 +25,16 @@ import graft.streaming.Sync
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    lastDir = dir
     Tables.load(s, dir, name)
+  }
+
+  /** The sf dir the queries last ran against — the data-dependent
+    * oracles (IVF centroids, PCA components) must fit on the SAME data
+    * the dumped query results came from. Verify runs all queries before
+    * dumping oracle_sql.json, so this is always set by then. */
+  @volatile private var lastDir: String = "/root/testdata/sf0.01"
 
   // ---- shared SQL fragments for the DuckDB oracles -------------------
   private val Pat = TextFunctions.TokenPattern // same regex in RE2 & Java
@@ -80,6 +88,11 @@ object SparkEntry {
   /** BM25 search query used by bm25_topk / rrf_fuse / knn_text. */
   private val SearchQuery = "spark hash join stream data table"
 
+  /** Query set shared by bench_eval / bench_eval_docs and their oracle. */
+  private val BenchQueries: Seq[(Int, String)] = Seq(
+    (1, "spark hash join"), (2, "window sort batch"),
+    (3, "customer order line"))
+
   /** Mock-embedding query vector (dim 32) for the dense-search oracle:
     * the instruction-formatted query embedded with F3. Only the first 8
     * dims are nonzero. */
@@ -100,29 +113,149 @@ object SparkEntry {
       s"(CASE WHEN $dot >= 0.0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** DuckDB arithmetic mirroring mockEmbeddingCol: 8 uint32s from the
-    * sha256 hex -> [-1,1) -> L2-normalize -> dot with the literal query
-    * vector. Same operation order as the Spark plan, so results agree
-    * to the last ulp. */
-  private def knnTextOracle: String = {
+  /** DuckDB CTEs mirroring mockEmbeddingCol for `documents.text`:
+    * 8 uint32s from the sha256 hex -> [-1,1) -> L2-normalize. Any dim
+    * >= 8 has only these 8 nonzero components, so dots truncate exactly.
+    * Yields CTEs raw(doc_id, r0..r7) and nrm(doc_id, nn, r0..r7). */
+  private def mockDocVecCtes: String = {
     val raws = (0 until 8).map(i =>
       s"(('0x' || substr(sha256(text), ${i * 8 + 1}, 8))::UBIGINT " +
         s"/ 4294967296.0) * 2 - 1 AS r$i").mkString(",\n    ")
     val normExpr = (0 until 8).map(i => s"r$i*r$i").mkString(" + ")
-    val dotExpr = (0 until 8)
-      .map(i => s"(r$i / nn) * (${KnnQueryVec(i)})").mkString(" + ")
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT doc_id,
        |    $raws
        |  FROM documents),
        |nrm AS (
-       |  SELECT doc_id, sqrt($normExpr) AS nn, * FROM raw),
+       |  SELECT doc_id, sqrt($normExpr) AS nn, * FROM raw)""".stripMargin
+  }
+
+  /** Dot of the normalized mock doc vector with a literal query vector
+    * (first 8 components), same operation order as the Spark plan. */
+  private def mockDotExpr(q: Array[Double]): String =
+    (0 until 8).map(i => s"(r$i / nn) * (${q(i)})").mkString(" + ")
+
+  private def knnTextOracle: String =
+    s"""WITH $mockDocVecCtes,
        |scored AS (
-       |  SELECT doc_id, $dotExpr AS raw_score FROM nrm)
+       |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS raw_score FROM nrm)
        |SELECT doc_id, round(raw_score, 6) AS score FROM (
        |  SELECT doc_id, raw_score FROM scored
        |  ORDER BY raw_score DESC, doc_id LIMIT 20)
        |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** A DuckDB DOUBLE[] literal with full round-trip precision. */
+  private def sqlDoubleList(a: Array[Double]): String =
+    a.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  // ---- data-dependent oracle literals ---------------------------------
+  // Fits for the IVF/PCA oracles run against the sf dir the queries ran
+  // at (embeddings DIFFER per scale factor), via the session Verify
+  // already opened. Failures only degrade those two oracles to
+  // rows-only (see oracleSql).
+
+  private def fitEmbeddings: DataFrame =
+    Tables.load(org.apache.spark.sql.SparkSession.active, lastDir,
+      "embeddings")
+
+  private lazy val IvfOracleCentroids: Seq[Array[Double]] =
+    Knn.ivfFit(fitEmbeddings, "vec_id", "embedding", 64, k = 8, iters = 2)
+
+  private lazy val IvfOracleQueryVec: Array[Double] =
+    fitEmbeddings.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** Probe set mirroring Knn.ivfTopK(nprobe = 3). */
+  private lazy val IvfOracleProbes: Seq[Int] =
+    IvfOracleCentroids.zipWithIndex
+      .map { case (c, i) => (VectorFunctions.dotS(IvfOracleQueryVec, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2)
+
+  private lazy val PcaOracleFit: (Array[Double], Array[Double], Array[Double]) =
+    graft.operators.Projection.fitPca(fitEmbeddings, "embedding", 64,
+      sampleLimit = 500, orderCol = Some("vec_id"))
+
+  /** IR-metric scaffold shared by the ir_metrics / bench_eval_docs
+    * oracles. Expects CTEs runs(query_id, rank, doc_id) and
+    * qrels(query_id, doc_id, grade) earlier in the WITH chain; emits the
+    * rest of the chain plus the final SELECT (metric, k, value,
+    * n_queries). */
+  private def irMetricsSqlTail: String = {
+    val ks = IrMetrics.DefaultKValues
+    val perKCtes = ks.map { k =>
+      s"""mk_$k AS (
+         |  SELECT q.query_id,
+         |    coalesce(a.rel_at_k, 0) AS rel_at_k,
+         |    coalesce(a.dcg, 0.0) AS dcg,
+         |    coalesce(i.idcg, 0.0) AS idcg,
+         |    coalesce(t.n_relevant, 0) AS n_rel
+         |  FROM qs q
+         |  LEFT JOIN (
+         |    SELECT query_id, sum(is_rel) AS rel_at_k,
+         |      sum(CAST(grade AS DOUBLE) / log2(rank + 1)) AS dcg
+         |    FROM cum WHERE rank <= $k GROUP BY query_id) a USING (query_id)
+         |  LEFT JOIN (
+         |    SELECT query_id,
+         |      sum(CAST(grade AS DOUBLE) / log2(irank + 1)) AS idcg
+         |    FROM ideal WHERE irank <= $k GROUP BY query_id) i USING (query_id)
+         |  LEFT JOIN truth t USING (query_id))""".stripMargin
+    }.mkString(",\n")
+    val perKSelects = ks.map { k =>
+      s"""SELECT 'precision' AS metric, $k AS k,
+         |  avg(rel_at_k / $k.0) AS value, count(*) AS n_queries FROM mk_$k
+         |UNION ALL
+         |SELECT 'recall' AS metric, $k AS k,
+         |  avg(CASE WHEN n_rel > 0 THEN CAST(rel_at_k AS DOUBLE) / n_rel
+         |    ELSE 0.0 END) AS value, count(*) AS n_queries FROM mk_$k
+         |UNION ALL
+         |SELECT 'ndcg' AS metric, $k AS k,
+         |  avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END) AS value,
+         |  count(*) AS n_queries FROM mk_$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""qs AS (SELECT DISTINCT query_id FROM runs),
+       |graded AS (
+       |  SELECT r.query_id, r.rank, r.doc_id,
+       |    coalesce(q.grade, 0) AS grade,
+       |    CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END AS is_rel
+       |  FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)),
+       |cum AS (
+       |  SELECT *, sum(is_rel) OVER (PARTITION BY query_id
+       |    ORDER BY rank) AS cum_rel FROM graded),
+       |truth AS (
+       |  SELECT query_id,
+       |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_relevant
+       |  FROM qrels GROUP BY query_id),
+       |ideal AS (
+       |  SELECT query_id, grade,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY grade DESC, doc_id) AS irank
+       |  FROM qrels),
+       |firstrel AS (
+       |  SELECT c.query_id,
+       |    min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+       |    sum(CASE WHEN is_rel = 1
+       |      THEN CAST(cum_rel AS DOUBLE) / rank END) AS p_sum
+       |  FROM cum c GROUP BY c.query_id),
+       |$perKCtes,
+       |tail AS (
+       |  SELECT q.query_id, f.first_rel, f.p_sum,
+       |    coalesce(t.n_relevant, 0) AS n_rel
+       |  FROM qs q
+       |  LEFT JOIN firstrel f USING (query_id)
+       |  LEFT JOIN truth t USING (query_id)),
+       |allm AS (
+       |  $perKSelects
+       |  UNION ALL
+       |  SELECT 'mrr' AS metric, 0 AS k,
+       |    avg(coalesce(1.0 / first_rel, 0.0)) AS value,
+       |    count(*) AS n_queries FROM tail
+       |  UNION ALL
+       |  SELECT 'ap' AS metric, 0 AS k,
+       |    avg(CASE WHEN n_rel > 0 THEN coalesce(p_sum, 0.0) / n_rel
+       |      ELSE 0.0 END) AS value,
+       |    count(*) AS n_queries FROM tail)
+       |SELECT metric, k, round(value, 6) AS value, n_queries
+       |FROM allm ORDER BY metric, k""".stripMargin
   }
 
   private def bm25QueryValues: String =
@@ -495,6 +628,27 @@ object SparkEntry {
           "token_count")
         .orderBy(col("doc_id").cast("long"), col("chunk_index"))
     }),
+    "chunk_markdown" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "markdown", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+    "chunk_semantic" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "semantic", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+    "chunk_hybrid" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "hybrid", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
     "chunk_hier" -> ((s, dir) => {
       Chunking.chunkHierarchical(t(s, dir, "documents"), "doc_id", "text",
           Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
@@ -530,6 +684,29 @@ object SparkEntry {
           round(col("score"), 6).as("score"),
           round(col("reranked_score"), 6).as("reranked_score"))
         .orderBy(col("reranked_score").desc, col("score").desc, col("chunk_id"))
+    }),
+
+    // ---- §3.1 hybrid search, chunker-free twin with a FULL SQL oracle:
+    //      every doc is one chunk, so the dense + sparse + RRF + rerank
+    //      composition (incl. W5's mock cross-encoder) is hash-checked
+    //      end-to-end against DuckDB ----
+    "search_hybrid_docs" -> ((s, dir) => {
+      val docsAsChunks = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("doc_id").cast("string").as("chunk_id"),
+        lit(0).as("chunk_index"), lit(1).as("total_chunks"),
+        col("doc_id").cast("string").as("path"),
+        lit(null).cast("string").as("path_id"),
+        col("text").as("content"),
+        TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+      SearchEngine.search(docsAsChunks, SearchEngine.SearchRequest(
+          query = SearchQuery, searchMode = "hybrid", k = 10,
+          useReranker = true, vectorDim = KnnTextDim))
+        .select(col("doc_id"), col("chunk_id"),
+          round(col("score"), 6).as("score"),
+          round(col("reranked_score"), 6).as("reranked_score"))
+        .orderBy(col("reranked_score").desc, col("score").desc,
+          col("chunk_id"))
     }),
 
     // ---- full build path: chunk -> embed -> index-ready rows; Bench
@@ -662,8 +839,7 @@ object SparkEntry {
         Chunking.ChunkConfig(minTokens = 5, maxTokens = 40), dim = 32).cache()
       val spark = s
       import spark.implicits._
-      val queries = Seq((1, "spark hash join"), (2, "window sort batch"),
-        (3, "customer order line")).toDF("query_id", "query_text")
+      val queries = BenchQueries.toDF("query_id", "query_text")
       // deterministic qrels: docs whose id ends in the query id's digit
       val qrels = t(s, dir, "documents")
         .select(col("doc_id").cast("string").as("doc_id"),
@@ -672,6 +848,30 @@ object SparkEntry {
         .select("query_id", "doc_id", "grade")
       BenchmarkRunner.evaluate(chunks, queries, qrels,
           mode = "hybrid", k = 20, dim = 32)
+        .select(col("metric"), col("k"), round(col("value"), 6).as("value"),
+          col("n_queries"))
+        .orderBy("metric", "k")
+    }),
+
+    // ---- batch benchmark eval, chunker-free twin with a FULL SQL
+    //      oracle: docs-as-chunks, so the dense+sparse+RRF runs, the W6
+    //      collapse and the A5/J6 metric fan-out are hash-checked ----
+    "bench_eval_docs" -> ((s, dir) => {
+      import graft.operators.BenchmarkRunner
+      val docsAsChunks = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("doc_id").cast("string").as("chunk_id"),
+        col("text").as("content"),
+        TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+      val spark = s
+      import spark.implicits._
+      val queries = BenchQueries.toDF("query_id", "query_text")
+      val qrels = t(s, dir, "documents")
+        .select((col("doc_id") % 3 + 1).cast("int").as("query_id"),
+          col("doc_id").cast("string").as("doc_id"),
+          (col("doc_id") % 4).cast("int").as("grade"))
+      BenchmarkRunner.evaluate(docsAsChunks, queries, qrels,
+          mode = "hybrid", k = 20, dim = KnnTextDim)
         .select(col("metric"), col("k"), round(col("value"), 6).as("value"),
           col("n_queries"))
         .orderBy("metric", "k")
@@ -944,6 +1144,106 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score, _dense_rank, _sparse_rank
          |FROM (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT 20)
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "search_hybrid_docs" -> {
+      val qtoks = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val qtoksList = qtoks.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH $Bm25ScoresCtes,
+         |$mockDocVecCtes,
+         |dense_scored AS (
+         |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM nrm),
+         |dense AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY dscore DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM dense_scored) WHERE r <= 50),
+         |sparse AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY score DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM bm25_scores) WHERE r <= 50),
+         |fused AS (
+         |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.chunk_id = sp.chunk_id),
+         |pool AS (
+         |  SELECT chunk_id, score FROM fused
+         |  ORDER BY score DESC, chunk_id LIMIT 50),
+         |rer AS (
+         |  SELECT p.chunk_id, p.score,
+         |    CAST(len(list_intersect(${sqlToks("d.text")}, $qtoksList))
+         |      AS DOUBLE) / ${qtoks.size} AS rscore
+         |  FROM pool p JOIN documents d
+         |    ON CAST(d.doc_id AS VARCHAR) = p.chunk_id),
+         |topr AS (
+         |  SELECT chunk_id, score, rscore FROM rer
+         |  ORDER BY rscore DESC, score DESC, chunk_id LIMIT 10)
+         |SELECT chunk_id AS doc_id, chunk_id, round(score, 6) AS score,
+         |  round(rscore, 6) AS reranked_score
+         |FROM topr
+         |ORDER BY reranked_score DESC, score DESC, chunk_id""".stripMargin
+    },
+
+    "bench_eval_docs" -> {
+      val denseSelects = BenchQueries.map { case (qid, qtext) =>
+        val qv = TextFunctions.mockEmbeddingDouble(qtext, KnnTextDim)
+        s"SELECT $qid AS query_id, doc_id, ${mockDotExpr(qv)} AS score FROM nrm"
+      }.mkString("\nUNION ALL\n")
+      val qtermVals = BenchQueries.flatMap { case (qid, qtext) =>
+        TextFunctions.tokenize(qtext).groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(_._1).map { case (t, n) => s"($qid, '$t', $n)" }
+      }.mkString(", ")
+      s"""WITH $Bm25WeightsCtes,
+         |$mockDocVecCtes,
+         |dscore AS (
+         |  $denseSelects),
+         |drun AS (
+         |  SELECT query_id, chunk_id, r FROM (
+         |    SELECT query_id, CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS r
+         |    FROM dscore) WHERE r <= 20),
+         |bqterms AS (
+         |  SELECT * FROM (VALUES $qtermVals) AS t(query_id, term, q_tf)),
+         |bqw AS (
+         |  SELECT bqterms.query_id, bqterms.term,
+         |    CAST(bqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+         |  FROM bqterms JOIN idf ON bqterms.term = idf.term
+         |  WHERE idf.idf > 0),
+         |sscore AS (
+         |  SELECT bqw.query_id, w.doc_id,
+         |    sum(w.weight * bqw.q_weight) AS score
+         |  FROM weights w JOIN bqw ON w.term = bqw.term
+         |  GROUP BY bqw.query_id, w.doc_id),
+         |srun AS (
+         |  SELECT query_id, chunk_id, r FROM (
+         |    SELECT query_id, CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS r
+         |    FROM sscore) WHERE r <= 20),
+         |fusedq AS (
+         |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |    coalesce(d.chunk_id, s.chunk_id) AS chunk_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + s.r), 0.0) AS score
+         |  FROM drun d FULL OUTER JOIN srun s
+         |    ON d.query_id = s.query_id AND d.chunk_id = s.chunk_id),
+         |runs AS (
+         |  SELECT query_id, rank, chunk_id AS doc_id FROM (
+         |    SELECT query_id, chunk_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, chunk_id) AS rank
+         |    FROM fusedq) WHERE rank <= 20),
+         |qrels AS (
+         |  SELECT CAST(doc_id % 3 + 1 AS INT) AS query_id,
+         |    CAST(doc_id AS VARCHAR) AS doc_id,
+         |    CAST(doc_id % 4 AS INT) AS grade
+         |  FROM documents),
+         |$irMetricsSqlTail""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT doc_id, content_hash,
@@ -1300,38 +1600,7 @@ object SparkEntry {
          |ORDER BY doc_id, term""".stripMargin
     },
 
-    "ir_metrics" -> {
-      val ks = IrMetrics.DefaultKValues
-      val perKCtes = ks.map { k =>
-        s"""mk_$k AS (
-           |  SELECT q.query_id,
-           |    coalesce(a.rel_at_k, 0) AS rel_at_k,
-           |    coalesce(a.dcg, 0.0) AS dcg,
-           |    coalesce(i.idcg, 0.0) AS idcg,
-           |    coalesce(t.n_relevant, 0) AS n_rel
-           |  FROM qs q
-           |  LEFT JOIN (
-           |    SELECT query_id, sum(is_rel) AS rel_at_k,
-           |      sum(CAST(grade AS DOUBLE) / log2(rank + 1)) AS dcg
-           |    FROM cum WHERE rank <= $k GROUP BY query_id) a USING (query_id)
-           |  LEFT JOIN (
-           |    SELECT query_id,
-           |      sum(CAST(grade AS DOUBLE) / log2(irank + 1)) AS idcg
-           |    FROM ideal WHERE irank <= $k GROUP BY query_id) i USING (query_id)
-           |  LEFT JOIN truth t USING (query_id))""".stripMargin
-      }.mkString(",\n")
-      val perKSelects = ks.map { k =>
-        s"""SELECT 'precision' AS metric, $k AS k,
-           |  avg(rel_at_k / $k.0) AS value, count(*) AS n_queries FROM mk_$k
-           |UNION ALL
-           |SELECT 'recall' AS metric, $k AS k,
-           |  avg(CASE WHEN n_rel > 0 THEN CAST(rel_at_k AS DOUBLE) / n_rel
-           |    ELSE 0.0 END) AS value, count(*) AS n_queries FROM mk_$k
-           |UNION ALL
-           |SELECT 'ndcg' AS metric, $k AS k,
-           |  avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END) AS value,
-           |  count(*) AS n_queries FROM mk_$k""".stripMargin
-      }.mkString("\nUNION ALL\n")
+    "ir_metrics" ->
       s"""WITH counts AS (
          |  SELECT event_type AS query_id, user_id AS doc_id,
          |    count(*) AS cnt
@@ -1346,52 +1615,61 @@ object SparkEntry {
          |  SELECT DISTINCT event_type AS query_id, user_id AS doc_id,
          |    CAST(user_id % 4 AS INT) AS grade
          |  FROM events WHERE user_id % 3 = 0),
-         |qs AS (SELECT DISTINCT query_id FROM runs),
-         |graded AS (
-         |  SELECT r.query_id, r.rank, r.doc_id,
-         |    coalesce(q.grade, 0) AS grade,
-         |    CASE WHEN coalesce(q.grade, 0) > 0 THEN 1 ELSE 0 END AS is_rel
-         |  FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)),
-         |cum AS (
-         |  SELECT *, sum(is_rel) OVER (PARTITION BY query_id
-         |    ORDER BY rank) AS cum_rel FROM graded),
-         |truth AS (
-         |  SELECT query_id,
-         |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_relevant
-         |  FROM qrels GROUP BY query_id),
-         |ideal AS (
-         |  SELECT query_id, grade,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY grade DESC, doc_id) AS irank
-         |  FROM qrels),
-         |firstrel AS (
-         |  SELECT c.query_id,
-         |    min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
-         |    sum(CASE WHEN is_rel = 1
-         |      THEN CAST(cum_rel AS DOUBLE) / rank END) AS p_sum
-         |  FROM cum c GROUP BY c.query_id),
-         |$perKCtes,
-         |tail AS (
-         |  SELECT q.query_id, f.first_rel, f.p_sum,
-         |    coalesce(t.n_relevant, 0) AS n_rel
-         |  FROM qs q
-         |  LEFT JOIN firstrel f USING (query_id)
-         |  LEFT JOIN truth t USING (query_id)),
-         |allm AS (
-         |  $perKSelects
-         |  UNION ALL
-         |  SELECT 'mrr' AS metric, 0 AS k,
-         |    avg(coalesce(1.0 / first_rel, 0.0)) AS value,
-         |    count(*) AS n_queries FROM tail
-         |  UNION ALL
-         |  SELECT 'ap' AS metric, 0 AS k,
-         |    avg(CASE WHEN n_rel > 0 THEN coalesce(p_sum, 0.0) / n_rel
-         |      ELSE 0.0 END) AS value,
-         |    count(*) AS n_queries FROM tail)
-         |SELECT metric, k, round(value, 6) AS value, n_queries
-         |FROM allm ORDER BY metric, k""".stripMargin
-    }
-  )
+         |$irMetricsSqlTail""".stripMargin
+  ) ++ dataDependentOracles
+
+  /** Oracles whose SQL embeds literals fitted from the data (IVF
+    * centroids, PCA components). Built defensively: a fit failure
+    * degrades these queries to rows-only instead of losing the round's
+    * oracle dump. */
+  private def dataDependentOracles: Map[String, String] =
+    scala.util.Try {
+      Map(
+        "ann_ivf" -> {
+          val cvals = IvfOracleCentroids.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          val probes = IvfOracleProbes.mkString(", ")
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid) AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             |  WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT a.vec_id,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv)
+             |      AS raw
+             |  FROM assigned a, q WHERE a.cid IN ($probes))
+             |SELECT vec_id, round(raw, 6) AS score FROM (
+             |  SELECT vec_id, raw FROM scored
+             |  ORDER BY raw DESC, vec_id LIMIT 10)
+             |ORDER BY score DESC, vec_id""".stripMargin
+        },
+        "pca_project" -> {
+          val (m, p1, p2) = PcaOracleFit
+          s"""WITH params AS (
+             |  SELECT ${sqlDoubleList(m)} AS m,
+             |    ${sqlDoubleList(p1)} AS p1,
+             |    ${sqlDoubleList(p2)} AS p2),
+             |proj AS (
+             |  SELECT vec_id,
+             |    list_inner_product(list_transform(range(1, 65),
+             |      i -> CAST(embedding[i] AS DOUBLE) - m[i]), p1) AS x,
+             |    list_inner_product(list_transform(range(1, 65),
+             |      i -> CAST(embedding[i] AS DOUBLE) - m[i]), p2) AS y
+             |  FROM embeddings, params)
+             |SELECT vec_id, round(x, 6) AS x, round(y, 6) AS y
+             |FROM proj ORDER BY vec_id""".stripMargin
+        })
+    }.getOrElse(Map.empty)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
