@@ -191,26 +191,44 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 3):
-    * pigeonhole on 4 × 16-bit blocks — any pair within distance 3 must
-    * agree exactly on ≥ 1 block, so candidates meet on an equi-join on
-    * (block_idx, block_value); verified with bit_count(xor). */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist via a
+    * generalized Manku-style block pigeonhole: the fingerprint splits
+    * into `numBlocks` equal blocks; any pair within distance d differs
+    * in ≤ d blocks, so it agrees EXACTLY on some combination of
+    * (numBlocks − d) blocks. Each doc emits one join key per
+    * C(numBlocks, numBlocks−d) combination; candidates meet on
+    * (combo_idx, combined_block_values) and verify with bit_count(xor).
+    *
+    * Scale dial: numBlocks = maxDist+1 gives 1-block keys (minimal
+    * replication but blockBits-wide buckets — at 10⁹ docs a 16-bit
+    * block holds ~15k docs, ~10⁸ in-bucket pairs). Raising numBlocks
+    * widens the key by (numBlocks−maxDist−…)·blockBits — e.g. bits=64,
+    * maxDist=3, numBlocks=8: 56 keys/doc but 40-bit keys, shrinking
+    * expected bucket sizes by ~2²⁴ — the right trade at corpus scale.
+    * Recall stays EXACT (pigeonhole covers every ≤ d pair). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3, bits: Int = 64,
-                      hashFamily: (Int, Column) => Column =
-                        xxHashFamily): DataFrame = {
-    require(maxDist <= 3, "4-block pigeonhole covers Hamming distance <= 3")
-    val blockBits = bits / 4
-    val mask = (1L << blockBits) - 1
+                      hashFamily: (Int, Column) => Column = xxHashFamily,
+                      numBlocks: Int = 4): DataFrame = {
+    require(numBlocks > maxDist,
+      s"need numBlocks ($numBlocks) > maxDist ($maxDist) for the pigeonhole")
+    require(bits % numBlocks == 0, s"bits $bits not divisible by $numBlocks")
+    require(numBlocks <= 10,
+      s"numBlocks $numBlocks: C(numBlocks, numBlocks-maxDist) keys/doc " +
+        "explodes past ~10 blocks; use 4-10 (C(10,7)=120 keys max)")
+    val blockBits = bits / numBlocks
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    def blockVal(i: Int): Column =
+      shiftrightunsigned(col("simhash"), i * blockBits).bitwiseAND(mask)
+    val combos = (0 until numBlocks).combinations(numBlocks - maxDist).toSeq
     val fp = simhash(df, idCol, textCol, bits, hashFamily).cache()
-    val blocks = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * blockBits)
-          .bitwiseAND(mask)): _*)))
+    val keyed = fp.select(col("id"), col("simhash"),
+      posexplode(array(combos.map(combo =>
+        concat_ws(",", combo.map(i => blockVal(i).cast("string")): _*)): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
-    val l = blocks.select(col("block"), col("block_val"),
+    val l = keyed.select(col("block"), col("block_val"),
       col("id").as("id_a"), col("simhash").as("sim_a"))
-    val r = blocks.select(col("block"), col("block_val"),
+    val r = keyed.select(col("block"), col("block_val"),
       col("id").as("id_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))
@@ -220,24 +238,53 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Plane count that keeps expected LSH bucket occupancy near
+    * `targetBucket` vectors: ceil(log2(n / targetBucket)), clamped to
+    * [1, 24]. Use when the corpus size is known; pass the result as
+    * `nPlanes` so bucket population stays bounded as the corpus grows
+    * (a FIXED plane count goes quadratic in-bucket at 1000× data). */
+  def embeddingPlanesFor(n: Long, targetBucket: Long = 1024): Int =
+    math.max(1, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+
   /** Embedding-cosine near-dup: LSH-bucket the vectors (random
     * hyperplanes), compare only within buckets, keep pairs with
-    * cosine ≥ threshold. */
+    * cosine ≥ threshold.
+    *
+    * `nPlanes <= 0` derives the plane count from the corpus size via
+    * [[embeddingPlanesFor]] (one count() job). `bands` > 1 repeats the
+    * bucketing with independent plane sets and unions the candidates —
+    * the MinHash-banding recall trade: with per-plane agreement
+    * probability p, recall ≈ 1 − (1 − p^nPlanes)^bands, so more planes
+    * (smaller buckets) can be offset with more bands. Duplicate
+    * candidate pairs across bands are de-duplicated before output. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double = 0.95,
-                        nPlanes: Int = 8): DataFrame = {
-    val planes = Knn.hyperplanes(nPlanes, dim)
+                        nPlanes: Int = 8, bands: Int = 1): DataFrame = {
+    require(bands >= 1)
+    val np = if (nPlanes > 0) nPlanes
+             else embeddingPlanesFor(vectors.count())
+    // band 0 keeps the historical seed so single-band results (and the
+    // dedup_embedding oracle) are unchanged
+    val planeSets = (0 until bands).map(b =>
+      Knn.hyperplanes(np, dim,
+        if (b == 0) "graft-lsh" else s"graft-lsh:$b"))
     val bucketed = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", Knn.lshBucket(col("vec"), planes))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    l.join(r, "bucket")
+      .select(col("id"), col("vec"),
+        posexplode(array(planeSets.map(ps =>
+          Knn.lshBucket(col("vec"), ps)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = bucketed.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = bucketed.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 }
