@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -41,10 +42,14 @@ object BenchmarkRunner {
   }
 
   /** Sparse (BM25) leg for all queries at once: one join between the
-    * corpus term weights and the exploded query terms. */
+    * corpus term weights and the exploded query terms. Pass a prebuilt
+    * (cached) `index` to amortize the corpus indexing across legs and
+    * runs. */
   def sparseRuns(chunks: DataFrame, queries: DataFrame, k: Int,
-                 p: Bm25.Params = Bm25.Default): DataFrame = {
-    val idx = Bm25.buildIndex(chunks, "chunk_id", "content", p)
+                 p: Bm25.Params = Bm25.Default,
+                 index: Option[Bm25.Index] = None): DataFrame = {
+    val idx = index.getOrElse(
+      Bm25.buildIndex(chunks, "chunk_id", "content", p))
     val docW = idx.docWeights
     val stats = idx.stats
     val qTerms = queries.select(col("query_id"),
@@ -64,22 +69,29 @@ object BenchmarkRunner {
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 
-  /** Hybrid: RRF-fuse the two legs per query. */
+  /** Hybrid: RRF-fuse the two legs per query. Both legs already emit
+    * dense 1..k ranks ordered (score desc, chunk_id) — exactly the
+    * ranks RRF needs — so fusion is ONE full-outer join on the two
+    * ≤|Q|·k candidate lists plus a rank window over ≤|Q|·2k fused rows;
+    * no re-ranking of the legs, no re-join against the chunks table. */
   def hybridRuns(chunks: DataFrame, queries: DataFrame, k: Int, dim: Int,
-                 rrfK: Int = Rrf.DefaultRrfK): DataFrame = {
+                 rrfK: Int = Rrf.DefaultRrfK,
+                 index: Option[Bm25.Index] = None): DataFrame = {
     val d = denseRuns(chunks, queries, k, dim)
-      .select("query_id", "chunk_id", "doc_id", "score")
-    val s = sparseRuns(chunks, queries, k)
-      .select("query_id", "chunk_id", "doc_id", "score")
-    // fused is ≤ |Q|·2k rows — broadcast it against the chunks table so
-    // the doc_id enrichment never shuffles the big side
-    val fused = Rrf.fuse(
-      d.drop("doc_id"), s.drop("doc_id"), "chunk_id", "score", k, rrfK,
-      queryCol = Some("query_id"))
-    val withDoc = chunks.select("chunk_id", "doc_id")
-      .join(broadcast(fused), "chunk_id")
-      .select("query_id", "doc_id", "chunk_id", "score")
-    TopK.perGroup(withDoc, "query_id", k)
+      .select(col("query_id"), col("chunk_id"), col("doc_id").as("_d_doc"),
+        col("rank").as("_dense_rank"))
+    val s = sparseRuns(chunks, queries, k, index = index)
+      .select(col("query_id"), col("chunk_id"), col("doc_id").as("_s_doc"),
+        col("rank").as("_sparse_rank"))
+    val fused = d.join(s, Seq("query_id", "chunk_id"), "full_outer")
+      .withColumn("doc_id", coalesce(col("_d_doc"), col("_s_doc")))
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("chunk_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 
@@ -88,16 +100,29 @@ object BenchmarkRunner {
   def evaluate(chunks: DataFrame, queries: DataFrame, qrels: DataFrame,
                mode: String = "hybrid", k: Int = 20, dim: Int = 64,
                kValues: Seq[Int] = IrMetrics.DefaultKValues): DataFrame = {
+    // the BM25 stats relation feeds BOTH the query-term weighting and
+    // the doc-weight computation — pin it (single partition: it's the
+    // vocabulary, tiny next to the corpus) so the index aggregation
+    // runs once per batch. docWeights has exactly one consumer; caching
+    // it would only force a fixed partitioning on the scoring join.
+    val idx = if (mode == "dense") None else {
+      val i = Bm25.buildIndex(chunks, "chunk_id", "content")
+      Some(Bm25.Index(i.stats.coalesce(1).cache(), i.docWeights))
+    }
     val runs = mode match {
       case "dense" => denseRuns(chunks, queries, k, dim)
-      case "sparse" => sparseRuns(chunks, queries, k)
-      case "hybrid" => hybridRuns(chunks, queries, k, dim)
+      case "sparse" => sparseRuns(chunks, queries, k, index = idx)
+      case "hybrid" => hybridRuns(chunks, queries, k, dim, index = idx)
       case other => throw new IllegalArgumentException(s"mode $other")
     }
     // the runs relation is <= |Q|*k rows but its DAG is the whole
-    // retrieval pipeline — pin it before the metric fan-out
+    // retrieval pipeline — pin it (in ONE partition: it's tiny, and the
+    // metric windows/aggs then run single-task) before the fan-out.
+    // qrels feeds both the graded join and the ideal-DCG branch — pin
+    // it too so its scan runs once
     val docRuns = IrMetrics.collapseToDocs(
-      runs.select("query_id", "rank", "doc_id")).cache()
-    IrMetrics.macroAveraged(docRuns, qrels, kValues)
+      runs.select("query_id", "rank", "doc_id")).coalesce(1).cache()
+    val qrelsPinned = qrels.coalesce(1).cache()
+    IrMetrics.macroAveraged(docRuns, qrelsPinned, kValues)
   }
 }
