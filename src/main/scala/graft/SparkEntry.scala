@@ -276,6 +276,57 @@ object SparkEntry {
        |  FROM weights w JOIN qweights qw ON w.term = qw.term
        |  GROUP BY w.doc_id)""".stripMargin
 
+  /** MinHash-LSH near-dup pipeline as DuckDB CTEs, shared by the
+    * dedup_minhash and dedup_clusters oracles: shingles → 16 sha-seeded
+    * minhash signatures → 8 banded buckets → candidate pairs → exact
+    * Jaccard verify. Ends with CTE dup_pairs(id_a, id_b, jaccard). */
+  private def minhashPairCtes: String = {
+    val toks = sqlToksKeepStop("text")
+    def shaH(seed: Int) =
+      s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
+        s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
+    val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ',' || " +
+        s"CAST(m${2 * b + 1} AS VARCHAR) AS band_val FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(
+       |    CASE WHEN len($toks) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len($toks) - 2),
+       |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+       |    END) AS shingle
+       |  FROM documents),
+       |sig AS (
+       |  SELECT id,
+       |    $hashCols
+       |  FROM sh GROUP BY id),
+       |banded AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.band_val = r.band_val AND l.id < r.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |inters AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh a ON a.id = c.id_a
+       |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY c.id_a, c.id_b),
+       |dup_pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+       |  FROM cands c
+       |  LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sizes sa ON sa.id = c.id_a
+       |  JOIN sizes sb ON sb.id = c.id_b
+       |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+       |    (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2)""".stripMargin
+  }
+
   // =====================================================================
   // Queries
   // =====================================================================
@@ -540,6 +591,32 @@ object SparkEntry {
           hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- duplicate-cluster resolution: near-dup pairs → connected
+    //      components → canonical survivor per cluster ----
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.2,
+        hashFamily = Dedup.shaHashFamily)
+      Dedup.resolveClusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_rep"),
+          col("cluster_size"), col("is_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: train docs sharing any 3-gram
+    //      shingle with the (deterministic) eval split ----
+    "contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.contamination(train, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shared"),
+          col("contaminated"))
+        .orderBy("doc_id")
     }),
 
     // ---- SimHash near-dup (32-bit sha family, oracle-checked) ----
@@ -1285,17 +1362,29 @@ object SparkEntry {
          |ORDER BY id_a""".stripMargin
     },
 
-    "dedup_minhash" -> {
+    "dedup_minhash" ->
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM dup_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+         |  UNION SELECT id_b, id_a FROM dup_pairs),
+         |walk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst),
+         |comp AS (SELECT id, min(r) AS rep FROM walk GROUP BY id),
+         |csize AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
+         |SELECT c.id AS doc_id, c.rep AS cluster_rep,
+         |  s.cluster_size, c.id = c.rep AS is_kept
+         |FROM comp c JOIN csize s ON s.rep = c.rep
+         |ORDER BY doc_id""".stripMargin,
+
+    "contamination" -> {
       val toks = sqlToksKeepStop("text")
-      def shaH(seed: Int) =
-        s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
-          s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
-      val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
-        .mkString(",\n    ")
-      val bandSelects = (0 until 8).map { b =>
-        s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ',' || " +
-          s"CAST(m${2 * b + 1} AS VARCHAR) AS band_val FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id AS id, unnest(
          |    CASE WHEN len($toks) < 3 THEN []
@@ -1303,33 +1392,19 @@ object SparkEntry {
          |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
          |    END) AS shingle
          |  FROM documents),
-         |sig AS (
-         |  SELECT id,
-         |    $hashCols
-         |  FROM sh GROUP BY id),
-         |banded AS (
-         |  $bandSelects),
-         |cands AS (
-         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.band_val = r.band_val AND l.id < r.id),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         |inters AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-         |  FROM cands c
-         |  JOIN sh a ON a.id = c.id_a
-         |  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-         |  GROUP BY c.id_a, c.id_b)
-         |SELECT c.id_a AS id_a, c.id_b AS id_b,
-         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
-         |    (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
-         |FROM cands c
-         |LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |JOIN sizes sa ON sa.id = c.id_a
-         |JOIN sizes sb ON sb.id = c.id_b
-         |WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
-         |  (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2
-         |ORDER BY id_a, id_b""".stripMargin
+         |evalsh AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE id % 10 = 0),
+         |hits AS (
+         |  SELECT s.id, count(*) AS n_shared
+         |  FROM sh s JOIN evalsh e USING (shingle)
+         |  WHERE s.id % 10 <> 0
+         |  GROUP BY s.id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+         |WHERE d.doc_id % 10 <> 0
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "dedup_simhash" -> {

@@ -238,6 +238,85 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over an undirected pair relation
+    * (id_a, id_b) via hash-min label propagation: every node starts as
+    * its own representative; each round takes the min over its
+    * neighbors' reps; fixpoint after O(component diameter) rounds.
+    * Each round is one join + one aggregation — no driver-side graph,
+    * no all-pairs — and the label relation is localCheckpoint'ed so
+    * the plan does not grow with iterations. Near-dup clusters have
+    * tiny diameters, so this converges in a handful of rounds.
+    * Output: (id, rep) for every id appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy("src").agg(min("nrep").as("min_neighbor"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .withColumn("new_rep",
+          least(col("rep"), coalesce(col("min_neighbor"), col("rep"))))
+      converged = updated.filter(col("new_rep") < col("rep")).isEmpty
+      labels = updated.select(col("id"), col("new_rep").as("rep"))
+        .localCheckpoint()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster resolution — the step that turns near-dup PAIRS
+    * into a keep/drop decision: components over the pair graph, every
+    * id from `all` joined in (singletons form their own cluster), the
+    * min-id member kept as the canonical survivor. Output:
+    * (id, cluster_rep, cluster_size, is_kept). */
+  def resolveClusters(all: DataFrame, idCol: String,
+                      pairs: DataFrame): DataFrame = {
+    // pairs are tiny next to the corpus (bounded by the dup rate); pin
+    // them so the (often deep) candidate pipeline runs once, not once
+    // per propagation round
+    val pinned = pairs.select("id_a", "id_b").coalesce(1).cache()
+    val labels = broadcast(connectedComponents(pinned))
+    val full = all.select(col(idCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster_rep", coalesce(col("rep"), col("id")))
+      .drop("rep")
+    val sizes = full.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "cluster_rep")
+      .withColumn("is_kept", col("id") === col("cluster_rep"))
+      .select("id", "cluster_rep", "cluster_size", "is_kept")
+  }
+
+  /** Benchmark-contamination check: flag training docs sharing any
+    * token n-gram shingle with an eval/benchmark corpus — the standard
+    * decontamination pass of a training-data pipeline. The eval side is
+    * distinct shingles of a (small) benchmark set and rides a
+    * broadcast; the train side is one narrow shingle explode + one
+    * aggregation. Output: (id, n_shared, contaminated). */
+  def contamination(train: DataFrame, trainId: String, trainText: String,
+                    evalDf: DataFrame, evalId: String, evalText: String,
+                    n: Int = 3): DataFrame = {
+    val trainSh = shingles(train, trainId, trainText, n)
+    val evalSh = shingles(evalDf, evalId, evalText, n)
+      .select("shingle").distinct()
+    val hits = trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    train.select(col(trainId).as("id")).distinct()
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   /** Plane count that keeps expected LSH bucket occupancy near
     * `targetBucket` vectors: ceil(log2(n / targetBucket)), clamped to
     * [1, 24]. Use when the corpus size is known; pass the result as

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Cluster resolution (connected components over near-dup pairs) and
+  * benchmark decontamination. */
+class ClusterContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents finds min-label components") {
+    // chain 1-2-3, pair 7-9, self-contained 4-5-6 triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("connectedComponents converges on a long chain") {
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 40).collect()
+    assert(got.length == 31)
+    assert(got.forall(_.getLong(1) == 0L), "whole chain labels to 0")
+  }
+
+  test("resolveClusters keeps min-id per cluster and singletons") {
+    val all = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((2L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(all, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(2L) == (2L, 3L, true))
+    assert(got(5L) == (2L, 3L, false))
+    assert(got(9L) == (2L, 3L, false))
+    assert(got(1L) == (1L, 1L, true)) // singleton keeps itself
+    assert(got.values.count(_._3) == 8) // 7 singletons + 1 cluster rep
+  }
+
+  test("contamination flags docs sharing shingles with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs today"),
+      (2L, "completely unrelated text about cooking pasta sauce"),
+      (3L, "short"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1 shares "quick brown fox" and "brown fox jumps"
+    assert(got(1L)._1 == 2 && got(1L)._2)
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false)) // too short for any shingle
+  }
+}
