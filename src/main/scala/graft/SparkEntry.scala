@@ -680,6 +680,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing: concatenate-and-chunk bin layout under a
+    //      fixed token budget (distributed prefix sum) ----
+    "pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          budget = 256)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic train/val/test hash split ----
+    "hash_split" -> ((s, dir) => {
+      TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprint ----
     "fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1491,6 +1508,33 @@ object SparkEntry {
          |        0.3 * (1.0 - least(punct * 5.0, 1.0)), 6) AS quality_score
          |FROM sig ORDER BY doc_id""".stripMargin
     },
+
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
+        |  CAST(cum_before % 256 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -261,13 +261,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy("src").agg(min("nrep").as("min_neighbor"))
+      // checkpoint BEFORE the convergence probe so the round's join
+      // executes once, not once per consumer
       val updated = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .withColumn("new_rep",
           least(col("rep"), coalesce(col("min_neighbor"), col("rep"))))
+        .localCheckpoint()
       converged = updated.filter(col("new_rep") < col("rep")).isEmpty
       labels = updated.select(col("id"), col("new_rep").as("rep"))
-        .localCheckpoint()
       i += 1
     }
     edges.unpersist()

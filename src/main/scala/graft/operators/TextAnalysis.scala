@@ -113,4 +113,66 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(sha2(
       trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"), 256), 1, 16)
+
+  /** Sequence packing (concatenate-and-chunk): assign every doc its bin
+    * and offset under a fixed token `budget`, by cumulative token
+    * offset in `idCol` order — the standard pre-training batch layout
+    * (a doc whose tokens run past a boundary straddles into the next
+    * bin, by design). Output: (id, n_tokens, bin, bin_offset).
+    *
+    * The cumulative sum is DISTRIBUTED: range-partition by id, collect
+    * only the per-partition token totals (one long per partition),
+    * broadcast the prefix offsets back, and window strictly WITHIN
+    * partitions — no single-partition global window at any scale. The
+    * partitioned relation is localCheckpoint'ed so the partition ids
+    * seen by the totals job and the window job are identical. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, partitions: Int = 0): DataFrame = {
+    require(budget > 0)
+    val nPart = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokenCountCol(col(textCol)).cast("long").as("n_tokens"))
+    val parted = toks.repartitionByRange(nPart, col("id"))
+      .withColumn("_p", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    val partSums = parted.groupBy("_p").agg(sum("n_tokens").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix: Map[Int, Long] = {
+      var acc = 0L
+      partSums.map { case (p, s) => val r = p -> acc; acc += s; r }.toMap
+    }
+    val prefixLit = typedlit(prefix)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_p").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parted
+      .withColumn("_cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)) +
+          coalesce(element_at(prefixLit, col("_p")), lit(0L)))
+      .select(col("id"), col("n_tokens"),
+        floor(col("_cum_before") / budget).cast("long").as("bin"),
+        (col("_cum_before") % budget).as("bin_offset"))
+  }
+
+  /** Deterministic hash split (train/val/test): bucket = sha-derived
+    * uniform value in [0, 1); split i covers the cumulative weight
+    * interval. Pure column arithmetic — reproducible across runs,
+    * engines, and partitionings (and expressible in the DuckDB
+    * oracle, unlike xxhash64). */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)], salt: String = "split")
+      : DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = conv(substring(sha2(
+        concat(lit(s"$salt:"), col(idCol).cast("string")).cast("binary"), 256),
+      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val split = weights.zip(cum).foldRight(lit(weights.last._1)) {
+      case (((name, _), upper), rest) =>
+        when(u < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
 }

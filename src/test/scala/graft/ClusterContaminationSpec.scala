@@ -39,6 +39,48 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got.values.count(_._3) == 8) // 7 singletons + 1 cluster rep
   }
 
+  test("packSequences matches a single-threaded prefix sum at any partitioning") {
+    val docs = (1L to 57L)
+      .map(i => (i, ("tok " * (i % 13 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    for (nPart <- Seq(1, 4, 16)) {
+      val got = graft.operators.TextAnalysis
+        .packSequences(docs, "doc_id", "text", budget = 10,
+          partitions = nPart)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      var cum = 0L
+      val exp = (1L to 57L).map { i =>
+        val n = i % 13 + 1
+        val row = (i, n, cum / 10, cum % 10)
+        cum += n
+        row
+      }
+      assert(got.toSeq == exp, s"mismatch at partitions=$nPart")
+    }
+  }
+
+  test("hashSplit is deterministic and roughly honors the weights") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val split = graft.operators.TextAnalysis.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 130 && counts("val") < 270)
+    // same salt -> identical assignment; different salt -> different
+    val a = split.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = graft.operators.TextAnalysis.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+    val c = graft.operators.TextAnalysis.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "other")
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a != c)
+  }
+
   test("contamination flags docs sharing shingles with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs today"),
