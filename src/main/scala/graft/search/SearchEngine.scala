@@ -91,7 +91,8 @@ object SearchEngine {
     val qVec = TextFunctions.mockEmbeddingDouble(qText, req.vectorDim)
     chunks
       .withColumn("score",
-        VectorFunctions.dot(col("vector"), array(qVec.map(lit): _*)))
+        VectorFunctions.dot(col("vector"),
+          array(qVec.toIndexedSeq.map(lit): _*)))
       .orderBy(col("score").desc, col("chunk_id"))
       .limit(limit)
   }

@@ -50,6 +50,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("search_hybrid_docs dense leg is TakeOrderedAndProject") {
+    val p = plan("search_hybrid_docs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pack_sequences windows only WITHIN partitions (no global window)") {
+    val p = plan("pack_sequences")
+    // every Window node must carry the _p partition spec — a global
+    // (partitionless) rank/sum window would be the single-partition
+    // scale-killer this operator exists to avoid
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("_p"),
+      s"global window in pack_sequences plan: $w"))
+  }
+
+  test("bm25 index build shuffles the token stream exactly once") {
+    val idx = graft.operators.Bm25.buildIndex(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val p = idx.docWeights.queryExecution.executedPlan.toString
+    // the exploded (id, term) stream crosses one exchange (the tf
+    // aggregation); df/idf derive from tf, never from a second pass
+    val generateExchanges = "Exchange hashpartitioning\\(id[#\\d]*, term".r
+      .findAllIn(p).size
+    assert(generateExchanges <= 1,
+      s"token stream shuffled $generateExchanges times:\n$p")
+  }
+
   test("chunks scan prunes partitions by collection_id") {
     val tmp = java.nio.file.Files.createTempDirectory("pp").toString
     import spark.implicits._
