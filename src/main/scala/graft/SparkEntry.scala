@@ -900,6 +900,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- T3 incremental BM25 stats: three-batch merge from empty
+    //      state must equal the full-corpus recompute — the oracle IS
+    //      the bm25_stats SQL, so the merge algebra is hash-checked ----
+    "t3_incremental_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      var state = Sync.emptyBm25State(s)
+      for (b <- 0 until 3)
+        state = Sync.mergeBm25Stats(state._1, state._2,
+          docs.filter(col("doc_id") % 3 === b), "doc_id", "text")
+      val (termStats, globals) = state
+      termStats.crossJoin(broadcast(globals))
+        .select(col("term"), col("df"),
+          round(Bm25.idfCol(col("df"), col("n_docs")), 6).as("idf"),
+          col("n_docs"))
+        .orderBy("term")
+    }),
+
     // ---- pipeline DAG execution with predicate routing (§3.3) ----
     "dag_pipeline" -> ((s, dir) => {
       import graft.pipeline.Dag
@@ -1163,6 +1180,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "bm25_stats" ->
+      s"""WITH $Bm25StatsCtes
+         |SELECT term, df, round(idf, 6) AS idf, n_docs
+         |FROM idf ORDER BY term""".stripMargin,
+
+    // incremental merge must equal the full recompute — same oracle
+    "t3_incremental_stats" ->
       s"""WITH $Bm25StatsCtes
          |SELECT term, df, round(idf, 6) AS idf, n_docs
          |FROM idf ORDER BY term""".stripMargin,

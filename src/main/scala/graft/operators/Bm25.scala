@@ -69,7 +69,7 @@ object Bm25 {
       coalesce(avg("doc_len"), lit(0.0)).as("avg_doc_len"))
 
   /** idf column from df and N (both already joined in). */
-  private def idfCol(dfCol: Column, nCol: Column): Column =
+  def idfCol(dfCol: Column, nCol: Column): Column =
     greatest(lit(0.0),
       log((nCol.cast("double") - dfCol + 0.5) / (dfCol.cast("double") + 0.5) + 1.0))
 
