@@ -272,7 +272,8 @@ object SparkEntry {
        |  FROM qterms JOIN idf ON qterms.term = idf.term
        |  WHERE idf.idf > 0),
        |bm25_scores AS (
-       |  SELECT w.doc_id, sum(w.weight * qw.q_weight) AS score
+       |  SELECT w.doc_id,
+       |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term)) AS score
        |  FROM weights w JOIN qweights qw ON w.term = qw.term
        |  GROUP BY w.doc_id)""".stripMargin
 
@@ -1332,7 +1333,7 @@ object SparkEntry {
          |  WHERE idf.idf > 0),
          |sscore AS (
          |  SELECT bqw.query_id, w.doc_id,
-         |    sum(w.weight * bqw.q_weight) AS score
+         |    list_sum(list(w.weight * bqw.q_weight ORDER BY w.term)) AS score
          |  FROM weights w JOIN bqw ON w.term = bqw.term
          |  GROUP BY bqw.query_id, w.doc_id),
          |srun AS (

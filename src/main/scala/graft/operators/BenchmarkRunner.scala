@@ -60,7 +60,9 @@ object BenchmarkRunner {
       .withColumn("q_weight", col("q_tf").cast("double") * col("idf"))
     val scored = docW.join(broadcast(qTerms.select("query_id", "term", "q_weight")), "term")
       .groupBy("query_id", "id")
-      .agg(sum(col("weight") * col("q_weight")).as("score"))
+      // canonical term-ordered float sum — see Bm25.sparseScore
+      .agg(Bm25.sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
       .withColumnRenamed("id", "chunk_id")
     val withDoc = scored.join(
       chunks.select("chunk_id", "doc_id"), "chunk_id")

@@ -68,6 +68,20 @@ object Bm25 {
       count("*").cast("long").as("n_docs"),
       coalesce(avg("doc_len"), lit(0.0)).as("avg_doc_len"))
 
+  /** Canonical sparse dot product: Σ weight·q_weight summed in TERM
+    * order. Float addition is non-associative, and `sum()` aggregates
+    * in engine-chosen order — near-tied docs could then rank
+    * differently between Spark and an oracle engine (the exact failure
+    * rake_keywords had in round 1). Per (query, doc) there are at most
+    * |query terms| products, so the sorted-list aggregate costs O(q·log
+    * q) on a handful of elements. The DuckDB twin is
+    * `list_sum(list(w.weight * q_weight ORDER BY term))`. */
+  def sparseScore(productCol: Column, termCol: Column): Column =
+    aggregate(
+      sort_array(collect_list(struct(termCol.as("t"), productCol.as("p")))),
+      lit(0.0),
+      (acc, x) => acc + x.getField("p"))
+
   /** idf column from df and N (both already joined in). */
   def idfCol(dfCol: Column, nCol: Column): Column =
     greatest(lit(0.0),
@@ -183,7 +197,8 @@ object Bm25 {
     val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
     idx.docWeights.join(broadcast(qW), "term")
       .groupBy("id")
-      .agg(sum(col("weight") * col("q_weight")).as("score"))
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
