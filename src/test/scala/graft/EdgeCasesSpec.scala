@@ -32,6 +32,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.embeddingNearDups(e, "vec_id", "embedding", 8).count() == 0)
   }
 
+  test("round-2 operators over empty and degenerate inputs") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // components of an empty graph
+    assert(Dedup.connectedComponents(emptyPairs).count() == 0)
+    // cluster resolution with no pairs: everyone is a kept singleton
+    val res = Dedup.resolveClusters(oneDoc, "doc_id", emptyPairs).collect()
+    assert(res.length == 1 && res.head.getBoolean(3))
+    // contamination against an empty eval set / of an empty train set
+    assert(Dedup.contamination(oneDoc, "doc_id", "text",
+      emptyDocs, "doc_id", "text").collect()
+      .forall(r => r.getLong(1) == 0 && !r.getBoolean(2)))
+    assert(Dedup.contamination(emptyDocs, "doc_id", "text",
+      oneDoc, "doc_id", "text").count() == 0)
+    // packing an empty corpus / a corpus of empty texts
+    assert(TextAnalysis.packSequences(emptyDocs, "doc_id", "text", 10)
+      .count() == 0)
+    val blank = Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(blank, "doc_id", "text", 10)
+      .collect()
+    assert(packed.length == 2 &&
+      packed.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+    // hash split of an empty frame
+    assert(TextAnalysis.hashSplit(emptyDocs, "doc_id",
+      Seq("a" -> 0.5, "b" -> 0.5)).count() == 0)
+    // incremental stats merge of an empty batch is the identity
+    val st = graft.streaming.Sync.emptyBm25State(spark)
+    val (t1, g1) = graft.streaming.Sync.mergeBm25Stats(st._1, st._2,
+      emptyDocs, "doc_id", "text")
+    assert(t1.count() == 0)
+    assert(g1.head().getLong(0) == 0L)
+  }
+
   test("kNN over empty vectors; k larger than corpus") {
     val e = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     assert(Knn.bruteForceTopK(e, "id", "vec", Array(1.0, 0.0), 5).count() == 0)
