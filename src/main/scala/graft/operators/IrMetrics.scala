@@ -39,11 +39,13 @@ object IrMetrics {
       .withColumn("rank", row_number().over(reRank))
   }
 
-  /** Per-query metrics, long format: (query_id, metric, k, value).
-    * `results`: (query_id, rank, doc_id) with rank 1-based, dense.
-    * `qrels`:   (query_id, doc_id, grade) grades 0–3. */
-  def perQuery(results: DataFrame, qrels: DataFrame,
-               kValues: Seq[Int] = DefaultKValues): DataFrame = {
+  /** Wide per-query relation: one row per query carrying every metric
+    * as a column (metric_name_k). Shared by [[perQuery]] (explode to
+    * long format) and [[macroAveraged]] (average the columns FIRST,
+    * then explode one row — one fewer exchange than averaging the
+    * exploded long format). */
+  private def wideMetrics(results: DataFrame, qrels: DataFrame,
+                          kValues: Seq[Int]): (DataFrame, Seq[(String, Int, Column)]) = {
     val graded = results
       .join(qrels, Seq("query_id", "doc_id"), "left")
       .withColumn("grade", coalesce(col("grade"), lit(0)))
@@ -87,34 +89,56 @@ object IrMetrics {
     val base = perQ.join(truth, Seq("query_id"), "left")
 
     def z(c: Column): Column = coalesce(c, lit(0.0))
-    val metricStructs: Seq[Column] = kValues.flatMap { k =>
+    val metrics: Seq[(String, Int, Column)] = kValues.flatMap { k =>
       Seq(
-        struct(lit("precision").as("metric"), lit(k).as("k"),
-          (z(col(s"rel_$k").cast("double")) / k).as("value")),
-        struct(lit("recall").as("metric"), lit(k).as("k"),
+        ("precision", k, z(col(s"rel_$k").cast("double")) / k),
+        ("recall", k,
           when(col("n_relevant") > 0,
             z(col(s"rel_$k").cast("double")) / col("n_relevant"))
-            .otherwise(0.0).as("value")),
-        struct(lit("ndcg").as("metric"), lit(k).as("k"),
+            .otherwise(0.0)),
+        ("ndcg", k,
           when(col(s"idcg_$k") > 0, z(col(s"dcg_$k")) / col(s"idcg_$k"))
-            .otherwise(0.0).as("value")))
+            .otherwise(0.0)))
     } ++ Seq(
-      struct(lit("mrr").as("metric"), lit(0).as("k"),
-        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("value")),
-      struct(lit("ap").as("metric"), lit(0).as("k"),
+      ("mrr", 0, coalesce(lit(1.0) / col("first_rel"), lit(0.0))),
+      ("ap", 0,
         when(col("n_relevant") > 0, z(col("p_sum")) / col("n_relevant"))
-          .otherwise(0.0).as("value")))
+          .otherwise(0.0)))
+    (base, metrics)
+  }
 
+  /** Per-query metrics, long format: (query_id, metric, k, value).
+    * `results`: (query_id, rank, doc_id) with rank 1-based, dense.
+    * `qrels`:   (query_id, doc_id, grade) grades 0–3. */
+  def perQuery(results: DataFrame, qrels: DataFrame,
+               kValues: Seq[Int] = DefaultKValues): DataFrame = {
+    val (base, metrics) = wideMetrics(results, qrels, kValues)
+    val metricStructs = metrics.map { case (name, k, value) =>
+      struct(lit(name).as("metric"), lit(k).as("k"), value.as("value"))
+    }
     base.select(col("query_id"), explode(array(metricStructs: _*)).as("m"))
       .select(col("query_id"), col("m.metric").as("metric"),
         col("m.k").as("k"), col("m.value").as("value"))
   }
 
   /** Macro average across queries per (metric, k) — the run-level
-    * number the reference reports (evaluator.py:118-308). */
+    * number the reference reports (evaluator.py:118-308). The averages
+    * aggregate the WIDE per-query columns in one pass; the 11 metric
+    * rows explode from the single aggregated row, so no exchange ever
+    * carries the exploded long format. */
   def macroAveraged(results: DataFrame, qrels: DataFrame,
-                    kValues: Seq[Int] = DefaultKValues): DataFrame =
-    perQuery(results, qrels, kValues)
-      .groupBy("metric", "k")
-      .agg(avg("value").as("value"), count("*").as("n_queries"))
+                    kValues: Seq[Int] = DefaultKValues): DataFrame = {
+    val (base, metrics) = wideMetrics(results, qrels, kValues)
+    val aggs = metrics.zipWithIndex.map { case ((_, _, value), i) =>
+      avg(value).as(s"_v$i")
+    } :+ count(lit(1)).as("_n")
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val structs = metrics.zipWithIndex.map { case ((name, k, _), i) =>
+      struct(lit(name).as("metric"), lit(k).as("k"),
+        col(s"_v$i").as("value"), col("_n").as("n_queries"))
+    }
+    row.select(explode(array(structs: _*)).as("m"))
+      .select(col("m.metric").as("metric"), col("m.k").as("k"),
+        col("m.value").as("value"), col("m.n_queries").as("n_queries"))
+  }
 }
