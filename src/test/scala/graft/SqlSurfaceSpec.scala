@@ -7,6 +7,10 @@ import graft.search.{Ingest, SearchEngine}
 class SqlSurfaceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("driver contract: entry() answers with rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("registered views serve plain spark.sql analytics") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val got = spark.sql(
