@@ -60,6 +60,38 @@ object Sync {
   def toProcess(merged: DataFrame): DataFrame =
     merged.filter(col("status").isin("new", "updated") && !col("is_stale"))
 
+  /** One (doc_id, content_hash) pair for the streaming dedup state. */
+  final case class HashedDoc(doc_id: String, content_hash: String)
+
+  /** Streaming exact-dedup across micro-batches: emit each
+    * content_hash's FIRST document and suppress every later arrival —
+    * the stateful-stream form of the P7 change-skip, with per-key state
+    * bounded to one boolean. Keyed state rides
+    * `flatMapGroupsWithState`; within a batch the min doc_id wins so
+    * output is deterministic under any partitioning. Works on a bounded
+    * (batch) Dataset too, where it degrades to one stateless pass. */
+  def streamingDedup(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hashed = docs.select(
+        col(idCol).cast("string").as("doc_id"),
+        graft.operators.Dedup.contentHash(col(textCol)).as("content_hash"))
+      .as(E.product[HashedDoc])
+    hashed
+      .groupByKey(_.content_hash)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[HashedDoc],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(HashedDoc(rows.minBy(_.doc_id).doc_id, hash))
+          }
+      }(E.scalaBoolean, E.product[HashedDoc])
+      .toDF()
+  }
+
   /** Continuous sync (T1): stream new files from a directory, MERGE
     * each micro-batch into the parquet state table. The caller supplies
     * how to load the current state and persist the next snapshot (a

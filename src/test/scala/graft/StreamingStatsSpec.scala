@@ -47,6 +47,36 @@ class StreamingStatsSpec extends SparkSpec {
     assert(failed.denseQuery.isEmpty)
   }
 
+  test("streaming exact-dedup keeps per-hash state across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("dd").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("dk").toString + "/ck"
+    val b1 = Seq((1L, "same content"), (2L, "unique one"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "same content"), (4L, "another unique"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(dir)
+    val out = Sync.streamingDedup(stream, "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedupstream")
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id FROM dedupstream")
+      .collect().map(_.getString(0).toLong).toSet
+    // "same content" appears in both batches: exactly ONE of docs 1/3
+    // survives (whichever batch ran first); uniques always survive
+    assert(got.size == 3)
+    assert(got.contains(2L) && got.contains(4L))
+    assert(got.contains(1L) ^ got.contains(3L))
+    // bounded (batch) mode degrades to min-id-per-hash in one pass
+    val batchGot = Sync.streamingDedup(b1.unionByName(b2), "doc_id", "text")
+      .collect().map(_.getString(0).toLong).toSet
+    assert(batchGot == Set(1L, 2L, 4L))
+  }
+
   test("tumbling-window aggregation runs under Structured Streaming") {
     val dir = java.nio.file.Files.createTempDirectory("ev").toString + "/in"
     val ck = java.nio.file.Files.createTempDirectory("ck").toString + "/ck"
