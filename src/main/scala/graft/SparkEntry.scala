@@ -1035,6 +1035,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- repetition quality signals (Gopher-style filters) ----
+    "repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"), col("n_tokens"),
+          round(col("dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal resize (stub codec arithmetic, oracle-checked) ----
+    "multimodal_resize" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        lit("image").as("media_type"),
+        col("text").cast("binary").as("content"))
+      Multimodal.resize(Multimodal.decode(media), 224, 224)
+        .select(col("doc_id").cast("long").as("doc_id"), col("width"),
+          col("height"), lower(hex(col("content"))).as("content_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal video frame sampling (stub arithmetic) ----
+    "multimodal_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        lit("video").as("media_type"),
+        col("text").cast("binary").as("content"))
+      Multimodal.sampleFrames(Multimodal.decode(media),
+          everyMs = 20000L, maxFrames = 5)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("frame_index"), col("timestamp_ms"), col("frame_hash"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1592,6 +1629,71 @@ object SparkEntry {
     "multimodal_features" ->
       """SELECT doc_id, 32 AS dim, 1.0 AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // resize keeps requested dims; content becomes
+    // sha256(bytes || 'resize:WxH') (FakeCodec digest arithmetic)
+    "multimodal_resize" ->
+      """SELECT doc_id, 224 AS width, 224 AS height,
+        |  sha256(text || 'resize:224x224') AS content_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // video duration = 1000 + u(4) % 600000 (u = big-endian uint16 at
+    // sha byte 4); n frames = min(5, duration div 20000); frame hash =
+    // first 16 hex of sha256(bytes || 'frame:' || ts)
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    1000 + ('0x' || substr(sha256(text), 9, 4))::UINTEGER % 600000
+        |      AS duration
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    least(5, duration // 20000) AS nf
+        |  FROM v WHERE duration // 20000 > 0),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(nf AS INT) - 1)) AS frame_index
+        |  FROM n)
+        |SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+        |  CAST(frame_index * 20000 AS BIGINT) AS timestamp_ms,
+        |  substr(sha256(text || 'frame:' ||
+        |    CAST(frame_index * 20000 AS VARCHAR)), 1, 16) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+
+    "repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1]) END AS bigrams,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |      ELSE list_transform(generate_series(1, len(toks) - 2),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |      END AS tris
+        |  FROM t),
+        |bic AS (
+        |  SELECT doc_id, max(cnt) AS maxbi FROM (
+        |    SELECT doc_id, bg, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(bigrams) AS bg FROM b)
+        |    GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN b.n = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(b.toks)) AS DOUBLE) / b.n
+        |    END, 6) AS dup_token_frac,
+        |  round(CASE WHEN b.n < 2 THEN 0.0
+        |    ELSE CAST(bic.maxbi * 2 AS DOUBLE) / b.n END, 6)
+        |    AS top_bigram_frac,
+        |  round(CASE WHEN b.n < 3 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(b.tris)) AS DOUBLE) /
+        |      len(b.tris) END, 6) AS dup_trigram_frac
+        |FROM b LEFT JOIN bic ON bic.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "parser_dispatch" ->
       """WITH f AS (

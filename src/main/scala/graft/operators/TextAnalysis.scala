@@ -114,6 +114,48 @@ object TextAnalysis {
     substring(sha2(
       trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"), 256), 1, 16)
 
+  final case class RepetitionRow(id: String, n_tokens: Long,
+      dup_token_frac: Double, top_bigram_frac: Double,
+      dup_trigram_frac: Double)
+
+  /** Gopher-style repetition signals over whitespace tokens (the
+    * standard repetitious-text filters of a pre-training pipeline):
+    *  - dup_token_frac   = 1 − distinct/total tokens
+    *  - top_bigram_frac  = tokens covered by the most frequent bigram
+    *  - dup_trigram_frac = 1 − distinct/total trigrams
+    * Doc-local and genuinely imperative (sliding windows + counting),
+    * so it runs as a typed map like the chunkers — a HOF formulation
+    * would re-evaluate the tokenizer per element (O(tokens²)). */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ds = df.select(col(idCol).cast("string").as("id"),
+        col(textCol).as("text"))
+      .as(Encoders.product[Chunking.DocIn])
+    ds.map { d =>
+      val toks: Seq[String] =
+        if (d.text == null) Seq.empty
+        else d.text.split("\\s+").toSeq.filter(_.nonEmpty)
+      val n = toks.size
+      val dupTok =
+        if (n == 0) 0.0 else 1.0 - toks.distinct.size.toDouble / n
+      val topBi =
+        if (n < 2) 0.0
+        else {
+          val maxCount = toks.sliding(2).toSeq
+            .groupBy(identity).values.map(_.size).max
+          maxCount * 2.0 / n
+        }
+      val dupTri =
+        if (n < 3) 0.0
+        else {
+          val tris = toks.sliding(3).toSeq
+          1.0 - tris.distinct.size.toDouble / tris.size
+        }
+      RepetitionRow(d.id, n.toLong, dupTok, topBi, dupTri)
+    }(Encoders.product[RepetitionRow]).toDF()
+  }
+
   /** Sequence packing (concatenate-and-chunk): assign every doc its bin
     * and offset under a fixed token `budget`, by cumulative token
     * offset in `idCol` order — the standard pre-training batch layout
