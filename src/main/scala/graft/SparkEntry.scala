@@ -1035,6 +1035,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- end-to-end curation pipeline: exact-dedup → drop eval split
+    //      → decontaminate (3-gram ∩ eval) → quality floor → hash
+    //      split → per-split corpus stats. One declarative plan over
+    //      the whole training-data flow. ----
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = Dedup.exact(docs, "doc_id", "text")
+        .filter(col("is_kept"))
+        .select(col("id").as("doc_id"))
+        .join(docs, "doc_id")
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      val train = kept.filter(col("doc_id") % 10 =!= 0)
+      // 5-gram decontamination: the synthetic corpus has a tiny
+      // vocabulary, so 3-grams collide everywhere; real pipelines use
+      // 8-13-gram windows for the same reason
+      val clean = Dedup.contamination(train, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 5)
+        .filter(!col("contaminated"))
+        .select(col("id").as("doc_id"))
+        .join(train, "doc_id")
+      val quality = clean
+        .withColumn("n_tokens",
+          TextFunctions.tokenCountCol(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      TextAnalysis.hashSplit(quality, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"))
+        .orderBy("split")
+    }),
+
     // ---- repetition quality signals (Gopher-style filters) ----
     "repetition" -> ((s, dir) => {
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
@@ -1659,6 +1691,55 @@ object SparkEntry {
         |  substr(sha256(text || 'frame:' ||
         |    CAST(frame_index * 20000 AS VARCHAR)), 1, 16) AS frame_hash
         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+
+    "curation_pipeline" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH keep AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY sha256(text)) AS k
+         |    FROM documents) WHERE doc_id = k),
+         |train AS (SELECT doc_id, text FROM keep WHERE doc_id % 10 <> 0),
+         |trsh AS (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 5 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 4),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2],
+         |        $toks[i+3], $toks[i+4]))
+         |    END) AS shingle
+         |  FROM train),
+         |evsh AS (
+         |  SELECT DISTINCT unnest(
+         |    CASE WHEN len($toks) < 5 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 4),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2],
+         |        $toks[i+3], $toks[i+4]))
+         |    END) AS shingle
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |cont AS (SELECT DISTINCT s.id FROM trsh s JOIN evsh e USING (shingle)),
+         |clean AS (
+         |  SELECT t.doc_id, t.text FROM train t
+         |  LEFT JOIN cont c ON c.id = t.doc_id WHERE c.id IS NULL),
+         |quality AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM clean),
+         |qf AS (SELECT * FROM quality WHERE n_tokens >= 20),
+         |assigned AS (
+         |  SELECT n_tokens,
+         |    CASE WHEN u < 0.8 THEN 'train'
+         |         WHEN u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT n_tokens,
+         |      ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
+         |        1, 8))::UBIGINT / 4294967296.0 AS u
+         |    FROM qf))
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+    },
 
     "repetition" ->
       """WITH t AS (
