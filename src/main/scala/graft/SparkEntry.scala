@@ -148,32 +148,51 @@ object SparkEntry {
   private def sqlDoubleList(a: Array[Double]): String =
     a.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
 
-  // ---- data-dependent oracle literals ---------------------------------
-  // Fits for the IVF/PCA oracles run against the sf dir the queries ran
-  // at (embeddings DIFFER per scale factor), via the session Verify
-  // already opened. Failures only degrade those two oracles to
-  // rows-only (see oracleSql).
+  // ---- data-dependent fits, shared by query AND oracle ----------------
+  // The IVF centroids / PCA components are fitted ONCE per sf dir and
+  // memoized; the ann_ivf/pca_project queries and their oracle literals
+  // both read the same cached values. Running the fit twice would risk
+  // last-ulp divergence (float aggregation order is not pinned across
+  // executions), exactly the class of bug the rake fix addressed.
+  // Embeddings DIFFER per scale factor, so the cache is keyed by dir.
 
-  private def fitEmbeddings: DataFrame =
+  private val ivfFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
+
+  private def ivfCentroidsFor(s: SparkSession, dir: String): Seq[Array[Double]] =
+    ivfFitCache.getOrElseUpdate(dir,
+      Knn.ivfFit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        64, k = 8, iters = 2))
+
+  private val pcaFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Double], Array[Double])]
+
+  private def pcaFitFor(s: SparkSession,
+                        dir: String): (Array[Double], Array[Double], Array[Double]) =
+    pcaFitCache.getOrElseUpdate(dir,
+      graft.operators.Projection.fitPca(
+        Tables.load(s, dir, "embeddings"), "embedding", 64,
+        sampleLimit = 500, orderCol = Some("vec_id")))
+
+  private def IvfOracleCentroids: Seq[Array[Double]] =
+    ivfCentroidsFor(org.apache.spark.sql.SparkSession.active, lastDir)
+
+  private def IvfOracleQueryVec: Array[Double] =
     Tables.load(org.apache.spark.sql.SparkSession.active, lastDir,
-      "embeddings")
-
-  private lazy val IvfOracleCentroids: Seq[Array[Double]] =
-    Knn.ivfFit(fitEmbeddings, "vec_id", "embedding", 64, k = 8, iters = 2)
-
-  private lazy val IvfOracleQueryVec: Array[Double] =
-    fitEmbeddings.filter(col("vec_id") === 0).select("embedding")
+        "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
 
   /** Probe set mirroring Knn.ivfTopK(nprobe = 3). */
-  private lazy val IvfOracleProbes: Seq[Int] =
+  private def IvfOracleProbes: Seq[Int] = {
+    val qv = IvfOracleQueryVec
     IvfOracleCentroids.zipWithIndex
-      .map { case (c, i) => (VectorFunctions.dotS(IvfOracleQueryVec, c), i) }
+      .map { case (c, i) => (VectorFunctions.dotS(qv, c), i) }
       .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2)
+  }
 
-  private lazy val PcaOracleFit: (Array[Double], Array[Double], Array[Double]) =
-    graft.operators.Projection.fitPca(fitEmbeddings, "embedding", 64,
-      sampleLimit = 500, orderCol = Some("vec_id"))
+  private def PcaOracleFit: (Array[Double], Array[Double], Array[Double]) =
+    pcaFitFor(org.apache.spark.sql.SparkSession.active, lastDir)
 
   /** IR-metric scaffold shared by the ir_metrics / bench_eval_docs
     * oracles. Expects CTEs runs(query_id, rank, doc_id) and
@@ -645,13 +664,14 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
-    // ---- ANN via IVF coarse quantizer (scale path #2) ----
+    // ---- ANN via IVF coarse quantizer (scale path #2). The fit is
+    //      memoized per dir and shared with the oracle's centroid
+    //      literals, so both sides see bit-identical centroids ----
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
-      val centroids = Knn.ivfFit(e, "vec_id", "embedding", 64, k = 8,
-        iters = 2)
+      val centroids = ivfCentroidsFor(s, dir)
       Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
           nprobe = 3)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
@@ -989,10 +1009,12 @@ object SparkEntry {
         .orderBy("metric", "k")
     }),
 
-    // ---- PCA 2-D projection of the embedding space ----
+    // ---- PCA 2-D projection of the embedding space (fit memoized per
+    //      dir, shared with the oracle's component literals) ----
     "pca_project" -> ((s, dir) => {
-      graft.operators.Projection.pca2d(t(s, dir, "embeddings"),
-          "vec_id", "embedding", dim = 64, sampleLimit = 500)
+      val (m, p1, p2) = pcaFitFor(s, dir)
+      graft.operators.Projection.project(t(s, dir, "embeddings"),
+          "vec_id", "embedding", m, p1, p2)
         .select(col("vec_id"), round(col("x"), 6).as("x"),
           round(col("y"), 6).as("y"))
         .orderBy("vec_id")

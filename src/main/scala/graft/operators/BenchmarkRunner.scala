@@ -117,14 +117,16 @@ object BenchmarkRunner {
       case "hybrid" => hybridRuns(chunks, queries, k, dim, index = idx)
       case other => throw new IllegalArgumentException(s"mode $other")
     }
-    // the runs relation is <= |Q|*k rows but its DAG is the whole
-    // retrieval pipeline — pin it (in ONE partition: it's tiny, and the
-    // metric windows/aggs then run single-task) before the fan-out.
-    // qrels feeds both the graded join and the ideal-DCG branch — pin
-    // it too so its scan runs once
+    // the runs relation is <= |Q|*k rows BY CONSTRUCTION but its DAG is
+    // the whole retrieval pipeline — pin it (in ONE partition: bounded
+    // tiny, and the metric windows/aggs then run single-task) before
+    // the fan-out. qrels feeds both the graded join and the ideal-DCG
+    // branch — cache it so its scan runs once, but KEEP its
+    // partitioning: judgment sets scale with the corpus, so no
+    // single-partition coalesce here
     val docRuns = IrMetrics.collapseToDocs(
       runs.select("query_id", "rank", "doc_id")).coalesce(1).cache()
-    val qrelsPinned = qrels.coalesce(1).cache()
+    val qrelsPinned = qrels.cache()
     IrMetrics.macroAveraged(docRuns, qrelsPinned, kValues)
   }
 }

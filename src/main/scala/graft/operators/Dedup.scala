@@ -215,7 +215,8 @@ object Dedup {
     require(bits % numBlocks == 0, s"bits $bits not divisible by $numBlocks")
     require(numBlocks <= 10,
       s"numBlocks $numBlocks: C(numBlocks, numBlocks-maxDist) keys/doc " +
-        "explodes past ~10 blocks; use 4-10 (C(10,7)=120 keys max)")
+        "explodes past ~10 blocks; pick a divisor of `bits` in 4-10 " +
+        "(with the default bits=64 that means 4 or 8)")
     val blockBits = bits / numBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
     def blockVal(i: Int): Column =
@@ -246,8 +247,11 @@ object Dedup {
     * no all-pairs — and the label relation is localCheckpoint'ed so
     * the plan does not grow with iterations. Near-dup clusters have
     * tiny diameters, so this converges in a handful of rounds.
-    * Output: (id, rep) for every id appearing in `pairs`. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Output: (id, rep) for every id appearing in `pairs`. Throws if the
+    * propagation has not converged after `maxIter` rounds — a silent
+    * cap would return WRONG labels for any component whose diameter
+    * exceeds it. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -273,6 +277,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — a " +
+        "component's diameter exceeds maxIter; raise it")
     labels
   }
 

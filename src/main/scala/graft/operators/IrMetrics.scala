@@ -132,7 +132,9 @@ object IrMetrics {
     val aggs = metrics.zipWithIndex.map { case ((_, _, value), i) =>
       avg(value).as(s"_v$i")
     } :+ count(lit(1)).as("_n")
-    val row = base.agg(aggs.head, aggs.tail: _*)
+    // a global agg over zero rows yields one all-NULL row — filter it
+    // so an empty run set still returns an empty frame, as before
+    val row = base.agg(aggs.head, aggs.tail: _*).filter(col("_n") > 0)
     val structs = metrics.zipWithIndex.map { case ((name, k, _), i) =>
       struct(lit(name).as("metric"), lit(k).as("k"),
         col(s"_v$i").as("value"), col("_n").as("n_queries"))

@@ -60,6 +60,17 @@ object GitConnector {
     if (new File(dir, ".git").isDirectory) {
       val (rc, _, err) = git(dir, "fetch", "origin")
       require(rc == 0, s"git fetch failed: $err")
+      // fetch only moves origin/<ref>; without this the stale local
+      // branch checks out successfully and the scan silently reads the
+      // OLD tree. Branches fast-forward to origin/<ref>; tags/commits
+      // fall through to the plain checkout below.
+      val (rcv, _, _) = git(dir, "rev-parse", "--verify",
+        s"origin/${cfg.ref}")
+      if (rcv == 0) {
+        val (rcb, _, errb) =
+          git(dir, "checkout", "-B", cfg.ref, s"origin/${cfg.ref}")
+        require(rcb == 0, s"git checkout -B ${cfg.ref} failed: $errb")
+      }
     } else {
       dir.mkdirs()
       val depthArgs =

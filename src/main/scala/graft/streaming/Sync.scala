@@ -67,9 +67,11 @@ object Sync {
     * content_hash's FIRST document and suppress every later arrival —
     * the stateful-stream form of the P7 change-skip, with per-key state
     * bounded to one boolean. Keyed state rides
-    * `flatMapGroupsWithState`; within a batch the min doc_id wins so
-    * output is deterministic under any partitioning. Works on a bounded
-    * (batch) Dataset too, where it degrades to one stateless pass. */
+    * `flatMapGroupsWithState`; within a batch the LEXICOGRAPHICALLY
+    * least doc_id string wins (ids are opaque strings here — note this
+    * differs from Dedup.exact's numeric min for multi-digit numeric
+    * ids), so output is deterministic under any partitioning. Works on
+    * a bounded (batch) Dataset too, as one stateless pass. */
   def streamingDedup(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders => E}

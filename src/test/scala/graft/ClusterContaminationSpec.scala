@@ -26,6 +26,13 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 0L), "whole chain labels to 0")
   }
 
+  test("connectedComponents throws LOUDLY when maxIter is too small") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(pairs, maxIter = 3).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("resolveClusters keeps min-id per cluster and singletons") {
     val all = (1L to 10L).toDF("doc_id")
     val pairs = Seq((2L, 5L), (5L, 9L)).toDF("id_a", "id_b")

@@ -79,7 +79,7 @@ class GitConnectorSpec extends SparkSpec {
     assert(GitConnector.cloneOrFetch(byCommit).commitSha == sha)
   }
 
-  test("fetch path reuses an existing cache dir") {
+  test("fetch path reuses an existing cache dir AND follows new commits") {
     val cache = Files.createTempDirectory("graft-git-cache-").toString
     val cfg = GitSourceConfig(repoUrl = fixtureRepo.getAbsolutePath,
       cacheDir = Some(cache))
@@ -87,5 +87,15 @@ class GitConnectorSpec extends SparkSpec {
     val second = GitConnector.cloneOrFetch(cfg) // hits the fetch branch
     assert(first.repoDir == second.repoDir)
     assert(first.commitSha == second.commitSha)
+    // advance the remote: the cached checkout must fast-forward, not
+    // silently serve the stale tree
+    Files.writeString(new File(fixtureRepo, "NEW.md").toPath, "new\n")
+    sh(fixtureRepo, "git", "add", "-A")
+    sh(fixtureRepo, "git", "-c", "user.email=t@t", "-c", "user.name=t",
+      "commit", "-q", "-m", "advance")
+    val advanced = sh(fixtureRepo, "git", "rev-parse", "HEAD")
+    val third = GitConnector.cloneOrFetch(cfg)
+    assert(third.commitSha == advanced, "stale cache not fast-forwarded")
+    assert(new File(third.repoDir, "NEW.md").isFile)
   }
 }
