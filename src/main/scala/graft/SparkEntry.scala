@@ -51,39 +51,49 @@ object SparkEntry {
     s"list_filter(regexp_extract_all(lower($textExpr), '$Pat'), " +
       s"x -> length(x) >= 2)"
 
-  private val Bm25StatsCtes =
-    s"""toks AS (
-       |  SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents),
-       |lens AS (
-       |  SELECT doc_id, len(${sqlToks("text")}) AS doc_len FROM documents),
-       |gstats AS (
-       |  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM lens),
-       |stats AS (
-       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-       |idf AS (
+  /** BM25 stats CTE chain, parameterizable for per-collection corpora:
+    * `p` prefixes every CTE name, `where` restricts the source docs.
+    * The default instantiation (no prefix, full corpus) is the chain
+    * every single-collection oracle composes. */
+  private def bm25StatsCtes(p: String = "", where: String = ""): String =
+    s"""${p}docs AS (
+       |  SELECT doc_id, text FROM documents$where),
+       |${p}toks AS (
+       |  SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM ${p}docs),
+       |${p}lens AS (
+       |  SELECT doc_id, len(${sqlToks("text")}) AS doc_len FROM ${p}docs),
+       |${p}gstats AS (
+       |  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM ${p}lens),
+       |${p}stats AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM ${p}toks GROUP BY term),
+       |${p}idf AS (
        |  SELECT term, df, n_docs,
        |         greatest(0.0, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS idf
-       |  FROM stats, gstats)""".stripMargin
+       |  FROM ${p}stats, ${p}gstats)""".stripMargin
 
-  private val Bm25WeightsCtes =
-    s"""$Bm25StatsCtes,
-       |tf AS (
-       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-       |weights AS (
+  private def bm25WeightsCtes(p: String = "", where: String = ""): String =
+    s"""${bm25StatsCtes(p, where)},
+       |${p}tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM ${p}toks
+       |  GROUP BY doc_id, term),
+       |${p}weights AS (
        |  SELECT tf.doc_id, tf.term, tf.tf,
        |         idf.idf * (CAST(tf.tf AS DOUBLE) * 2.5) /
        |           (CAST(tf.tf AS DOUBLE) + 1.5 *
        |             (CASE WHEN gstats.avgdl > 0
        |               THEN 0.25 + 0.75 * CAST(lens.doc_len AS DOUBLE) / gstats.avgdl
        |               ELSE 1.0 END)) AS weight
-       |  FROM tf
-       |  JOIN lens ON tf.doc_id = lens.doc_id
-       |  JOIN idf ON tf.term = idf.term, gstats
+       |  FROM ${p}tf tf
+       |  JOIN ${p}lens lens ON tf.doc_id = lens.doc_id
+       |  JOIN ${p}idf idf ON tf.term = idf.term, ${p}gstats gstats
        |  WHERE idf.idf * (CAST(tf.tf AS DOUBLE) * 2.5) /
        |          (CAST(tf.tf AS DOUBLE) + 1.5 *
        |            (CASE WHEN gstats.avgdl > 0
        |              THEN 0.25 + 0.75 * CAST(lens.doc_len AS DOUBLE) / gstats.avgdl
        |              ELSE 1.0 END)) > 0)""".stripMargin
+
+  private val Bm25StatsCtes = bm25StatsCtes()
+  private val Bm25WeightsCtes = bm25WeightsCtes()
 
   /** BM25 search query used by bm25_topk / rrf_fuse / knn_text. */
   private val SearchQuery = "spark hash join stream data table"
@@ -824,6 +834,28 @@ object SparkEntry {
           col("chunk_id"))
     }),
 
+    // ---- §3.2 multi-collection fan-out (J7 + W7), chunker-free twin
+    //      with a full SQL oracle: per-collection BM25 corpora + dense
+    //      legs, RRF per collection, global top-k across both ----
+    "search_multi_docs" -> ((s, dir) => {
+      def half(parity: Int) = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === parity).select(
+          col("doc_id").cast("string").as("doc_id"),
+          col("doc_id").cast("string").as("chunk_id"),
+          lit(0).as("chunk_index"), lit(1).as("total_chunks"),
+          col("doc_id").cast("string").as("path"),
+          lit(null).cast("string").as("path_id"),
+          col("text").as("content"),
+          TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+      SearchEngine.searchMany(
+          Seq("even" -> half(0), "odd" -> half(1)),
+          SearchEngine.SearchRequest(query = SearchQuery,
+            searchMode = "hybrid", k = 10, vectorDim = KnnTextDim))
+        .select(col("collection_id"), col("doc_id"), col("chunk_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("collection_id"), col("chunk_id"))
+    }),
+
     // ---- full build path: chunk -> embed -> index-ready rows; Bench
     //      time / 500 docs gives the BASELINE docs/s comparison ----
     "build_pipeline" -> ((s, dir) => {
@@ -1394,6 +1426,55 @@ object SparkEntry {
          |  round(rscore, 6) AS reranked_score
          |FROM topr
          |ORDER BY reranked_score DESC, score DESC, chunk_id""".stripMargin
+    },
+
+    "search_multi_docs" -> {
+      def halfSql(p: String, parity: Int): String =
+        s"""${bm25WeightsCtes(p, s" WHERE doc_id % 2 = $parity")},
+           |${p}qweights AS (
+           |  SELECT q.term, CAST(q.q_tf AS DOUBLE) * i.idf AS q_weight
+           |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)
+           |  JOIN ${p}idf i ON q.term = i.term WHERE i.idf > 0),
+           |${p}scores AS (
+           |  SELECT w.doc_id,
+           |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term)) AS score
+           |  FROM ${p}weights w JOIN ${p}qweights qw ON w.term = qw.term
+           |  GROUP BY w.doc_id),
+           |${p}sparse AS (
+           |  SELECT chunk_id, r FROM (
+           |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+           |      row_number() OVER (ORDER BY score DESC,
+           |        CAST(doc_id AS VARCHAR)) AS r
+           |    FROM ${p}scores) WHERE r <= 10),
+           |${p}dense AS (
+           |  SELECT chunk_id, r FROM (
+           |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+           |      row_number() OVER (ORDER BY dscore DESC,
+           |        CAST(doc_id AS VARCHAR)) AS r
+           |    FROM dense_scored WHERE doc_id % 2 = $parity) WHERE r <= 10),
+           |${p}fused AS (
+           |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+           |    coalesce(1.0 / (60 + d.r), 0.0) +
+           |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+           |  FROM ${p}dense d FULL OUTER JOIN ${p}sparse sp
+           |    ON d.chunk_id = sp.chunk_id),
+           |${p}top AS (
+           |  SELECT chunk_id, score FROM ${p}fused
+           |  ORDER BY score DESC, chunk_id LIMIT 10)"""
+      s"""WITH $mockDocVecCtes,
+         |dense_scored AS (
+         |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM nrm),
+         |${halfSql("e_", 0)},
+         |${halfSql("o_", 1)},
+         |unioned AS (
+         |  SELECT 'even' AS collection_id, chunk_id, score FROM e_top
+         |  UNION ALL
+         |  SELECT 'odd', chunk_id, score FROM o_top)
+         |SELECT collection_id, chunk_id AS doc_id, chunk_id,
+         |  round(score, 6) AS score
+         |FROM (SELECT * FROM unioned
+         |  ORDER BY score DESC, collection_id, chunk_id LIMIT 10)
+         |ORDER BY score DESC, collection_id, chunk_id""".stripMargin
     },
 
     "bench_eval_docs" -> {
