@@ -883,9 +883,10 @@ object SparkEntry {
 
     // ---- RAKE keyword extraction (A4) ----
     "rake_keywords" -> ((s, dir) => {
+      // score is fixed-point (exact integer / 1e6) — no round() needed;
+      // see Rake.extract's determinism note.
       Rake.extractKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 5)
-        .select(col("doc_id"), col("phrase"),
-          round(col("score"), 6).as("score"), col("rank"))
+        .select(col("doc_id"), col("phrase"), col("score"), col("rank"))
         .orderBy(col("doc_id").cast("long"), col("rank"))
     }),
 
@@ -1936,14 +1937,17 @@ object SparkEntry {
          |    ON p.doc_id = g.doc_id AND p.sidx = g.sidx AND p.gid = g.gid
          |  WHERE NOT g.is_stop),
          |wscores AS (
+         |  -- fixed-point half-up((deg+freq)*1e6/freq) in exact integer
+         |  -- arithmetic, mirroring Rake.extractScaled
          |  SELECT doc_id, word,
-         |    (sum(nwords - 1) + count(*)) * 1.0 / count(*) AS wscore
+         |    ((sum(nwords - 1) + count(*)) * 2000000 + count(*))
+         |      // (2 * count(*)) AS wscore
          |  FROM pwords GROUP BY doc_id, word),
          |pscores AS (
          |  SELECT DISTINCT p.doc_id, p.phrase, ps.score FROM phrases p
          |  JOIN (
          |    SELECT pw.doc_id, pw.sidx, pw.gid,
-         |      list_sum(list(ws.wscore ORDER BY ws.wscore)) AS score
+         |      sum(ws.wscore) AS score
          |    FROM pwords pw
          |    JOIN wscores ws ON ws.doc_id = pw.doc_id AND ws.word = pw.word
          |    GROUP BY pw.doc_id, pw.sidx, pw.gid) ps
@@ -1953,7 +1957,8 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, phrase) AS rank
          |  FROM pscores)
-         |SELECT doc_id, phrase, round(score, 6) AS score, CAST(rank AS INT) AS rank
+         |SELECT doc_id, phrase, CAST(score AS DOUBLE) / 1000000 AS score,
+         |  CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY doc_id, rank""".stripMargin
     },

@@ -73,9 +73,32 @@ object Rake {
       p.size <= maxWords && p.mkString(" ").length >= minChars)
   }
 
-  /** (phrase, score) pairs, score-desc / phrase-asc, top-k. */
+  /** Fixed-point scale for word scores: 6 decimal digits. */
+  val ScoreScale: Long = 1000000L
+
+  /** (phrase, score) pairs, score-desc / phrase-asc, top-k.
+    *
+    * Scoring is FIXED-POINT: each word score (degree+freq)/freq is
+    * quantized half-up to 1e-6 using pure integer arithmetic, and the
+    * phrase score is the exact integer sum of quantized word scores.
+    * Rationale: ranking on raw float sums proved engine-dependent twice
+    * (round-1: summation order; round-2: residual divergence even with
+    * canonical ascending-order sums) — near-tied phrases flip ranks on
+    * last-ULP differences. Integer arithmetic is bit-identical in every
+    * engine, the ranking key is exact, and the final Double (scaled /
+    * 1e6, both operands exact, one correctly-rounded IEEE division) is
+    * reproducible bit-for-bit. Max quantization error per phrase is
+    * 4 * 5e-7 — far below the reference's own float noise.
+    */
   def extract(text: String, topK: Int = 10, minChars: Int = 3,
-              maxWords: Int = 4): Seq[(String, Double)] = {
+              maxWords: Int = 4): Seq[(String, Double)] =
+    extractScaled(text, topK, minChars, maxWords).map { case (p, s) =>
+      p -> s.toDouble / ScoreScale
+    }
+
+  /** (phrase, quantized score) with score = round(wscore * 1e6) summed. */
+  def extractScaled(text: String, topK: Int = 10, minChars: Int = 3,
+                    maxWords: Int = 4): Seq[(String, Long)] = {
     val phrases = candidatePhrases(text, maxWords, minChars)
     if (phrases.isEmpty) return Seq.empty
     val freq = collection.mutable.Map.empty[String, Long]
@@ -84,14 +107,13 @@ object Rake {
       freq(w) = freq.getOrElse(w, 0L) + 1
       degree(w) = degree.getOrElse(w, 0L) + (p.size - 1)
     }
-    val wordScore = freq.keys.map(w =>
-      w -> (degree(w) + freq(w)).toDouble / freq(w)).toMap
-    // Sum word scores in ASCENDING value order: float addition is
-    // non-associative, so a canonical order is required for the result
-    // to be reproducible across engines (the DuckDB oracle mirrors
-    // this with list_sum(list(wscore ORDER BY wscore))).
+    // half-up((deg+freq)*1e6 / freq) = floor(((deg+freq)*2e6 + freq) / (2*freq))
+    val wordScore = freq.keys.map { w =>
+      val a = degree(w) + freq(w)
+      w -> ((a * 2 * ScoreScale + freq(w)) / (2 * freq(w)))
+    }.toMap
     val phraseScores = phrases.map(p => p.mkString(" ") ->
-      p.map(wordScore.getOrElse(_, 0.0)).sorted.sum).toMap
+      p.map(wordScore.getOrElse(_, 0L)).sum).toMap
     phraseScores.toSeq
       .sortBy { case (p, s) => (-s, p) }
       .take(topK)
