@@ -1,0 +1,67 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass tokenizer as a custom Catalyst expression.
+  *
+  * Semantics are EXACTLY [[TextFunctions.tokenize]] (lowercase → regex
+  * extract → min-length → stopword drop; ref
+  * bm25_sparse_indexer.py:516-543), and null text propagates to a null
+  * array like the regexp_extract_all formulation it replaces.
+  *
+  * Why an Expression: the declarative form — `regexp_extract_all` +
+  * two higher-order `filter`s with a per-token `array_contains` over
+  * the 89-entry stopword list — evaluates the lambdas interpreted and
+  * costs O(|stopwords|) per token. Tokenization sits under every BM25
+  * index build, dedup shingle, and text-quality scan, i.e. it touches
+  * every row of the corpus, so it gets the same treatment as the
+  * vector dot product: one tight JVM pass per row (compiled regex,
+  * HashSet membership), invoked from whole-stage codegen via a bound
+  * reference (one virtual call per row, no lambda dispatch).
+  */
+case class Tokenize(child: Expression, removeStopwords: Boolean = true)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val pattern: Pattern =
+    Pattern.compile(TextFunctions.TokenPattern)
+  @transient private lazy val stops: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    TextFunctions.EnglishStopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** One pass over the row's text; called from interpreted eval AND
+    * from the generated code (via a reference object). */
+  def doTokenize(text: UTF8String): ArrayData = {
+    val m = pattern.matcher(text.toString.toLowerCase)
+    val out = new java.util.ArrayList[AnyRef]()
+    while (m.find()) {
+      val t = m.group()
+      if (t.length >= TextFunctions.MinTokenLength) {
+        val u = UTF8String.fromString(t)
+        if (!removeStopwords || !stops.contains(u)) out.add(u)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doTokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenizer", this, classOf[Tokenize].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.doTokenize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}

@@ -73,27 +73,32 @@ object BenchmarkRunner {
 
   /** Hybrid: RRF-fuse the two legs per query. Both legs already emit
     * dense 1..k ranks ordered (score desc, chunk_id) — exactly the
-    * ranks RRF needs — so fusion is ONE full-outer join on the two
-    * ≤|Q|·k candidate lists plus a rank window over ≤|Q|·2k fused rows;
-    * no re-ranking of the legs, no re-join against the chunks table. */
+    * ranks RRF needs. The leg merge is union + one max-aggregation on
+    * (query_id, chunk_id) — an outer join cannot broadcast, so it would
+    * shuffle and sort BOTH candidate lists — and the final per-query
+    * ranking reuses the bounded [[TopK]] aggregator instead of a rank
+    * window, so fusion costs two bounded exchanges total and never
+    * sorts more than 2k candidates per query. */
   def hybridRuns(chunks: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  rrfK: Int = Rrf.DefaultRrfK,
                  index: Option[Bm25.Index] = None): DataFrame = {
+    val nullI = lit(null).cast("int")
     val d = denseRuns(chunks, queries, k, dim)
-      .select(col("query_id"), col("chunk_id"), col("doc_id").as("_d_doc"),
-        col("rank").as("_dense_rank"))
+      .select(col("query_id"), col("chunk_id"), col("doc_id"),
+        col("rank").cast("int").as("_dense_rank"), nullI.as("_sparse_rank"))
     val s = sparseRuns(chunks, queries, k, index = index)
-      .select(col("query_id"), col("chunk_id"), col("doc_id").as("_s_doc"),
-        col("rank").as("_sparse_rank"))
-    val fused = d.join(s, Seq("query_id", "chunk_id"), "full_outer")
-      .withColumn("doc_id", coalesce(col("_d_doc"), col("_s_doc")))
+      .select(col("query_id"), col("chunk_id"), col("doc_id"),
+        nullI.as("_dense_rank"), col("rank").cast("int").as("_sparse_rank"))
+    val fused = d.unionByName(s)
+      .groupBy("query_id", "chunk_id")
+      .agg(max("doc_id").as("doc_id"),
+        max("_dense_rank").as("_dense_rank"),
+        max("_sparse_rank").as("_sparse_rank"))
       .withColumn("score",
         coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("chunk_id"))
-    fused.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "score")
+    TopK.perGroup(fused, "query_id", k)
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 
@@ -107,10 +112,9 @@ object BenchmarkRunner {
     // vocabulary, tiny next to the corpus) so the index aggregation
     // runs once per batch. docWeights has exactly one consumer; caching
     // it would only force a fixed partitioning on the scoring join.
-    val idx = if (mode == "dense") None else {
-      val i = Bm25.buildIndex(chunks, "chunk_id", "content")
-      Some(Bm25.Index(i.stats.coalesce(1).cache(), i.docWeights))
-    }
+    val idx = if (mode == "dense") None
+      else Some(Bm25.buildIndex(chunks, "chunk_id", "content",
+        pinStats = true))
     val runs = mode match {
       case "dense" => denseRuns(chunks, queries, k, dim)
       case "sparse" => sparseRuns(chunks, queries, k, index = idx)

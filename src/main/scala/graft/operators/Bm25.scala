@@ -88,12 +88,11 @@ object Bm25 {
       log((nCol.cast("double") - dfCol + 0.5) / (dfCol.cast("double") + 0.5) + 1.0))
 
   /** Full corpus statistics in one relation: (term, df, idf, n_docs,
-    * avg_doc_len). This is operator A1's queryable surface. */
+    * avg_doc_len). This is operator A1's queryable surface — the same
+    * single-scan stats relation [[buildIndex]] assembles. */
   def corpusStats(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    docTermFreqs(corpus, idCol, textCol)
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(corpusGlobals(docLengths(corpus, idCol, textCol))))
-      .withColumn("idf", idfCol(col("df"), col("n_docs")))
+    buildIndex(corpus, idCol, textCol).stats
+      .select("term", "df", "n_docs", "avg_doc_len", "idf")
 
   /** Per-(doc, term) BM25 weights — operator A2 in relational form.
     * Zero/negative-weight terms are dropped (idf clamp), mirroring the
@@ -146,25 +145,75 @@ object Bm25 {
     * also let Spark reuse the shuffle exchanges). */
   final case class Index(stats: DataFrame, docWeights: DataFrame)
 
+  /** @param pinStats cache the (vocabulary-sized) stats relation in a
+    *   single partition BEFORE deriving docWeights, so (a) repeated
+    *   searches over the same corpus reuse one entry via the cache
+    *   manager's canonical-plan dedup, and (b) the docWeights join
+    *   probes the InMemoryRelation instead of re-deriving the whole
+    *   stats DAG (tf shuffle + globals) a second time inside its own
+    *   subplan. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
-                 p: Params = Default): Index = {
-    val tfRows = docTermFreqs(corpus, idCol, textCol)
-    // lens includes ZERO-token docs (they count toward N/avgdl)
-    val lens = docLengths(corpus, idCol, textCol)
-    val globals = broadcast(corpusGlobals(lens))
+                 p: Params = Default, pinStats: Boolean = false): Index = {
+    // ONE tokenizing scan of the corpus: doc_len rides the explode as a
+    // constant-per-doc column through the tf aggregation, so docW needs
+    // no separate doc-lengths scan or join. (The tokenizer is evaluated
+    // twice inside the same narrow stage — size() and explode() — which
+    // beats a second full corpus read + shuffle join at any scale.)
+    // doc_len MUST be projected in its own select BELOW the explode:
+    // a generator is extracted into a Generate node and every OTHER
+    // expression in the same select is planned in a Project ABOVE it —
+    // which would re-run the full tokenizer once per exploded token
+    // (O(tokens²) per doc; measured 10× on bm25_topk). Split this way,
+    // the tokenizer runs twice per DOC (size + generator), both inside
+    // the narrow scan stage.
+    val tfRows = corpus
+      .select(col(idCol).as("id"),
+        size(TextFunctions.tokensCol(col(textCol))).as("doc_len"),
+        col(textCol).as("_text"))
+      .select(col("id"), col("doc_len"),
+        explode(TextFunctions.tokensCol(col("_text"))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max("doc_len").as("doc_len"))
+    // N counts ALL docs (zero-token docs too) from a column-pruned scan
+    // with no tokenize; total token count folds out of tf's existing
+    // shuffle (zero-token docs contribute nothing to either sum). The
+    // division is identical arithmetic to avg(doc_len): integer-valued
+    // double sums are exact, so the result is bit-equal. Both scalars
+    // come out of ONE union-aggregate: a 1-row × 1-row crossJoin here
+    // would plant a BroadcastNestedLoopJoin inside the globals
+    // broadcast, and nested broadcast materialization stalls ~20s on
+    // the shared broadcast thread pool.
+    // `tf + 0*doc_len` (not plain `tf`): referencing BOTH aggregated
+    // columns keeps this consumer's pruned tf subplan canonically
+    // identical to docWeights' (which uses tf AND doc_len), so the
+    // planner's ReuseExchange serves every consumer from ONE tokenize
+    // + shuffle pass instead of three pruning-divergent copies.
+    val tokExpr = col("tf") + col("doc_len").cast("long") * lit(0L)
+    val counts = corpus.select(lit(1L).as("_doc"), lit(0L).as("_tok"))
+      .unionByName(tfRows.select(lit(0L).as("_doc"), tokExpr.as("_tok")))
+      .agg(coalesce(sum("_doc"), lit(0L)).as("n_docs"),
+        coalesce(sum("_tok"), lit(0L)).as("_tot"))
+    val globals = broadcast(counts
+      .select(col("n_docs"),
+        when(col("n_docs") > 0,
+          col("_tot").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)).as("avg_doc_len")))
     // df(term) = tf's row count per term — derives from tf's shuffle
     // instead of a second full-token countDistinct pass; map-side
-    // combines to ≤|vocab| rows per partition
-    val stats = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
+    // combines to ≤|vocab| rows per partition. count(tf+0*doc_len)
+    // ≡ count(1) (both non-null) but keeps the subplan reuse-identical
+    // — see tokExpr above.
+    val statsRaw = tfRows.groupBy("term").agg(count(tokExpr).as("df"))
       .crossJoin(globals)
       .withColumn("idf", idfCol(col("df"), col("n_docs")))
+    val stats = if (pinStats) statsRaw.coalesce(1).cache() else statsRaw
     val lengthNorm = when(col("avg_doc_len") > 0.0,
       lit(1.0 - p.b) + lit(p.b) * col("doc_len").cast("double") / col("avg_doc_len"))
       .otherwise(lit(1.0))
     // stats is (term, df, idf) — tiny relative to the corpus; AQE
     // broadcasts it at local sizes and degrades to one term-keyed
     // shuffle at web-scale vocabularies
-    val docW = tfRows.join(lens, "id")
+    val docW = tfRows
       .join(stats, "term")
       .withColumn("weight",
         col("idf") * (col("tf").cast("double") * lit(p.k1 + 1.0)) /
@@ -190,10 +239,8 @@ object Bm25 {
   def searchTopK(corpus: DataFrame, idCol: String, textCol: String,
                  queryText: String, k: Int, p: Params = Default,
                  index: Option[Index] = None): DataFrame = {
-    val idx = index.getOrElse {
-      val i = buildIndex(corpus, idCol, textCol, p)
-      Index(i.stats.coalesce(1).cache(), i.docWeights)
-    }
+    val idx = index.getOrElse(buildIndex(corpus, idCol, textCol, p,
+      pinStats = true))
     val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
     idx.docWeights.join(broadcast(qW), "term")
       .groupBy("id")

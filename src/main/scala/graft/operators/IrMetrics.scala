@@ -29,14 +29,24 @@ object IrMetrics {
 
   /** W6: collapse a chunk ranking to a doc ranking, first hit per doc,
     * order preserving (ref metrics.py:12-41). Input needs
-    * (query_id, rank, doc_id); output re-ranks docs 1..n. */
+    * (query_id, rank, doc_id); output re-ranks docs 1..n.
+    *
+    * One groupBy(query_id) exchange: a run is ≤ k rows per query BY
+    * CONSTRUCTION (it already went through top-k), so the per-query
+    * hit list fits a single array and the first-hit dedup is an
+    * order-preserving array filter — where the window formulation
+    * (first-hit window + re-rank window) costs two exchanges. */
   def collapseToDocs(chunkResults: DataFrame): DataFrame = {
-    val firstHit = Window.partitionBy("query_id", "doc_id").orderBy("rank")
-    val reRank = Window.partitionBy("query_id").orderBy("rank")
+    val deduped = filter(col("hits"), (x, i) =>
+      !exists(slice(col("hits"), lit(1), i),
+        y => y.getField("doc_id") === x.getField("doc_id")))
     chunkResults
-      .withColumn("_hit", row_number().over(firstHit))
-      .filter(col("_hit") === 1).drop("_hit")
-      .withColumn("rank", row_number().over(reRank))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id"))))
+        .as("hits"))
+      .select(col("query_id"), posexplode(deduped).as(Seq("_pos", "_h")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_h.doc_id").as("doc_id"))
   }
 
   /** Wide per-query relation: one row per query carrying every metric

@@ -33,18 +33,34 @@ object Rrf {
 
   /** Fuse two ranked lists. Inputs need columns (idCol, scoreCol)
     * [+ queryCol]; output: id [+ query], score (fused), _dense_rank,
-    * _sparse_rank, _dense_score, _sparse_score, top-k per query. */
+    * _sparse_rank, _dense_score, _sparse_score, top-k per query.
+    *
+    * The leg merge is union + one max-aggregation rather than a
+    * full-outer join: an outer join cannot broadcast, so it would cost
+    * two shuffles plus sort-merge on both candidate lists, where the
+    * union aggregation is a single bounded exchange (each leg
+    * contributes ≤ k rows per query and at most one row per key, so
+    * `max` reconstructs the outer join's NULL-padding exactly). */
   def fuse(dense: DataFrame, sparse: DataFrame, idCol: String,
            scoreCol: String, k: Int, rrfK: Int = DefaultRrfK,
            queryCol: Option[String] = None): DataFrame = {
     val keys = queryCol.toSeq :+ idCol
+    val nullI = lit(null).cast("int")
+    val nullD = lit(null).cast("double")
     val d = ranked(dense, idCol, scoreCol, queryCol)
-      .select(keys.map(col) :+ col("rank").as("_dense_rank") :+
-        col(scoreCol).cast("double").as("_dense_score"): _*)
+      .select(keys.map(col) :+ col("rank").cast("int").as("_dense_rank") :+
+        col(scoreCol).cast("double").as("_dense_score") :+
+        nullI.as("_sparse_rank") :+ nullD.as("_sparse_score"): _*)
     val s = ranked(sparse, idCol, scoreCol, queryCol)
-      .select(keys.map(col) :+ col("rank").as("_sparse_rank") :+
+      .select(keys.map(col) :+ nullI.as("_dense_rank") :+
+        nullD.as("_dense_score") :+ col("rank").cast("int").as("_sparse_rank") :+
         col(scoreCol).cast("double").as("_sparse_score"): _*)
-    val fused = d.join(s, keys, "full_outer")
+    val fused = d.unionByName(s)
+      .groupBy(keys.map(col): _*)
+      .agg(max("_dense_rank").as("_dense_rank"),
+        max("_dense_score").as("_dense_score"),
+        max("_sparse_rank").as("_sparse_rank"),
+        max("_sparse_score").as("_sparse_score"))
       .withColumn("score",
         coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))
