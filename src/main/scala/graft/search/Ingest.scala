@@ -27,7 +27,12 @@ object Ingest {
                   cfg: Chunking.ChunkConfig = Chunking.ChunkConfig(),
                   dim: Int = 64): DataFrame = {
     // total_chunks comes out of the chunk flatMap itself — the whole
-    // build stays narrow (zero shuffles scan -> table)
+    // build stays narrow (zero shuffles scan -> table). NOTE: a
+    // repartition-before-chunking "spread" for few-split local inputs
+    // was tried and measured SLOWER at bench scale — the extra
+    // exchange plus 32-task stage scheduling costs more than the
+    // single-task chunk+embed pass it parallelizes. At cluster scale
+    // the scan arrives with enough splits anyway.
     val chunks = Chunking.chunkDocumentsWithTotal(docs, idCol, textCol,
       strategy, cfg)
     chunks
