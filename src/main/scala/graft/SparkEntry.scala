@@ -738,6 +738,18 @@ object SparkEntry {
 
     // ---- chunking UDTFs (C1/C2/C5; offsets dumped, text omitted for
     //      size — invariants covered by ChunkingSpec; rows-only) ----
+    // ---- C1 strict-window form: the chunk plumbing (windows, offsets,
+    //      content, token counts) as a pure column plan with a FULL
+    //      hash-checked SQL oracle — the boundary-snapping chunkers
+    //      stay rows-only because their stateful scan loops have no
+    //      faithful SQL twin ----
+    "chunk_fixed" -> ((s, dir) => {
+      Chunking.fixedWindows(t(s, dir, "documents"), "doc_id", "text",
+          Chunking.ChunkConfig(maxTokens = 40, overlapTokens = 5))
+        .select(col("doc_id"), col("chunk_index"), col("text"),
+          col("start_offset"), col("end_offset"), col("token_count"))
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
     "chunk_character" -> ((s, dir) => {
       Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
           "character", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40,
@@ -1962,6 +1974,29 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5
          |ORDER BY doc_id, rank""".stripMargin
     },
+
+    // window = maxTokens*charsPerToken = 160 chars, step = 140 (20-char
+    // overlap); n = 1 + max(0, ceil((len-160)/140)) via floor((len-21)/140)
+    "chunk_fixed" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) > 0),
+        |wins AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(range(0, 1 + greatest(0,
+        |      CAST(floor((len - 21) / 140.0) AS INT)))) AS w
+        |  FROM docs)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CAST(w AS INT) AS chunk_index,
+        |  substr(text, CAST(w*140 + 1 AS INT),
+        |    CAST(least(w*140 + 160, len) - w*140 AS INT)) AS text,
+        |  CAST(w*140 AS INT) AS start_offset,
+        |  CAST(least(w*140 + 160, len) AS INT) AS end_offset,
+        |  CAST(len(regexp_extract_all(substr(text, CAST(w*140 + 1 AS INT),
+        |    CAST(least(w*140 + 160, len) - w*140 AS INT)), '\S+')) AS INT)
+        |    AS token_count
+        |FROM wins
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin,
 
     "a6_chunk_stats" ->
       """SELECT min(n_chars) AS min_tokens, max(n_chars) AS max_tokens,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, floor, greatest, least, length, lit, regexp_extract_all, sequence, size}
 
 import graft.functions.TextFunctions
 
@@ -427,6 +427,45 @@ object Chunking {
       chunks.map(c => ChunkRowT(d.id, c.chunkIndex, c.text,
         c.start, c.end, c.tokenCount, n))
     }(Encoders.product[ChunkRowT]).toDF()
+  }
+
+  /** Fixed character windows with overlap as a PURE column plan — the
+    * strict-window form of C1 with no boundary snapping, so every
+    * window is a closed form of (length, window, step) and the whole
+    * operator (offsets, content, token counts) is exactly
+    * SQL-expressible for a hash-checked DuckDB oracle. sequence +
+    * posexplode + substring all stay inside whole-stage codegen; like
+    * the flatMap chunkers it is narrow — zero shuffles at any corpus
+    * size. Empty documents produce no rows.
+    *
+    * Windows: n = 1 + max(0, ceil((len - window) / step)); window i
+    * covers [i*step, min(i*step + window, len)). token_count counts
+    * maximal non-whitespace runs, matching [[countTokens]]. */
+  def fixedWindows(df: DataFrame, idCol: String, textCol: String,
+                   cfg: ChunkConfig = ChunkConfig()): DataFrame = {
+    val window = cfg.maxTokens * cfg.charsPerToken
+    val step = window - cfg.overlapTokens * cfg.charsPerToken
+    require(step > 0, s"overlap must be smaller than the window (got " +
+      s"window=$window chars, overlap=${window - step})")
+    val len = length(col("_text"))
+    // ceil((len - window)/step) in exact integer arithmetic
+    val extra = greatest(lit(0),
+      floor((len - lit(window) + lit(step - 1)).cast("double") / lit(step))
+        .cast("int"))
+    val start = col("_win") * step
+    val end = least(start + lit(window), length(col("_text")))
+    df.select(col(idCol).cast("string").as("doc_id"), col(textCol).as("_text"))
+      .where(length(col("_text")) > 0)
+      .select(col("doc_id"), col("_text"),
+        explode(sequence(lit(0), extra)).as("_win"))
+      .select(
+        col("doc_id"),
+        col("_win").cast("int").as("chunk_index"),
+        col("_text").substr(start + 1, end - start).as("text"),
+        start.cast("int").as("start_offset"),
+        end.cast("int").as("end_offset"))
+      .withColumn("token_count",
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("int"))
   }
 
   /** Hierarchical chunking rows with deterministic parent links. */

@@ -157,6 +157,32 @@ class ChunkingSparkSpec extends SparkSpec {
       "start_offset", "end_offset", "token_count"))
   }
 
+  test("fixedWindows: exact closed-form windows, full coverage, overlap") {
+    val text = ("alpha beta gamma. " * 60).trim // 1079 chars
+    val docs = Seq((1L, text), (2L, ""), (3L, "tiny")).toDF("doc_id", "text")
+    val cfg = Chunking.ChunkConfig(maxTokens = 40, overlapTokens = 5) // 160/140
+    val rows = Chunking.fixedWindows(docs, "doc_id", "text", cfg)
+      .orderBy("doc_id", "chunk_index").collect()
+    val d1 = rows.filter(_.getString(0) == "1")
+    // n = 1 + ceil((1079-160)/140) = 1 + 7
+    assert(d1.length == 8)
+    d1.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(1) == i)
+      assert(r.getInt(3) == i * 140) // start
+      assert(r.getInt(4) == math.min(i * 140 + 160, text.length)) // end
+      assert(r.getString(2) == text.substring(r.getInt(3), r.getInt(4)))
+      assert(r.getInt(5) == Chunking.countTokens(r.getString(2)))
+    }
+    // consecutive windows overlap by exactly 20 chars (except the tail)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getInt(3) == a.getInt(3) + 140)
+    }
+    // empty doc drops; tiny doc is one full window
+    assert(!rows.exists(_.getString(0) == "2"))
+    val d3 = rows.filter(_.getString(0) == "3")
+    assert(d3.length == 1 && d3.head.getString(2) == "tiny")
+  }
+
   test("chunkHierarchical emits linked levels per doc") {
     val docs = Seq((7L, ("w " * 3000).trim)).toDF("doc_id", "text")
     val rows = Chunking.chunkHierarchical(docs, "doc_id", "text",
