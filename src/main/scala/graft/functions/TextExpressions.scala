@@ -65,3 +65,42 @@ case class Tokenize(child: Expression, removeStopwords: Boolean = true)
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
     copy(child = newChild)
 }
+
+/** Parse 8 hex chars of a digest string at a fixed offset as an
+  * unsigned 32-bit value — bit-identical to
+  * `conv(substring(hex, off+1, 8), 16, 10).cast("long")` but without
+  * conv's radix-conversion string machinery, which dominated the
+  * minhash seed family's CPU (16 parses per shingle). The sha256
+  * digest itself stays a shared subexpression across seeds. */
+case class HexSliceToLong(child: Expression, offset: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  def parse(s: UTF8String): Long = {
+    var v = 0L
+    var i = offset
+    val end = offset + 8
+    while (i < end) {
+      val c = s.getByte(i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else c - 'A' + 10
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hexSlice", this, classOf[HexSliceToLong].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.parse($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HexSliceToLong =
+    copy(child = newChild)
+}

@@ -95,11 +95,17 @@ object Dedup {
   /** Seed s reads 8 hex chars at offset (s%8)·8 of sha256("{s/8}:" ||
     * x): one digest yields EIGHT independent 32-bit hashes, so 16
     * minhash seeds cost 2 sha256 evaluations per shingle (Spark's
-    * common-subexpression elimination computes each digest once). */
+    * common-subexpression elimination computes each digest once). The
+    * hex slice parses through [[graft.functions.HexSliceToLong]] —
+    * bit-identical to `conv(substr, 16, 10)::long` (the form the DuckDB
+    * oracle uses) minus conv's radix string machinery, which was the
+    * dominant CPU of the minhash stages. */
   def shaHashFamily(seed: Int, c: Column): Column =
-    conv(substring(
-      sha2(concat(lit(s"${seed / 8}:"), c).cast("binary"), 256),
-      (seed % 8) * 8 + 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          sha2(concat(lit(s"${seed / 8}:"), c).cast("binary"), 256)),
+        (seed % 8) * 8))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles of hash(seed, shingle).

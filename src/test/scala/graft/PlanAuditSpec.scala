@@ -78,6 +78,49 @@ class PlanAuditSpec extends SparkSpec {
       s"token stream shuffled $generateExchanges times:\n$p")
   }
 
+  test("tokenizer plans as the single-pass Tokenize expression") {
+    val p = graft.operators.Bm25
+      .docTermFreqs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("tokenize("), p)
+    // the interpreted HOF chain must be gone from the hot path
+    assert(!p.contains("regexp_extract_all"), s"HOF tokenizer back:\n$p")
+  }
+
+  test("buildIndex: doc_len projects BELOW the generator, never above") {
+    // planning size(tokenize(text)) above the explode re-runs the
+    // tokenizer once per exploded token — O(tokens^2) per doc
+    val idx = graft.operators.Bm25.buildIndex(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val lines = idx.docWeights.queryExecution.executedPlan.toString.linesIterator
+    val above = lines.takeWhile(!_.contains("Generate explode"))
+      .exists(l => l.contains("Project") && l.contains("size(tokenize"))
+    assert(!above, "doc_len computed above the Generate (per-token tokenize)")
+  }
+
+  test("rrf fusion merges legs without an outer sort-merge join") {
+    val p = plan("rrf_fuse")
+    assert(!p.contains("SortMergeJoin"), s"outer-join fusion is back:\n$p")
+    assert(!p.contains("FullOuter"), p)
+  }
+
+  test("bench_eval runs carry no full-product rank window or outer join") {
+    val p = plan("bench_eval")
+    assert(!p.contains("SortMergeJoin FullOuter"), p)
+    // fused top-k rides the bounded TopK aggregator
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("no nested BroadcastNestedLoopJoin inside the BM25 stats broadcast") {
+    // a 1-row x 1-row crossJoin materialized inside another broadcast
+    // stalls ~20s on the shared broadcast thread pool (round-3 find)
+    val idx = graft.operators.Bm25.buildIndex(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val p = idx.stats.queryExecution.executedPlan.toString
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 1, s"nested broadcast join chain:\n$p")
+  }
+
   test("chunks scan prunes partitions by collection_id") {
     val tmp = java.nio.file.Files.createTempDirectory("pp").toString
     import spark.implicits._
