@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bm25, Chunking, Dedup, IrMetrics, Knn, Maintenance, Rake, Rrf, TextAnalysis}
+import graft.operators.{Bm25, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, TextAnalysis}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -173,6 +173,14 @@ object SparkEntry {
     ivfFitCache.getOrElseUpdate(dir,
       Knn.ivfFit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         64, k = 8, iters = 2))
+
+  private val pqFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Pq.Codebook]
+
+  private def pqCodebookFor(s: SparkSession, dir: String): Pq.Codebook =
+    pqFitCache.getOrElseUpdate(dir,
+      Pq.fit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2))
 
   private val pcaFitCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Double], Array[Double], Array[Double])]
@@ -621,6 +629,19 @@ object SparkEntry {
           hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- PQ ADC ANN: vectors compressed 32× to m=8 one-byte codes;
+    //      approximate L2 top-k via a driver-side distance table. The
+    //      fitted codebook is embedded as literals in query AND oracle
+    //      (same memoized fit — see pqCodebookFor) ----
+    "ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      Pq.adcTopK(e, "vec_id", "embedding", qv, k = 10, pqCodebookFor(s, dir))
+        .select(col("vec_id"), round(col("adist"), 6).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
     }),
 
     // ---- duplicate-cluster resolution: near-dup pairs → connected
@@ -2121,6 +2142,51 @@ object SparkEntry {
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
              |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        "ann_pq" -> {
+          val cb = pqCodebookFor(
+            org.apache.spark.sql.SparkSession.active, lastDir)
+          val qv = IvfOracleQueryVec
+          val table = Pq.adcTable(qv, cb)
+          val cvals = (for {
+            s <- 0 until cb.m
+            j <- 0 until cb.k
+          } yield {
+            val c = cb.centroids(s)(j)
+            s"($s, $j, ${sqlDoubleList(c)}, ${c.map(x => x * x).sum})"
+          }).mkString(",\n    ")
+          val tvals = table.zipWithIndex
+            .map { case (t, s) => s"($s, ${sqlDoubleList(t)})" }
+            .mkString(",\n    ")
+          // encode: argmin_j ||x_s - c_sj||^2 as argmax 2*x_s.c - |c|^2,
+          // ties to the lowest j — mirrors Pq.codeFor; ADC distance sums
+          // the m lookups in subspace order, mirroring Pq.adcDistance's
+          // left-to-right reduce
+          s"""WITH cents AS (
+             |  SELECT s, j, c, c2 FROM (VALUES
+             |    $cvals) AS t(s, j, c, c2)),
+             |codes AS (
+             |  SELECT vec_id, s, j AS code FROM (
+             |    SELECT e.vec_id, c.s, c.j,
+             |      row_number() OVER (PARTITION BY e.vec_id, c.s
+             |        ORDER BY 2 * list_inner_product(
+             |          list_slice(CAST(e.embedding AS DOUBLE[]),
+             |            c.s*8 + 1, c.s*8 + 8), c.c) - c.c2 DESC,
+             |          c.j) AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |adc AS (
+             |  SELECT s, dt FROM (VALUES
+             |    $tvals) AS t(s, dt)),
+             |dists AS (
+             |  SELECT co.vec_id,
+             |    list_sum(list(a.dt[co.code + 1] ORDER BY co.s)) AS adist
+             |  FROM codes co JOIN adc a ON a.s = co.s
+             |  GROUP BY co.vec_id)
+             |SELECT vec_id, round(adist, 6) AS adist FROM (
+             |  SELECT vec_id, adist FROM dists
+             |  ORDER BY adist ASC, vec_id LIMIT 10)
+             |ORDER BY adist, vec_id""".stripMargin
         },
         "pca_project" -> {
           val (m, p1, p2) = PcaOracleFit
