@@ -182,6 +182,14 @@ object SparkEntry {
       Pq.fit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, k = 16, iters = 2))
 
+  private val int8FitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  private def int8ScalesFor(s: SparkSession, dir: String): Array[Double] =
+    int8FitCache.getOrElseUpdate(dir,
+      graft.operators.Quant.fitInt8(
+        Tables.load(s, dir, "embeddings"), "embedding", 64))
+
   private val pcaFitCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Double], Array[Double], Array[Double])]
 
@@ -629,6 +637,18 @@ object SparkEntry {
           hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- int8 scalar quantization: 4× smaller vectors, approximate
+    //      dot scoring with dequantization folded into the query ----
+    "ann_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.operators.Quant.int8TopK(e, "vec_id", "embedding", qv,
+          k = 10, int8ScalesFor(s, dir))
+        .select(col("vec_id"), round(col("ascore"), 6).as("ascore"))
+        .orderBy(col("ascore").desc, col("vec_id"))
     }),
 
     // ---- PQ ADC ANN: vectors compressed 32× to m=8 one-byte codes;
@@ -2142,6 +2162,33 @@ object SparkEntry {
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
              |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        "ann_int8" -> {
+          val scales = int8ScalesFor(
+            org.apache.spark.sql.SparkSession.active, lastDir)
+          val qv = IvfOracleQueryVec
+          val w = qv.indices.map(i => qv(i) * scales(i) / 127.0).toArray
+          // encode uses floor(x + 0.5), not round(): both engines then
+          // evaluate the identical IEEE expression — see Quant.scaladoc
+          s"""WITH sc AS (
+             |  SELECT ${sqlDoubleList(scales)} AS s,
+             |    ${sqlDoubleList(w)} AS w),
+             |codes AS (
+             |  SELECT e.vec_id,
+             |    list_transform(range(1, 65), i ->
+             |      greatest(-127, least(127, CAST(floor(
+             |        CAST(e.embedding[i] AS DOUBLE) / sc.s[i] * 127 + 0.5)
+             |        AS INT)))) AS codes
+             |  FROM embeddings e, sc),
+             |scored AS (
+             |  SELECT c.vec_id,
+             |    list_inner_product(CAST(c.codes AS DOUBLE[]), sc.w) AS raw
+             |  FROM codes c, sc)
+             |SELECT vec_id, round(raw, 6) AS ascore FROM (
+             |  SELECT vec_id, raw FROM scored
+             |  ORDER BY raw DESC, vec_id LIMIT 10)
+             |ORDER BY ascore DESC, vec_id""".stripMargin
         },
 
         "ann_pq" -> {
