@@ -113,6 +113,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Chunking.hierarchical("", Chunking.ChunkConfig()).isEmpty)
   }
 
+  test("fixedWindows / PQ / int8 over empty and degenerate inputs") {
+    import graft.operators.{Pq, Quant}
+    // empty and whitespace-only docs
+    val docs = Seq((1L, ""), (2L, " ")).toDF("doc_id", "text")
+    val fw = Chunking.fixedWindows(docs, "doc_id", "text",
+      Chunking.ChunkConfig(maxTokens = 10, overlapTokens = 2))
+    assert(fw.count() == 1) // empty drops; whitespace is one window
+    // overlap >= window is rejected, not looped
+    assertThrows[IllegalArgumentException] {
+      Chunking.fixedWindows(docs, "doc_id", "text",
+        Chunking.ChunkConfig(maxTokens = 10, overlapTokens = 10,
+          charsPerToken = 1))
+    }
+    // PQ/int8 over a constant corpus: codes still bounded + deterministic
+    val const = (0 until 8).map(i => (i.toLong, Seq.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.fit(const, "vec_id", "embedding", 8, m = 2, k = 2)
+    val codes = Pq.encode(const, "embedding", cb)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.forall(c => c >= 0 && c < 2)))
+    val scales = Quant.fitInt8(const, "embedding", 8)
+    assert(scales.forall(_ == 1.0)) // all-zero dims -> neutral scale
+    val enc = const.select(Quant.encodeInt8(col("embedding"), scales)
+      .as("codes")).as[Seq[Int]].collect()
+    assert(enc.forall(_.forall(_ == 0)))
+  }
+
   test("RRF with both sides empty; projection guards") {
     val empty = Seq.empty[(String, Double)].toDF("id", "score")
     assert(Rrf.fuse(empty, empty, "id", "score", 10).count() == 0)

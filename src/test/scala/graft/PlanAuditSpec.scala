@@ -121,6 +121,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(nested <= 1, s"nested broadcast join chain:\n$p")
   }
 
+  test("quantized ANN paths: narrow scan into TakeOrderedAndProject") {
+    for (q <- Seq("ann_pq", "ann_int8")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q has a shuffle join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q shuffles — encode/score must be narrow:\n$p")
+    }
+  }
+
   test("chunks scan prunes partitions by collection_id") {
     val tmp = java.nio.file.Files.createTempDirectory("pp").toString
     import spark.implicits._
