@@ -107,8 +107,14 @@ object TextFunctions {
   def mockEmbeddingCol(text: Column, dim: Int = DefaultDim): Column = {
     require(dim >= 8, "mock embedding needs dim >= 8")
     val hex = sha2(text.cast("binary"), 256)
+    // HexSliceToLong ≡ conv(substring(hex, i*8+1, 8), 16, 10)::long —
+    // same unsigned 32-bit value, minus conv's radix string machinery
+    // (8 parses per embedded row; this sits under every chunk embed)
     val raw = (0 until 8).map { i =>
-      conv(substring(hex, i * 8 + 1, 8), 16, 10).cast("double") /
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.HexSliceToLong(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(hex),
+          i * 8)).cast("double") /
         lit(4294967296.0) * 2.0 - 1.0
     }
     val norm = sqrt(raw.map(r => r * r).reduce(_ + _))
