@@ -207,9 +207,13 @@ object TextAnalysis {
       : DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val u = conv(substring(sha2(
-        concat(lit(s"$salt:"), col(idCol).cast("string")).cast("binary"), 256),
-      1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    // HexSliceToLong ≡ conv(substring(hex,1,8),16,10)::long (the form
+    // the DuckDB oracle uses), minus conv's radix string machinery
+    val u = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sha2(
+          concat(lit(s"$salt:"), col(idCol).cast("string")).cast("binary"),
+          256)), 0)).cast("double") / lit(4294967296.0)
     val cum = weights.scanLeft(0.0)(_ + _._2).tail
     val split = weights.zip(cum).foldRight(lit(weights.last._1)) {
       case (((name, _), upper), rest) =>
