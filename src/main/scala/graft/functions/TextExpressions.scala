@@ -41,7 +41,10 @@ case class Tokenize(child: Expression, removeStopwords: Boolean = true)
   /** One pass over the row's text; called from interpreted eval AND
     * from the generated code (via a reference object). */
   def doTokenize(text: UTF8String): ArrayData = {
-    val m = pattern.matcher(text.toString.toLowerCase)
+    // Locale.ROOT: String.toLowerCase is locale-sensitive (tr_TR turns
+    // 'I' into dotless ı) where the `lower()` built-in this replaced is
+    // not — pin the locale so results never depend on the host JVM
+    val m = pattern.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
     val out = new java.util.ArrayList[AnyRef]()
     while (m.find()) {
       val t = m.group()

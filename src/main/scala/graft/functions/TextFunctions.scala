@@ -44,7 +44,7 @@ object TextFunctions {
     * Ref: bm25_sparse_indexer.py:516-543 */
   def tokenize(text: String, removeStopwords: Boolean = true): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
-    val toks = TokenRegex.findAllIn(text.toLowerCase).toSeq
+    val toks = TokenRegex.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
       .filter(_.length >= MinTokenLength)
     if (removeStopwords) toks.filterNot(EnglishStopwords) else toks
   }

@@ -59,7 +59,7 @@ object Rake {
     if (text == null || text.trim.isEmpty) return Seq.empty
     val phrases = Seq.newBuilder[Seq[String]]
     for (sentence <- text.split(SentenceRe)) {
-      val words = WordRe.findAllIn(sentence.toLowerCase).toSeq
+      val words = WordRe.findAllIn(sentence.toLowerCase(java.util.Locale.ROOT)).toSeq
       var cur = Seq.newBuilder[String]
       var nonEmpty = false
       for (w <- words) {
