@@ -43,6 +43,9 @@ object Profile {
     })
 
     for (name <- names.split(',')) {
+      // listener events are delivered async; give the bus a moment to
+      // drain the previous query's events before resetting counters
+      Thread.sleep(300)
       jobs = 0; stages = 0; tasks = 0
       val t0 = System.nanoTime
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -182,6 +182,17 @@ object SparkEntry {
       Pq.fit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, k = 16, iters = 2))
 
+  private val queryVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  /** The probe vector (vec_id = 0's embedding), shared by every
+    * ANN query AND its oracle literal generation — one definition so
+    * the two sides can never diverge. */
+  private def queryVecFor(s: SparkSession, dir: String): Array[Double] =
+    queryVecCache.getOrElseUpdate(dir,
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray)
+
   private val int8FitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -204,10 +215,7 @@ object SparkEntry {
     ivfCentroidsFor(org.apache.spark.sql.SparkSession.active, lastDir)
 
   private def IvfOracleQueryVec: Array[Double] =
-    Tables.load(org.apache.spark.sql.SparkSession.active, lastDir,
-        "embeddings")
-      .filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).map(_.toDouble).toArray
+    queryVecFor(org.apache.spark.sql.SparkSession.active, lastDir)
 
   /** Probe set mirroring Knn.ivfTopK(nprobe = 3). */
   private def IvfOracleProbes: Seq[Int] = {
@@ -643,8 +651,7 @@ object SparkEntry {
     //      dot scoring with dequantization folded into the query ----
     "ann_int8" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val qv = queryVecFor(s, dir)
       graft.operators.Quant.int8TopK(e, "vec_id", "embedding", qv,
           k = 10, int8ScalesFor(s, dir))
         .select(col("vec_id"), round(col("ascore"), 6).as("ascore"))
@@ -657,8 +664,7 @@ object SparkEntry {
     //      (same memoized fit — see pqCodebookFor) ----
     "ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val qv = queryVecFor(s, dir)
       Pq.adcTopK(e, "vec_id", "embedding", qv, k = 10, pqCodebookFor(s, dir))
         .select(col("vec_id"), round(col("adist"), 6).as("adist"))
         .orderBy(col("adist").asc, col("vec_id"))
@@ -708,8 +714,7 @@ object SparkEntry {
     // ---- ANN via LSH bucket restriction (rows-only oracle) ----
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val qv = queryVecFor(s, dir)
       Knn.lshTopK(e, "vec_id", "embedding", qv, k = 10, nPlanes = 4)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
@@ -720,8 +725,7 @@ object SparkEntry {
     //      literals, so both sides see bit-identical centroids ----
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val qv = queryVecFor(s, dir)
       val centroids = ivfCentroidsFor(s, dir)
       Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
           nprobe = 3)

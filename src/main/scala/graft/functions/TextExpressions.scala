@@ -81,6 +81,11 @@ case class HexSliceToLong(child: Expression, offset: Int)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   def parse(s: UTF8String): Long = {
+    // UTF8String.getByte is an unchecked raw-memory read: fail loudly
+    // on short inputs instead of returning nondeterministic garbage
+    if (s.numBytes < offset + 8)
+      throw new IllegalArgumentException(
+        s"HexSliceToLong: input has ${s.numBytes} bytes, need ${offset + 8}")
     var v = 0L
     var i = offset
     val end = offset + 8

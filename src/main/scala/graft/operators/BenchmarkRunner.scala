@@ -91,9 +91,9 @@ object BenchmarkRunner {
         nullI.as("_dense_rank"), col("rank").cast("int").as("_sparse_rank"))
     val fused = d.unionByName(s)
       .groupBy("query_id", "chunk_id")
-      .agg(max("doc_id").as("doc_id"),
-        max("_dense_rank").as("_dense_rank"),
-        max("_sparse_rank").as("_sparse_rank"))
+      .agg(max("doc_id").as("doc_id"), // doc is a function of chunk_id
+        min("_dense_rank").as("_dense_rank"), // best rank if dups ever
+        min("_sparse_rank").as("_sparse_rank"))
       .withColumn("score",
         coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))

@@ -440,7 +440,10 @@ object Chunking {
     *
     * Windows: n = 1 + max(0, ceil((len - window) / step)); window i
     * covers [i*step, min(i*step + window, len)). token_count counts
-    * maximal non-whitespace runs, matching [[countTokens]]. */
+    * maximal `\S+` runs — the SQL-expressible form, which agrees with
+    * [[countTokens]] on ASCII text but treats exotic Unicode
+    * whitespace (U+2028 etc.) as token characters where
+    * Character.isWhitespace does not. */
   def fixedWindows(df: DataFrame, idCol: String, textCol: String,
                    cfg: ChunkConfig = ChunkConfig()): DataFrame = {
     val window = cfg.maxTokens * cfg.charsPerToken

@@ -76,8 +76,12 @@ object Pq {
     }.toArray
     val seed = vectors.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(r => toDouble(r.getSeq[Any](0)))
-    var cb = Codebook(dim, m, k,
-      (0 until m).map(s => seed.toIndexedSeq.map(v =>
+    require(seed.nonEmpty, "Pq.fit needs a non-empty corpus")
+    // corpora smaller than k degrade to k' = |corpus| codes rather
+    // than indexing past the seed set in the update step
+    val kEff = math.min(k, seed.length)
+    var cb = Codebook(dim, m, kEff,
+      (0 until m).map(s => seed.take(kEff).toIndexedSeq.map(v =>
         v.slice(s * dsub, (s + 1) * dsub))))
     for (_ <- 0 until iters) {
       val sums = encode(vectors, vecCol, cb)
@@ -90,8 +94,8 @@ object Pq {
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
         .collect()
       val grouped = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
-      cb = Codebook(dim, m, k, (0 until m).map { s =>
-        (0 until k).map { j =>
+      cb = Codebook(dim, m, kEff, (0 until m).map { s =>
+        (0 until kEff).map { j =>
           grouped.get((s, j)) match {
             case Some(rows) =>
               val a = new Array[Double](dsub)

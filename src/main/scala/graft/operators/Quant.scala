@@ -29,6 +29,9 @@ object Quant {
       .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy("pos").agg(max(abs(col("v").cast("double"))).as("s"))
       .collect()
+    require(rows.forall(_.getInt(0) < dim),
+      s"fitInt8: vectors longer than declared dim=$dim " +
+        s"(saw position ${rows.map(_.getInt(0)).max})")
     val scales = Array.fill(dim)(1.0)
     rows.foreach { r =>
       val s = r.getDouble(1)

@@ -55,11 +55,14 @@ object Rrf {
       .select(keys.map(col) :+ nullI.as("_dense_rank") :+
         nullD.as("_dense_score") :+ col("rank").cast("int").as("_sparse_rank") :+
         col(scoreCol).cast("double").as("_sparse_score"): _*)
+    // ranked inputs carry one row per key; if a caller ever passes
+    // duplicate ids, min(rank)/max(score) keep the BEST row per leg
+    // (rank asc ↔ score desc within a leg, so the pair stays aligned)
     val fused = d.unionByName(s)
       .groupBy(keys.map(col): _*)
-      .agg(max("_dense_rank").as("_dense_rank"),
+      .agg(min("_dense_rank").as("_dense_rank"),
         max("_dense_score").as("_dense_score"),
-        max("_sparse_rank").as("_sparse_rank"),
+        min("_sparse_rank").as("_sparse_rank"),
         max("_sparse_score").as("_sparse_score"))
       .withColumn("score",
         coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
