@@ -120,6 +120,25 @@ object Sync {
       .start()
   }
 
+  /** Watermarked tumbling-window event aggregation — the streaming
+    * twin of the batch q11 hourly rollup, with real event-time
+    * semantics: `delay` bounds how late an event may arrive; in
+    * append output mode a window emits exactly once, after the
+    * watermark passes its end, and events older than the watermark
+    * are DROPPED rather than reopening a finalized window. State is
+    * therefore bounded by (windows in flight × keys), independent of
+    * stream length — the property that lets this run forever at
+    * cluster scale. `tsCol` must be a timestamp column. */
+  def windowedEventAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       windowLen: String = "1 hour",
+                       delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"))
+
   // ---- T3: incremental BM25 corpus statistics ----
 
   /** Merge a batch of new documents into running BM25 corpus stats.

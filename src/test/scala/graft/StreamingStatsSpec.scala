@@ -77,6 +77,43 @@ class StreamingStatsSpec extends SparkSpec {
     assert(batchGot == Set(1L, 2L, 4L))
   }
 
+  test("windowedEventAgg: append mode finalizes windows and drops late events") {
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("wk").toString + "/ck"
+    def write(rows: Seq[(Long, Long, String)], mode: String): Unit =
+      rows.toDF("event_id", "mins", "event_type")
+        .coalesce(1).write.mode(mode).parquet(dir)
+    // batch 1: events in hour 0
+    write(Seq((1L, 5L, "click"), (2L, 20L, "click")), "overwrite")
+    Thread.sleep(1200) // file source orders batches by mod time
+    // batch 2: far-ahead event; the watermark it implies only takes
+    // effect in the NEXT batch
+    write(Seq((3L, 200L, "view")), "append")
+    Thread.sleep(1200)
+    // batch 3: runs WITH the advanced watermark -> hour 0 finalizes
+    // (emits n=2) and its state evicts at this batch's end
+    write(Seq((5L, 210L, "view")), "append")
+    Thread.sleep(1200)
+    // batch 4: a LATE hour-0 event, behind the watermark AND after
+    // eviction — guaranteed dropped (drop is only guaranteed once the
+    // window's state is gone; a still-live window may absorb late rows)
+    write(Seq((4L, 30L, "click")), "append")
+    val stream = spark.readStream.schema(
+        "event_id LONG, mins LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts_utc", timestamp_seconds(col("mins") * 60))
+    val out = Sync.windowedEventAgg(stream, "ts_utc", "event_type")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wmagg")
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_type, n_events FROM wmagg")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // hour-0 click window finalized at n=2; the late event_id=4 did
+    // NOT reopen it; hour-3 view window still open (not emitted)
+    assert(got == Seq(("click", 2L)), s"got $got")
+  }
+
   test("tumbling-window aggregation runs under Structured Streaming") {
     val dir = java.nio.file.Files.createTempDirectory("ev").toString + "/in"
     val ck = java.nio.file.Files.createTempDirectory("ck").toString + "/ck"
