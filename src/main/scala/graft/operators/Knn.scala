@@ -135,16 +135,23 @@ object Knn {
       -greatest(scored: _*).getField("negi"))
   }
 
+  /** The `nprobe` centroid ids nearest a query (max dot, ties to the
+    * lowest id) — the coarse probe set for IVF and IVF-PQ. */
+  def nearestCentroids(query: Array[Double],
+                       centroids: Seq[Array[Double]],
+                       nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (V.dotS(query, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+
   /** IVF search: probe the `nprobe` centroids nearest the query, exact
     * cosine top-k inside those clusters only. With the table
     * pre-partitioned by cluster_id this prunes to nprobe partitions. */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int,
               centroids: Seq[Array[Double]], nprobe: Int): DataFrame = {
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (V.dotS(query, c), i) }
-      .sortBy { case (s, i) => (-s, i) }
-      .take(nprobe).map(_._2)
+    val probes = nearestCentroids(query, centroids, nprobe)
     ivfAssign(vectors, vecCol, centroids)
       .filter(col("cluster_id").isin(probes: _*))
       .drop("cluster_id")

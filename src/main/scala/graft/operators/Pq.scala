@@ -148,6 +148,24 @@ object Pq {
       .limit(k)
   }
 
+  /** Full IVF-PQ search — the composition that serves billion-vector
+    * corpora: coarse-probe the `nprobe` nearest IVF cells (partition
+    * pruning when the table is laid out by cluster_id), score ONLY
+    * those cells' compressed codes with ADC, then exact-refine the
+    * shortlist. Memory: m bytes/vector + k·d floats of codebook;
+    * compute per query: |probed cells| · m lookups + `shortlist` exact
+    * distances. */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                query: Array[Double], k: Int,
+                centroids: Seq[Array[Double]], nprobe: Int,
+                cb: Codebook, shortlist: Int): DataFrame = {
+    val probed = Knn.ivfAssign(vectors, vecCol, centroids)
+      .filter(col("cluster_id").isin(
+        Knn.nearestCentroids(query, centroids, nprobe): _*))
+      .drop("cluster_id")
+    refinedTopK(probed, idCol, vecCol, query, k, cb, shortlist)
+  }
+
   /** ADC shortlist of `c` candidates, exact cosine re-rank to top-k —
     * the IVF-PQ "refine" stage. */
   def refinedTopK(vectors: DataFrame, idCol: String, vecCol: String,

@@ -55,6 +55,24 @@ class PqSpec extends SparkSpec {
     })
   }
 
+  test("IVF-PQ: coarse probe + ADC + refine finds the query's own vector") {
+    import graft.operators.Knn
+    val cb = Pq.fit(vectors, "vec_id", "embedding", dim, m = 4, k = 8,
+      iters = 3)
+    val centroids = Knn.ivfFit(vectors, "vec_id", "embedding", dim,
+      k = 4, iters = 2)
+    val q = vec(11).map(_.toDouble).toArray
+    val got = Pq.ivfPqTopK(vectors, "vec_id", "embedding", q, 3,
+      centroids, nprobe = 2, cb, shortlist = 8).collect()
+    assert(got.head.getLong(0) == 11L)
+    // candidates only come from the probed cells
+    val probed = Knn.nearestCentroids(q, centroids, 2).toSet
+    val cells = Knn.ivfAssign(vectors, "embedding", centroids)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(probed.contains(cells(r.getLong(0)))))
+  }
+
   test("ADC approximates true L2: top-10 overlaps exact top-10") {
     val cb = Pq.fit(vectors, "vec_id", "embedding", dim, m = 4, k = 8,
       iters = 3)
