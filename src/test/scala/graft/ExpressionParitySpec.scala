@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Equivalence guards for the custom codegen expressions against the
+  * declarative formulations they replaced — the DuckDB oracles mirror
+  * the DECLARATIVE arithmetic, so these tests are what keeps the fast
+  * paths oracle-parity-safe. */
+class ExpressionParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val adversarial = Seq(
+    "", " ", "Hello World", "don't stop-me now", "a-b-c_d 42 x9",
+    "MiXeD CaSe TOKENS", "the and of", "hyphen-chain-of-many-parts",
+    "tabs\tand\nnewlines\r\nhere", "digits 123 45x x5 _underscore_",
+    "trailing-", "-leading", "double--hyphen", "'quoted' words",
+    "a" * 300, ("word " * 100).trim)
+
+  test("Tokenize column == pure-Scala tokenize on adversarial inputs") {
+    val df = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.tokensCol(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    adversarial.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == TextFunctions.tokenize(t),
+        s"mismatch on input #$i: '$t'")
+    }
+  }
+
+  test("Tokenize == the declarative regexp+filter formulation it replaced") {
+    def declarative(text: org.apache.spark.sql.Column) = {
+      val raw = regexp_extract_all(lower(text),
+        lit(TextFunctions.TokenPattern), lit(0))
+      val minLen = filter(raw, t => length(t) >= TextFunctions.MinTokenLength)
+      val sw = array(TextFunctions.EnglishStopwordsSorted.map(lit): _*)
+      filter(minLen, t => !array_contains(sw, t))
+    }
+    val df = adversarial.toDF("text")
+    val diff = df.select(
+        TextFunctions.tokensCol(col("text")).as("fast"),
+        declarative(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+    // null propagation matches too
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.tokensCol(col("text")).as("fast"),
+        declarative(col("text")).as("slow"))
+      .head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("HexSliceToLong == conv(substring(hex),16,10) at every seed offset") {
+    val df = (0 until 200).map(i => s"probe-$i").toDF("text")
+      .withColumn("hex", sha2(col("text").cast("binary"), 256))
+    for (seed <- 0 until 8) {
+      val diff = df.select(
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.HexSliceToLong(
+              org.apache.spark.sql.graftbridge.ColumnBridge
+                .expression(col("hex")), seed * 8)).as("fast"),
+          conv(substring(col("hex"), seed * 8 + 1, 8), 16, 10)
+            .cast("long").as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0, s"offset ${seed * 8}")
+    }
+  }
+
+  test("HexSliceToLong rejects inputs shorter than offset + 8") {
+    val ex = intercept[Exception] {
+      Seq("abcd").toDF("h").select(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.HexSliceToLong(
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression(col("h")), 0))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
