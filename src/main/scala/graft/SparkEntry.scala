@@ -766,6 +766,23 @@ object SparkEntry {
     }),
 
     // ---- deterministic train/val/test hash split ----
+    // ---- deterministic domain-mixture sampling: per-language keep
+    //      rates over the same sha-uniform as hash_split ----
+    "mixture_sample" -> ((s, dir) => {
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "zh" -> 0.9, "de" -> 0.25),
+          defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token-count histogram (corpus shape check) ----
+    "token_histogram" -> ((s, dir) => {
+      TextAnalysis.tokenHistogram(t(s, dir, "documents"), "text",
+          bucketWidth = 10)
+        .orderBy("bucket_lo")
+    }),
+
     "hash_split" -> ((s, dir) => {
       TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1777,6 +1794,28 @@ object SparkEntry {
         |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
         |  CAST(cum_before % 256 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "mixture_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(sha256('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE WHEN lang = 'de' THEN 0.25
+        |               WHEN lang = 'en' THEN 0.5
+        |               WHEN lang = 'zh' THEN 0.9
+        |               ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_histogram" ->
+      """SELECT bucket * 10 AS bucket_lo, (bucket + 1) * 10 AS bucket_hi,
+        |  count(*) AS n_docs
+        |FROM (
+        |  SELECT CAST(floor(CAST(len(list_filter(
+        |    string_split_regex(text, '\s+'), x -> length(x) > 0))
+        |    AS DOUBLE) / 10) AS BIGINT) AS bucket
+        |  FROM documents)
+        |GROUP BY bucket ORDER BY bucket_lo""".stripMargin,
 
     "hash_split" ->
       """SELECT doc_id,

@@ -197,6 +197,45 @@ object TextAnalysis {
         (col("_cum_before") % budget).as("bin_offset"))
   }
 
+  /** Deterministic stratified sampling — the domain-mixture weighting
+    * step of a training-data pipeline (e.g. upweight code, downsample
+    * crawl): keep a row iff its sha-derived uniform u(id) < rate of
+    * its group. Pure column arithmetic: reproducible across runs,
+    * engines, and partitionings, and a different salt draws an
+    * independent sample. Groups absent from `rates` default to 0.0
+    * (dropped) unless `defaultRate` says otherwise. */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       salt: String = "mix"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "sampling rates must be in [0, 1]")
+    val u = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sha2(
+          concat(lit(s"$salt:"), col(idCol).cast("string")).cast("binary"),
+          256)), 0)).cast("double") / lit(4294967296.0)
+    // rates sorted by group for a deterministic when-chain
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((g, r), rest) => when(col(groupCol) === g, lit(r)).otherwise(rest)
+    }
+    df.filter(u < rate)
+  }
+
+  /** Token-count histogram: fixed-width buckets over the corpus's
+    * whitespace token counts (A8 semantics) — the shape check run
+    * before/after every curation step. One map-side-combined
+    * aggregation. */
+  def tokenHistogram(df: DataFrame, textCol: String,
+                     bucketWidth: Int = 50): DataFrame =
+    df.select(floor(TextFunctions.tokenCountCol(col(textCol))
+        .cast("double") / bucketWidth).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select((col("bucket") * bucketWidth).as("bucket_lo"),
+        ((col("bucket") + 1) * bucketWidth).as("bucket_hi"),
+        col("n_docs"))
+
   /** Deterministic hash split (train/val/test): bucket = sha-derived
     * uniform value in [0, 1); split i covers the cumulative weight
     * interval. Pure column arithmetic — reproducible across runs,

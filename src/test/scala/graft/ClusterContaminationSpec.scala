@@ -88,6 +88,50 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("stratifiedSample honors per-group rates deterministically") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 3000L).map(i =>
+        (i, if (i % 3 == 0) "code" else if (i % 3 == 1) "web" else "books"))
+      .toDF("doc_id", "domain")
+    val rates = Map("code" -> 0.9, "web" -> 0.2)
+    val kept = TextAnalysis.stratifiedSample(docs, "doc_id", "domain",
+      rates, defaultRate = 0.5)
+    val counts = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("code") > 850 && counts("code") <= 1000)
+    assert(counts("web") > 120 && counts("web") < 280)
+    assert(counts("books") > 400 && counts("books") < 600) // defaultRate
+    // deterministic: same call -> identical row set
+    val a = kept.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = TextAnalysis.stratifiedSample(docs, "doc_id", "domain",
+        rates, defaultRate = 0.5)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // rate 0 drops a group entirely; rate validation rejects nonsense
+    val none = TextAnalysis.stratifiedSample(docs, "doc_id", "domain",
+      Map("code" -> 0.0), defaultRate = 0.0)
+    assert(none.count() == 0)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(docs, "doc_id", "domain",
+        Map("code" -> 1.5))
+    }
+  }
+
+  test("tokenHistogram buckets cover every doc exactly once") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("one", "one two three", ("w " * 25).trim, "")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val h = TextAnalysis.tokenHistogram(docs, "text", bucketWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.map(_._3).sum == 4) // every doc in exactly one bucket
+    assert(h.forall { case (lo, hi, _) => hi - lo == 10 })
+    // 25 tokens -> bucket [20, 30)
+    assert(h.exists { case (lo, _, n) => lo == 20 && n == 1 })
+    // 0, 1, 3 tokens -> bucket [0, 10) with 3 docs
+    assert(h.exists { case (lo, _, n) => lo == 0 && n == 3 })
+  }
+
   test("contamination flags docs sharing shingles with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs today"),
