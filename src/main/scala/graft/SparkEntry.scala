@@ -766,6 +766,15 @@ object SparkEntry {
     }),
 
     // ---- deterministic train/val/test hash split ----
+    // ---- unigram cross-entropy quality score (CCNet-style LM filter,
+    //      self-derived unigram model) ----
+    "unigram_bits" -> ((s, dir) => {
+      TextAnalysis.unigramLogProbs(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("bits_per_token"), 6).as("bits_per_token"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic domain-mixture sampling: per-language keep
     //      rates over the same sha-uniform as hash_split ----
     "mixture_sample" -> ((s, dir) => {
@@ -1794,6 +1803,22 @@ object SparkEntry {
         |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
         |  CAST(cum_before % 256 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "unigram_bits" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text),
+        |    '[a-z0-9_]+(?:-[a-z0-9_]+)*'), x -> length(x) >= 2)) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM tc),
+        |probs AS (
+        |  SELECT term, CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE) AS p
+        |  FROM tc, tot)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(-log2(pr.p)), 6) AS bits_per_token
+        |FROM toks t JOIN probs pr ON pr.term = t.term
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "mixture_sample" ->
       """SELECT doc_id, lang FROM (

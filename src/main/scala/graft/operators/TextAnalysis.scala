@@ -197,6 +197,37 @@ object TextAnalysis {
         (col("_cum_before") % budget).as("bin_offset"))
   }
 
+  /** Unigram cross-entropy quality score — the declarative core of the
+    * CCNet/RefinedWeb LM-perplexity filter: score each document by the
+    * mean -log2 p(token) under the corpus's own unigram distribution
+    * (stopwords retained — frequency structure IS the signal). Low
+    * bits-per-token ≈ repetitive/common text; high ≈ rare-token noise;
+    * curation keeps the middle band. Swap the self-derived unigram
+    * relation for a reference-corpus table to mirror CCNet exactly.
+    *
+    * Plan: one tokenize scan → term-count aggregation (map-side
+    * combined, the only corpus-wide shuffle) → broadcast-or-shuffle
+    * join back to the token stream → per-doc aggregation. The total
+    * token count folds out of the term counts with a union-aggregate
+    * (no 1-row crossJoin inside a broadcast — see Bm25.buildIndex).
+    * Docs with zero tokens produce no row. */
+  def unigramLogProbs(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = false)).as("term"))
+    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("n_t"))
+    val total = broadcast(termCounts
+      .agg(coalesce(sum("n_t"), lit(0L)).as("n_total")))
+    val probs = termCounts.crossJoin(total)
+      .select(col("term"),
+        (col("n_t").cast("double") / col("n_total").cast("double")).as("p"))
+    toks.join(probs, "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log2(col("p"))).as("bits_per_token"))
+  }
+
   /** Deterministic stratified sampling — the domain-mixture weighting
     * step of a training-data pipeline (e.g. upweight code, downsample
     * crawl): keep a row iff its sha-derived uniform u(id) < rate of

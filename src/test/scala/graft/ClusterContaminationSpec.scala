@@ -117,6 +117,21 @@ class ClusterContaminationSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProbs matches hand-computed cross-entropy") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aa aa bb"), (2L, "bb cc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // N=5: p(aa)=p(bb)=0.4, p(cc)=0.2
+    val b4 = -math.log(0.4) / math.log(2)
+    val b2 = -math.log(0.2) / math.log(2)
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - b4) < 1e-9)
+    assert(got(2L)._1 == 2 && math.abs(got(2L)._2 - (b4 + b2) / 2) < 1e-9)
+    assert(!got.contains(3L)) // zero-token doc emits no row
+  }
+
   test("tokenHistogram buckets cover every doc exactly once") {
     import graft.operators.TextAnalysis
     val docs = Seq("one", "one two three", ("w " * 25).trim, "")
