@@ -766,6 +766,24 @@ object SparkEntry {
     }),
 
     // ---- deterministic train/val/test hash split ----
+    // ---- PII scrubbing (emails / IPv4 / phones -> placeholders, with
+    //      audit counts); deterministic PII injected so the redaction
+    //      actually exercises on the synthetic corpus ----
+    "pii_scrub" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1 555 01"), col("doc_id"),
+              lit(" at 10.0."), (col("doc_id") % 256).cast("int"),
+              lit(".1")))
+            .otherwise(lit(""))))
+      TextAnalysis.scrubPii(seeded, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("scrubbed_text"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     // ---- unigram cross-entropy quality score (CCNet-style LM filter,
     //      self-derived unigram model) ----
     "unigram_bits" -> ((s, dir) => {
@@ -1803,6 +1821,27 @@ object SparkEntry {
         |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
         |  CAST(cum_before % 256 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub" -> {
+      val em = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val ph = TextAnalysis.PhonePattern
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 THEN
+         |    ' contact user' || doc_id || '@example.com or +1 555 01' ||
+         |    doc_id || ' at 10.0.' || (doc_id % 256) || '.1'
+         |    ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$ph', '<PHONE>', 'g') AS scrubbed_text,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(text, '$ph')) AS n_phones
+         |FROM seeded ORDER BY doc_id""".stripMargin
+    },
 
     "unigram_bits" ->
       """WITH toks AS (

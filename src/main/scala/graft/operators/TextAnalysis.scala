@@ -197,6 +197,36 @@ object TextAnalysis {
         (col("_cum_before") % budget).as("bin_offset"))
   }
 
+  /** PII patterns shared by the scrubber and its oracle: plain
+    * alternation-free regexes that mean the same thing to Java regex
+    * and RE2 (no lookaround, no backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4,7}"
+
+  /** PII scrubbing — the redaction pass of a training-data pipeline:
+    * replace emails, IPv4 addresses, and international phone numbers
+    * with fixed placeholder tokens, and report per-category hit counts
+    * for audit. Pure map-side column ops (regexp_replace +
+    * regexp_extract_all): narrow at any corpus size. Precision
+    * follows the public curation norm (e.g. BigScience/ROOTS PII
+    * pipeline): favors simple high-recall patterns over RFC-exact
+    * ones. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    def hits(p: String) = size(regexp_extract_all(text, lit(p), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+    df.select(col(idCol).as("id"),
+      scrubbed.as("scrubbed_text"),
+      hits(EmailPattern).as("n_emails"),
+      hits(Ipv4Pattern).as("n_ips"),
+      hits(PhonePattern).as("n_phones"))
+  }
+
   /** Unigram cross-entropy quality score — the declarative core of the
     * CCNet/RefinedWeb LM-perplexity filter: score each document by the
     * mean -log2 p(token) under the corpus's own unigram distribution

@@ -117,6 +117,22 @@ class ClusterContaminationSpec extends SparkSpec {
     }
   }
 
+  test("scrubPii redacts emails/IPs/phones and counts them") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org or x@y.io, host 192.168.0.1, tel +44 204 7946000"),
+      (2L, "clean text, version 1.2 only")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getString(1) ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>")
+    assert(r1.getInt(2) == 2 && r1.getInt(3) == 1 && r1.getInt(4) == 1)
+    val r2 = got(2L)
+    assert(r2.getString(1) == "clean text, version 1.2 only")
+    assert(r2.getInt(2) == 0 && r2.getInt(3) == 0 && r2.getInt(4) == 0)
+  }
+
   test("unigramLogProbs matches hand-computed cross-entropy") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "aa aa bb"), (2L, "bb cc"), (3L, ""))
