@@ -985,10 +985,13 @@ object SparkEntry {
     // ---- RAKE keyword extraction (A4) ----
     "rake_keywords" -> ((s, dir) => {
       // score is fixed-point (exact integer / 1e6) — no round() needed;
-      // see Rake.extract's determinism note.
+      // see Rake.extract's determinism note. doc_id is cast back to long
+      // so the dump's parquet schema matches the oracle's BIGINT (the
+      // driver hash compare is typed; VARCHAR '1' != BIGINT 1).
       Rake.extractKeywords(t(s, dir, "documents"), "doc_id", "text", topK = 5)
-        .select(col("doc_id"), col("phrase"), col("score"), col("rank"))
-        .orderBy(col("doc_id").cast("long"), col("rank"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("phrase"),
+          col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
     }),
 
     // ---- chunk stats (A6) ----
@@ -2073,10 +2076,10 @@ object SparkEntry {
          |  FROM (
          |    SELECT doc_id, sidx, unnest(list_transform(
          |      range(len(regexp_extract_all(lower(sent),
-         |        '[a-zA-Z][a-zA-Z0-9]*(''[a-zA-Z]+)?'))),
+         |        '\\b[a-zA-Z][a-zA-Z0-9]*(''[a-zA-Z]+)?\\b'))),
          |      i -> {'idx': i,
          |            'word': regexp_extract_all(lower(sent),
-         |              '[a-zA-Z][a-zA-Z0-9]*(''[a-zA-Z]+)?')[i+1]})) AS u
+         |              '\\b[a-zA-Z][a-zA-Z0-9]*(''[a-zA-Z]+)?\\b')[i+1]})) AS u
          |    FROM sents)),
          |grouped AS (
          |  SELECT doc_id, sidx, idx, word,

@@ -12,28 +12,50 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(rows, cols):
+import re
+
+def norm_type(t):
+    # Normalize to the driver's observed equivalence classes: the driver
+    # hash compares PYTHON VALUES, so integer widths (INT32 vs BIGINT)
+    # and DECIMAL-vs-DOUBLE hash equal (r3: rrf_fuse/token_count/... all
+    # passed with INTEGER vs BIGINT), while VARCHAR '1' vs BIGINT 1 does
+    # NOT (r3: rake_keywords failed on exactly that). Collapse numeric
+    # widths; keep string/number/bool/temporal distinctions strict.
+    s = str(t)
+    s = re.sub(r"\bU?(TINYINT|SMALLINT|INTEGER|BIGINT|HUGEINT)\b", "INT", s)
+    s = re.sub(r"\bDECIMAL\(\d+,\d+\)|\bFLOAT\b|\bDOUBLE\b", "NUM", s)
+    return s
+
+def canon(rows, cols, types):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in idx))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in idx]
+    return (sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)),
+            [cols[i] for i in idx], [norm_type(types[i]) for i in idx])
 
 def val_eq(a, b):
-    # EXACT comparison: the identical-rounding discipline makes every
-    # Spark/DuckDB value bit-equal (verified 2026-08-12), so the local
-    # gate is at least as strict as any driver-side hash compare.
+    # EXACT + TYPED comparison. The driver's hash compare is typed, so a
+    # str()-based fallback here is a hole: VARCHAR '1' vs BIGINT 1 passed
+    # the local gate for two rounds while the driver hash failed
+    # (rake_keywords). Types are checked column-wise before values; here
+    # we only compare values, with NO string coercion.
+    from decimal import Decimal
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
+    if isinstance(a, (float, Decimal)) or isinstance(b, (float, Decimal)):
+        if not isinstance(a, (int, float, Decimal)) or \
+           not isinstance(b, (int, float, Decimal)):
+            return False
+        fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
         return fa == fb
-    return a == b or str(a) == str(b)
+    if isinstance(a, str) != isinstance(b, str):
+        return False
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(val_eq(x, y) for x, y in zip(a, b))
+    return a == b
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -44,15 +66,23 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracles.items()):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            grows, gcols = canon(got.fetchall(), got.columns)
+            grows, gcols, gtypes = canon(got.fetchall(), got.columns, got.types)
             exp = con.sql(sql)
-            erows, ecols = canon(exp.fetchall(), exp.columns)
+            erows, ecols, etypes = canon(exp.fetchall(), exp.columns, exp.types)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
         if gcols != ecols:
             print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+            n_fail += 1
+            continue
+        if gtypes != etypes:
+            # Typed schema compare — the driver hashes VALUES WITH TYPES,
+            # so a parquet VARCHAR vs oracle BIGINT must fail HERE, not
+            # only on the driver. (Spark writes INT as INT32; DuckDB reads
+            # it as INTEGER vs the oracle's cast — keep casts aligned.)
+            print(f"FAIL {name}: dtypes spark={gtypes} oracle={etypes}")
             n_fail += 1
             continue
         if len(grows) != len(erows):
