@@ -975,10 +975,36 @@ object SparkEntry {
         col("doc_id"),
         col("text").cast("binary").as("content"),
         element_at(array(lit(".md"), lit(".py"), lit(".json"), lit(".txt"),
-          lit(".pdf")), (col("doc_id") % 5 + 1).cast("int")).as("extension"))
+          lit(".pdf"), lit(".docx"), lit(".doc")),
+          (col("doc_id") % 7 + 1).cast("int")).as("extension"))
       Parsers.parse(files)
         .select(col("doc_id"), col("extension"), col("parser"),
           col("parse_status"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- real PDF extraction round-trip (S8) ----
+    // Synthesizes a valid one-stream PDF around each document's text
+    // IN-PLAN (escape + concat column ops), routes it through the real
+    // pdf parser, and emits the EXTRACTED text — the oracle hash-checks
+    // it against the original document text, pinning the whole literal
+    // -string/stream/Length decode path. DuckDB can't parse PDFs, so
+    // the identity property is what makes this oracle-checkable.
+    "parser_pdf_roundtrip" -> ((s, dir) => {
+      import graft.sources.Parsers
+      val esc = regexp_replace(regexp_replace(col("text"),
+        "\\\\", "\\\\\\\\"), "([()])", "\\\\$1")
+      val body = concat(lit("BT ("), esc, lit(") Tj ET"))
+      val pdf = concat(
+        lit("%PDF-1.4\n1 0 obj\n<< /Length "),
+        length(body.cast("binary")).cast("string"),
+        lit(" >>\nstream\n"), body, lit("\nendstream\nendobj\n"))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), pdf.cast("binary").as("content"),
+        lit(".pdf").as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("parser"), col("parse_status"),
+          col("text"))
         .orderBy("doc_id")
     }),
 
@@ -2046,19 +2072,30 @@ object SparkEntry {
     "parser_dispatch" ->
       """WITH f AS (
         |  SELECT doc_id, text,
-        |    (['.md', '.py', '.json', '.txt', '.pdf'])[CAST(doc_id % 5 + 1 AS INT)]
-        |      AS extension
+        |    (['.md', '.py', '.json', '.txt', '.pdf', '.docx', '.doc'])
+        |      [CAST(doc_id % 7 + 1 AS INT)] AS extension
         |  FROM documents)
         |SELECT doc_id, extension,
         |  CASE extension
         |    WHEN '.md' THEN 'markdown' WHEN '.py' THEN 'code'
         |    WHEN '.json' THEN 'structured' WHEN '.txt' THEN 'text'
-        |    WHEN '.pdf' THEN 'binary_stub' END AS parser,
-        |  CASE WHEN extension = '.pdf' THEN 'stubbed' ELSE 'ok' END
-        |    AS parse_status,
-        |  CAST(CASE WHEN extension = '.pdf' THEN 0 ELSE length(text) END
-        |    AS INT) AS text_len
+        |    WHEN '.pdf' THEN 'pdf' WHEN '.docx' THEN 'docx'
+        |    WHEN '.doc' THEN 'binary_stub' END AS parser,
+        |  -- plain text bytes under a binary extension: the real parsers
+        |  -- reject them with a typed status; .doc stays stubbed
+        |  CASE extension WHEN '.pdf' THEN 'error:not_pdf'
+        |    WHEN '.docx' THEN 'error:not_docx'
+        |    WHEN '.doc' THEN 'stubbed' ELSE 'ok' END AS parse_status,
+        |  CAST(CASE WHEN extension IN ('.pdf', '.docx', '.doc') THEN 0
+        |    ELSE length(text) END AS INT) AS text_len
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "parser_pdf_roundtrip" ->
+      """SELECT doc_id, 'pdf' AS parser,
+        |  CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
+        |    AS parse_status,
+        |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "rake_keywords" -> {
       val stopList = Rake.StopWords.toSeq.sorted

@@ -1,0 +1,313 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Inflater, ZipInputStream}
+
+/** Pure-JVM binary document parsers (S8 registry entries `pdf` and
+  * `docx`), replacing the round-3 `binary_stub` for those two formats.
+  *
+  * The reference routes these through the `unstructured` library
+  * (shared/text_processing/parsers/unstructured.py:15-155); the
+  * text-extraction CONTRACT is the same — binary in, plain text +
+  * status out — re-implemented here on JDK primitives only (this
+  * container has no Tika/PDFBox; on a real cluster either drops into
+  * the same slot).
+  *
+  * Scope (documented limitations, marked by `parse_status`):
+  *  - PDF: text is pulled from page content streams (raw or
+  *    FlateDecode) by interpreting the text-showing operators
+  *    (Tj / ' / " / TJ). Single-byte encodings (Standard/WinAnsi)
+  *    round-trip; CID/Type0-composite fonts would need font CMaps and
+  *    are out of scope — typical for lightweight extractors.
+  *  - DOCX: text of `word/document.xml` — `<w:t>` runs, with
+  *    `<w:br/>`/`<w:cr/>` → newline, `<w:tab/>` → tab, `</w:p>` →
+  *    newline, XML entities unescaped.
+  *
+  * Everything here is per-row and allocation-bounded by the document
+  * size: the operator is a narrow map over the scan, no shuffle at any
+  * corpus size.
+  */
+object BinaryParsers {
+
+  /** (text, status): status is "ok", "empty", or "error:<why>". */
+  case class ParseResult(text: String, status: String)
+
+  def parse(content: Array[Byte], parser: String): ParseResult =
+    if (content == null || content.isEmpty) ParseResult("", "error:empty")
+    else parser match {
+      case "pdf"  => pdf(content)
+      case "docx" => docx(content)
+      case _      => ParseResult("", "stubbed")
+    }
+
+  // ---------------------------------------------------------------- PDF
+
+  private val PdfMagic = "%PDF-".getBytes(StandardCharsets.ISO_8859_1)
+
+  def pdf(bytes: Array[Byte]): ParseResult = {
+    if (bytes.length < PdfMagic.length ||
+        !PdfMagic.indices.forall(i => bytes(i) == PdfMagic(i)))
+      return ParseResult("", "error:not_pdf")
+    try {
+      // ISO-8859-1 is 1:1 byte<->char, so string offsets == byte offsets.
+      val s = new String(bytes, StandardCharsets.ISO_8859_1)
+      val texts = contentStreams(s, bytes)
+        .map(b => reDecodeUtf8(extractText(b))).filter(_.nonEmpty)
+      if (texts.isEmpty) ParseResult("", "empty")
+      else ParseResult(texts.mkString("\n"), "ok")
+    } catch {
+      case e: Exception =>
+        ParseResult("", "error:" + e.getClass.getSimpleName)
+    }
+  }
+
+  /** Decoded bytes of every stream object (raw, or inflated when its
+    * dictionary says /FlateDecode). Malformed/undecodable streams are
+    * skipped, not fatal. */
+  private def contentStreams(s: String, bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var from = 0
+    while ({ val i = s.indexOf("stream", from); i >= 0 && {
+      // "endstream" also contains "stream" — require a dict end or
+      // whitespace before the keyword so we only match stream starts.
+      val isStart = i == 0 || { val c = s.charAt(i - 1)
+        c == '>' || c == ' ' || c == '\n' || c == '\r' || c == '\t' }
+      var data = i + "stream".length
+      if (data < s.length && s.charAt(data) == '\r') data += 1
+      if (data < s.length && s.charAt(data) == '\n') data += 1
+      val dict = if (isStart) dictBefore(s, i) else ""
+      // Prefer the dictionary's /Length to delimit the stream — a
+      // stream whose BODY happens to contain the keyword "endstream"
+      // is then still parsed whole; fall back to keyword scan.
+      val explicit = LengthRe.findFirstMatchIn(dict)
+        .map(m => data + m.group(1).toInt)
+        .filter { stop =>
+          var p = stop
+          if (p < s.length && s.charAt(p) == '\r') p += 1
+          if (p < s.length && s.charAt(p) == '\n') p += 1
+          stop >= data && s.startsWith("endstream", p)
+        }
+      val end = explicit.getOrElse(s.indexOf("endstream", data))
+      if (isStart && end >= data) {
+        var stop = end
+        if (explicit.isEmpty) {
+          if (stop > data && s.charAt(stop - 1) == '\n') stop -= 1
+          if (stop > data && s.charAt(stop - 1) == '\r') stop -= 1
+        }
+        val raw = java.util.Arrays.copyOfRange(bytes, data, stop)
+        if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
+        else out += raw
+        from = s.indexOf("endstream", stop) match {
+          case -1 => s.length
+          case e  => e + "endstream".length
+        }
+      } else from = i + "stream".length
+      true
+    }}) ()
+    out.result()
+  }
+
+  private val LengthRe = "/Length\\s+(\\d+)".r
+
+  /** Strings shown in a PDF come out as raw bytes (latin-1 chars here);
+    * if those bytes form valid UTF-8 with at least one multi-byte
+    * sequence, re-decode — text written as UTF-8 octets round-trips,
+    * while true Win/Mac-Ansi bytes (rarely valid UTF-8) stay as-is. */
+  private def reDecodeUtf8(latin1: String): String = {
+    if (!latin1.exists(_ > 0x7f)) return latin1
+    try StandardCharsets.UTF_8.newDecoder()
+      .decode(java.nio.ByteBuffer.wrap(
+        latin1.getBytes(StandardCharsets.ISO_8859_1))).toString
+    catch { case _: Exception => latin1 }
+  }
+
+  /** The balanced `<< ... >>` dictionary immediately before offset. */
+  private def dictBefore(s: String, pos: Int): String = {
+    val close = s.lastIndexOf(">>", pos)
+    if (close < 0) return ""
+    var depth = 1
+    var j = close - 1
+    while (j > 0) {
+      if (s.charAt(j) == '>' && s.charAt(j - 1) == '>') { depth += 1; j -= 2 }
+      else if (s.charAt(j) == '<' && s.charAt(j - 1) == '<') {
+        depth -= 1
+        if (depth == 0) return s.substring(j - 1, close + 2)
+        j -= 2
+      } else j -= 1
+    }
+    ""
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      var stuck = false
+      while (!inf.finished() && !stuck) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) stuck = true
+      }
+      inf.end()
+      if (stuck && out.size() == 0) None else Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Text-showing operators of one content stream.
+    *
+    * Newlines are inserted BETWEEN shown strings on line-moving
+    * operators (T*, Td, TD, ', ") and at ET — never appended at the
+    * end — so a single `(...) Tj` stream round-trips its string
+    * exactly (the property `parser_pdf_roundtrip`'s oracle checks
+    * hash-exact). */
+  private def extractText(streamBytes: Array[Byte]): String = {
+    val s = new String(streamBytes, StandardCharsets.ISO_8859_1)
+    val sb = new StringBuilder
+    val operands = collection.mutable.ArrayBuffer.empty[String]
+    var pendingBreak = false
+    def show(t: String): Unit = {
+      if (pendingBreak && sb.nonEmpty) sb.append('\n')
+      pendingBreak = false
+      sb.append(t)
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '(') { val (t, j) = literalString(s, i); operands += t; i = j }
+      else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') i += 2
+      else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '>') i += 2
+      else if (c == '<') { val (t, j) = hexString(s, i); operands += t; i = j }
+      else if (c == '[' || c == ']') i += 1
+      else if (c == '%') { while (i < n && s.charAt(i) != '\n') i += 1 }
+      else if (c == '/' || c.isDigit || c == '+' || c == '-' || c == '.') {
+        // name or number — not text; skip the token
+        i += 1
+        while (i < n && !" \t\r\n()<>[]/%".contains(s.charAt(i))) i += 1
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+      else {
+        val start = i
+        while (i < n && !" \t\r\n()<>[]/%".contains(s.charAt(i))) i += 1
+        s.substring(start, i) match {
+          case "Tj" | "TJ" => operands.foreach(show); operands.clear()
+          case "'" => pendingBreak = true; operands.foreach(show); operands.clear()
+          case "\"" => pendingBreak = true; operands.foreach(show); operands.clear()
+          case "Td" | "TD" | "T*" => pendingBreak = true; operands.clear()
+          case "ET" => pendingBreak = true; operands.clear()
+          case _ => operands.clear()
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** PDF literal string `(...)` with nesting + backslash escapes;
+    * returns (decoded, index-after-close). */
+  private def literalString(s: String, open: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var i = open + 1
+    val n = s.length
+    while (i < n && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\r' => // line continuation
+            i += 2; if (i < n && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < n && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+            }
+            sb.append((v & 0xff).toChar)
+          case other => sb.append(other); i += 2
+        }
+      } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  /** PDF hex string `<...>`; odd final digit padded with 0. */
+  private def hexString(s: String, open: Int): (String, Int) = {
+    val close = s.indexOf('>', open + 1)
+    if (close < 0) return ("", s.length)
+    val hex = s.substring(open + 1, close).filter(c =>
+      Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 0) hex else hex + "0"
+    val sb = new StringBuilder(padded.length / 2)
+    var i = 0
+    while (i < padded.length) {
+      sb.append(Integer.parseInt(padded.substring(i, i + 2), 16).toChar)
+      i += 2
+    }
+    (sb.toString, close + 1)
+  }
+
+  // --------------------------------------------------------------- DOCX
+
+  private val DocxTok =
+    "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:(?:br|cr)\\s*/>|<w:tab\\s*/>|</w:p>".r
+
+  def docx(bytes: Array[Byte]): ParseResult =
+    try {
+      // OOXML is a zip; anything without the PK local-header magic is
+      // not a docx (deterministic status for the dispatch oracle).
+      if (bytes.length < 4 || bytes(0) != 'P' || bytes(1) != 'K')
+        return ParseResult("", "error:not_docx")
+      val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+      var xml: String = null
+      var entry = zin.getNextEntry
+      var sawEntry = false
+      while (entry != null && xml == null) {
+        sawEntry = true
+        if (entry.getName == "word/document.xml")
+          xml = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+        entry = zin.getNextEntry
+      }
+      zin.close()
+      if (xml == null)
+        ParseResult("", if (sawEntry) "error:no_document_xml" else "error:not_docx")
+      else {
+        val sb = new StringBuilder
+        for (m <- DocxTok.findAllMatchIn(xml)) {
+          if (m.group(1) != null) sb.append(unescapeXml(m.group(1)))
+          else if (m.matched.startsWith("<w:tab")) sb.append('\t')
+          else sb.append('\n')
+        }
+        // </w:p> of the last paragraph leaves one trailing newline
+        val text = sb.toString.reverse.dropWhile(_ == '\n').reverse
+        if (text.isEmpty) ParseResult("", "empty") else ParseResult(text, "ok")
+      }
+    } catch {
+      case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+    }
+
+  private val EntityRe = "&(#x[0-9a-fA-F]+|#[0-9]+|lt|gt|amp|quot|apos);".r
+
+  def unescapeXml(s: String): String =
+    if (!s.contains('&')) s
+    else EntityRe.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      m.group(1) match {
+        case "lt" => "<"
+        case "gt" => ">"
+        case "amp" => "&"
+        case "quot" => "\""
+        case "apos" => "'"
+        case e if e.startsWith("#x") =>
+          new String(Character.toChars(Integer.parseInt(e.drop(2), 16)))
+        case e => new String(Character.toChars(e.drop(1).toInt))
+      }))
+}

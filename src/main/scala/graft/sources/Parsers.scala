@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * `when`/`otherwise` dispatch column — the whole registry compiles
   * into the scan projection.
   *
-  * Formats needing native libraries (pdf, docx, …) are STUBBED: they
-  * route to the `binary_stub` parser which emits an empty text and a
-  * `parse_status` marker, keeping the dispatch/plumbing real while the
-  * heavy parser (Tika on a real cluster) plugs into the same slot.
+  * Text formats decode as pure column ops; `pdf` and `docx` route
+  * through [[BinaryParsers]] (pure-JVM extraction — the container has
+  * no Tika; a Tika-backed parser plugs into the same slot on a real
+  * cluster). Formats still needing native libraries (.doc, .ppt, …)
+  * stay on the `binary_stub` parser which emits empty text and a
+  * `parse_status` marker, keeping the dispatch/plumbing real.
   */
 object Parsers {
 
@@ -21,8 +23,10 @@ object Parsers {
     "code" -> Seq(".py", ".scala", ".java", ".js", ".ts", ".sh"),
     "structured" -> Seq(".json", ".csv", ".xml", ".yaml", ".yml"),
     "html" -> Seq(".html", ".htm"),
+    "pdf" -> Seq(".pdf"),
+    "docx" -> Seq(".docx"),
     "text" -> Seq(".txt", ""),
-    "binary_stub" -> Seq(".pdf", ".docx"))
+    "binary_stub" -> Seq(".doc", ".ppt", ".pptx", ".xls", ".xlsx"))
 
   /** Dispatch column: the chosen parser name for an extension column
     * (first registry entry claiming the extension; unknown → "text",
@@ -32,14 +36,26 @@ object Parsers {
       when(lower(extension).isin(exts: _*), lit(name)).otherwise(rest)
     }
 
+  /** Binary extraction slot: deterministic, so whole-stage codegen's
+    * subexpression elimination evaluates it once per row even when
+    * both fields are projected. */
+  private val binParse =
+    udf((content: Array[Byte], parser: String) =>
+      BinaryParsers.parse(content, parser))
+
+  private val BinaryParsed = Seq("pdf", "docx")
+
   /** Parse: (content binary, extension) → (text, parse_status).
-    * Pure column ops per parser; the stub emits empty text +
-    * "stubbed". */
+    * Pure column ops per text parser; pdf/docx extract via
+    * [[BinaryParsers]]; the stub emits empty text + "stubbed". */
   def parse(df: DataFrame, contentCol: String = "content",
             extCol: String = "extension"): DataFrame = {
     val parser = parserFor(col(extCol))
     val decoded = Sources.decodeText(col(contentCol))
+    val isBinary = parser.isin(BinaryParsed: _*)
+    val bin = binParse(col(contentCol), parser)
     val text = when(parser === "binary_stub", lit(""))
+      .when(isBinary, bin.getField("text"))
       .when(parser === "html",
         // strip tags/scripts — the text-extraction contract of the
         // unstructured parser, collapsed to column ops
@@ -51,6 +67,8 @@ object Parsers {
     df.withColumn("parser", parser)
       .withColumn("text", text)
       .withColumn("parse_status",
-        when(parser === "binary_stub", lit("stubbed")).otherwise(lit("ok")))
+        when(parser === "binary_stub", lit("stubbed"))
+          .when(isBinary, bin.getField("status"))
+          .otherwise(lit("ok")))
   }
 }

@@ -15,7 +15,9 @@ class ParsersProgressSpec extends SparkSpec {
       ("c", "<html><script>x=1</script><p>hello world</p></html>", ".html"),
       ("d", "plain", ".txt"),
       ("e", "%PDF-1.4 ...", ".pdf"),
-      ("f", "unknown ext", ".xyz"))
+      ("f", "unknown ext", ".xyz"),
+      ("g", "old word binary", ".doc"),
+      ("h", "not a zip", ".docx"))
       .map { case (id, body, ext) => (id, body.getBytes("UTF-8"), ext) }
       .toDF("doc_id", "content", "extension")
     val got = Parsers.parse(files).collect()
@@ -28,9 +30,14 @@ class ParsersProgressSpec extends SparkSpec {
     assert(got("c")._2.contains("hello world") && !got("c")._2.contains("<p>") &&
       !got("c")._2.contains("x=1")) // scripts and tags stripped
     assert(got("d")._1 == "text")
-    assert(got("e")._1 == "binary_stub" && got("e")._2 == "" &&
-      got("e")._3 == "stubbed")
+    // a PDF header with no content streams parses to empty, not stub
+    assert(got("e")._1 == "pdf" && got("e")._2 == "" &&
+      got("e")._3 == "empty")
     assert(got("f")._1 == "text") // fallback parser
+    assert(got("g")._1 == "binary_stub" && got("g")._2 == "" &&
+      got("g")._3 == "stubbed")
+    assert(got("h")._1 == "docx" && got("h")._2 == "" &&
+      got("h")._3 == "error:not_docx")
   }
 
   test("progress listener records started/batch/terminated (T4)") {
