@@ -294,13 +294,30 @@ object Dedup {
     * id from `all` joined in (singletons form their own cluster), the
     * min-id member kept as the canonical survivor. Output:
     * (id, cluster_rep, cluster_size, is_kept). */
+  /** Compact the candidate-pair relation to the cluster's parallelism
+    * (never one partition) before caching — a pathological corpus can
+    * produce corpus-sized pair sets and a coalesce(1) would serialize
+    * them through a single task. Exposed for the scale spec. */
+  private[graft] def pinPairs(pairs: DataFrame): DataFrame = {
+    val parallelism =
+      math.max(1, pairs.sparkSession.sparkContext.defaultParallelism)
+    pairs.select("id_a", "id_b").coalesce(parallelism).cache()
+  }
+
   def resolveClusters(all: DataFrame, idCol: String,
                       pairs: DataFrame): DataFrame = {
-    // pairs are tiny next to the corpus (bounded by the dup rate); pin
-    // them so the (often deep) candidate pipeline runs once, not once
-    // per propagation round
-    val pinned = pairs.select("id_a", "id_b").coalesce(1).cache()
-    val labels = broadcast(connectedComponents(pinned))
+    // Pin the pairs so the (often deep) candidate pipeline runs once,
+    // not once per propagation round — but NOT to one partition: at
+    // pathological dup rates the pair relation is corpus-sized and a
+    // coalesce(1) would serialize it through a single task. Compact to
+    // the cluster's parallelism instead; the cache keeps it hot across
+    // propagation rounds either way.
+    val pinned = pinPairs(pairs)
+    // No broadcast hint: labels are bounded by the ids in `pairs`, which
+    // is usually tiny (AQE converts the join to broadcast at runtime)
+    // but can be corpus-sized on a degenerate corpus, where a forced
+    // broadcast would OOM the driver.
+    val labels = connectedComponents(pinned)
     val full = all.select(col(idCol).as("id")).distinct()
       .join(labels, Seq("id"), "left")
       .withColumn("cluster_rep", coalesce(col("rep"), col("id")))

@@ -105,6 +105,23 @@ class DedupScaleSpec extends SparkSpec {
     assert(all.length == all.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
   }
 
+  test("resolveClusters does not pin pairs to one partition") {
+    // high-dup corpus: every doc pairs with its neighbor -> the pair
+    // relation is corpus-sized, the worst case for a single-partition
+    // pin. The pin must keep the cluster's parallelism.
+    val pairs = (0L until 2000L by 2).map(i => (i, i + 1))
+      .toDF("id_a", "id_b").repartition(16)
+    val pinned = Dedup.pinPairs(pairs)
+    try {
+      assert(pinned.rdd.getNumPartitions > 1,
+        "pair pin must not serialize through one partition")
+      val all = (0L until 2000L).toDF("doc_id")
+      val got = Dedup.resolveClusters(all, "doc_id", pairs)
+        .filter(col("is_kept")).count()
+      assert(got == 1000, "one kept survivor per 2-doc cluster")
+    } finally pinned.unpersist()
+  }
+
   test("auto plane count (nPlanes <= 0) produces a valid plan") {
     val vectors = (0 until 50).map(i =>
       (i.toLong, Array.fill(8)(scala.util.Random.nextFloat()).toSeq))
