@@ -104,16 +104,20 @@ object Bm25 {
   /** Assemble (id, indices, values) sparse vectors. Term ids are the
     * rank of the term in the sorted vocabulary (snapshot semantics; the
     * reference uses insertion order, which is inherently sequential).
-    * The vocab window is a single global sort over DISTINCT terms — the
-    * vocabulary, not the corpus — acceptable because |vocab| ≪ |tokens|;
-    * swap for zipWithIndex over a sorted RDD if vocab outgrows one
-    * partition's sort buffer. */
+    * Rank assignment is a DISTRIBUTED sort (range-partitioned sortBy)
+    * + zipWithIndex — per-partition offsets are the only thing that
+    * touches the driver — so the vocabulary never has to fit one
+    * partition's sort buffer, unlike a global row_number window. */
   def sparseVectors(corpus: DataFrame, idCol: String, textCol: String,
                     p: Params = Default): DataFrame = {
     val weights = docTermWeights(corpus, idCol, textCol, p)
-    val vocab = weights.select("term").distinct()
-      .withColumn("term_id",
-        row_number().over(Window.orderBy("term")).cast("int") - 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vocab = weights.select("term").distinct().as[String].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (t, i) => (t, i.toInt) }
+      .toDF("term", "term_id")
     weights.join(vocab, "term")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("term_id"), col("weight"))))
