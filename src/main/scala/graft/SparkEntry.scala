@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bm25, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, TextAnalysis}
+import graft.operators.{BenchmarkDatasets, Bm25, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, TextAnalysis}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -580,6 +580,21 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // ---- BM25 sparse vectors (A2 assembly; distributed vocab rank) ----
+    // Exploded to (doc_id, term_id, weight) rows so the driver's typed
+    // hash compare covers the term-id assignment — the vocabulary rank
+    // is a distributed sortBy+zipWithIndex, and this query pins its
+    // equivalence to SQL dense_rank over the sorted distinct vocab.
+    "bm25_sparsevec" -> ((s, dir) => {
+      Bm25.sparseVectors(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("id") < 50)
+        .select(col("id").as("doc_id"),
+          explode(arrays_zip(col("indices"), col("values"))).as("pair"))
+        .select(col("doc_id"), col("pair.indices").as("term_id"),
+          round(col("pair.values"), 6).as("weight"))
+        .orderBy("doc_id", "term_id")
+    }),
+
     // ---- BM25 sparse top-k (A3 + W2) ----
     "bm25_topk" -> ((s, dir) => {
       Bm25.searchTopK(t(s, dir, "documents"), "doc_id", "text",
@@ -1062,6 +1077,38 @@ object SparkEntry {
         .orderBy("doc_ref")
     }),
 
+    // ---- benchmark dataset front door (§1.1; judgment JSON parse) ----
+    // The uploads relation is assembled deterministically FROM documents
+    // (JSON text built in-plan), then parsed back through the real
+    // front door (BenchmarkDatasets.parseJudgments) — string refs,
+    // object refs, missing grades, and out-of-range grades all present.
+    // The oracle computes the expected (query, doc_ref, grade) rows
+    // from first principles (default 2, clamp 0..3), so the JSON
+    // round-trip + normalization is what the hash compare pins.
+    "bench_dataset" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val judged = docs.select(
+        (col("doc_id") % 7).as("query_id"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, // object ref, explicit grade 0..3
+          concat(lit("{\"doc_ref\": {\"uri\": \"doc://"), col("doc_id"),
+            lit("\"}, \"relevance_grade\": "), col("doc_id") % 4, lit("}")))
+        .when(col("doc_id") % 3 === 1, // string ref, grade -2..6 (clamps)
+          concat(lit("{\"doc_ref\": \"doc://"), col("doc_id"),
+            lit("\", \"relevance_grade\": "), col("doc_id") % 9 - 2, lit("}")))
+        .otherwise( // string ref, no grade (defaults to 2)
+          concat(lit("{\"doc_ref\": \"doc://"), col("doc_id"), lit("\"}")))
+          .as("j"))
+      val uploads = judged.groupBy("query_id")
+        .agg(concat(lit("["), array_join(
+            transform(sort_array(collect_list(struct(col("doc_id"), col("j")))),
+              x => x("j")), ","), lit("]")).as("judgments_json"))
+        .withColumn("query_text", concat(lit("query "), col("query_id")))
+      BenchmarkDatasets.parseJudgments(uploads)
+        .select(col("query_id"), col("query_text"), col("doc_ref"),
+          col("grade"))
+        .orderBy("query_id", "doc_ref")
+    }),
+
     // ---- incremental sync merge (T2) ----
     "sync_merge" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1178,6 +1225,18 @@ object SparkEntry {
       val (m, p1, p2) = pcaFitFor(s, dir)
       graft.operators.Projection.project(t(s, dir, "embeddings"),
           "vec_id", "embedding", m, p1, p2)
+        .select(col("vec_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- UMAP-shaped projection run (rows-only: the seeded SGD fit is
+    //      driver-side by the reference's own contract and has no SQL
+    //      twin; determinism is pinned by UmapProjectionSpec) ----
+    "umap_project" -> ((s, dir) => {
+      graft.operators.Projection.umap2d(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64,
+          nNeighbors = 10, sampleLimit = 300, epochs = 50)
         .select(col("vec_id"), round(col("x"), 6).as("x"),
           round(col("y"), 6).as("y"))
         .orderBy("vec_id")
@@ -1450,6 +1509,18 @@ object SparkEntry {
          |SELECT doc_id, term, tf, round(weight, 6) AS weight
          |FROM weights WHERE doc_id < 50
          |ORDER BY doc_id, term""".stripMargin,
+
+    "bm25_sparsevec" ->
+      s"""WITH $Bm25WeightsCtes,
+         |vocab AS (
+         |  SELECT term, CAST(dense_rank() OVER (ORDER BY term) - 1 AS INT)
+         |    AS term_id
+         |  FROM (SELECT DISTINCT term FROM weights))
+         |SELECT w.doc_id AS doc_id, v.term_id AS term_id,
+         |  round(w.weight, 6) AS weight
+         |FROM weights w JOIN vocab v USING (term)
+         |WHERE w.doc_id < 50
+         |ORDER BY doc_id, term_id""".stripMargin,
 
     "bm25_topk" ->
       s"""WITH $Bm25ScoresCtes
@@ -2221,6 +2292,16 @@ object SparkEntry {
         |    ELSE 'unmatched' END AS match_status
         |FROM refs r LEFT JOIN docs d USING (doc_ref)
         |ORDER BY doc_ref""".stripMargin,
+
+    "bench_dataset" ->
+      """SELECT doc_id % 7 AS query_id,
+        |  'query ' || (doc_id % 7) AS query_text,
+        |  'doc://' || doc_id AS doc_ref,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 4
+        |    WHEN doc_id % 3 = 1 THEN LEAST(GREATEST(doc_id % 9 - 2, 0), 3)
+        |    ELSE 2 END AS INT) AS grade
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY query_id, doc_ref""".stripMargin,
 
     "sync_merge" ->
       """WITH state AS (
