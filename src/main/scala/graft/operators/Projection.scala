@@ -116,4 +116,210 @@ object Projection {
       orderCol = Some(idCol))
     project(vectors, idCol, vecCol, mean, pc1, pc2)
   }
+
+  /** UMAP-shaped 2-D reduction (ref projection_service.py:235-500:
+    * reducer "umap" with n_neighbors=15, min_dist=0.1, metric=cosine
+    * defaults, fitted over a bounded sample). The reference runs
+    * umap-learn driver-side on the sampled vectors; this keeps the
+    * exact same sample→fit shape — Spark does the (ordered,
+    * deterministic) sampling scan, the fit runs on the driver over
+    * ≤ sampleLimit points — but re-expresses the algorithm with a
+    * SEEDED deterministic pipeline so repeated runs are bit-identical:
+    * exact cosine k-NN, UMAP fuzzy simplicial-set weights (ρ/σ per
+    * point, probabilistic-union symmetrization), PCA initialization,
+    * and negative-sampling SGD with a per-run seeded RNG. Output is
+    * the sample's layout (id, x, y) — the reference likewise stores
+    * only the sampled projection as the run artifact. */
+  def umap2d(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+             nNeighbors: Int = 15, minDist: Double = 0.1,
+             sampleLimit: Int = 2000, epochs: Int = 200,
+             seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    val sampled = vectors.orderBy(col(idCol)).limit(sampleLimit)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n = sampled.length
+    require(n > 2, s"need > 2 vectors to fit UMAP, got $n")
+    val k = math.min(nNeighbors, n - 1)
+    val ids = sampled.map(_.getLong(0))
+    val x = sampled.map { r =>
+      val s = r.getSeq[Any](1)
+      val a = new Array[Double](dim)
+      var i = 0
+      while (i < dim && i < s.length) {
+        a(i) = s(i) match {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case m: Number => m.doubleValue()
+        }
+        i += 1
+      }
+      a
+    }
+
+    // --- exact cosine k-NN over the sample (O(n²·dim), n ≤ sampleLimit)
+    val norms = x.map(v => math.sqrt(v.map(d => d * d).sum) max 1e-12)
+    def cosDist(i: Int, j: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < dim) { s += x(i)(d) * x(j)(d); d += 1 }
+      1.0 - s / (norms(i) * norms(j))
+    }
+    val nbr = Array.ofDim[Int](n, k)
+    val nbrD = Array.ofDim[Double](n, k)
+    var i = 0
+    while (i < n) {
+      val cand = Array.tabulate(n)(j => (cosDist(i, j), j))
+      // ties broken by index — fully deterministic neighbor sets
+      val top = cand.filter(_._2 != i).sortBy(t => (t._1, t._2)).take(k)
+      var j = 0
+      while (j < k) { nbrD(i)(j) = top(j)._1; nbr(i)(j) = top(j)._2; j += 1 }
+      i += 1
+    }
+
+    // --- fuzzy simplicial set: ρ_i = nearest distance; σ_i solved so
+    // Σ_j exp(-(max(0, d_ij - ρ_i))/σ_i) = log₂(k)  (the UMAP paper's
+    // smooth-kNN calibration), then probabilistic-union symmetrization
+    val target = math.log(k.toDouble) / math.log(2.0)
+    val edgeW = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), Double]
+    i = 0
+    while (i < n) {
+      val rho = nbrD(i)(0)
+      var lo = 1e-4; var hi = 1e4
+      var it = 0
+      while (it < 64) {
+        val mid = (lo + hi) / 2
+        var s = 0.0; var j = 0
+        while (j < k) { s += math.exp(-math.max(0.0, nbrD(i)(j) - rho) / mid); j += 1 }
+        if (s > target) hi = mid else lo = mid
+        it += 1
+      }
+      val sigma = (lo + hi) / 2
+      var j = 0
+      while (j < k) {
+        val w = math.exp(-math.max(0.0, nbrD(i)(j) - rho) / sigma)
+        val key = if (i < nbr(i)(j)) (i, nbr(i)(j)) else (nbr(i)(j), i)
+        val prev = edgeW.getOrElse(key, 0.0)
+        edgeW(key) = prev + w - prev * w // fuzzy union
+        j += 1
+      }
+      i += 1
+    }
+    val edges = edgeW.toArray.sortBy { case ((a, b), _) => (a, b) }
+
+    // --- (a, b) from min_dist: deterministic coarse-to-fine least
+    // squares of 1/(1+a·d^{2b}) against the paper's target curve
+    // ψ(d) = 1 for d ≤ min_dist, exp(-(d - min_dist)) beyond
+    val grid = (0 until 300).map(t => minDist * 3.0 * (t + 1) / 300.0)
+    def sse(a: Double, b: Double): Double = grid.map { d =>
+      val psi = if (d <= minDist) 1.0 else math.exp(-(d - minDist))
+      val f = 1.0 / (1.0 + a * math.pow(d, 2 * b))
+      (psi - f) * (psi - f)
+    }.sum
+    var (bestA, bestB) = (1.0, 1.0)
+    var (loA, hiA, loB, hiB) = (0.05, 10.0, 0.05, 2.5)
+    var round = 0
+    while (round < 4) {
+      var best = Double.MaxValue
+      var ai = 0
+      while (ai < 20) {
+        val a = loA + (hiA - loA) * ai / 19.0
+        var bi = 0
+        while (bi < 20) {
+          val b = loB + (hiB - loB) * bi / 19.0
+          val e = sse(a, b)
+          if (e < best) { best = e; bestA = a; bestB = b }
+          bi += 1
+        }
+        ai += 1
+      }
+      val (spanA, spanB) = ((hiA - loA) / 10, (hiB - loB) / 10)
+      loA = math.max(0.01, bestA - spanA); hiA = bestA + spanA
+      loB = math.max(0.01, bestB - spanB); hiB = bestB + spanB
+      round += 1
+    }
+    val (pa, pb) = (bestA, bestB)
+
+    // --- init: PCA of the sample (driver-side d×d eig), scaled to ±10
+    val mean = new Array[Double](dim)
+    i = 0
+    while (i < n) { var d = 0; while (d < dim) { mean(d) += x(i)(d) / n; d += 1 }; i += 1 }
+    val cov = new DenseMatrix[Double](dim, dim)
+    i = 0
+    while (i < n) {
+      var a = 0
+      while (a < dim) {
+        var b = 0
+        while (b < dim) { cov(a, b) += (x(i)(a) - mean(a)) * (x(i)(b) - mean(b)) / n; b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    val eig = eigSym(cov)
+    def pc(kth: Int): Array[Double] = {
+      val v = eig.eigenvectors(::, dim - 1 - kth).toArray
+      val mi = v.indices.maxBy(idx => math.abs(v(idx)))
+      if (v(mi) < 0) v.map(-_) else v
+    }
+    val (p1, p2) = (pc(0), pc(1))
+    val y = Array.tabulate(n) { r =>
+      var (sx, sy) = (0.0, 0.0); var d = 0
+      while (d < dim) {
+        sx += (x(r)(d) - mean(d)) * p1(d); sy += (x(r)(d) - mean(d)) * p2(d)
+        d += 1
+      }
+      Array(sx, sy)
+    }
+    val maxAbs = math.max(1e-12, y.map(p => math.max(math.abs(p(0)), math.abs(p(1)))).max)
+    y.foreach { p => p(0) = p(0) / maxAbs * 10; p(1) = p(1) / maxAbs * 10 }
+
+    // --- seeded negative-sampling SGD (gradients clipped to ±4 as in
+    // the reference implementation of UMAP)
+    val rnd = new java.util.Random(seed)
+    val nNeg = 5
+    def clip(v: Double): Double = math.max(-4.0, math.min(4.0, v))
+    var epoch = 0
+    while (epoch < epochs) {
+      val alpha = 1.0 * (1.0 - epoch.toDouble / epochs)
+      var e = 0
+      while (e < edges.length) {
+        val ((a, b), w) = edges(e)
+        val d2 = {
+          val dx = y(a)(0) - y(b)(0); val dy = y(a)(1) - y(b)(1)
+          dx * dx + dy * dy
+        }
+        if (d2 > 0.0) {
+          val gc = -2.0 * pa * pb * math.pow(d2, pb - 1) /
+            (1.0 + pa * math.pow(d2, pb))
+          var c = 0
+          while (c < 2) {
+            val g = clip(gc * (y(a)(c) - y(b)(c))) * w * alpha
+            y(a)(c) += g; y(b)(c) -= g
+            c += 1
+          }
+        }
+        var s = 0
+        while (s < nNeg) {
+          val r = rnd.nextInt(n)
+          if (r != a) {
+            val d2n = {
+              val dx = y(a)(0) - y(r)(0); val dy = y(a)(1) - y(r)(1)
+              dx * dx + dy * dy
+            }
+            val gc = 2.0 * pb / ((0.001 + d2n) * (1.0 + pa * math.pow(d2n, pb)))
+            var c = 0
+            while (c < 2) {
+              y(a)(c) += clip(gc * (y(a)(c) - y(r)(c))) * w * alpha
+              c += 1
+            }
+          }
+          s += 1
+        }
+        e += 1
+      }
+      epoch += 1
+    }
+
+    import spark.implicits._
+    ids.indices.map(r => (ids(r), y(r)(0), y(r)(1)))
+      .toDF(idCol, "x", "y")
+  }
 }
