@@ -172,16 +172,37 @@ object Chunking {
   val RecursiveSeparators: Seq[String] =
     Seq("\n\n\n", "\n\n", "\n", ". ", "! ", "? ", "; ", ", ", " ")
 
+  /** Start offset of the `n`th word before `pos` (for overlap splice). */
+  private def wordsBack(s: String, pos: Int, n: Int): Int = {
+    var p = math.min(pos, s.length); var words = 0
+    while (p > 0 && words < n) {
+      while (p > 0 && Character.isWhitespace(s.charAt(p - 1))) p -= 1
+      while (p > 0 && !Character.isWhitespace(s.charAt(p - 1))) p -= 1
+      words += 1
+    }
+    p
+  }
+
   def recursive(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
     if (content == null || content.trim.isEmpty) return Seq.empty
+    // The reference splices overlap_tokens of the previous chunk's tail
+    // onto each chunk and reserves budget for it up front
+    // (recursive_strategy.py:299-371: split_budget = max_chars −
+    // overlap_chars). Same contract here, token-true instead of the
+    // reference's chars_per_token=4 estimate, and with the overlap
+    // clamped to half the chunk budget so a config with
+    // overlap ≥ max cannot collapse the split budget to nothing (the
+    // reference degrades to 1-char splits there).
+    val effOverlap = math.min(cfg.overlapTokens, cfg.maxTokens / 2)
+    val mergeBudget = cfg.maxTokens - effOverlap
 
-    // split [start,end) into atomic spans each <= maxTokens
+    // split [start,end) into atomic spans each <= mergeBudget
     def atoms(start: Int, end: Int, seps: Seq[String]): Seq[(Int, Int)] = {
-      if (countTokensIn(content, start, end) <= cfg.maxTokens) return Seq((start, end))
+      if (countTokensIn(content, start, end) <= mergeBudget) return Seq((start, end))
       seps.headOption match {
         case None =>
           // hard char split (oversized single word / no separators left)
-          val w = cfg.maxTokens * cfg.charsPerToken
+          val w = mergeBudget * cfg.charsPerToken
           (start until end by w).map(a => (a, math.min(a + w, end)))
         case Some(sep) =>
           val pieces = Seq.newBuilder[(Int, Int)]
@@ -197,28 +218,40 @@ object Chunking {
           if (a < end) pieces += ((a, end))
           if (!found) atoms(start, end, seps.tail)
           else pieces.result().flatMap { case (pa, pb) =>
-            if (countTokensIn(content, pa, pb) <= cfg.maxTokens) Seq((pa, pb))
+            if (countTokensIn(content, pa, pb) <= mergeBudget) Seq((pa, pb))
             else atoms(pa, pb, seps.tail)
           }
       }
     }
 
-    // greedy merge adjacent atoms while within maxTokens
+    // greedy merge adjacent atoms while within the (overlap-reserving)
+    // merge budget
     val merged = Seq.newBuilder[(Int, Int)]
     var curStart = -1; var curEnd = -1
     for ((a, b) <- atoms(0, content.length, RecursiveSeparators)) {
       if (curStart < 0) { curStart = a; curEnd = b }
-      else if (countTokensIn(content, curStart, b) <= cfg.maxTokens) curEnd = b
+      else if (countTokensIn(content, curStart, b) <= mergeBudget) curEnd = b
       else { merged += ((curStart, curEnd)); curStart = a; curEnd = b }
     }
     if (curStart >= 0) merged += ((curStart, curEnd))
 
-    merged.result().zipWithIndex.flatMap { case ((a0, b0), i) =>
+    // splice the previous chunk's last effOverlap words onto each
+    // non-first chunk (word-boundary aligned, offset-faithful)
+    val spans = merged.result()
+    val overlapped = spans.zipWithIndex.map { case ((a, b), i) =>
+      if (i == 0 || effOverlap == 0) (a, b)
+      else {
+        val prevEnd = spans(i - 1)._2
+        (math.min(a, wordsBack(content, prevEnd, effOverlap)), b)
+      }
+    }
+
+    overlapped.flatMap { case (a0, b0) =>
       val (a, b) = trimSpan(content, a0, b0)
-      if (b > a) Some(ChunkOut(i, content.substring(a, b), a, b,
-        countTokensIn(content, a, b)))
-      else None
-    }.zipWithIndex.map { case (c, i) => c.copy(chunkIndex = i) }
+      if (b > a) Some((a, b)) else None
+    }.zipWithIndex.map { case ((a, b), i) =>
+      ChunkOut(i, content.substring(a, b), a, b, countTokensIn(content, a, b))
+    }
   }
 
   // -------------------------------------------------------------------
@@ -288,7 +321,26 @@ object Chunking {
       } else { curEnd = s.end; curTokens += sTokens }
     }
     out += ((curStart, curEnd))
-    out.result().flatMap { case (a0, b0) =>
+    // A single sentence-run longer than maxTokens still has to respect
+    // the budget: the reference re-splits oversized clusters into
+    // max_tokens word windows (semantic_strategy.py:372-430). Same
+    // here, word-boundary aligned.
+    val split = out.result().flatMap { case (a, b) =>
+      if (countTokensIn(content, a, b) <= cfg.maxTokens) Seq((a, b))
+      else {
+        val res = Seq.newBuilder[(Int, Int)]
+        var s = a
+        while (s < b) {
+          val e = capTokens(content, s, b, cfg.maxTokens)
+          val e2 = if (e <= s) math.min(s + cfg.maxTokens * cfg.charsPerToken, b) else e
+          res += ((s, e2))
+          s = e2
+          while (s < b && Character.isWhitespace(content.charAt(s))) s += 1
+        }
+        res.result()
+      }
+    }
+    split.flatMap { case (a0, b0) =>
       val (a, b) = trimSpan(content, a0, b0)
       if (b > a) Some((a, b)) else None
     }.zipWithIndex.map { case ((a, b), i) =>
@@ -346,29 +398,51 @@ object Chunking {
   final case class ContentAnalysis(hasMarkdown: Boolean, hasCode: Boolean,
       hasStructure: Boolean, route: String)
 
+  /** The reference's content-detection predicates and routing table,
+    * hybrid_strategy.py:210-340:
+    *  - markdown: a `#`-header line (first 50 lines fallback check)
+    *  - code: fenced block or 4-space-indented line
+    *  - structure: list / table / blockquote markers
+    *  - two or more of the above ("mixed") → recursive (:337 routes the
+    *    "hybrid" recommendation to the recursive strategy)
+    *  - otherwise markdown→markdown, code→markdown (":332 markdown
+    *    handles code blocks well"), structured→hierarchical,
+    *    narrative (avg sentence > 50 chars) → semantic,
+    *    unknown → character. */
   def analyze(content: String): ContentAnalysis = {
     val c = if (content == null) "" else content
     val lines = c.split("\n", -1)
     val hasMarkdown = HeaderLine.findFirstIn(c).isDefined ||
-      lines.count(l => l.startsWith("- ") || l.startsWith("* ")) >= 2
-    val hasCode = c.contains("```") ||
-      lines.count(l => { val t = l.trim; t.endsWith(";") || t.endsWith("{") || t.endsWith("}") }) >= 3 ||
-      lines.exists(l => l.trim.startsWith("def ") || l.trim.startsWith("class "))
-    val t = c.trim
-    val hasStructure = t.startsWith("{") || t.startsWith("[") ||
-      t.startsWith("<?xml") ||
-      lines.take(5).count(_.count(_ == ',') >= 2) >= 3
+      lines.take(50).exists { l =>
+        val t = l.trim; t.startsWith("#") && t.length > 1
+      }
+    val hasCode = c.contains("```") || c.contains("\n    ")
+    val hasStructure =
+      Seq("\n- ", "\n* ", "\n1. ", "\n| ", "\n> ").exists(c.contains)
+    val sentences = c.count(ch => ch == '.' || ch == '!' || ch == '?')
+    val avgSentenceLen = c.length.toDouble / math.max(1, sentences)
+    val mixed = Seq(hasMarkdown, hasCode, hasStructure).count(identity) > 1
     val route =
-      if (hasMarkdown && !hasCode) "markdown"
-      else if (hasCode || hasStructure) "character"
-      else "recursive"
+      if (mixed) "recursive"
+      else if (hasMarkdown || hasCode) "markdown"
+      else if (hasStructure) "hierarchical"
+      else if (avgSentenceLen > 50) "semantic"
+      else "character"
     ContentAnalysis(hasMarkdown, hasCode, hasStructure, route)
   }
 
   def hybrid(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] =
     analyze(content).route match {
       case "markdown" => markdown(content, cfg)
+      case "semantic" => semantic(content, cfg)
       case "character" => character(content, cfg)
+      case "hierarchical" =>
+        // flat view of structured content: the leaf windows of a
+        // two-level hierarchy sized by the chunk budget
+        val sizes = Seq(cfg.maxTokens * 4, cfg.maxTokens)
+        hierarchical(content, cfg.copy(hierarchicalSizes = sizes))
+          .filter(_.level == sizes.size - 1).zipWithIndex
+          .map { case (h, i) => ChunkOut(i, h.text, h.start, h.end, h.tokenCount) }
       case _ => recursive(content, cfg)
     }
 

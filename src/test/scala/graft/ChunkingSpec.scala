@@ -130,11 +130,22 @@ class ChunkingSpec extends AnyFunSuite {
     byLevel(2).foreach(r => assert(r.tokenCount <= 128))
   }
 
-  test("hybrid: routes by content analysis") {
-    assert(Chunking.analyze("# Head\n- a\n- b\ntext").route == "markdown")
-    assert(Chunking.analyze("def f(x):\n  return x;\ny = 1;\nz = 2;").route == "character")
+  test("hybrid: routes by the reference's analysis table") {
+    // hybrid_strategy.py:210-340 routing semantics
+    assert(Chunking.analyze("# Head\n\nplain body text").route == "markdown")
+    // two signals (markdown + list structure) = mixed -> recursive
+    assert(Chunking.analyze("# Head\n- a\n- b\ntext").route == "recursive")
+    // code routes to markdown ("markdown handles code blocks well")
+    assert(Chunking.analyze("```\ncode()\n```").route == "markdown")
+    // list/table markers alone -> hierarchical
+    assert(Chunking.analyze("items:\n- one\n- two").route == "hierarchical")
+    // long sentences = narrative -> semantic
+    val narrative = "This is a long narrative sentence that keeps going " +
+      "well past fifty characters before it finally ends."
+    assert(Chunking.analyze(narrative).route == "semantic")
+    // short/unknown content -> character
     assert(Chunking.analyze("""{"k": 1}""").route == "character")
-    assert(Chunking.analyze("plain narrative text with words").route == "recursive")
+    assert(Chunking.analyze("plain narrative text with words").route == "character")
     val chunks = Chunking.hybrid("plain narrative text with words", ChunkConfig())
     assert(chunks.size == 1)
   }
