@@ -65,7 +65,16 @@ object Pq {
 
   /** Fit the codebook: init from the first k vectors by id, then
     * `iters` Lloyd steps (assign with [[encode]], update via one
-    * (subspace, code, dim) aggregation). */
+    * (subspace, code, dim) aggregation).
+    *
+    * Determinism: PER-RUN only. The centroid update sums doubles in
+    * partition order, so codebooks can differ in the last ulps across
+    * runs/partitionings. Consumers that need a stable codebook across
+    * runs must persist the fitted literals (the ann_pq query memoizes
+    * one fit and embeds the SAME literals in query and oracle); to make
+    * fit itself canonical, aggregate per-partition partials and reduce
+    * them in sorted partition order (cost: one extra driver-side pass),
+    * which has not been needed on any current path. */
   def fit(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
           m: Int = 8, k: Int = 16, iters: Int = 2): Codebook = {
     val dsub = dim / m

@@ -95,7 +95,17 @@ object TextAnalysis {
 
   /** Whitespace token count + BPE-ish subword count (`~chars/4` lower
     * bound vs regex pieces — the public GPT-2-style pretokenizer regex,
-    * simplified to ASCII classes). */
+    * simplified to ASCII classes).
+    *
+    * EXACT cl100k_base counts (the reference's tiktoken at
+    * shared/chunking/unified/base.py:21-24) are a DECLARED EXCLUSION in
+    * this build: an exact tokenizer needs the cl100k merge-rank
+    * vocabulary (~1.7 MB data file shipped with tiktoken/JTokkit), and
+    * neither the library nor the vocabulary exists in this zero-egress
+    * environment (verified 2026-08-13: no jtokkit/tiktoken/cl100k
+    * artifact on the filesystem or in the offline coursier cache).
+    * The three approximations here bracket the true count; wiring an
+    * exact tokenizer in is a data-file drop + one more column. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val ws = TextFunctions.tokenCountCol(text)

@@ -80,20 +80,35 @@ class StreamingStatsSpec extends SparkSpec {
   test("windowedEventAgg: append mode finalizes windows and drops late events") {
     val dir = java.nio.file.Files.createTempDirectory("wm").toString + "/in"
     val ck = java.nio.file.Files.createTempDirectory("wk").toString + "/ck"
-    def write(rows: Seq[(Long, Long, String)], mode: String): Unit =
+    // The file source orders micro-batches by file mod time; stamp each
+    // batch's files with an explicit, strictly-increasing mtime instead
+    // of sleeping past the filesystem's timestamp granularity (sleeps
+    // were flaky: coarse-mtime filesystems or load could coalesce or
+    // reorder batches).
+    var stamp = 1600000000000L // fixed epoch base, ms
+    val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    def write(rows: Seq[(Long, Long, String)], mode: String): Unit = {
       rows.toDF("event_id", "mins", "event_type")
         .coalesce(1).write.mode(mode).parquet(dir)
+      stamp += 60000
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try listing.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            !stamped.contains(p)) {
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(stamp))
+          stamped += p
+        }
+      } finally listing.close()
+    }
     // batch 1: events in hour 0
     write(Seq((1L, 5L, "click"), (2L, 20L, "click")), "overwrite")
-    Thread.sleep(1200) // file source orders batches by mod time
     // batch 2: far-ahead event; the watermark it implies only takes
     // effect in the NEXT batch
     write(Seq((3L, 200L, "view")), "append")
-    Thread.sleep(1200)
     // batch 3: runs WITH the advanced watermark -> hour 0 finalizes
     // (emits n=2) and its state evicts at this batch's end
     write(Seq((5L, 210L, "view")), "append")
-    Thread.sleep(1200)
     // batch 4: a LATE hour-0 event, behind the watermark AND after
     // eviction — guaranteed dropped (drop is only guaranteed once the
     // window's state is gone; a still-live window may absorb late rows)
