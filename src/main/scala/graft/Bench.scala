@@ -42,10 +42,19 @@ object Bench {
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
+    // Host-speed calibration: a fixed, data-independent workload (sha256
+    // over 2M synthetic rows, the dominant primitive of the hash-family
+    // queries). Host/VM speed varies across rounds; dividing totals by
+    // this number normalizes cross-round comparisons.
+    val calT0 = System.nanoTime()
+    spark.range(2000000)
+      .selectExpr("count(distinct sha2(cast(id as string), 256))").collect()
+    val calibration = (System.nanoTime() - calT0) / 1e9
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_sha2m_sec":$calibration,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

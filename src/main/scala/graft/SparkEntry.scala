@@ -1077,6 +1077,21 @@ object SparkEntry {
         .orderBy("doc_ref")
     }),
 
+    // ---- executor telemetry counters (T4; executor_types.py:200-246)
+    //      file outcomes + per-file chunk counts derived in-plan, the
+    //      ExecutionResult aggregation hash-checked per collection ----
+    "t4_exec_stats" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(
+        col("source").as("collection_id"),
+        when(col("doc_id") % 37 === 0, "failed")
+          .when(col("doc_id") % 11 === 0, "skipped")
+          .otherwise("succeeded").as("status"),
+        (lit(1L) + ceil(greatest(col("n_chars") - 1300, lit(0))
+          .cast("double") / 1100.0).cast("long")).as("chunks"))
+      graft.pipeline.Executor.executionStats(files)
+        .orderBy("collection_id")
+    }),
+
     // ---- benchmark dataset front door (§1.1; judgment JSON parse) ----
     // The uploads relation is assembled deterministically FROM documents
     // (JSON text built in-plan), then parsed back through the real
@@ -2292,6 +2307,28 @@ object SparkEntry {
         |    ELSE 'unmatched' END AS match_status
         |FROM refs r LEFT JOIN docs d USING (doc_ref)
         |ORDER BY doc_ref""".stripMargin,
+
+    "t4_exec_stats" ->
+      """WITH files AS (
+        |  SELECT source AS collection_id,
+        |    CASE WHEN doc_id % 37 = 0 THEN 'failed'
+        |      WHEN doc_id % 11 = 0 THEN 'skipped'
+        |      ELSE 'succeeded' END AS status,
+        |    1 + CAST(ceil(greatest(n_chars - 1300, 0) / 1100.0) AS BIGINT)
+        |      AS chunks
+        |  FROM documents)
+        |SELECT collection_id,
+        |  count(*) AS files_processed,
+        |  CAST(sum(CASE WHEN status = 'succeeded' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_succeeded,
+        |  CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_failed,
+        |  CAST(sum(CASE WHEN status = 'skipped' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_skipped,
+        |  CAST(sum(CASE WHEN status = 'succeeded' THEN chunks ELSE 0 END)
+        |    AS BIGINT) AS chunks_created
+        |FROM files GROUP BY collection_id
+        |ORDER BY collection_id""".stripMargin,
 
     "bench_dataset" ->
       """SELECT doc_id % 7 AS query_id,

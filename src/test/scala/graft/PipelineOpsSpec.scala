@@ -177,3 +177,33 @@ class SyncSpec extends SparkSpec {
     assert(Sync.shouldHalt(Seq(true, false, false, false), 3) == true)
   }
 }
+
+/** T4 counter semantics (ref executor_types.py:200-246): the
+  * ExecutionResult aggregation and its outcome-partition invariant. */
+class ExecutorStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.Executor
+
+  test("executionStats partitions outcomes and counts chunks for successes only") {
+    val files = Seq(
+      ("c1", "succeeded", 5L), ("c1", "succeeded", 3L),
+      ("c1", "failed", 7L), // chunks from a failed file must NOT count
+      ("c1", "skipped", 0L),
+      ("c2", "succeeded", 2L))
+      .toDF("collection_id", "status", "chunks")
+    val got = Executor.executionStats(files).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got("c1") == ((4L, 2L, 1L, 1L, 8L)))
+    assert(got("c2") == ((1L, 1L, 0L, 0L, 2L)))
+    // the reference's post-init invariant holds by construction
+    got.values.foreach { case (p, s, f, k, _) => assert(s + f + k <= p) }
+  }
+
+  test("invalidOutcomes surfaces rows outside the outcome partition") {
+    val files = Seq(("c1", "succeeded", 1L), ("c1", "exploded", 1L))
+      .toDF("collection_id", "status", "chunks")
+    val bad = Executor.invalidOutcomes(files).collect()
+    assert(bad.length == 1 && bad.head.getString(1) == "exploded")
+  }
+}
