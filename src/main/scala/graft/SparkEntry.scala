@@ -475,6 +475,74 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- E4: orphaned-collection diff (existing − active) ----
+    "e4_collection_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.select(
+        concat(lit("col_"), (col("doc_id") % 20).cast("string"))
+          .as("collection_id")).distinct()
+      val active = docs.filter(col("doc_id") % 20 < 15).select(
+        concat(lit("col_"), (col("doc_id") % 20).cast("string"))
+          .as("collection_id")).distinct()
+      Maintenance.orphanCollections(existing, active)
+        .orderBy("collection_id")
+    }),
+
+    // ---- S9: content sniffing over synthesized heads ----
+    // Each doc's text is prefixed by a format marker chosen by doc_id,
+    // exercising every branch of the detector (json/xml/yaml heads,
+    // code markers, scanned-pdf, plain prose); the oracle mirrors the
+    // same regex counts over the same prefixed head.
+    "sniff_detect" -> ((s, dir) => {
+      import graft.sources.Sources
+      val prefix = element_at(array(
+        lit(""),
+        lit("{\"k\": 1}\n"),
+        lit("<?xml version=\"1.0\"?>\n"),
+        lit("---\nkey: value\n"),
+        lit("import os\ndef f():\n    pass\nclass A:\n    pass\n"),
+        lit("%PDF-1.4\n\u0001\u0002\u0003\n")),
+        (col("doc_id") % 6 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Sources.sniff(concat(prefix, col("text")).cast("binary"))
+            .as("detected"))
+        .select(col("doc_id"), col("detected.is_code"),
+          col("detected.is_scanned_pdf"), col("detected.is_structured_data"),
+          col("detected.structured_format"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- F7: sentence split with offsets ----
+    // The synthetic corpus has no sentence punctuation, so terminators
+    // are injected in-plan (identically in the oracle) — every doc then
+    // splits into many sentences with offsets worth checking.
+    "sentence_split" -> ((s, dir) => {
+      val splitU = udf((text: String) => TextFunctions.splitSentences(text))
+      val noisy = regexp_replace(regexp_replace(col("text"),
+        " (table|row|join) ", ". "), " (fast|slow) ", "!  ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(splitU(noisy))
+          .as(Seq("pos", "s")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("s.text").as("sentence"),
+          col("s.start").cast("long").as("start"),
+          col("s.end").cast("long").as("end"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // ---- F9: text cleaning (whitespace collapse per line) ----
+    // Noise is injected in-plan (doubled spaces, tabs, blank lines) so
+    // the cleaner has something to do on the prose corpus.
+    "text_clean" -> ((s, dir) => {
+      val cleanU = udf((text: String) => TextFunctions.cleanText(text))
+      val noisy = regexp_replace(regexp_replace(col("text"),
+        " a ", "   a\t "), "\\. ", ".\n\n  ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), cleanU(noisy).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // ---- filter pushdown (P2) ----
     "q8_pushdown" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -990,8 +1058,9 @@ object SparkEntry {
         col("doc_id"),
         col("text").cast("binary").as("content"),
         element_at(array(lit(".md"), lit(".py"), lit(".json"), lit(".txt"),
-          lit(".pdf"), lit(".docx"), lit(".doc")),
-          (col("doc_id") % 7 + 1).cast("int")).as("extension"))
+          lit(".pdf"), lit(".docx"), lit(".pptx"), lit(".xlsx"),
+          lit(".doc")),
+          (col("doc_id") % 9 + 1).cast("int")).as("extension"))
       Parsers.parse(files)
         .select(col("doc_id"), col("extension"), col("parser"),
           col("parse_status"), length(col("text")).as("text_len"))
@@ -1017,6 +1086,34 @@ object SparkEntry {
       val files = t(s, dir, "documents").select(
         col("doc_id"), pdf.cast("binary").as("content"),
         lit(".pdf").as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("parser"), col("parse_status"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- real PPTX / XLSX extraction round-trips (S8) ----
+    // Same oracle pattern as parser_pdf_roundtrip: build a minimal
+    // valid OOXML archive around each document's text (deterministic
+    // STORED zip), extract with the real parser, hash-check the
+    // extracted text against the original.
+    "parser_pptx_roundtrip" -> ((s, dir) => {
+      import graft.sources.{BinaryParsers, Parsers}
+      val synth = udf((text: String) => BinaryParsers.synthPptx(text))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), synth(col("text")).as("content"),
+        lit(".pptx").as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("parser"), col("parse_status"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+    "parser_xlsx_roundtrip" -> ((s, dir) => {
+      import graft.sources.{BinaryParsers, Parsers}
+      val synth = udf((text: String) => BinaryParsers.synthXlsx(text))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), synth(col("text")).as("content"),
+        lit(".xlsx").as("extension"))
       Parsers.parse(files)
         .select(col("doc_id"), col("parser"), col("parse_status"),
           col("text"))
@@ -1452,6 +1549,94 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+
+    "e4_collection_diff" ->
+      """SELECT DISTINCT 'col_' || CAST(doc_id % 20 AS VARCHAR)
+        |  AS collection_id FROM documents
+        |EXCEPT
+        |SELECT DISTINCT 'col_' || CAST(doc_id % 20 AS VARCHAR)
+        |  AS collection_id FROM documents WHERE doc_id % 20 < 15
+        |ORDER BY collection_id""".stripMargin,
+
+    "sniff_detect" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (['', '{"k": 1}' || chr(10),
+        |      '<?xml version="1.0"?>' || chr(10),
+        |      '---' || chr(10) || 'key: value' || chr(10),
+        |      'import os' || chr(10) || 'def f():' || chr(10) ||
+        |        '    pass' || chr(10) || 'class A:' || chr(10) ||
+        |        '    pass' || chr(10),
+        |      '%PDF-1.4' || chr(10) || chr(1) || chr(2) || chr(3) ||
+        |        chr(10)])[CAST(doc_id % 6 + 1 AS INT)] || text AS c
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, substring(c, 1, 4096) AS head,
+        |    ltrim(substring(c, 1, 4096), ' ') AS trimmed
+        |  FROM f)
+        |SELECT doc_id,
+        |  (len(regexp_extract_all(head,
+        |      '(?m)^\s*(def |class |import |function |const |var |public |private )')) >= 2
+        |    OR len(regexp_extract_all(head, '(?m)[;{}]\s*$')) >= 3)
+        |    AS is_code,
+        |  (starts_with(head, '%PDF') AND
+        |    len(regexp_extract_all(head, '[A-Za-z]{4,}')) < 10)
+        |    AS is_scanned_pdf,
+        |  (starts_with(trimmed, '{') OR starts_with(trimmed, '[')
+        |    OR starts_with(trimmed, '<?xml')
+        |    OR starts_with(trimmed, '<!DOCTYPE')
+        |    OR starts_with(trimmed, '---' || chr(10)))
+        |    AS is_structured_data,
+        |  CASE WHEN starts_with(trimmed, '{') OR starts_with(trimmed, '[')
+        |      THEN 'json'
+        |    WHEN starts_with(trimmed, '<?xml')
+        |      OR starts_with(trimmed, '<!DOCTYPE') THEN 'xml'
+        |    WHEN starts_with(trimmed, '---' || chr(10)) THEN 'yaml'
+        |    ELSE NULL END AS structured_format
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // sentences partition the text contiguously, so offsets are the
+    // running sum of the preceding sentence lengths (all-ASCII corpus:
+    // char offsets == Spark's UTF-16 offsets)
+    "sentence_split" ->
+      """WITH noisy AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      ' (table|row|join) ', '. ', 'g'),
+        |      ' (fast|slow) ', '!  ', 'g') AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
+        |    unnest(l) AS sentence
+        |  FROM (SELECT doc_id,
+        |    regexp_extract_all(text, '(?s).*?[.!?]+\s+|(?s).+') AS l
+        |    FROM noisy)),
+        |o AS (
+        |  SELECT doc_id, pos, sentence,
+        |    coalesce(sum(length(sentence)) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS start
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS INT) AS pos,
+        |  sentence, start, start + length(sentence) AS "end"
+        |FROM o WHERE trim(sentence) <> ''
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "text_clean" ->
+      """WITH noisy AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, ' a ', '   a' || chr(9)
+        |      || ' ', 'g'), '\. ', '.' || chr(10) || chr(10) || '  ', 'g')
+        |      AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(list_aggregate(list_filter(list_transform(
+        |    string_split(text, chr(10)),
+        |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+        |    x -> x <> ''), 'string_agg', chr(10)), '') AS cleaned
+        |FROM noisy ORDER BY doc_id""".stripMargin,
 
     "q8_pushdown" ->
       """SELECT l_returnflag, count(*) AS n_rows,
@@ -2158,21 +2343,26 @@ object SparkEntry {
     "parser_dispatch" ->
       """WITH f AS (
         |  SELECT doc_id, text,
-        |    (['.md', '.py', '.json', '.txt', '.pdf', '.docx', '.doc'])
-        |      [CAST(doc_id % 7 + 1 AS INT)] AS extension
+        |    (['.md', '.py', '.json', '.txt', '.pdf', '.docx', '.pptx',
+        |      '.xlsx', '.doc'])
+        |      [CAST(doc_id % 9 + 1 AS INT)] AS extension
         |  FROM documents)
         |SELECT doc_id, extension,
         |  CASE extension
         |    WHEN '.md' THEN 'markdown' WHEN '.py' THEN 'code'
         |    WHEN '.json' THEN 'structured' WHEN '.txt' THEN 'text'
         |    WHEN '.pdf' THEN 'pdf' WHEN '.docx' THEN 'docx'
+        |    WHEN '.pptx' THEN 'pptx' WHEN '.xlsx' THEN 'xlsx'
         |    WHEN '.doc' THEN 'binary_stub' END AS parser,
         |  -- plain text bytes under a binary extension: the real parsers
         |  -- reject them with a typed status; .doc stays stubbed
         |  CASE extension WHEN '.pdf' THEN 'error:not_pdf'
         |    WHEN '.docx' THEN 'error:not_docx'
+        |    WHEN '.pptx' THEN 'error:not_pptx'
+        |    WHEN '.xlsx' THEN 'error:not_xlsx'
         |    WHEN '.doc' THEN 'stubbed' ELSE 'ok' END AS parse_status,
-        |  CAST(CASE WHEN extension IN ('.pdf', '.docx', '.doc') THEN 0
+        |  CAST(CASE WHEN extension IN ('.pdf', '.docx', '.pptx', '.xlsx',
+        |    '.doc') THEN 0
         |    ELSE length(text) END AS INT) AS text_len
         |FROM f ORDER BY doc_id""".stripMargin,
 
@@ -2181,6 +2371,23 @@ object SparkEntry {
         |  CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
         |    AS parse_status,
         |  text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pptx trims trailing paragraph newlines; xlsx drops all-whitespace
+    // rows — mirror both edge cases so the oracles stay total.
+    "parser_pptx_roundtrip" ->
+      """SELECT doc_id, 'pptx' AS parser,
+        |  CASE WHEN length(rtrim(text, chr(10))) > 0 THEN 'ok'
+        |    ELSE 'empty' END AS parse_status,
+        |  rtrim(text, chr(10)) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "parser_xlsx_roundtrip" ->
+      """SELECT doc_id, 'xlsx' AS parser,
+        |  CASE WHEN regexp_matches(text, '\S') THEN 'ok'
+        |    ELSE 'empty' END AS parse_status,
+        |  CASE WHEN regexp_matches(text, '\S') THEN text
+        |    ELSE '' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "rake_keywords" -> {

@@ -184,7 +184,9 @@ object Chunking {
   }
 
   def recursive(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
-    if (content == null || content.trim.isEmpty) return Seq.empty
+    // not String.trim: Java trim strips ALL chars <= 0x20 (incl. NUL),
+    // the reference's str.strip() only whitespace — isWhitespace matches
+    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
     // The reference splices overlap_tokens of the previous chunk's tail
     // onto each chunk and reserves budget for it up front
     // (recursive_strategy.py:299-371: split_budget = max_chars −
@@ -262,7 +264,7 @@ object Chunking {
   private val HeaderLine = "(?m)^#{1,6}\\s".r
 
   def markdown(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
-    if (content == null || content.trim.isEmpty) return Seq.empty
+    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
     val headerStarts = HeaderLine.findAllMatchIn(content).map(_.start).toSeq
     if (headerStarts.isEmpty) return recursive(content, cfg)
     val bounds = (if (headerStarts.head == 0) headerStarts
@@ -301,7 +303,7 @@ object Chunking {
   // within min/max tokens. Ref: semantic_strategy.py:329-788.
   // -------------------------------------------------------------------
   def semantic(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
-    if (content == null || content.trim.isEmpty) return Seq.empty
+    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
     val sents = TextFunctions.splitSentences(content)
     if (sents.isEmpty) return Seq.empty
     val tokenSets = sents.map(s => TextFunctions.tokenize(s.text, removeStopwords = false).toSet)
@@ -355,7 +357,7 @@ object Chunking {
   // Ref: hierarchical_strategy.py:78-520.
   // -------------------------------------------------------------------
   def hierarchical(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[HierChunkOut] = {
-    if (content == null || content.trim.isEmpty) return Seq.empty
+    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
 
     // split [a,b) into consecutive windows of `tokens` words
     def windows(a: Int, b: Int, tokens: Int): Seq[(Int, Int)] = {

@@ -38,6 +38,8 @@ object BinaryParsers {
     else parser match {
       case "pdf"  => pdf(content)
       case "docx" => docx(content)
+      case "pptx" => pptx(content)
+      case "xlsx" => xlsx(content)
       case _      => ParseResult("", "stubbed")
     }
 
@@ -294,6 +296,148 @@ object BinaryParsers {
     } catch {
       case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
     }
+
+  // --------------------------------------------------------- PPTX / XLSX
+  // Same OOXML family as docx: a zip of XML parts. PPTX text lives in
+  // ppt/slides/slideN.xml (<a:t> runs, </a:p>/<a:br/> break lines);
+  // XLSX cell text in xl/worksheets/sheetN.xml with string cells
+  // indirected through xl/sharedStrings.xml (<si> items, whose rich-
+  // text runs each carry a <t>). Ref: unstructured.py routes both
+  // through partition_pptx/partition_xlsx; the extraction contract —
+  // binary in, plain text out, cells tab-separated, rows/paragraphs
+  // newline-separated — is re-expressed on JDK zip + regex only.
+
+  /** Zip entries whose names match `keep`, in archive order. */
+  private def zipEntries(bytes: Array[Byte], keep: String => Boolean): Option[Seq[(String, String)]] = {
+    if (bytes.length < 4 || bytes(0) != 'P' || bytes(1) != 'K') return None
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(String, String)]
+    var sawEntry = false
+    var entry = zin.getNextEntry
+    while (entry != null) {
+      sawEntry = true
+      if (keep(entry.getName))
+        out += entry.getName -> new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+      entry = zin.getNextEntry
+    }
+    zin.close()
+    if (sawEntry) Some(out.result()) else None
+  }
+
+  private val SlideName = "^ppt/slides/slide(\\d+)\\.xml$".r
+  private val SheetName = "^xl/worksheets/sheet(\\d+)\\.xml$".r
+  private val PptxTok =
+    "(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t>|<a:br\\s*/>|</a:p>".r
+  private val SiRe = "(?s)<si>(.*?)</si>".r
+  private val TRe = "(?s)<t(?:\\s[^>]*)?>(.*?)</t>".r
+  private val RowRe = "(?s)<row(?:\\s[^>]*)?>(.*?)</row>".r
+  private val CellRe = "(?s)<c((?:\\s[^>]*)?)(?:/>|>(.*?)</c>)".r
+  private val CellTypeRe = "\\bt=\"([^\"]+)\"".r
+  private val VRe = "(?s)<v>(.*?)</v>".r
+
+  def pptx(bytes: Array[Byte]): ParseResult =
+    try zipEntries(bytes, n => SlideName.pattern.matcher(n).matches) match {
+      case None => ParseResult("", "error:not_pptx")
+      case Some(slides) if slides.isEmpty => ParseResult("", "error:no_slides")
+      case Some(slides) =>
+        val texts = slides
+          .map { case (SlideName(n), xml) => (n.toInt, xml) }
+          .sortBy(_._1)
+          .map { case (_, xml) =>
+            val sb = new StringBuilder
+            for (m <- PptxTok.findAllMatchIn(xml)) {
+              if (m.group(1) != null) sb.append(unescapeXml(m.group(1)))
+              else sb.append('\n')
+            }
+            sb.toString.reverse.dropWhile(_ == '\n').reverse
+          }
+          .filter(_.nonEmpty)
+        if (texts.isEmpty) ParseResult("", "empty")
+        else ParseResult(texts.mkString("\n"), "ok")
+    } catch {
+      case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+    }
+
+  def xlsx(bytes: Array[Byte]): ParseResult =
+    try zipEntries(bytes, n => n == "xl/sharedStrings.xml" ||
+        SheetName.pattern.matcher(n).matches) match {
+      case None => ParseResult("", "error:not_xlsx")
+      case Some(entries) =>
+        val shared: IndexedSeq[String] = entries
+          .collectFirst { case ("xl/sharedStrings.xml", xml) => xml }
+          .map(xml => SiRe.findAllMatchIn(xml)
+            .map(si => TRe.findAllMatchIn(si.group(1))
+              .map(t => unescapeXml(t.group(1))).mkString)
+            .toIndexedSeq)
+          .getOrElse(IndexedSeq.empty)
+        val sheets = entries
+          .collect { case (SheetName(n), xml) => (n.toInt, xml) }
+          .sortBy(_._1)
+        if (sheets.isEmpty) ParseResult("", "error:no_sheets")
+        else {
+          def cellText(attrs: String, body: String): String = {
+            val t = CellTypeRe.findFirstMatchIn(attrs).map(_.group(1))
+            t match {
+              case Some("s") =>
+                VRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
+                  .filter(i => i >= 0 && i < shared.length)
+                  .map(shared).getOrElse("")
+              case Some("inlineStr") =>
+                TRe.findAllMatchIn(body).map(m => unescapeXml(m.group(1))).mkString
+              case _ =>
+                VRe.findFirstMatchIn(body).map(m => unescapeXml(m.group(1)))
+                  .getOrElse("")
+            }
+          }
+          val texts = sheets.map { case (_, xml) =>
+            RowRe.findAllMatchIn(xml).map { row =>
+              CellRe.findAllMatchIn(row.group(1)).map { c =>
+                cellText(c.group(1), Option(c.group(2)).getOrElse(""))
+              }.mkString("\t")
+            }.filter(_.exists(!_.isWhitespace)).mkString("\n")
+          }.filter(_.nonEmpty)
+          if (texts.isEmpty) ParseResult("", "empty")
+          else ParseResult(texts.mkString("\n"), "ok")
+        }
+    } catch {
+      case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+    }
+
+  // Deterministic single-part synthesizers: the round-trip queries
+  // (parser_pptx_roundtrip / parser_xlsx_roundtrip) build a minimal
+  // valid archive around each document's text IN-PLAN, extract it back
+  // with the real parser above, and hash-check against the original —
+  // the same oracle pattern parser_pdf_roundtrip uses. STORED entries
+  // with a pinned timestamp keep the bytes bit-stable across runs.
+  def synthZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      e.setCrc(crc.getValue)
+      e.setTime(0L)
+      z.putNextEntry(e); z.write(data); z.closeEntry()
+    }
+    z.close(); bos.toByteArray
+  }
+
+  def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  def synthPptx(text: String): Array[Byte] =
+    synthZip(Seq("ppt/slides/slide1.xml" ->
+      (s"<p:sld><p:txBody><a:p><a:r><a:t>${escapeXml(text)}</a:t></a:r>" +
+        "</a:p></p:txBody></p:sld>").getBytes(StandardCharsets.UTF_8)))
+
+  def synthXlsx(text: String): Array[Byte] =
+    synthZip(Seq("xl/worksheets/sheet1.xml" ->
+      (s"""<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr">""" +
+        s"<is><t>${escapeXml(text)}</t></is></c></row></sheetData>" +
+        "</worksheet>").getBytes(StandardCharsets.UTF_8)))
 
   private val EntityRe = "&(#x[0-9a-fA-F]+|#[0-9]+|lt|gt|amp|quot|apos);".r
 

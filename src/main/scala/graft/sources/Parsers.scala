@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * `when`/`otherwise` dispatch column — the whole registry compiles
   * into the scan projection.
   *
-  * Text formats decode as pure column ops; `pdf` and `docx` route
-  * through [[BinaryParsers]] (pure-JVM extraction — the container has
-  * no Tika; a Tika-backed parser plugs into the same slot on a real
-  * cluster). Formats still needing native libraries (.doc, .ppt, …)
+  * Text formats decode as pure column ops; `pdf`, `docx`, `pptx` and
+  * `xlsx` route through [[BinaryParsers]] (pure-JVM extraction — the
+  * container has no Tika; a Tika-backed parser plugs into the same
+  * slot on a real cluster). Legacy OLE formats (.doc, .ppt, .xls)
   * stay on the `binary_stub` parser which emits empty text and a
   * `parse_status` marker, keeping the dispatch/plumbing real.
   */
@@ -25,8 +25,11 @@ object Parsers {
     "html" -> Seq(".html", ".htm"),
     "pdf" -> Seq(".pdf"),
     "docx" -> Seq(".docx"),
+    "pptx" -> Seq(".pptx"),
+    "xlsx" -> Seq(".xlsx"),
     "text" -> Seq(".txt", ""),
-    "binary_stub" -> Seq(".doc", ".ppt", ".pptx", ".xls", ".xlsx"))
+    // legacy OLE/CFB formats need a compound-file reader; stubbed
+    "binary_stub" -> Seq(".doc", ".ppt", ".xls"))
 
   /** Dispatch column: the chosen parser name for an extension column
     * (first registry entry claiming the extension; unknown → "text",
@@ -43,7 +46,7 @@ object Parsers {
     udf((content: Array[Byte], parser: String) =>
       BinaryParsers.parse(content, parser))
 
-  private val BinaryParsed = Seq("pdf", "docx")
+  private val BinaryParsed = Seq("pdf", "docx", "pptx", "xlsx")
 
   /** Parse: (content binary, extension) → (text, parse_status).
     * Pure column ops per text parser; pdf/docx extract via

@@ -112,14 +112,97 @@ class BinaryParsersSpec extends SparkSpec {
       "error:not_docx")
   }
 
+  // ---- PPTX ----------------------------------------------------------
+
+  /** Minimal pptx: zip with the given (already-numbered) slide XMLs. */
+  private def pptxWith(slides: (String, String)*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(out)
+    z.putNextEntry(new ZipEntry("[Content_Types].xml"))
+    z.write("<Types/>".getBytes(UTF_8)); z.closeEntry()
+    slides.foreach { case (name, xml) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(xml.getBytes(UTF_8)); z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
+  test("pptx: slides sort numerically, runs join, breaks newline") {
+    // slide10 in the archive BEFORE slide2: numeric sort must win
+    val bytes = pptxWith(
+      "ppt/slides/slide10.xml" ->
+        "<p:sld><a:p><a:r><a:t>last slide</a:t></a:r></a:p></p:sld>",
+      "ppt/slides/slide2.xml" ->
+        ("<p:sld><a:p><a:r><a:t>two </a:t></a:r><a:r><a:t>runs</a:t>" +
+          "</a:r></a:p><a:p><a:r><a:t>with</a:t><a:br/>" +
+          "<a:t>break &amp; entity</a:t></a:r></a:p></p:sld>"))
+    val got = BinaryParsers.pptx(bytes)
+    assert(got.status == "ok")
+    assert(got.text == "two runs\nwith\nbreak & entity\nlast slide")
+  }
+
+  test("pptx: typed statuses for non-zip / no slides") {
+    assert(BinaryParsers.pptx("garbage".getBytes(UTF_8)).status ==
+      "error:not_pptx")
+    assert(BinaryParsers.pptx(docxWith("<w:document/>")).status ==
+      "error:no_slides")
+  }
+
+  test("pptx: synthPptx round-trips text exactly") {
+    val text = "line one <with> & markup\nline two\ttabbed"
+    val got = BinaryParsers.pptx(BinaryParsers.synthPptx(text))
+    assert(got.status == "ok" && got.text == text)
+  }
+
+  // ---- XLSX ----------------------------------------------------------
+
+  test("xlsx: shared strings, inline strings and numbers by row") {
+    val shared = "<sst><si><t>alpha</t></si>" +
+      "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    val sheet1 = """<worksheet><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c>""" +
+      """<c r="B1" t="s"><v>1</v></c><c r="C1"><v>42</v></c></row>""" +
+      """<row r="2"><c r="A2" t="inlineStr"><is><t>in&lt;line</t></is>""" +
+      """</c><c r="B2"/></row>""" +
+      """</sheetData></worksheet>"""
+    val sheet2 = """<worksheet><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>99</v></c></row>""" + // bad index
+      """<row r="2"><c r="A2"><v>7</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val bytes = pptxWith( // any zip-maker works for the xlsx layout too
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet1,
+      "xl/worksheets/sheet2.xml" -> sheet2)
+    val got = BinaryParsers.xlsx(bytes)
+    assert(got.status == "ok")
+    // bad shared index → empty cell; row of only-empty cells dropped
+    assert(got.text == "alpha\trich\t42\nin<line\t\n7")
+  }
+
+  test("xlsx: typed statuses for non-zip / no sheets") {
+    assert(BinaryParsers.xlsx("garbage".getBytes(UTF_8)).status ==
+      "error:not_xlsx")
+    assert(BinaryParsers.xlsx(docxWith("<w:document/>")).status ==
+      "error:no_sheets")
+  }
+
+  test("xlsx: synthXlsx round-trips text exactly") {
+    val text = "cell <text> & stuff\nsecond line"
+    val got = BinaryParsers.xlsx(BinaryParsers.synthXlsx(text))
+    assert(got.status == "ok" && got.text == text)
+  }
+
   // ---- DataFrame dispatch -------------------------------------------
 
-  test("Parsers.parse extracts real pdf and docx content in-plan") {
+  test("Parsers.parse extracts real pdf/docx/pptx/xlsx content in-plan") {
     import spark.implicits._
     val files = Seq(
       ("p1", pdfWith("BT (from pdf) Tj ET"), ".pdf"),
       ("d1", docxWith("<w:document><w:p><w:t>from docx</w:t></w:p>" +
-        "</w:document>"), ".docx"))
+        "</w:document>"), ".docx"),
+      ("s1", BinaryParsers.synthPptx("from pptx"), ".pptx"),
+      ("x1", BinaryParsers.synthXlsx("from xlsx"), ".xlsx"))
       .toDF("doc_id", "content", "extension")
     val got = Parsers.parse(files).select("doc_id", "parser", "text",
       "parse_status").collect()
@@ -127,5 +210,7 @@ class BinaryParsersSpec extends SparkSpec {
         r.getString(3))).toMap
     assert(got("p1") == (("pdf", "from pdf", "ok")))
     assert(got("d1") == (("docx", "from docx", "ok")))
+    assert(got("s1") == (("pptx", "from pptx", "ok")))
+    assert(got("x1") == (("xlsx", "from xlsx", "ok")))
   }
 }

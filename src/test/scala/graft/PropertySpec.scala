@@ -65,9 +65,16 @@ object GraftProperties extends Properties("graft") {
 
   property("recursive chunks cover all non-space content in order") =
     forAll(text, chunkCfg) { (t, cfg) =>
+      // chunks may duplicate the previous chunk's tail (overlap splice),
+      // so coverage is checked on offset spans, not on concatenation
       val chunks = Chunking.recursive(t, cfg)
-      val joined = chunks.map(_.text).mkString(" ").replaceAll("\\s+", "")
-      joined == t.replaceAll("\\s+", "") &&
+      val covered = new Array[Boolean](t.length)
+      chunks.foreach(c => java.util.Arrays.fill(covered, c.start, c.end, true))
+      t.indices.forall(i => covered(i) || t.charAt(i).isWhitespace) &&
+        chunks.map(_.start).sliding(2).forall {
+          case Seq(a, b) => a <= b
+          case _ => true
+        } &&
         chunks.forall(c => c.text == t.substring(c.start, c.end))
     }
 
