@@ -1059,8 +1059,8 @@ object SparkEntry {
         col("text").cast("binary").as("content"),
         element_at(array(lit(".md"), lit(".py"), lit(".json"), lit(".txt"),
           lit(".pdf"), lit(".docx"), lit(".pptx"), lit(".xlsx"),
-          lit(".doc")),
-          (col("doc_id") % 9 + 1).cast("int")).as("extension"))
+          lit(".doc"), lit(".eml"), lit(".msg")),
+          (col("doc_id") % 11 + 1).cast("int")).as("extension"))
       Parsers.parse(files)
         .select(col("doc_id"), col("extension"), col("parser"),
           col("parse_status"), length(col("text")).as("text_len"))
@@ -1114,6 +1114,25 @@ object SparkEntry {
       val files = t(s, dir, "documents").select(
         col("doc_id"), synth(col("text")).as("content"),
         lit(".xlsx").as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("parser"), col("parse_status"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- RFC822 email body extraction round-trip (S8) ----
+    // Wraps each document's text in a synthesized header block; the
+    // eml parser must strip exactly through the first blank line, so
+    // the extracted body hash-checks against the original text.
+    "parser_eml_roundtrip" -> ((s, dir) => {
+      import graft.sources.Parsers
+      val eml = concat(
+        lit("From: sender@example.com\r\nTo: list@example.com\r\n"),
+        lit("Subject: doc "), col("doc_id").cast("string"),
+        lit("\r\nMIME-Version: 1.0\r\n\r\n"), col("text"))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), eml.cast("binary").as("content"),
+        lit(".eml").as("extension"))
       Parsers.parse(files)
         .select(col("doc_id"), col("parser"), col("parse_status"),
           col("text"))
@@ -2344,8 +2363,8 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT doc_id, text,
         |    (['.md', '.py', '.json', '.txt', '.pdf', '.docx', '.pptx',
-        |      '.xlsx', '.doc'])
-        |      [CAST(doc_id % 9 + 1 AS INT)] AS extension
+        |      '.xlsx', '.doc', '.eml', '.msg'])
+        |      [CAST(doc_id % 11 + 1 AS INT)] AS extension
         |  FROM documents)
         |SELECT doc_id, extension,
         |  CASE extension
@@ -2353,16 +2372,22 @@ object SparkEntry {
         |    WHEN '.json' THEN 'structured' WHEN '.txt' THEN 'text'
         |    WHEN '.pdf' THEN 'pdf' WHEN '.docx' THEN 'docx'
         |    WHEN '.pptx' THEN 'pptx' WHEN '.xlsx' THEN 'xlsx'
-        |    WHEN '.doc' THEN 'binary_stub' END AS parser,
+        |    WHEN '.eml' THEN 'eml'
+        |    ELSE 'binary_stub' END AS parser,
         |  -- plain text bytes under a binary extension: the real parsers
-        |  -- reject them with a typed status; .doc stays stubbed
+        |  -- reject them with a typed status; .doc/.msg stay stubbed
         |  CASE extension WHEN '.pdf' THEN 'error:not_pdf'
         |    WHEN '.docx' THEN 'error:not_docx'
         |    WHEN '.pptx' THEN 'error:not_pptx'
         |    WHEN '.xlsx' THEN 'error:not_xlsx'
-        |    WHEN '.doc' THEN 'stubbed' ELSE 'ok' END AS parse_status,
+        |    WHEN '.doc' THEN 'stubbed' WHEN '.msg' THEN 'stubbed'
+        |    ELSE 'ok' END AS parse_status,
         |  CAST(CASE WHEN extension IN ('.pdf', '.docx', '.pptx', '.xlsx',
-        |    '.doc') THEN 0
+        |    '.doc', '.msg') THEN 0
+        |    WHEN extension = '.eml' THEN
+        |      CASE WHEN regexp_matches(text, '\r?\n\r?\n')
+        |        THEN length(regexp_replace(text, '^.*?\r?\n\r?\n', '', 's'))
+        |        ELSE 0 END
         |    ELSE length(text) END AS INT) AS text_len
         |FROM f ORDER BY doc_id""".stripMargin,
 
@@ -2388,6 +2413,10 @@ object SparkEntry {
         |    ELSE 'empty' END AS parse_status,
         |  CASE WHEN regexp_matches(text, '\S') THEN text
         |    ELSE '' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "parser_eml_roundtrip" ->
+      """SELECT doc_id, 'eml' AS parser, 'ok' AS parse_status, text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "rake_keywords" -> {

@@ -64,24 +64,47 @@ object BenchmarkRunner {
       .agg(Bm25.sparseScore(col("weight") * col("q_weight"), col("term"))
         .as("score"))
       .withColumnRenamed("id", "chunk_id")
-    val withDoc = scored.join(
-      chunks.select("chunk_id", "doc_id"), "chunk_id")
-      .select("query_id", "doc_id", "chunk_id", "score")
-    TopK.perGroup(withDoc, "query_id", k)
+    // doc_id joins in AFTER top-k: the candidate relation is corpus-
+    // sized (every chunk sharing a query term), the top-k result is
+    // ≤ |Q|·k rows — so the doc lookup broadcasts the RESULT against
+    // one chunks scan instead of shuffling candidates. Rank order
+    // depends only on (score, chunk_id), so the deferred join cannot
+    // perturb it.
+    val top = TopK.perGroup(
+      scored.withColumn("doc_id", col("chunk_id")), "query_id", k)
+    broadcast(top.select("query_id", "rank", "chunk_id", "score"))
+      .join(chunks.select("chunk_id", "doc_id"), "chunk_id")
       .select("query_id", "rank", "doc_id", "chunk_id", "score")
   }
 
   /** Hybrid: RRF-fuse the two legs per query. Both legs already emit
     * dense 1..k ranks ordered (score desc, chunk_id) — exactly the
-    * ranks RRF needs. The leg merge is union + one max-aggregation on
-    * (query_id, chunk_id) — an outer join cannot broadcast, so it would
-    * shuffle and sort BOTH candidate lists — and the final per-query
-    * ranking reuses the bounded [[TopK]] aggregator instead of a rank
-    * window, so fusion costs two bounded exchanges total and never
-    * sorts more than 2k candidates per query. */
+    * ranks RRF needs — so a query's ENTIRE fusion input is ≤ 2k rows by
+    * construction. Fusion is therefore ONE exchange: groupBy(query_id)
+    * collects the ≤2k hits into an array, and the chunk-merge (min rank
+    * per chunk across legs), RRF scoring, (score desc, chunk_id) sort
+    * and k-slice all run as per-row array ops — where a
+    * groupBy(query_id, chunk_id) + per-query top-k would cost two
+    * exchanges, and an outer join of the legs cannot broadcast. The
+    * in-array merge is O((2k)²) per query on k ≤ a few hundred —
+    * negligible next to an exchange, and independent of corpus size. */
   def hybridRuns(chunks: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  rrfK: Int = Rrf.DefaultRrfK,
                  index: Option[Bm25.Index] = None): DataFrame = {
+    fusedHits(chunks, queries, k, dim, rrfK, index)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("_pos", "_h")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_h.doc_id").as("doc_id"), col("_h.chunk_id").as("chunk_id"),
+        col("_h.score").as("score"))
+  }
+
+  /** The fused per-query top-k as ONE array row per query:
+    * (query_id, top) with `top` ordered by (score desc, chunk_id).
+    * [[hybridRuns]] explodes it; [[evaluate]] consumes the array
+    * directly so the W6 doc collapse costs no further exchange. */
+  private def fusedHits(chunks: DataFrame, queries: DataFrame, k: Int,
+                        dim: Int, rrfK: Int,
+                        index: Option[Bm25.Index]): DataFrame = {
     val nullI = lit(null).cast("int")
     val d = denseRuns(chunks, queries, k, dim)
       .select(col("query_id"), col("chunk_id"), col("doc_id"),
@@ -89,17 +112,32 @@ object BenchmarkRunner {
     val s = sparseRuns(chunks, queries, k, index = index)
       .select(col("query_id"), col("chunk_id"), col("doc_id"),
         nullI.as("_dense_rank"), col("rank").cast("int").as("_sparse_rank"))
-    val fused = d.unionByName(s)
-      .groupBy("query_id", "chunk_id")
-      .agg(max("doc_id").as("doc_id"), // doc is a function of chunk_id
-        min("_dense_rank").as("_dense_rank"), // best rank if dups ever
-        min("_sparse_rank").as("_sparse_rank"))
-      .withColumn("score",
-        coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))
-      .select("query_id", "doc_id", "chunk_id", "score")
-    TopK.perGroup(fused, "query_id", k)
-      .select("query_id", "rank", "doc_id", "chunk_id", "score")
+    val hits = d.unionByName(s)
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("chunk_id"), col("doc_id"),
+        col("_dense_rank"), col("_sparse_rank"))).as("hs"))
+    // first occurrence of each chunk_id survives; its ranks are the
+    // per-leg minima over all entries for that chunk (array_min skips
+    // the null rank of the leg that missed it)
+    val firsts = filter(col("hs"), (x, i) =>
+      !exists(slice(col("hs"), lit(1), i),
+        y => y.getField("chunk_id") === x.getField("chunk_id")))
+    val scoredArr = transform(firsts, x => {
+      val same = filter(col("hs"),
+        y => y.getField("chunk_id") === x.getField("chunk_id"))
+      val dmin = array_min(transform(same, y => y.getField("_dense_rank")))
+      val smin = array_min(transform(same, y => y.getField("_sparse_rank")))
+      val score =
+        coalesce(lit(1.0) / (lit(rrfK) + dmin), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + smin), lit(0.0))
+      // leading negated score makes the ascending struct sort emit
+      // (score desc, chunk_id asc) — the TopK contract; RRF scores are
+      // strictly positive so the negation cannot hit -0.0 ties
+      struct((-score).as("_ns"), x.getField("chunk_id").as("chunk_id"),
+        x.getField("doc_id").as("doc_id"), score.as("score"))
+    })
+    hits.select(col("query_id"),
+      slice(sort_array(scoredArr), 1, k).as("top"))
   }
 
   /** Full benchmark: runs → first-hit doc collapse (W6) → per-query +
@@ -115,21 +153,34 @@ object BenchmarkRunner {
     val idx = if (mode == "dense") None
       else Some(Bm25.buildIndex(chunks, "chunk_id", "content",
         pinStats = true))
-    val runs = mode match {
-      case "dense" => denseRuns(chunks, queries, k, dim)
-      case "sparse" => sparseRuns(chunks, queries, k, index = idx)
-      case "hybrid" => hybridRuns(chunks, queries, k, dim, index = idx)
-      case other => throw new IllegalArgumentException(s"mode $other")
-    }
     // the runs relation is <= |Q|*k rows BY CONSTRUCTION but its DAG is
     // the whole retrieval pipeline — pin it (in ONE partition: bounded
     // tiny, and the metric windows/aggs then run single-task) before
-    // the fan-out. qrels feeds both the graded join and the ideal-DCG
-    // branch — cache it so its scan runs once, but KEEP its
-    // partitioning: judgment sets scale with the corpus, so no
-    // single-partition coalesce here
-    val docRuns = IrMetrics.collapseToDocs(
-      runs.select("query_id", "rank", "doc_id")).coalesce(1).cache()
+    // the fan-out. The hybrid path already holds a per-query SORTED
+    // array after its one fusion exchange, so the W6 doc collapse runs
+    // inside that array and the collapse costs no further exchange; the
+    // single-leg paths re-group through collapseToDocs. qrels feeds
+    // both the graded join and the ideal-DCG branch — cache it so its
+    // scan runs once, but KEEP its partitioning: judgment sets scale
+    // with the corpus, so no single-partition coalesce here
+    val collapsed = mode match {
+      case "hybrid" =>
+        fusedHits(chunks, queries, k, dim, Rrf.DefaultRrfK, idx)
+          .select(col("query_id"),
+            posexplode(IrMetrics.collapseHits(col("top")))
+              .as(Seq("_pos", "_h")))
+          .select(col("query_id"),
+            (col("_pos") + 1).cast("int").as("rank"),
+            col("_h.doc_id").as("doc_id"))
+      case "dense" => IrMetrics.collapseToDocs(
+        denseRuns(chunks, queries, k, dim)
+          .select("query_id", "rank", "doc_id"))
+      case "sparse" => IrMetrics.collapseToDocs(
+        sparseRuns(chunks, queries, k, index = idx)
+          .select("query_id", "rank", "doc_id"))
+      case other => throw new IllegalArgumentException(s"mode $other")
+    }
+    val docRuns = collapsed.coalesce(1).cache()
     val qrelsPinned = qrels.cache()
     IrMetrics.macroAveraged(docRuns, qrelsPinned, kValues)
   }

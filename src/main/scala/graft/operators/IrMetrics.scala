@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
 object IrMetrics {
   val DefaultKValues: Seq[Int] = Seq(5, 10, 20) // ref metrics.py:271-272
 
+  /** Array form of W6: given a hits array already ordered by rank
+    * (structs carrying a `doc_id` field), keep the first hit per doc,
+    * order preserving. Callers that already hold a per-query array
+    * (e.g. the fused hybrid runs) apply this WITHOUT any exchange. */
+  def collapseHits(hits: Column): Column =
+    filter(hits, (x, i) =>
+      !exists(slice(hits, lit(1), i),
+        y => y.getField("doc_id") === x.getField("doc_id")))
+
   /** W6: collapse a chunk ranking to a doc ranking, first hit per doc,
     * order preserving (ref metrics.py:12-41). Input needs
     * (query_id, rank, doc_id); output re-ranks docs 1..n.
@@ -36,18 +45,15 @@ object IrMetrics {
     * hit list fits a single array and the first-hit dedup is an
     * order-preserving array filter — where the window formulation
     * (first-hit window + re-rank window) costs two exchanges. */
-  def collapseToDocs(chunkResults: DataFrame): DataFrame = {
-    val deduped = filter(col("hits"), (x, i) =>
-      !exists(slice(col("hits"), lit(1), i),
-        y => y.getField("doc_id") === x.getField("doc_id")))
+  def collapseToDocs(chunkResults: DataFrame): DataFrame =
     chunkResults
       .groupBy("query_id")
       .agg(sort_array(collect_list(struct(col("rank"), col("doc_id"))))
         .as("hits"))
-      .select(col("query_id"), posexplode(deduped).as(Seq("_pos", "_h")))
+      .select(col("query_id"),
+        posexplode(collapseHits(col("hits"))).as(Seq("_pos", "_h")))
       .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
         col("_h.doc_id").as("doc_id"))
-  }
 
   /** Wide per-query relation: one row per query carrying every metric
     * as a column (metric_name_k). Shared by [[perQuery]] (explode to

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Text formats decode as pure column ops; `pdf`, `docx`, `pptx` and
   * `xlsx` route through [[BinaryParsers]] (pure-JVM extraction — the
   * container has no Tika; a Tika-backed parser plugs into the same
-  * slot on a real cluster). Legacy OLE formats (.doc, .ppt, .xls)
+  * slot on a real cluster). RFC822 email (.eml) extracts the message
+  * body as column ops. Legacy OLE formats (.doc, .ppt, .xls, .msg)
   * stay on the `binary_stub` parser which emits empty text and a
   * `parse_status` marker, keeping the dispatch/plumbing real.
   */
@@ -27,9 +28,11 @@ object Parsers {
     "docx" -> Seq(".docx"),
     "pptx" -> Seq(".pptx"),
     "xlsx" -> Seq(".xlsx"),
+    "eml" -> Seq(".eml"),
     "text" -> Seq(".txt", ""),
     // legacy OLE/CFB formats need a compound-file reader; stubbed
-    "binary_stub" -> Seq(".doc", ".ppt", ".xls"))
+    // (.msg is Outlook's OLE container, same family as .doc)
+    "binary_stub" -> Seq(".doc", ".ppt", ".xls", ".msg"))
 
   /** Dispatch column: the chosen parser name for an extension column
     * (first registry entry claiming the extension; unknown → "text",
@@ -65,6 +68,14 @@ object Parsers {
         regexp_replace(regexp_replace(decoded,
           "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
           "<[^>]+>", " "))
+      .when(parser === "eml",
+        // RFC822 text body: everything after the first blank line
+        // (registry.py:26 routes .eml to the unstructured email
+        // partitioner, whose text contract is the message body);
+        // a headers-only message has an empty body
+        when(decoded.rlike("(?s)\\r?\\n\\r?\\n"),
+          regexp_replace(decoded, "(?s)^.*?\\r?\\n\\r?\\n", ""))
+          .otherwise(lit("")))
       .when(parser === "structured", decoded)
       .otherwise(decoded)
     df.withColumn("parser", parser)

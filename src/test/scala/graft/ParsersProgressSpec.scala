@@ -40,6 +40,26 @@ class ParsersProgressSpec extends SparkSpec {
       got("h")._3 == "error:not_docx")
   }
 
+  test("eml parser: body after first blank line; .msg stays stubbed") {
+    val files = Seq(
+      ("a", "Subject: hi\r\nFrom: x@y\r\n\r\nbody line 1\n\nbody line 2",
+        ".eml"),
+      ("b", "Subject: only headers\r\nFrom: x@y", ".eml"), // no blank line
+      ("c", "Subject: bare lf\nFrom: x@y\n\nunix body", ".eml"),
+      ("d", "outlook ole blob", ".msg"))
+      .map { case (id, body, ext) => (id, body.getBytes("UTF-8"), ext) }
+      .toDF("doc_id", "content", "extension")
+    val got = Parsers.parse(files).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[String]("parser"), r.getAs[String]("text"),
+          r.getAs[String]("parse_status"))).toMap
+    // body preserved exactly, including its own internal blank line
+    assert(got("a") == (("eml", "body line 1\n\nbody line 2", "ok")))
+    assert(got("b") == (("eml", "", "ok"))) // headers-only -> empty body
+    assert(got("c") == (("eml", "unix body", "ok"))) // bare-LF separator
+    assert(got("d") == (("binary_stub", "", "stubbed")))
+  }
+
   test("progress listener records started/batch/terminated (T4)") {
     val rec = Progress.attach(spark)
     try {

@@ -107,8 +107,17 @@ class PlanAuditSpec extends SparkSpec {
   test("bench_eval runs carry no full-product rank window or outer join") {
     val p = plan("bench_eval")
     assert(!p.contains("SortMergeJoin FullOuter"), p)
-    // fused top-k rides the bounded TopK aggregator
+    // leg top-k rides the bounded TopK aggregator
     assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("hybrid fusion + doc collapse cost ONE exchange past the legs") {
+    // the ≤2k fused hits per query merge inside a single groupBy(query_id)
+    // array; a (query_id, chunk_id) re-shuffle or a second collapse
+    // exchange means the array fusion regressed to the two-hop form
+    val p = plan("bench_eval")
+    assert("Exchange hashpartitioning\\(query_id[#\\dL]*, chunk_id".r
+      .findFirstIn(p).isEmpty, s"two-key fusion exchange is back:\n$p")
   }
 
   test("no nested BroadcastNestedLoopJoin inside the BM25 stats broadcast") {
