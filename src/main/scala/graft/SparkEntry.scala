@@ -1373,6 +1373,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- t-SNE projection run (rows-only: driver-side fit per the
+    //      reference's contract, no SQL twin; determinism — exact
+    //      t-SNE with PCA init has no random draws — is pinned by
+    //      TsneProjectionSpec) ----
+    "tsne_project" -> ((s, dir) => {
+      graft.operators.Projection.tsne2d(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64,
+          perplexity = 15.0, nIter = 250, sampleLimit = 300)
+        .select(col("vec_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"))
+        .orderBy("vec_id")
+    }),
+
     // ---- SPLADE-shaped sparse encoding (F12 activation shape) ----
     "splade_mock" -> ((s, dir) => {
       graft.plugins.Providers.SpladeLikeMockIndexer(Dedup.shaHashFamily)

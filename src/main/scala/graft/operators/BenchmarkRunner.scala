@@ -153,35 +153,30 @@ object BenchmarkRunner {
     val idx = if (mode == "dense") None
       else Some(Bm25.buildIndex(chunks, "chunk_id", "content",
         pinStats = true))
-    // the runs relation is <= |Q|*k rows BY CONSTRUCTION but its DAG is
-    // the whole retrieval pipeline — pin it (in ONE partition: bounded
-    // tiny, and the metric windows/aggs then run single-task) before
-    // the fan-out. The hybrid path already holds a per-query SORTED
-    // array after its one fusion exchange, so the W6 doc collapse runs
-    // inside that array and the collapse costs no further exchange; the
-    // single-leg paths re-group through collapseToDocs. qrels feeds
-    // both the graded join and the ideal-DCG branch — cache it so its
-    // scan runs once, but KEEP its partitioning: judgment sets scale
-    // with the corpus, so no single-partition coalesce here
-    val collapsed = mode match {
+    // each query's collapsed doc ranking stays ONE array row end to
+    // end: the hybrid path holds a sorted array straight out of its
+    // fusion exchange (the W6 collapse runs inside it, no further
+    // exchange), the single-leg paths re-group once through
+    // collapseToDocArrays — and the zero-window metric fan-out then
+    // costs one grade-map join plus one global aggregation
+    // (macroAveragedFromArrays). The ≤|Q|-row relation coalesces to a
+    // single partition so the metric stage is one task; it has exactly
+    // one consumer, so no cache. qrels folds into per-query grade maps
+    // inside macroAveragedFromArrays — one scan, no cache needed.
+    val docsArr = mode match {
       case "hybrid" =>
         fusedHits(chunks, queries, k, dim, Rrf.DefaultRrfK, idx)
           .select(col("query_id"),
-            posexplode(IrMetrics.collapseHits(col("top")))
-              .as(Seq("_pos", "_h")))
-          .select(col("query_id"),
-            (col("_pos") + 1).cast("int").as("rank"),
-            col("_h.doc_id").as("doc_id"))
-      case "dense" => IrMetrics.collapseToDocs(
+            transform(IrMetrics.collapseHits(col("top")),
+              h => h.getField("doc_id")).as("docs"))
+      case "dense" => IrMetrics.collapseToDocArrays(
         denseRuns(chunks, queries, k, dim)
           .select("query_id", "rank", "doc_id"))
-      case "sparse" => IrMetrics.collapseToDocs(
+      case "sparse" => IrMetrics.collapseToDocArrays(
         sparseRuns(chunks, queries, k, index = idx)
           .select("query_id", "rank", "doc_id"))
       case other => throw new IllegalArgumentException(s"mode $other")
     }
-    val docRuns = collapsed.coalesce(1).cache()
-    val qrelsPinned = qrels.cache()
-    IrMetrics.macroAveraged(docRuns, qrelsPinned, kValues)
+    IrMetrics.macroAveragedFromArrays(docsArr.coalesce(1), qrels, kValues)
   }
 }

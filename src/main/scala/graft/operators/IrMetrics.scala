@@ -55,6 +55,18 @@ object IrMetrics {
       .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
         col("_h.doc_id").as("doc_id"))
 
+  /** [[collapseToDocs]] keeping each query's doc ranking as ONE array
+    * row (query_id, docs) — the input shape of
+    * [[macroAveragedFromArrays]]. */
+  def collapseToDocArrays(chunkResults: DataFrame): DataFrame =
+    chunkResults
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id"))))
+        .as("hits"))
+      .select(col("query_id"),
+        transform(collapseHits(col("hits")),
+          h => h.getField("doc_id")).as("docs"))
+
   /** Wide per-query relation: one row per query carrying every metric
     * as a column (metric_name_k). Shared by [[perQuery]] (explode to
     * long format) and [[macroAveraged]] (average the columns FIRST,
@@ -135,6 +147,85 @@ object IrMetrics {
     base.select(col("query_id"), explode(array(metricStructs: _*)).as("m"))
       .select(col("query_id"), col("m.metric").as("metric"),
         col("m.k").as("k"), col("m.value").as("value"))
+  }
+
+  /** Macro-averaged metrics from PER-QUERY DOC ARRAYS — the zero-window
+    * formulation for callers that already hold each query's collapsed
+    * doc ranking as one array row (`runs`: (query_id, docs) ordered by
+    * rank). The whole A5 fan-out then costs ONE broadcast-sized join
+    * (qrels folded to a per-query grade map) plus ONE global
+    * aggregation: every per-query accumulator — P/R@k, DCG/iDCG@k,
+    * MRR, AP — is an O(k²)-bounded array fold inside the row, where
+    * the relational form needs a cumulative window, two per-query
+    * aggregations and an ideal-DCG window+join. Semantics are
+    * value-identical to [[macroAveraged]] (bench_eval_docs hash-checks
+    * this path against the DuckDB oracle); float sums accumulate in
+    * rank order, which is MORE deterministic than engine agg order. */
+  def macroAveragedFromArrays(runs: DataFrame, qrels: DataFrame,
+                              kValues: Seq[Int] = DefaultKValues): DataFrame = {
+    val grades = qrels.groupBy("query_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("doc_id"), col("grade")))).as("gmap"))
+    val joined = runs.join(grades, Seq("query_id"), "left")
+
+    def log2c(c: Column): Column = log(c.cast("double")) / log(lit(2.0))
+    // grade per retrieved doc (0 when unjudged); rank i is 0-based
+    val graded = transform(col("docs"), d =>
+      coalesce(element_at(col("gmap"), d), lit(0)))
+    val isRel = transform(graded, g => (g > 0).cast("int"))
+    val dcgTerms = transform(graded, (g, i) =>
+      g.cast("double") / log2c(i + lit(2)))
+    def sumI(arr: Column): Column =
+      coalesce(aggregate(arr, lit(0), (a, x) => a + x), lit(0))
+    def sumD(arr: Column): Column =
+      coalesce(aggregate(arr, lit(0.0), (a, x) => a + x), lit(0.0))
+    // ideal DCG over ALL the query's qrels grades, sorted descending
+    // (the doc_id tie-break of the window form cannot change the sum)
+    val idealTerms = transform(
+      reverse(array_sort(coalesce(map_values(col("gmap")),
+        array().cast("array<int>")))),
+      (g, i) => g.cast("double") / log2c(i + lit(2)))
+    val nRelevant = sumI(transform(
+      coalesce(map_values(col("gmap")), array().cast("array<int>")),
+      g => (g > 0).cast("int")))
+    val firstRel = array_position(isRel, 1) // 0 when no relevant hit
+    // AP numerator: Σ_{relevant i} cumrel(i)/rank(i) — the inner slice
+    // re-sum is O(k²) on a ≤k array, constant next to any exchange
+    val apTerms = transform(isRel, (r, i) =>
+      when(r === 1,
+        sumI(slice(isRel, lit(1), i + lit(1))).cast("double") /
+          (i + lit(1)).cast("double"))
+        .otherwise(lit(0.0)))
+
+    val metrics: Seq[(String, Int, Column)] = kValues.flatMap { k =>
+      Seq(
+        ("precision", k, sumI(slice(isRel, 1, k)).cast("double") / k),
+        ("recall", k,
+          when(nRelevant > 0,
+            sumI(slice(isRel, 1, k)).cast("double") / nRelevant)
+            .otherwise(0.0)),
+        ("ndcg", k, {
+          val idcg = sumD(slice(idealTerms, 1, k))
+          when(idcg > 0, sumD(slice(dcgTerms, 1, k)) / idcg).otherwise(0.0)
+        }))
+    } ++ Seq(
+      ("mrr", 0,
+        when(firstRel > 0, lit(1.0) / firstRel.cast("double"))
+          .otherwise(0.0)),
+      ("ap", 0,
+        when(nRelevant > 0, sumD(apTerms) / nRelevant).otherwise(0.0)))
+
+    val aggs = metrics.zipWithIndex.map { case ((_, _, value), i) =>
+      avg(value).as(s"_v$i")
+    } :+ count(lit(1)).as("_n")
+    val row = joined.agg(aggs.head, aggs.tail: _*).filter(col("_n") > 0)
+    val structs = metrics.zipWithIndex.map { case ((name, k, _), i) =>
+      struct(lit(name).as("metric"), lit(k).as("k"),
+        col(s"_v$i").as("value"), col("_n").as("n_queries"))
+    }
+    row.select(explode(array(structs: _*)).as("m"))
+      .select(col("m.metric").as("metric"), col("m.k").as("k"),
+        col("m.value").as("value"), col("m.n_queries").as("n_queries"))
   }
 
   /** Macro average across queries per (metric, k) — the run-level

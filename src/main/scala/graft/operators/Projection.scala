@@ -322,4 +322,214 @@ object Projection {
     ids.indices.map(r => (ids(r), y(r)(0), y(r)(1)))
       .toDF(idCol, "x", "y")
   }
+
+  /** t-SNE 2-D reduction (ref projection_service.py:269-314: reducer
+    * "tsne" with perplexity=30, learning_rate=200, n_iter≥250,
+    * metric=euclidean, init=pca defaults, fitted over a bounded
+    * sample). Same driver-side sample→fit contract as [[umap2d]], but
+    * fully DETERMINISTIC without a seed: exact t-SNE (van der Maaten
+    * 2008) with PCA initialization has no random draws — pairwise
+    * affinities with per-point σ from a binary search on perplexity,
+    * early exaggeration, and momentum gradient descent with adaptive
+    * gains are all closed-form. Output is the sample's layout
+    * (id, x, y), the artifact the reference stores. */
+  def tsne2d(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+             perplexity: Double = 30.0, learningRate: Double = 200.0,
+             nIter: Int = 1000, sampleLimit: Int = 2000): DataFrame = {
+    require(nIter >= 250, s"n_iter must be >= 250, got $nIter") // ref :296
+    require(perplexity > 0, s"perplexity must be > 0")          // ref :282
+    val spark = vectors.sparkSession
+    val sampled = vectors.orderBy(col(idCol)).limit(sampleLimit)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n = sampled.length
+    require(n > 2, s"need > 2 vectors to fit t-SNE, got $n")
+    val ids = sampled.map(_.getLong(0))
+    val x = sampled.map { r =>
+      val s = r.getSeq[Any](1)
+      val a = new Array[Double](dim)
+      var i = 0
+      while (i < dim && i < s.length) {
+        a(i) = s(i) match {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case m: Number => m.doubleValue()
+        }
+        i += 1
+      }
+      a
+    }
+
+    // --- pairwise squared euclidean distances (O(n²·dim), bounded)
+    val d2 = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var s = 0.0; var d = 0
+        while (d < dim) { val t = x(i)(d) - x(j)(d); s += t * t; d += 1 }
+        d2(i)(j) = s; d2(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+
+    // --- conditional affinities: binary-search beta_i = 1/(2σ²) so the
+    // entropy of P_{·|i} hits log(perplexity) (50 halvings ≈ machine
+    // precision); the effective perplexity is clamped to n−1 neighbors
+    val logU = math.log(math.min(perplexity, (n - 1).toDouble))
+    val p = Array.ofDim[Double](n, n)
+    i = 0
+    while (i < n) {
+      var beta = 1.0; var betaMin = Double.NegativeInfinity
+      var betaMax = Double.PositiveInfinity
+      var it = 0
+      while (it < 50) {
+        var sumP = 0.0; var sumDP = 0.0
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val e = math.exp(-d2(i)(j) * beta)
+            sumP += e; sumDP += d2(i)(j) * e
+          }
+          j += 1
+        }
+        val sp = math.max(sumP, 1e-300)
+        val h = math.log(sp) + beta * sumDP / sp // Shannon entropy
+        if (h > logU) {
+          betaMin = beta
+          beta = if (betaMax.isInfinite) beta * 2 else (beta + betaMax) / 2
+        } else {
+          betaMax = beta
+          beta = if (betaMin.isInfinite) beta / 2 else (beta + betaMin) / 2
+        }
+        it += 1
+      }
+      var sumP = 0.0
+      var j = 0
+      while (j < n) {
+        if (j != i) { p(i)(j) = math.exp(-d2(i)(j) * beta); sumP += p(i)(j) }
+        j += 1
+      }
+      val sp = math.max(sumP, 1e-300)
+      j = 0
+      while (j < n) { p(i)(j) /= sp; j += 1 }
+      i += 1
+    }
+    // symmetrize: p_ij = (p_{j|i} + p_{i|j}) / 2n, floored away from 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val v = math.max((p(i)(j) + p(j)(i)) / (2.0 * n), 1e-12)
+        p(i)(j) = v; p(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+
+    // --- init: PCA coordinates scaled to stddev 1e-4 (the init=pca
+    // contract; deterministic via the sign-fixed eigSym used everywhere)
+    val mean = new Array[Double](dim)
+    i = 0
+    while (i < n) { var d = 0; while (d < dim) { mean(d) += x(i)(d) / n; d += 1 }; i += 1 }
+    val cov = new DenseMatrix[Double](dim, dim)
+    i = 0
+    while (i < n) {
+      var a = 0
+      while (a < dim) {
+        var b = 0
+        while (b < dim) { cov(a, b) += (x(i)(a) - mean(a)) * (x(i)(b) - mean(b)) / n; b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    val eig = eigSym(cov)
+    def pc(kth: Int): Array[Double] = {
+      val v = eig.eigenvectors(::, dim - 1 - kth).toArray
+      val mi = v.indices.maxBy(idx => math.abs(v(idx)))
+      if (v(mi) < 0) v.map(-_) else v
+    }
+    val (p1, p2) = (pc(0), pc(1))
+    val y = Array.tabulate(n) { r =>
+      var (sx, sy) = (0.0, 0.0); var d = 0
+      while (d < dim) {
+        sx += (x(r)(d) - mean(d)) * p1(d); sy += (x(r)(d) - mean(d)) * p2(d)
+        d += 1
+      }
+      Array(sx, sy)
+    }
+    var std = 0.0
+    i = 0
+    while (i < n) { std += y(i)(0) * y(i)(0) + y(i)(1) * y(i)(1); i += 1 }
+    std = math.sqrt(std / (2 * n)) max 1e-300
+    i = 0
+    while (i < n) { y(i)(0) *= 1e-4 / std; y(i)(1) *= 1e-4 / std; i += 1 }
+
+    // --- gradient descent: early exaggeration ×12 for the first 250
+    // iterations, momentum 0.5→0.8 at 250, per-coordinate adaptive
+    // gains — the classic (deterministic) optimizer schedule
+    val exag = 12.0
+    val exagUntil = 250
+    val dy = Array.fill(n)(Array(0.0, 0.0))
+    val gains = Array.fill(n)(Array(1.0, 1.0))
+    val grad = Array.fill(n)(Array(0.0, 0.0))
+    val qNum = Array.ofDim[Double](n, n)
+    var iter = 0
+    while (iter < nIter) {
+      val pMul = if (iter < exagUntil) exag else 1.0
+      val momentum = if (iter < 250) 0.5 else 0.8
+      // q numerators (1 + ||y_i − y_j||²)⁻¹ and their sum
+      var qSum = 0.0
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val dx0 = y(i)(0) - y(j)(0); val dx1 = y(i)(1) - y(j)(1)
+          val q = 1.0 / (1.0 + dx0 * dx0 + dx1 * dx1)
+          qNum(i)(j) = q; qNum(j)(i) = q
+          qSum += 2 * q
+          j += 1
+        }
+        i += 1
+      }
+      val qz = math.max(qSum, 1e-300)
+      i = 0
+      while (i < n) {
+        grad(i)(0) = 0.0; grad(i)(1) = 0.0
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val q = qNum(i)(j)
+            val coef = 4.0 * (pMul * p(i)(j) - math.max(q / qz, 1e-300)) * q
+            grad(i)(0) += coef * (y(i)(0) - y(j)(0))
+            grad(i)(1) += coef * (y(i)(1) - y(j)(1))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        var c = 0
+        while (c < 2) {
+          // gain rises when gradient keeps direction, shrinks when it
+          // flips — van der Maaten's adaptive-gain schedule
+          gains(i)(c) =
+            if (math.signum(grad(i)(c)) != math.signum(dy(i)(c)))
+              gains(i)(c) + 0.2
+            else math.max(gains(i)(c) * 0.8, 0.01)
+          dy(i)(c) = momentum * dy(i)(c) -
+            learningRate * gains(i)(c) * grad(i)(c)
+          y(i)(c) += dy(i)(c)
+          c += 1
+        }
+        i += 1
+      }
+      iter += 1
+    }
+
+    import spark.implicits._
+    ids.indices.map(r => (ids(r), y(r)(0), y(r)(1)))
+      .toDF(idCol, "x", "y")
+  }
 }

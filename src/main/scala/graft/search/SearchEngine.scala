@@ -102,17 +102,23 @@ object SearchEngine {
     * If the table carries `original_chunk_id` (sparse points indexed
     * under derived ids), hits re-key to the original chunk first —
     * operator J2 (service.py:248-274). */
-  def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame = {
+  def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame =
+    sparseHits(chunks, req, limit).join(chunks, Seq("chunk_id"))
+
+  /** The sparse leg's (chunk_id, score) hits WITHOUT the payload join —
+    * what hybrid fusion consumes. An inner join the consumer's
+    * projection discards cannot be pruned by the optimizer (it could
+    * change cardinality), so hybrid mode must not pay for it; payload
+    * enrichment happens once, after fusion (J3). */
+  def sparseHits(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame = {
     val hits = Bm25.searchTopK(chunks, "chunk_id", "content", req.query, limit)
       .withColumnRenamed("id", "chunk_id")
-    val remapped =
-      if (chunks.columns.contains("original_chunk_id"))
-        hits.join(chunks.select("chunk_id", "original_chunk_id"), "chunk_id")
-          .withColumn("chunk_id",
-            coalesce(col("original_chunk_id"), col("chunk_id")))
-          .drop("original_chunk_id")
-      else hits
-    remapped.join(chunks, Seq("chunk_id"))
+    if (chunks.columns.contains("original_chunk_id"))
+      hits.join(chunks.select("chunk_id", "original_chunk_id"), "chunk_id")
+        .withColumn("chunk_id",
+          coalesce(col("original_chunk_id"), col("chunk_id")))
+        .drop("original_chunk_id")
+    else hits
   }
 
   /** Full §3.1 plan over one collection's chunks table. Output columns:
@@ -133,7 +139,7 @@ object SearchEngine {
       case "hybrid" =>
         val d = denseLeg(filtered, req, fetchK)
           .select("chunk_id", "score")
-        val s = sparseLeg(filtered, req, fetchK)
+        val s = sparseHits(filtered, req, fetchK)
           .select("chunk_id", "score")
         // J1 fusion, then payload enrichment from the dense-first union
         Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK)

@@ -87,4 +87,36 @@ class IrMetricsSpec extends SparkSpec {
     assert(math.abs(m(("precision", 5))._1 - 0.1) < 1e-12)
     assert(m(("precision", 5))._2 == 2L)
   }
+
+  test("array formulation == relational formulation, every metric") {
+    // covers: graded docs, unjudged docs, a query with NO qrels, a
+    // query with relevant docs never retrieved, duplicate-free ranks
+    val res = Seq(
+      (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"),
+      (2, 1, "x"), (2, 2, "y"),
+      (3, 1, "p")) // query 3 has no qrels at all
+    val qr = Seq(
+      (1, "a", 3), (1, "c", 1), (1, "z", 2), // z relevant, not retrieved
+      (2, "y", 1), (2, "x", 0)) // x judged non-relevant
+    val ks = Seq(2, 5)
+    val rDF = res.toDF("query_id", "rank", "doc_id")
+    val qDF = qr.toDF("query_id", "doc_id", "grade")
+    val rel = IrMetrics.macroAveraged(rDF, qDF, ks).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val arrIn = rDF.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id"))))
+        .as("hits"))
+      .select(col("query_id"),
+        transform(col("hits"), h => h.getField("doc_id")).as("docs"))
+    val arr = IrMetrics.macroAveragedFromArrays(arrIn, qDF, ks).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(rel.keySet == arr.keySet)
+    rel.foreach { case (key, (v, n)) =>
+      assert(arr(key)._2 == n, s"$key n_queries")
+      assert(math.abs(arr(key)._1 - v) < 1e-12,
+        s"$key: relational $v vs array ${arr(key)._1}")
+    }
+  }
 }
