@@ -1120,6 +1120,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- HTML tag/script-strip round-trip (S8) ----
+    // Wraps each document's text in markup with a script block; the
+    // html parser strips the block and every tag to single spaces, so
+    // the output is exactly '  ' + text + ' ' — oracle-expressible
+    // because the corpus contains no angle brackets (verified).
+    "parser_html_roundtrip" -> ((s, dir) => {
+      import graft.sources.Parsers
+      val html = concat(lit("<script>ignore()</script><p>"),
+        col("text"), lit("</p>"))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), html.cast("binary").as("content"),
+        lit(".html").as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("parser"), col("parse_status"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- RFC822 email body extraction round-trip (S8) ----
     // Wraps each document's text in a synthesized header block; the
     // eml parser must strip exactly through the first blank line, so
@@ -1178,6 +1196,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
       Maintenance.orphanVectors(vectors, docs)
         .orderBy("doc_id")
+    }),
+
+    // ---- REMOVE_SOURCE operation: one source's docs drop out, and
+    //      only vector rows of surviving docs remain ----
+    "remove_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // three vector rows per doc stand in for its chunk fan-out
+      val vectors = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(2))).as("chunk_idx"))
+      Maintenance.removeSource(docs, vectors, "src7")
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // ---- doc_ref resolution (J8) ----
@@ -1358,6 +1387,23 @@ object SparkEntry {
           "vec_id", "embedding", m, p1, p2)
         .select(col("vec_id"), round(col("x"), 6).as("x"),
           round(col("y"), 6).as("y"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- projection region selection (projection_service.py:656-880):
+    //      resolve the points inside a 2-D viewport region back to
+    //      their source rows and enrich with metadata — projection →
+    //      region filter → enrichment join. The cut lines (0.1, 0.1)
+    //      sit far from any projected point relative to cross-engine
+    //      float noise, so the region membership is engine-stable. ----
+    "projection_select" -> ((s, dir) => {
+      val (m, p1, p2) = pcaFitFor(s, dir)
+      val proj = graft.operators.Projection.project(
+        t(s, dir, "embeddings"), "vec_id", "embedding", m, p1, p2)
+      proj.filter(col("x") >= 0.1 && col("y") >= 0.1)
+        .join(t(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+        .select(col("vec_id"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"), col("label"))
         .orderBy("vec_id")
     }),
 
@@ -2432,6 +2478,13 @@ object SparkEntry {
       """SELECT doc_id, 'eml' AS parser, 'ok' AS parse_status, text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the stripped script block and the <p> tag each become one space,
+    // the closing </p> another — see the Spark query's comment
+    "parser_html_roundtrip" ->
+      """SELECT doc_id, 'html' AS parser, 'ok' AS parse_status,
+        |  '  ' || text || ' ' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "rake_keywords" -> {
       val stopList = Rake.StopWords.toSeq.sorted
         .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
@@ -2542,6 +2595,14 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents d
         |  WHERE d.doc_id < 400 AND d.doc_id = e.vec_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "remove_source" ->
+      """SELECT d.doc_id, CAST(g.chunk_idx AS INT) AS chunk_idx
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS chunk_idx) g
+        |WHERE d.doc_id IN (
+        |  SELECT doc_id FROM documents WHERE source <> 'src7')
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "j8_docrefs" ->
       """WITH refs AS (
@@ -2764,6 +2825,25 @@ object SparkEntry {
              |  FROM embeddings, params)
              |SELECT vec_id, round(x, 6) AS x, round(y, 6) AS y
              |FROM proj ORDER BY vec_id""".stripMargin
+        },
+        "projection_select" -> {
+          val (m, p1, p2) = PcaOracleFit
+          s"""WITH params AS (
+             |  SELECT ${sqlDoubleList(m)} AS m,
+             |    ${sqlDoubleList(p1)} AS p1,
+             |    ${sqlDoubleList(p2)} AS p2),
+             |proj AS (
+             |  SELECT vec_id,
+             |    list_inner_product(list_transform(range(1, 65),
+             |      i -> CAST(embedding[i] AS DOUBLE) - m[i]), p1) AS x,
+             |    list_inner_product(list_transform(range(1, 65),
+             |      i -> CAST(embedding[i] AS DOUBLE) - m[i]), p2) AS y
+             |  FROM embeddings, params)
+             |SELECT p.vec_id, round(p.x, 6) AS x, round(p.y, 6) AS y,
+             |  e.label
+             |FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+             |WHERE p.x >= 0.1 AND p.y >= 0.1
+             |ORDER BY p.vec_id""".stripMargin
         })
     }.getOrElse(Map.empty)
 

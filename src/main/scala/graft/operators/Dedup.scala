@@ -66,9 +66,19 @@ object Dedup {
 
   /** [[ngramJaccard]] over a precomputed (id, shingle) relation. */
   def ngramJaccardFrom(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count("*").as("n_shingles"))
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    // verification scales with the CANDIDATE set, not the corpus: the
+    // shingle relation semi-filters to docs that appear in a pair
+    // BEFORE any shuffle — without this, the (id_b, shingle) join
+    // would shuffle the whole-corpus shingle relation to verify a
+    // bounded pair set (at 10⁹ docs: a full-corpus shuffle for maybe
+    // 10⁶ candidates). AQE broadcasts the id set while it stays small;
+    // a caller passing corpus-sized pairs degrades to one keyed shuffle.
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(candIds, Seq("id"), "left_semi")
+    val sizes = shc.groupBy("id").agg(count("*").as("n_shingles"))
+    val a = shc.select(col("id").as("id_a"), col("shingle"))
+    val b = shc.select(col("id").as("id_b"), col("shingle"))
     val inters = pairs.join(a, "id_a").join(b, Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
     pairs

@@ -44,6 +44,19 @@ object Maintenance {
       sum(tokenCol).as("total_tokens"),
       count("*").as("n_chunks"))
 
+  /** REMOVE_SOURCE operation (models.py:97-146 op type `remove_source`;
+    * dispatched webui/tasks/ingestion.py:391-412): drop one source's
+    * documents from a collection, keeping only vector/chunk rows whose
+    * doc survives — the doc filter plus ONE semi-join on doc_id, the
+    * set-based form of the reference's per-document delete loop. */
+  def removeSource(documents: DataFrame, vectors: DataFrame,
+                   source: String, sourceCol: String = "source",
+                   docIdCol: String = "doc_id"): DataFrame = {
+    val survivors = documents.filter(col(sourceCol) =!= source)
+    vectors.join(survivors.select(docIdCol).distinct(),
+      Seq(docIdCol), "left_semi")
+  }
+
   /** J8: resolve benchmark doc_refs (uri or path) to document ids with
     * a match-status column (benchmark_dataset_service.py:49-117,734-780). */
   def resolveDocRefs(refs: DataFrame, documents: DataFrame,

@@ -119,4 +119,37 @@ class IrMetricsSpec extends SparkSpec {
         s"$key: relational $v vs array ${arr(key)._1}")
     }
   }
+
+  test("array == relational on randomized runs/qrels (seeded)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 6) {
+      val nQ = 1 + rnd.nextInt(4)
+      val docs = ('a' to 'j').map(_.toString)
+      val res = for {
+        q <- 1 to nQ
+        (d, i) <- rnd.shuffle(docs).take(1 + rnd.nextInt(8)).zipWithIndex
+      } yield (q, i + 1, d)
+      val qr = for {
+        q <- 1 to nQ
+        d <- docs if rnd.nextDouble() < 0.4
+      } yield (q, d, rnd.nextInt(4)) // grades 0-3 incl judged-irrelevant
+      val ks = Seq(1 + rnd.nextInt(3), 5)
+      val rDF = res.toDF("query_id", "rank", "doc_id")
+      val qDF = qr.toDF("query_id", "doc_id", "grade")
+      val rel = IrMetrics.macroAveraged(rDF, qDF, ks).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val arrIn = rDF.groupBy("query_id")
+        .agg(sort_array(collect_list(struct(col("rank"), col("doc_id"))))
+          .as("hits"))
+        .select(col("query_id"),
+          transform(col("hits"), h => h.getField("doc_id")).as("docs"))
+      val arr = IrMetrics.macroAveragedFromArrays(arrIn, qDF, ks).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(rel.keySet == arr.keySet, s"trial $trial keys")
+      rel.foreach { case (key, v) =>
+        assert(math.abs(arr(key) - v) < 1e-12,
+          s"trial $trial $key: relational $v vs array ${arr(key)}")
+      }
+    }
+  }
 }

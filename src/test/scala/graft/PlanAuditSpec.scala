@@ -111,6 +111,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("bench_eval plans with ZERO window operators") {
+    // legs rank through the bounded TopK aggregator, fusion + W6
+    // collapse run inside per-query arrays, and the metric fan-out is
+    // the grade-map fold — a Window anywhere means a regression to a
+    // shuffling rank/cumsum formulation
+    val p = plan("bench_eval")
+    assert(!p.contains("Window"), s"window operator crept back in:\n$p")
+  }
+
   test("hybrid fusion + doc collapse cost ONE exchange past the legs") {
     // the ≤2k fused hits per query merge inside a single groupBy(query_id)
     // array; a (query_id, chunk_id) re-shuffle or a second collapse
