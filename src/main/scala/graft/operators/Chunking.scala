@@ -40,6 +40,14 @@ object Chunking {
       parentId: String, chunkIndex: Int, text: String, start: Int,
       end: Int, tokenCount: Int)
 
+  /** Python str.isspace() analogue for the empty-document check:
+    * Java's Character.isWhitespace excludes no-break spaces
+    * (U+00A0/U+2007/U+202F) which Python treats as whitespace, so an
+    * NBSP-only document must still parse as empty to match the
+    * reference's `if not content.strip(): return []`. */
+  private def pyIsSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c)
+
   def countTokens(s: String): Int = {
     var n = 0; var i = 0; var inTok = false
     while (i < s.length) {
@@ -185,8 +193,9 @@ object Chunking {
 
   def recursive(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
     // not String.trim: Java trim strips ALL chars <= 0x20 (incl. NUL),
-    // the reference's str.strip() only whitespace — isWhitespace matches
-    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
+    // the reference's str.strip() only whitespace — pyIsSpace matches
+    // (incl. the no-break spaces Java isWhitespace misses)
+    if (content == null || content.forall(pyIsSpace)) return Seq.empty
     // The reference splices overlap_tokens of the previous chunk's tail
     // onto each chunk and reserves budget for it up front
     // (recursive_strategy.py:299-371: split_budget = max_chars −
@@ -264,7 +273,7 @@ object Chunking {
   private val HeaderLine = "(?m)^#{1,6}\\s".r
 
   def markdown(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
-    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
+    if (content == null || content.forall(pyIsSpace)) return Seq.empty
     val headerStarts = HeaderLine.findAllMatchIn(content).map(_.start).toSeq
     if (headerStarts.isEmpty) return recursive(content, cfg)
     val bounds = (if (headerStarts.head == 0) headerStarts
@@ -303,7 +312,7 @@ object Chunking {
   // within min/max tokens. Ref: semantic_strategy.py:329-788.
   // -------------------------------------------------------------------
   def semantic(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[ChunkOut] = {
-    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
+    if (content == null || content.forall(pyIsSpace)) return Seq.empty
     val sents = TextFunctions.splitSentences(content)
     if (sents.isEmpty) return Seq.empty
     val tokenSets = sents.map(s => TextFunctions.tokenize(s.text, removeStopwords = false).toSet)
@@ -357,7 +366,7 @@ object Chunking {
   // Ref: hierarchical_strategy.py:78-520.
   // -------------------------------------------------------------------
   def hierarchical(content: String, cfg: ChunkConfig = ChunkConfig()): Seq[HierChunkOut] = {
-    if (content == null || content.forall(_.isWhitespace)) return Seq.empty
+    if (content == null || content.forall(pyIsSpace)) return Seq.empty
 
     // split [a,b) into consecutive windows of `tokens` words
     def windows(a: Int, b: Int, tokens: Int): Seq[(Int, Int)] = {

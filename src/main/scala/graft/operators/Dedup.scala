@@ -62,7 +62,11 @@ object Dedup {
     * candidates (or any bounded pair relation). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, n: Int): DataFrame =
-    ngramJaccardFrom(shingles(df, idCol, textCol, n).cache(), pairs)
+    // pinPairs: the verify references `pairs` three times (id
+    // semi-filter, intersection join, final join) — an uncached pair
+    // pipeline would re-evaluate per reference
+    ngramJaccardFrom(shingles(df, idCol, textCol, n).cache(),
+      pinPairs(pairs))
 
   /** [[ngramJaccard]] over a precomputed (id, shingle) relation. */
   def ngramJaccardFrom(sh: DataFrame, pairs: DataFrame): DataFrame = {
@@ -175,7 +179,11 @@ object Dedup {
     // branches (otherwise the explode+distinct shuffle runs twice)
     val sh = shingles(df, idCol, textCol, n).cache()
     val sigs = minhashSignaturesFrom(sh, numHashes, hashFamily)
-    val cands = minhashCandidates(sigs, numHashes, bands)
+    // pin the candidate relation: ngramJaccardFrom references its pair
+    // argument three times (candidate-id semi-filter, intersection join,
+    // final join) — uncached, the LSH banding self-join re-evaluates per
+    // reference (r4: dedup_minhash 3.4s→7.9s for exactly this)
+    val cands = pinPairs(minhashCandidates(sigs, numHashes, bands))
     ngramJaccardFrom(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

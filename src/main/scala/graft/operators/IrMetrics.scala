@@ -163,7 +163,12 @@ object IrMetrics {
     * rank order, which is MORE deterministic than engine agg order. */
   def macroAveragedFromArrays(runs: DataFrame, qrels: DataFrame,
                               kValues: Seq[Int] = DefaultKValues): DataFrame = {
-    val grades = qrels.groupBy("query_id")
+    // max(grade) per (query_id, doc_id) first: duplicate qrels rows
+    // would throw DUPLICATED_MAP_KEY in map_from_entries (default
+    // mapKeyDedupPolicy=EXCEPTION); the relational form tolerated them
+    val grades = qrels
+      .groupBy("query_id", "doc_id").agg(max("grade").as("grade"))
+      .groupBy("query_id")
       .agg(map_from_entries(collect_list(
         struct(col("doc_id"), col("grade")))).as("gmap"))
     val joined = runs.join(grades, Seq("query_id"), "left")

@@ -379,7 +379,10 @@ object BinaryParsers {
             val t = CellTypeRe.findFirstMatchIn(attrs).map(_.group(1))
             t match {
               case Some("s") =>
-                VRe.findFirstMatchIn(body).map(_.group(1).trim.toInt)
+                // Try: a malformed index degrades to an empty cell
+                // rather than failing the whole workbook
+                VRe.findFirstMatchIn(body)
+                  .flatMap(m => scala.util.Try(m.group(1).trim.toInt).toOption)
                   .filter(i => i >= 0 && i < shared.length)
                   .map(shared).getOrElse("")
               case Some("inlineStr") =>

@@ -103,6 +103,48 @@ object GitConnector {
         .cast("binary"),
       content))
 
+  /** Relational half of [[scan]] (ref git.py:663-770 _enumerate_repo):
+    * enumeration skip rules (empty files, max_file_size — the .git-dir
+    * exclusion is a scan-time pathfilter), the git:// uri rewrite, and
+    * the blob-sha change hint, over an already-staged scan relation
+    * with (uri, content, size_bytes) columns. Pure column ops — usable
+    * against any staged tree, including synthetic fixtures. */
+  def toFileRefs(scanned: DataFrame, repoUrl: String, repoDir: String,
+                 ref: String, commitSha: String,
+                 maxFileSize: Long = 50L * 1024 * 1024): DataFrame = {
+    val repoPrefix =
+      s"^file:${java.util.regex.Pattern.quote(repoDir)}/"
+    scanned
+      .filter(col("size_bytes") > 0) // ref skips empty files
+      .filter(col("size_bytes") <= maxFileSize)
+      .withColumn("relative_path",
+        regexp_replace(col("uri"), repoPrefix, ""))
+      .withColumn("uri",
+        concat(lit(s"git://$repoUrl/"), col("relative_path")))
+      .withColumn("commit_sha", lit(commitSha))
+      .withColumn("ref", lit(ref))
+      .withColumn("change_hint", blobSha(col("content")))
+  }
+
+  /** Incremental-sync classification between two enumerated trees
+    * (ref git.py:747-770: the change_hint is WHY the connector emits a
+    * blob sha — downstream skips files whose hint is unchanged):
+    * full-outer join on relative_path, status ∈ added/modified/
+    * unchanged/deleted by hint comparison. */
+  def diffByChangeHint(current: DataFrame, previous: DataFrame): DataFrame = {
+    val cur = current.select(col("relative_path"),
+      col("change_hint").as("_cur_hint"))
+    val prev = previous.select(col("relative_path"),
+      col("change_hint").as("_prev_hint"))
+    cur.join(prev, Seq("relative_path"), "full_outer")
+      .withColumn("status",
+        when(col("_prev_hint").isNull, lit("added"))
+          .when(col("_cur_hint").isNull, lit("deleted"))
+          .when(col("_cur_hint") === col("_prev_hint"), lit("unchanged"))
+          .otherwise(lit("modified")))
+      .select("relative_path", "status")
+  }
+
   /** Full S2 scan: stage the repo, then the distributed S1 scan over the
     * worktree. Output = the S1 FileReference schema plus
     * (relative_path, commit_sha, ref, change_hint), with uri rewritten
@@ -114,18 +156,10 @@ object GitConnector {
       case Some(p) => s"(?:$p)|$gitDirPattern"
       case None => gitDirPattern
     }
-    val repoPrefix =
-      s"^file:${java.util.regex.Pattern.quote(staged.repoDir)}/"
-    Sources.scanDirectory(spark, staged.repoDir, cfg.includeGlob,
-        Some(exclude))
-      .filter(col("size_bytes") > 0) // ref skips empty files
-      .filter(col("size_bytes") <= cfg.maxFileSize)
-      .withColumn("relative_path",
-        regexp_replace(col("uri"), repoPrefix, ""))
-      .withColumn("uri",
-        concat(lit(s"git://${cfg.repoUrl}/"), col("relative_path")))
-      .withColumn("commit_sha", lit(staged.commitSha))
-      .withColumn("ref", lit(cfg.ref))
-      .withColumn("change_hint", blobSha(col("content")))
+    toFileRefs(
+      Sources.scanDirectory(spark, staged.repoDir, cfg.includeGlob,
+        Some(exclude)),
+      cfg.repoUrl, staged.repoDir, cfg.ref, staged.commitSha,
+      cfg.maxFileSize)
   }
 }

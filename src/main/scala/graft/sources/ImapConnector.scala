@@ -166,8 +166,15 @@ object ImapConnector {
         col("content"))
       .filter(col("uid").isNotNull &&
         col("mailbox").isin(cfg.mailboxes: _*))
-      .as(Encoders.product[StagedFile])
-    val host = cfg.host
+    parseStaged(staged, cfg.host)
+  }
+
+  /** Parse + FileReference projection over any staged relation with
+    * (mailbox, uid, uidvalidity, content) columns — the post-socket
+    * half of the scan, shared by [[scanStaging]] and synthetic-fixture
+    * callers (the driver's imap_scan oracle). */
+  def parseStaged(stagedRelation: DataFrame, host: String): DataFrame = {
+    val staged = stagedRelation.as(Encoders.product[StagedFile])
     val rows = staged.map(f =>
       parseMessage(f.mailbox, f.uid, f.uidvalidity, f.content))(
       Encoders.product[EmailRow]).toDF()

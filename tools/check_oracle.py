@@ -14,15 +14,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 import re
 
+# Types DuckDB can produce that Spark parquet can never emit. If an oracle's
+# output schema contains one, the driver's typed hash CANNOT match (r4:
+# sentence_split's windowed sum() typed HUGEINT while Spark wrote BIGINT —
+# values identical, hash red). Fail such oracles outright at the gate.
+SPARK_INEXPRESSIBLE = re.compile(r"\b(HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT)\b")
+
 def norm_type(t):
     # Normalize to the driver's observed equivalence classes: the driver
-    # hash compares PYTHON VALUES, so integer widths (INT32 vs BIGINT)
-    # and DECIMAL-vs-DOUBLE hash equal (r3: rrf_fuse/token_count/... all
-    # passed with INTEGER vs BIGINT), while VARCHAR '1' vs BIGINT 1 does
-    # NOT (r3: rake_keywords failed on exactly that). Collapse numeric
-    # widths; keep string/number/bool/temporal distinctions strict.
+    # hash compares PYTHON VALUES, so SIGNED integer widths (INT32 vs
+    # BIGINT) and DECIMAL-vs-DOUBLE hash equal (r3: rrf_fuse/token_count/
+    # ... all passed with INTEGER vs BIGINT), while VARCHAR '1' vs BIGINT
+    # 1 does NOT (r3: rake_keywords failed on exactly that). Collapse
+    # signed numeric widths ONLY — HUGEINT and the unsigned family are
+    # handled by SPARK_INEXPRESSIBLE above, never collapsed here.
     s = str(t)
-    s = re.sub(r"\bU?(TINYINT|SMALLINT|INTEGER|BIGINT|HUGEINT)\b", "INT", s)
+    s = re.sub(r"\b(TINYINT|SMALLINT|INTEGER|BIGINT)\b", "INT", s)
     s = re.sub(r"\bDECIMAL\(\d+,\d+\)|\bFLOAT\b|\bDOUBLE\b", "NUM", s)
     return s
 
@@ -68,9 +75,17 @@ def main(sf_dir, out_dir):
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             grows, gcols, gtypes = canon(got.fetchall(), got.columns, got.types)
             exp = con.sql(sql)
+            raw_oracle_types = [str(t) for t in exp.types]
             erows, ecols, etypes = canon(exp.fetchall(), exp.columns, exp.types)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        bad_types = [f"{c}:{t}" for c, t in zip(exp.columns, raw_oracle_types)
+                     if SPARK_INEXPRESSIBLE.search(t)]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits Spark-inexpressible type(s) "
+                  f"{bad_types} — add an explicit CAST in the oracle SQL")
             n_fail += 1
             continue
         if gcols != ecols:
