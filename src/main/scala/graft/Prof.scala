@@ -122,6 +122,31 @@ object Prof {
         IrMetrics.macroAveraged(docRuns, qrels).count()
       }
       chunks.unpersist()
+
+      // --- minhash dedup stage breakdown (the bench's slowest family)
+      val docs = Tables.load(spark, sfDir, "documents")
+      import graft.operators.Dedup
+      val sh = time("dedup shingles+cache") {
+        val x = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+        x.count(); x
+      }
+      val sigs = time("dedup sha signatures") {
+        val x = Dedup.minhashSignaturesFrom(sh, 16, Dedup.shaHashFamily)
+        x.count(); x
+      }
+      val cands = time("dedup banding cands") {
+        val x = Dedup.minhashCandidates(sigs, 16, 8)
+        println("[prof] cands=" + x.count()); x
+      }
+      time("dedup verify (jaccard)") {
+        graft.operators.Dedup.ngramJaccardFrom(sh,
+          cands.coalesce(32).cache())
+          .filter(col("jaccard") >= 0.2).count()
+      }
+      time("dedup xxhash signatures") {
+        Dedup.minhashSignaturesFrom(sh, 16).count()
+      }
+      sh.unpersist()
     }
     spark.stop()
   }

@@ -1179,6 +1179,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- legacy .doc extraction round-trip (S8): a real CFB compound
+    //      file (ministream layout) with a WordDocument FIB + CLX piece
+    //      table is synthesized around each document's text, then
+    //      extracted back through the Cfb reader + piece-table parser;
+    //      the oracle hash-checks the identity ----
+    "parser_doc_roundtrip" -> ((s, dir) => {
+      import graft.sources.{BinaryParsers, Parsers}
+      val synth = udf((text: String) => BinaryParsers.synthDoc(text))
+      val files = t(s, dir, "documents").select(
+        col("doc_id"), synth(col("text")).as("content"),
+        lit(".doc").as("extension"))
+      Parsers.parse(files)
+        .select(col("doc_id"), col("parser"), col("parse_status"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- S3 IMAP staged-mailbox scan + incremental cursor: synthetic
     //      RFC822 messages over the documents table run through the
     //      REAL post-socket scan surface (parseStaged: header unfold /
@@ -2532,14 +2549,17 @@ object SparkEntry {
         |    WHEN '.pdf' THEN 'pdf' WHEN '.docx' THEN 'docx'
         |    WHEN '.pptx' THEN 'pptx' WHEN '.xlsx' THEN 'xlsx'
         |    WHEN '.eml' THEN 'eml'
-        |    ELSE 'binary_stub' END AS parser,
+        |    WHEN '.doc' THEN 'doc' WHEN '.msg' THEN 'msg'
+        |    ELSE 'text' END AS parser,
         |  -- plain text bytes under a binary extension: the real parsers
-        |  -- reject them with a typed status; .doc/.msg stay stubbed
+        |  -- reject them with a typed status (.doc/.msg are OLE
+        |  -- containers, so non-CFB bytes fail the magic check)
         |  CASE extension WHEN '.pdf' THEN 'error:not_pdf'
         |    WHEN '.docx' THEN 'error:not_docx'
         |    WHEN '.pptx' THEN 'error:not_pptx'
         |    WHEN '.xlsx' THEN 'error:not_xlsx'
-        |    WHEN '.doc' THEN 'stubbed' WHEN '.msg' THEN 'stubbed'
+        |    WHEN '.doc' THEN 'error:not_ole'
+        |    WHEN '.msg' THEN 'error:not_ole'
         |    ELSE 'ok' END AS parse_status,
         |  CAST(CASE WHEN extension IN ('.pdf', '.docx', '.pptx', '.xlsx',
         |    '.doc', '.msg') THEN 0
@@ -2576,6 +2596,17 @@ object SparkEntry {
 
     "parser_eml_roundtrip" ->
       """SELECT doc_id, 'eml' AS parser, 'ok' AS parse_status, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identity oracle: the corpus has no CR/control chars (verified),
+    // so the Word control-char mapping is a no-op and the compressed-
+    // ANSI piece round-trips the text byte-exactly
+    "parser_doc_roundtrip" ->
+      """SELECT doc_id, 'doc' AS parser,
+        |  CASE WHEN regexp_matches(text, '\S') THEN 'ok'
+        |    ELSE 'empty' END AS parse_status,
+        |  CASE WHEN regexp_matches(text, '\S') THEN text
+        |    ELSE '' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // S3: the oracle rebuilds the synthetic RFC822 bytes, the parsed

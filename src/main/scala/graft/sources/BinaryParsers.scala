@@ -4,8 +4,9 @@ import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.{Inflater, ZipInputStream}
 
-/** Pure-JVM binary document parsers (S8 registry entries `pdf` and
-  * `docx`), replacing the round-3 `binary_stub` for those two formats.
+/** Pure-JVM binary document parsers (S8 registry entries: `pdf`,
+  * `docx`, `pptx`, `xlsx`, and — via the [[Cfb]] compound-file
+  * reader — the legacy OLE family `doc`/`ppt`/`xls`/`msg`).
   *
   * The reference routes these through the `unstructured` library
   * (shared/text_processing/parsers/unstructured.py:15-155); the
@@ -40,6 +41,10 @@ object BinaryParsers {
       case "docx" => docx(content)
       case "pptx" => pptx(content)
       case "xlsx" => xlsx(content)
+      case "doc"  => doc(content)
+      case "ppt"  => ppt(content)
+      case "xls"  => xls(content)
+      case "msg"  => msg(content)
       case _      => ParseResult("", "stubbed")
     }
 
@@ -441,6 +446,293 @@ object BinaryParsers {
       (s"""<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr">""" +
         s"<is><t>${escapeXml(text)}</t></is></c></row></sheetData>" +
         "</worksheet>").getBytes(StandardCharsets.UTF_8)))
+
+  // ------------------------------------------- legacy OLE/CFB formats
+  // The reference handles these via `unstructured` (registry.py:111-225).
+  // Container layer: graft.sources.Cfb. Each extractor targets the
+  // format's canonical text stream; unsupported richness degrades to
+  // skipped runs, never to a failed document.
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def i32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Word's in-stream control chars → plain text (cell/para marks to
+    * newline, field/object markers dropped). */
+  private def mapWordChars(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\r' | '\u0007' | '\u000B' | '\u000C' => sb.append('\n')
+      case '\u0001' | '\u0005' | '\u0008' | '\u0013' | '\u0014' |
+          '\u0015' => ()
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** MS-DOC: FIB in the WordDocument stream points (fcClx/lcbClx,
+    * FibRgFcLcb97 offsets 0x01A2/0x01A6) at the CLX piece table in the
+    * 0Table/1Table stream; each piece is a (cp range, fc) run of either
+    * UTF-16LE or "compressed" cp1252 text. Files without a piece table
+    * fall back to the contiguous fcMin..fcMax run. */
+  def doc(bytes: Array[Byte]): ParseResult = try {
+    if (!Cfb.isCfb(bytes)) return ParseResult("", "error:not_ole")
+    val cfb = Cfb.read(bytes)
+    val wd = cfb.stream("WordDocument")
+      .getOrElse(return ParseResult("", "error:no_worddocument"))
+    if (wd.length < 0x200 || u16le(wd, 0) != 0xA5EC)
+      return ParseResult("", "error:not_doc")
+    val tableName =
+      if ((u16le(wd, 0x0A) & 0x0200) != 0) "1Table" else "0Table"
+    val fcClx = i32le(wd, 0x01A2)
+    val lcbClx = i32le(wd, 0x01A6)
+    val pieces: Seq[String] = cfb.stream(tableName) match {
+      case Some(tbl) if lcbClx > 4 && fcClx >= 0 &&
+          fcClx + lcbClx <= tbl.length =>
+        // CLX: Prc blocks (0x01 + 2-byte len) then Pcdt (0x02 + 4-byte
+        // lcb + PlcPcd)
+        var i = fcClx
+        val end = fcClx + lcbClx
+        var plc: Option[(Int, Int)] = None // (offset, len) of PlcPcd
+        while (i < end && plc.isEmpty) {
+          (tbl(i) & 0xFF) match {
+            case 0x01 => i += 3 + u16le(tbl, i + 1)
+            case 0x02 => plc = Some((i + 5, i32le(tbl, i + 1))); i = end
+            case _ => i = end // unknown tag: stop, fall back below
+          }
+        }
+        plc match {
+          case Some((off, len)) if len >= 16 && off + len <= tbl.length =>
+            val n = (len - 4) / 12
+            val cps = (0 to n).map(k => i32le(tbl, off + 4 * k))
+            (0 until n).map { k =>
+              val pcd = off + 4 * (n + 1) + 8 * k
+              val fc = i32le(tbl, pcd + 2)
+              val count = cps(k + 1) - cps(k)
+              val compressed = (fc & 0x40000000) != 0
+              val at = fc & 0x3FFFFFFF
+              if (compressed) {
+                val start = at / 2
+                new String(wd, start, math.min(count, wd.length - start),
+                  Cp1252)
+              } else
+                new String(wd, at, math.min(2 * count, wd.length - at),
+                  StandardCharsets.UTF_16LE)
+            }
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    val text = mapWordChars(
+      if (pieces.nonEmpty) pieces.mkString
+      else { // pre-Word97 fallback: contiguous ANSI run
+        val fcMin = i32le(wd, 0x18)
+        val fcMax = i32le(wd, 0x1C)
+        if (fcMin >= 0 && fcMax > fcMin && fcMax <= wd.length)
+          new String(wd, fcMin, fcMax - fcMin, Cp1252)
+        else ""
+      })
+    if (text.exists(!_.isWhitespace)) ParseResult(text, "ok")
+    else ParseResult("", "empty")
+  } catch {
+    case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+  }
+
+  /** MS-PPT: the "PowerPoint Document" stream is a record tree;
+    * TextCharsAtom (0x0FA0, UTF-16LE) and TextBytesAtom (0x0FA8,
+    * cp1252) carry the slide text, in document order. */
+  def ppt(bytes: Array[Byte]): ParseResult = try {
+    if (!Cfb.isCfb(bytes)) return ParseResult("", "error:not_ole")
+    val cfb = Cfb.read(bytes)
+    val st = cfb.stream("PowerPoint Document")
+      .getOrElse(return ParseResult("", "error:no_ppt_stream"))
+    val out = Seq.newBuilder[String]
+    def walk(from: Int, until: Int): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val verInstance = u16le(st, i)
+        val recType = u16le(st, i + 2)
+        val recLen = i32le(st, i + 4)
+        val payload = i + 8
+        if (recLen < 0 || payload + recLen > until) return // truncated
+        if ((verInstance & 0x000F) == 0x000F) walk(payload, payload + recLen)
+        else if (recType == 0x0FA0)
+          out += new String(st, payload, recLen, StandardCharsets.UTF_16LE)
+        else if (recType == 0x0FA8)
+          out += new String(st, payload, recLen, Cp1252)
+        i = payload + recLen
+      }
+    }
+    walk(0, st.length)
+    val texts = out.result().map(mapWordChars).filter(_.exists(!_.isWhitespace))
+    if (texts.isEmpty) ParseResult("", "empty")
+    else ParseResult(texts.mkString("\n"), "ok")
+  } catch {
+    case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+  }
+
+  /** BIFF8 XLUnicodeRichExtendedString at `off`; returns (text, next
+    * offset). Rich-run / ext-rst payloads are skipped. */
+  private def biffString(b: Array[Byte], off: Int): (String, Int) = {
+    val cch = u16le(b, off)
+    val flags = b(off + 2) & 0xFF
+    var p = off + 3
+    val cRun = if ((flags & 0x08) != 0) { val n = u16le(b, p); p += 2; n }
+      else 0
+    val cbExt = if ((flags & 0x04) != 0) { val n = i32le(b, p); p += 4; n }
+      else 0
+    val wide = (flags & 0x01) != 0
+    val text =
+      if (wide) { val t = new String(b, p, 2 * cch,
+        StandardCharsets.UTF_16LE); p += 2 * cch; t }
+      else { val t = new String(b, p, cch, Cp1252); p += cch; t }
+    (text, p + 4 * cRun + cbExt)
+  }
+
+  /** MS-XLS (BIFF8): SST shared strings + LABELSST/LABEL cell records
+    * from the Workbook stream, in record order. SSTs spanning CONTINUE
+    * records are truncated at the record boundary (documented; the
+    * fixtures and typical small sheets fit one record). */
+  def xls(bytes: Array[Byte]): ParseResult = try {
+    if (!Cfb.isCfb(bytes)) return ParseResult("", "error:not_ole")
+    val cfb = Cfb.read(bytes)
+    val st = cfb.stream("Workbook").orElse(cfb.stream("Book"))
+      .getOrElse(return ParseResult("", "error:no_workbook"))
+    val sst = scala.collection.mutable.ArrayBuffer[String]()
+    val cells = Seq.newBuilder[String]
+    var i = 0
+    while (i + 4 <= st.length) {
+      val recType = u16le(st, i)
+      val recLen = u16le(st, i + 2)
+      val payload = i + 4
+      if (payload + recLen > st.length) i = st.length
+      else {
+        recType match {
+          case 0x00FC => // SST: cstTotal(4) cstUnique(4) strings...
+            val unique = i32le(st, payload + 4)
+            var p = payload + 8
+            var k = 0
+            while (k < unique && p + 3 <= payload + recLen) {
+              val (t, np) = biffString(st, p)
+              if (np <= payload + recLen) { sst += t; p = np }
+              else k = unique // truncated by CONTINUE: stop
+              k += 1
+            }
+          case 0x00FD => // LABELSST: row col ixfe isst
+            val isst = i32le(st, payload + 6)
+            if (isst >= 0 && isst < sst.length) cells += sst(isst)
+          case 0x0204 => // LABEL: row col ixfe + unicode string
+            cells += biffString(st, payload + 6)._1
+          case _ => ()
+        }
+        i = payload + recLen
+      }
+    }
+    val texts = cells.result().filter(_.exists(!_.isWhitespace))
+    if (texts.isEmpty) ParseResult("", "empty")
+    else ParseResult(texts.mkString("\n"), "ok")
+  } catch {
+    case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+  }
+
+  /** MS-OXMSG: the plain-text body lives in the __substg1.0_1000001F
+    * (UTF-16LE) or __substg1.0_1000001E (cp1252) property stream. */
+  def msg(bytes: Array[Byte]): ParseResult = try {
+    if (!Cfb.isCfb(bytes)) return ParseResult("", "error:not_ole")
+    val cfb = Cfb.read(bytes)
+    val text = cfb.streamByPrefix("__substg1.0_1000001F")
+      .map(b => new String(b, StandardCharsets.UTF_16LE))
+      .orElse(cfb.streamByPrefix("__substg1.0_1000001E")
+        .map(b => new String(b, Cp1252)))
+      .getOrElse(return ParseResult("", "error:no_body"))
+    if (text.exists(!_.isWhitespace)) ParseResult(text, "ok")
+    else ParseResult("", "empty")
+  } catch {
+    case e: Exception => ParseResult("", "error:" + e.getClass.getSimpleName)
+  }
+
+  /** Deterministic .doc synthesizer: 1 KiB zeroed FIB region (wIdent,
+    * nFib=0x00C1, fcClx/lcbClx) + the text as a single compressed-ANSI
+    * piece; CLX piece table in 0Table. */
+  def synthDoc(text: String): Array[Byte] = {
+    val textBytes = text.getBytes(Cp1252)
+    val fibSize = 1024
+    val wd = new Array[Byte](fibSize + textBytes.length)
+    def put16(off: Int, v: Int): Unit = {
+      wd(off) = (v & 0xFF).toByte; wd(off + 1) = ((v >> 8) & 0xFF).toByte }
+    def put32(off: Int, v: Int): Unit = { put16(off, v & 0xFFFF)
+      put16(off + 2, (v >>> 16) & 0xFFFF) }
+    put16(0, 0xA5EC)
+    put16(2, 0x00C1)
+    System.arraycopy(textBytes, 0, wd, fibSize, textBytes.length)
+    // CLX: Pcdt (0x02 + lcb) + PlcPcd with one compressed piece
+    val n = 1
+    val plcLen = 4 * (n + 1) + 8 * n
+    val clx = new Array[Byte](5 + plcLen)
+    clx(0) = 0x02
+    def cput32(off: Int, v: Int): Unit = {
+      clx(off) = (v & 0xFF).toByte
+      clx(off + 1) = ((v >> 8) & 0xFF).toByte
+      clx(off + 2) = ((v >> 16) & 0xFF).toByte
+      clx(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    cput32(1, plcLen)
+    cput32(5, 0)                       // cp start
+    cput32(9, text.length)             // cp end
+    // PCD: 2 flag bytes, fc (compressed bit + 2*offset), 2 prm bytes
+    cput32(5 + 8 + 2, 0x40000000 | (fibSize * 2))
+    put32(0x01A2, 0)                   // fcClx within 0Table
+    put32(0x01A6, clx.length)
+    Cfb.write(Seq("WordDocument" -> wd, "0Table" -> clx))
+  }
+
+  /** Deterministic .ppt synthesizer: one TextCharsAtom record. */
+  def synthPpt(text: String): Array[Byte] = {
+    val utf16 = text.getBytes(StandardCharsets.UTF_16LE)
+    val rec = new Array[Byte](8 + utf16.length)
+    rec(0) = 0; rec(1) = 0
+    rec(2) = 0xA0.toByte; rec(3) = 0x0F // TextCharsAtom
+    rec(4) = (utf16.length & 0xFF).toByte
+    rec(5) = ((utf16.length >> 8) & 0xFF).toByte
+    rec(6) = ((utf16.length >> 16) & 0xFF).toByte
+    rec(7) = ((utf16.length >> 24) & 0xFF).toByte
+    System.arraycopy(utf16, 0, rec, 8, utf16.length)
+    Cfb.write(Seq("PowerPoint Document" -> rec))
+  }
+
+  /** Deterministic .xls synthesizer: SST with one uncompressed string +
+    * a LABELSST cell referencing it. */
+  def synthXls(text: String): Array[Byte] = {
+    val utf16 = text.getBytes(StandardCharsets.UTF_16LE)
+    require(text.length <= 0xFFFF, "synthXls: text too long for one SST")
+    val bos = new java.io.ByteArrayOutputStream()
+    def rec(tpe: Int, payload: Array[Byte]): Unit = {
+      bos.write(tpe & 0xFF); bos.write((tpe >> 8) & 0xFF)
+      bos.write(payload.length & 0xFF); bos.write((payload.length >> 8) & 0xFF)
+      bos.write(payload)
+    }
+    val sst = new Array[Byte](8 + 3 + utf16.length)
+    def sput32(off: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      sst(off + k) = ((v >> (8 * k)) & 0xFF).toByte)
+    sput32(0, 1); sput32(4, 1)
+    sst(8) = (text.length & 0xFF).toByte
+    sst(9) = ((text.length >> 8) & 0xFF).toByte
+    sst(10) = 0x01 // fHighByte: UTF-16LE
+    System.arraycopy(utf16, 0, sst, 11, utf16.length)
+    rec(0x00FC, sst)
+    val label = new Array[Byte](10) // row=0 col=0 ixfe=0 isst=0
+    rec(0x00FD, label)
+    rec(0x000A, Array.emptyByteArray) // EOF
+    Cfb.write(Seq("Workbook" -> bos.toByteArray))
+  }
+
+  /** Deterministic .msg synthesizer: unicode body property stream. */
+  def synthMsg(text: String): Array[Byte] =
+    Cfb.write(Seq("__substg1.0_1000001F" ->
+      text.getBytes(StandardCharsets.UTF_16LE)))
 
   private val EntityRe = "&(#x[0-9a-fA-F]+|#[0-9]+|lt|gt|amp|quot|apos);".r
 

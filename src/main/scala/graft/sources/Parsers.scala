@@ -8,13 +8,12 @@ import org.apache.spark.sql.functions._
   * `when`/`otherwise` dispatch column — the whole registry compiles
   * into the scan projection.
   *
-  * Text formats decode as pure column ops; `pdf`, `docx`, `pptx` and
-  * `xlsx` route through [[BinaryParsers]] (pure-JVM extraction — the
-  * container has no Tika; a Tika-backed parser plugs into the same
-  * slot on a real cluster). RFC822 email (.eml) extracts the message
-  * body as column ops. Legacy OLE formats (.doc, .ppt, .xls, .msg)
-  * stay on the `binary_stub` parser which emits empty text and a
-  * `parse_status` marker, keeping the dispatch/plumbing real.
+  * Text formats decode as pure column ops; `pdf`, `docx`, `pptx`,
+  * `xlsx` and the legacy OLE family (`doc`, `ppt`, `xls`, `msg`, via
+  * the [[Cfb]] compound-file reader) route through [[BinaryParsers]]
+  * (pure-JVM extraction — the container has no Tika; a Tika-backed
+  * parser plugs into the same slot on a real cluster). RFC822 email
+  * (.eml) extracts the message body as column ops.
   */
 object Parsers {
 
@@ -30,9 +29,12 @@ object Parsers {
     "xlsx" -> Seq(".xlsx"),
     "eml" -> Seq(".eml"),
     "text" -> Seq(".txt", ""),
-    // legacy OLE/CFB formats need a compound-file reader; stubbed
-    // (.msg is Outlook's OLE container, same family as .doc)
-    "binary_stub" -> Seq(".doc", ".ppt", ".xls", ".msg"))
+    // legacy OLE/CFB formats (.msg is Outlook's OLE container,
+    // same family as .doc) — Cfb.scala reads the container
+    "doc" -> Seq(".doc"),
+    "ppt" -> Seq(".ppt"),
+    "xls" -> Seq(".xls"),
+    "msg" -> Seq(".msg"))
 
   /** Dispatch column: the chosen parser name for an extension column
     * (first registry entry claiming the extension; unknown → "text",
@@ -49,7 +51,8 @@ object Parsers {
     udf((content: Array[Byte], parser: String) =>
       BinaryParsers.parse(content, parser))
 
-  private val BinaryParsed = Seq("pdf", "docx", "pptx", "xlsx")
+  private val BinaryParsed =
+    Seq("pdf", "docx", "pptx", "xlsx", "doc", "ppt", "xls", "msg")
 
   /** Parse: (content binary, extension) → (text, parse_status).
     * Pure column ops per text parser; pdf/docx extract via
@@ -60,8 +63,7 @@ object Parsers {
     val decoded = Sources.decodeText(col(contentCol))
     val isBinary = parser.isin(BinaryParsed: _*)
     val bin = binParse(col(contentCol), parser)
-    val text = when(parser === "binary_stub", lit(""))
-      .when(isBinary, bin.getField("text"))
+    val text = when(isBinary, bin.getField("text"))
       .when(parser === "html",
         // strip tags/scripts — the text-extraction contract of the
         // unstructured parser, collapsed to column ops
@@ -81,8 +83,7 @@ object Parsers {
     df.withColumn("parser", parser)
       .withColumn("text", text)
       .withColumn("parse_status",
-        when(parser === "binary_stub", lit("stubbed"))
-          .when(isBinary, bin.getField("status"))
+        when(isBinary, bin.getField("status"))
           .otherwise(lit("ok")))
   }
 }

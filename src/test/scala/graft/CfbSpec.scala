@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BinaryParsers, Cfb}
+
+/** The CFB (OLE2 compound file) container and the legacy-format
+  * extractors built on it (.doc/.ppt/.xls/.msg — SURVEY §2.1 S8's
+  * last stubbed registry rows). */
+class CfbSpec extends AnyFunSuite {
+
+  test("CFB write/read round-trip: ministream and regular streams") {
+    val small = "tiny payload".getBytes(StandardCharsets.UTF_8)
+    val big = Array.tabulate[Byte](9000)(i => (i % 251).toByte)
+    val mid = Array.tabulate[Byte](4096)(i => (i % 13).toByte) // at cutoff
+    val bytes = Cfb.write(Seq(
+      "SmallStream" -> small, "BigStream" -> big, "EdgeStream" -> mid))
+    assert(Cfb.isCfb(bytes))
+    val doc = Cfb.read(bytes)
+    assert(doc.stream("SmallStream").map(_.toSeq).contains(small.toSeq),
+      "sub-4096 stream must round-trip through the ministream")
+    assert(doc.stream("BigStream").map(_.toSeq).contains(big.toSeq))
+    assert(doc.stream("EdgeStream").map(_.toSeq).contains(mid.toSeq),
+      "a stream exactly at the 4096 cutoff uses the regular FAT")
+    assert(doc.stream("Missing").isEmpty)
+  }
+
+  test("CFB: empty stream and many-small-streams layout") {
+    val streams = ("Empty" -> Array.emptyByteArray) +:
+      (0 until 20).map(i =>
+        s"S$i" -> s"payload number $i".getBytes(StandardCharsets.UTF_8))
+    val doc = Cfb.read(Cfb.write(streams))
+    assert(doc.stream("Empty").exists(_.isEmpty))
+    (0 until 20).foreach { i =>
+      assert(doc.stream(s"S$i").map(new String(_, StandardCharsets.UTF_8))
+        .contains(s"payload number $i"))
+    }
+  }
+
+  test("CFB reader rejects non-CFB bytes") {
+    assert(!Cfb.isCfb("plain text".getBytes))
+    intercept[IllegalArgumentException](Cfb.read("plain text".getBytes))
+  }
+
+  test(".doc: piece-table extraction round-trips text (ministream FIB)") {
+    val text = "Legacy Word file with several words. And two sentences.\n" +
+      "Second paragraph line."
+    val r = BinaryParsers.parse(BinaryParsers.synthDoc(text), "doc")
+    assert(r.status == "ok")
+    assert(r.text == text)
+  }
+
+  test(".doc: Word control chars map to text (para/cell marks, fields)") {
+    // para mark 0x0D -> \n, cell mark 0x07 -> \n, field chars dropped
+    val raw = "cell a\u0007cell b\rnext para\u0013FIELD\u0014shown" +
+      "\u0015end"
+    val r = BinaryParsers.parse(BinaryParsers.synthDoc(raw), "doc")
+    assert(r.status == "ok")
+    assert(r.text == "cell a\ncell b\nnext paraFIELDshownend")
+  }
+
+  test(".doc: unicode piece (UTF-16) via a hand-built CLX") {
+    // build a WordDocument with one UNCOMPRESSED piece to cover the
+    // UTF-16 decode branch the compressed synthesizer skips
+    val text = "café – unicode"
+    val utf16 = text.getBytes(StandardCharsets.UTF_16LE)
+    val fibSize = 1024
+    val wd = new Array[Byte](fibSize + utf16.length)
+    def put16(off: Int, v: Int): Unit = {
+      wd(off) = (v & 0xFF).toByte; wd(off + 1) = ((v >> 8) & 0xFF).toByte }
+    put16(0, 0xA5EC); put16(2, 0x00C1)
+    System.arraycopy(utf16, 0, wd, fibSize, utf16.length)
+    val n = 1
+    val plcLen = 4 * (n + 1) + 8 * n
+    val clx = new Array[Byte](5 + plcLen)
+    clx(0) = 0x02
+    def cput32(off: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      clx(off + k) = ((v >> (8 * k)) & 0xFF).toByte)
+    cput32(1, plcLen)
+    cput32(5, 0); cput32(9, text.length)
+    cput32(5 + 8 + 2, fibSize) // no compressed bit: fc is a byte offset
+    put16(0x01A2, 0); put16(0x01A4, 0)
+    put16(0x01A6, clx.length & 0xFFFF); put16(0x01A8, clx.length >> 16)
+    val r = BinaryParsers.parse(
+      Cfb.write(Seq("WordDocument" -> wd, "0Table" -> clx)), "doc")
+    assert(r.status == "ok")
+    assert(r.text == text)
+  }
+
+  test(".ppt: TextCharsAtom extraction round-trips text") {
+    val text = "Slide title text with words"
+    val r = BinaryParsers.parse(BinaryParsers.synthPpt(text), "ppt")
+    assert(r.status == "ok")
+    assert(r.text == text)
+  }
+
+  test(".xls: SST + LABELSST extraction round-trips text") {
+    val text = "spreadsheet cell text value"
+    val r = BinaryParsers.parse(BinaryParsers.synthXls(text), "xls")
+    assert(r.status == "ok")
+    assert(r.text == text)
+  }
+
+  test(".msg: unicode body property stream round-trips text") {
+    val text = "Outlook message body\nwith two lines"
+    val r = BinaryParsers.parse(BinaryParsers.synthMsg(text), "msg")
+    assert(r.status == "ok")
+    assert(r.text == text)
+  }
+
+  test("legacy extractors reject wrong containers with typed statuses") {
+    val notOle = "garbage".getBytes
+    assert(BinaryParsers.parse(notOle, "doc").status == "error:not_ole")
+    assert(BinaryParsers.parse(notOle, "ppt").status == "error:not_ole")
+    assert(BinaryParsers.parse(notOle, "xls").status == "error:not_ole")
+    assert(BinaryParsers.parse(notOle, "msg").status == "error:not_ole")
+    // a valid CFB without the expected stream
+    val cfb = Cfb.write(Seq("SomethingElse" -> "x".getBytes))
+    assert(BinaryParsers.parse(cfb, "doc").status == "error:no_worddocument")
+    assert(BinaryParsers.parse(cfb, "msg").status == "error:no_body")
+  }
+}

@@ -34,13 +34,14 @@ class ParsersProgressSpec extends SparkSpec {
     assert(got("e")._1 == "pdf" && got("e")._2 == "" &&
       got("e")._3 == "empty")
     assert(got("f")._1 == "text") // fallback parser
-    assert(got("g")._1 == "binary_stub" && got("g")._2 == "" &&
-      got("g")._3 == "stubbed")
+    // non-CFB bytes under a legacy OLE extension: typed magic failure
+    assert(got("g")._1 == "doc" && got("g")._2 == "" &&
+      got("g")._3 == "error:not_ole")
     assert(got("h")._1 == "docx" && got("h")._2 == "" &&
       got("h")._3 == "error:not_docx")
   }
 
-  test("eml parser: body after first blank line; .msg stays stubbed") {
+  test("eml parser: body after first blank line; bad .msg typed error") {
     val files = Seq(
       ("a", "Subject: hi\r\nFrom: x@y\r\n\r\nbody line 1\n\nbody line 2",
         ".eml"),
@@ -57,7 +58,7 @@ class ParsersProgressSpec extends SparkSpec {
     assert(got("a") == (("eml", "body line 1\n\nbody line 2", "ok")))
     assert(got("b") == (("eml", "", "ok"))) // headers-only -> empty body
     assert(got("c") == (("eml", "unix body", "ok"))) // bare-LF separator
-    assert(got("d") == (("binary_stub", "", "stubbed")))
+    assert(got("d") == (("msg", "", "error:not_ole")))
   }
 
   test("progress listener records started/batch/terminated (T4)") {
