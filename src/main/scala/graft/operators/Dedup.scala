@@ -79,7 +79,11 @@ object Dedup {
     // a caller passing corpus-sized pairs degrades to one keyed shuffle.
     val candIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val shc = sh.join(candIds, Seq("id"), "left_semi")
+    // cache: three consumers (sizes, the a-side, the b-side) would
+    // otherwise each re-run the semi-join against the corpus shingle
+    // relation — profiled as the dominant cost of the verify at sf0.1
+    // (the relation is bounded by candidate docs × shingles/doc)
+    val shc = sh.join(candIds, Seq("id"), "left_semi").cache()
     val sizes = shc.groupBy("id").agg(count("*").as("n_shingles"))
     val a = shc.select(col("id").as("id_a"), col("shingle"))
     val b = shc.select(col("id").as("id_b"), col("shingle"))
