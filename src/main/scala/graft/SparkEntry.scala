@@ -930,13 +930,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- chunking UDTFs (C1/C2/C5; offsets dumped, text omitted for
-    //      size — invariants covered by ChunkingSpec; rows-only) ----
-    // ---- C1 strict-window form: the chunk plumbing (windows, offsets,
-    //      content, token counts) as a pure column plan with a FULL
-    //      hash-checked SQL oracle — the boundary-snapping chunkers
-    //      stay rows-only because their stateful scan loops have no
-    //      faithful SQL twin ----
+    // ---- chunking UDTFs (offsets dumped, text omitted for size —
+    //      invariants covered by ChunkingSpec) ----
+    // Oracle status: chunk_fixed (pure column plan), chunk_character
+    // (recursive-CTE replay of the boundary-snap loop), chunk_hier
+    // (word-group algebra) and chunk_semantic (recursive-CTE sentence
+    // merge + word-group re-split) are hash-checked; recursive/
+    // markdown/hybrid stay rows-only — their separator recursion has
+    // no faithful SQL twin yet (goldens in ChunkingGoldenSpec pin them
+    // to the reference instead). ----
     "chunk_fixed" -> ((s, dir) => {
       Chunking.fixedWindows(t(s, dir, "documents"), "doc_id", "text",
           Chunking.ChunkConfig(maxTokens = 40, overlapTokens = 5))
@@ -2887,6 +2889,167 @@ object SparkEntry {
         |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
         |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count
         |  FROM small WHERE b > a)
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin,
+
+    // C5 hierarchical chunker, EXACT oracle: with sizes (64, 16) every
+    // boundary is word-aligned — capTokens caps a window at the end of
+    // its 64th (resp. 16th) word and the next window starts at the next
+    // word, so level-0 windows are global word-groups of 64 and, since
+    // 64 ≡ 0 (mod 16), level-1 windows are exactly the global
+    // word-groups of 16 (children never straddle a parent boundary).
+    // trimSpan is a no-op on word-aligned spans and the hard char-split
+    // branch needs capTokens to advance nowhere, impossible when words
+    // are whitespace-separated. Word offsets come from zip-unnesting
+    // (word, following-gap) regex captures with a running-sum window.
+    // Chunking.scala hierarchical() is the line-by-line reference.
+    "chunk_hier" ->
+      """WITH docs AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+        |  FROM documents WHERE length(text) > 0),
+        |words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
+        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
+        |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
+        |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
+        |  FROM docs),
+        |pos AS (
+        |  SELECT doc_id, wi,
+        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+        |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
+        |      - (length(w) + length(gap)) AS ws,
+        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+        |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
+        |  FROM words),
+        |g AS (
+        |  SELECT doc_id, wi, ws, we, wi // 16 AS g16, wi // 64 AS g64
+        |  FROM pos),
+        |l0 AS (
+        |  SELECT doc_id, 0 AS level,
+        |    doc_id || '_L0_' || g64 AS chunk_id,
+        |    CAST(NULL AS VARCHAR) AS parent_id,
+        |    CAST(g64 AS INT) AS chunk_index,
+        |    CAST(min(ws) AS INT) AS start_offset,
+        |    CAST(max(we) AS INT) AS end_offset,
+        |    CAST(count(*) AS INT) AS token_count
+        |  FROM g GROUP BY doc_id, g64),
+        |l1 AS (
+        |  SELECT doc_id, 1 AS level,
+        |    doc_id || '_L1_' || g16 AS chunk_id,
+        |    doc_id || '_L0_' || (g16 // 4) AS parent_id,
+        |    CAST(g16 AS INT) AS chunk_index,
+        |    CAST(min(ws) AS INT) AS start_offset,
+        |    CAST(max(we) AS INT) AS end_offset,
+        |    CAST(count(*) AS INT) AS token_count
+        |  FROM g GROUP BY doc_id, g16)
+        |SELECT doc_id, CAST(level AS INT) AS level, chunk_id, parent_id,
+        |  chunk_index, start_offset, end_offset, token_count
+        |FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
+        |ORDER BY CAST(doc_id AS BIGINT), level, chunk_index""".stripMargin,
+
+    // C4 semantic chunker, EXACT oracle in three phases that mirror
+    // Chunking.scala semantic(): (1) sentence relation — the
+    // sentence_split extraction plus per-sentence whitespace word count
+    // and the min-length-2 token set, with adjacent-sentence Jaccard
+    // via lag(); (2) the sequential greedy merge (break on
+    // cur+next > maxTokens, or sim < 0.3 once cur >= minTokens) as a
+    // recursive CTE, one step per sentence, final cluster emitted from
+    // the last state row; (3) the oversized-cluster re-split: capTokens
+    // windows of 40 from a sentence-aligned start are exactly word
+    // groups of 40, and trimSpan on a word-aligned span is a no-op, so
+    // final chunks are per-cluster word groups from the same
+    // zip-unnested word-position relation chunk_hier uses.
+    "chunk_semantic" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+        |  FROM documents WHERE length(text) > 0),
+        |rawsent AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
+        |    unnest(l) AS sentence
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(text, '(?s).*?[.!?]+\s+|(?s).+') AS l
+        |        FROM docs)),
+        |offs AS (
+        |  SELECT doc_id, pos, sentence,
+        |    coalesce(sum(length(sentence)) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS a
+        |  FROM rawsent),
+        |sents AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY a) - 1 AS si,
+        |    CAST(a AS BIGINT) AS a, CAST(a + length(sentence) AS BIGINT) AS b,
+        |    len(regexp_extract_all(sentence, '\S+')) AS wc,
+        |    list_distinct(list_filter(
+        |      regexp_extract_all(lower(sentence),
+        |        '[a-z0-9_]+(?:-[a-z0-9_]+)*'),
+        |      x -> length(x) >= 2)) AS toks
+        |  FROM offs WHERE regexp_matches(sentence, '\S')),
+        |sims AS (
+        |  SELECT doc_id, si, a, b, wc,
+        |    CASE WHEN ptoks IS NULL THEN NULL
+        |      WHEN len(list_distinct(list_concat(ptoks, toks))) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(ptoks, toks)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(ptoks, toks))) END AS sim
+        |  FROM (SELECT *, lag(toks) OVER (PARTITION BY doc_id
+        |          ORDER BY si) AS ptoks
+        |        FROM sents)),
+        |nn AS (SELECT doc_id, max(si) AS maxsi FROM sims GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, si, a AS cur_a, b AS cur_b, wc AS cur_wc,
+        |    CAST(NULL AS BIGINT) AS emit_a, CAST(NULL AS BIGINT) AS emit_b
+        |  FROM sims WHERE si = 0
+        |  UNION ALL
+        |  SELECT doc_id, si,
+        |    CASE WHEN brk THEN sa ELSE cur_a END,
+        |    sb,
+        |    CASE WHEN brk THEN swc ELSE cur_wc + swc END,
+        |    CASE WHEN brk THEN cur_a END,
+        |    CASE WHEN brk THEN cur_b END
+        |  FROM (
+        |    SELECT st.doc_id, s.si, st.cur_a, st.cur_b, st.cur_wc,
+        |      s.a AS sa, s.b AS sb, s.wc AS swc,
+        |      (st.cur_wc + s.wc > 40)
+        |        OR (s.sim < 0.3 AND st.cur_wc >= 10) AS brk
+        |    FROM st JOIN sims s
+        |      ON s.doc_id = st.doc_id AND s.si = st.si + 1)),
+        |clusters AS (
+        |  SELECT doc_id, emit_a AS ca, emit_b AS cb FROM st
+        |  WHERE emit_a IS NOT NULL
+        |  UNION ALL
+        |  SELECT st.doc_id, st.cur_a, st.cur_b
+        |  FROM st JOIN nn ON nn.doc_id = st.doc_id AND st.si = nn.maxsi),
+        |words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
+        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
+        |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
+        |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
+        |  FROM docs),
+        |pos AS (
+        |  SELECT doc_id, wi,
+        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+        |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
+        |      - (length(w) + length(gap)) AS ws,
+        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+        |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
+        |  FROM words),
+        |wcl AS (
+        |  SELECT c.doc_id, c.ca, p.ws, p.we,
+        |    (row_number() OVER (PARTITION BY c.doc_id, c.ca
+        |       ORDER BY p.ws) - 1) // 40 AS gi
+        |  FROM clusters c JOIN pos p
+        |    ON p.doc_id = c.doc_id AND p.ws >= c.ca AND p.ws < c.cb),
+        |chunks AS (
+        |  SELECT doc_id, ca, gi, min(ws) AS s, max(we) AS e,
+        |    count(*) AS tc
+        |  FROM wcl GROUP BY doc_id, ca, gi)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY ca, gi) - 1 AS INT) AS chunk_index,
+        |  CAST(s AS INT) AS start_offset, CAST(e AS INT) AS end_offset,
+        |  CAST(tc AS INT) AS token_count
+        |FROM chunks
         |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin,
 
     "a6_chunk_stats" ->
