@@ -1683,6 +1683,401 @@ object SparkEntry {
   // Oracles (DuckDB SQL on the same parquet tables)
   // =====================================================================
 
+  /** C2 recursive chunker, EXACT oracle, shared with chunk_markdown
+    * (on a corpus with zero markdown-header docs — asserted by the
+    * routing probe below — markdown() takes its
+    * `headerStarts.isEmpty => recursive(content, cfg)` early return,
+    * so the two strategies are definitionally identical; the
+    * header-section merge path stays pinned by ChunkingGoldenSpec).
+    *
+    * Three phases mirroring Chunking.scala recursive():
+    * 1. `aq` — the separator-hierarchy split as a WORK-QUEUE recursive
+    *    CTE: rows are (span, separator level); a row whose span holds
+    *    <= mergeBudget (= maxTokens - min(overlap, maxTokens/2) = 20)
+    *    tokens is a final atom; an oversized row splits on its level's
+    *    literal separator (string_split of the span — exactly the
+    *    clamped indexOf scan), each piece keeping the separator, with
+    *    piece offsets recovered from prefix length sums; a level with
+    *    no occurrence re-queues the span one level down; level 9 is
+    *    the hard 80-char split (unreachable when every gap contains a
+    *    plain space, true for this corpus).
+    * 2. `mst` — the greedy merge as a one-step-per-atom recursive CTE
+    *    re-counting tokens over the merged span like countTokensIn.
+    * 3. overlap splice + trim in word algebra: wordsBack(prevEnd, 20)
+    *    is the start of the word 19 indices before the last word
+    *    starting before prevEnd (doc start when the walk hits it), and
+    *    trimmed spans/token counts are min-start/max-end/count over the
+    *    zip-unnested word-position relation. */
+  private val RecursiveChunkOracleSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+      |  FROM documents WHERE regexp_matches(text, '\S')),
+      |aq AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS a,
+      |    CAST(length(text) AS BIGINT) AS b,
+      |    0 AS lvl, len(regexp_extract_all(text, '\S+')) <= 20 AS fin
+      |  FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, pa, pb, lvl + 1 AS lvl,
+      |    CASE WHEN lvl >= 9 THEN TRUE
+      |      ELSE len(regexp_extract_all(substr(text, pa + 1, pb - pa),
+      |        '\S+')) <= 20
+      |    END AS fin
+      |  FROM (
+      |    SELECT doc_id, lvl, text,
+      |      unnest(list_transform(js, j -> CAST(
+      |        CASE WHEN lvl >= 9 THEN a + j * 80
+      |          WHEN j = 1 THEN a
+      |          ELSE a + coalesce(list_sum(list_transform(
+      |                 list_slice(parts, 1, j - 1),
+      |                 x -> CAST(length(x) AS BIGINT))), 0)
+      |               + (j - 1) * length(sep) END AS BIGINT))) AS pa,
+      |      unnest(list_transform(js, j -> CAST(
+      |        CASE WHEN lvl >= 9 THEN least(a + j * 80 + 80, b)
+      |          ELSE a + coalesce(list_sum(list_transform(
+      |                 list_slice(parts, 1, j),
+      |                 x -> CAST(length(x) AS BIGINT))), 0)
+      |               + (j - 1) * length(sep)
+      |               + CASE WHEN j < len(parts) THEN length(sep)
+      |                 ELSE 0 END
+      |        END AS BIGINT))) AS pb
+      |    FROM (
+      |      SELECT q.doc_id, q.a, q.b, q.lvl, d.text, sep, parts,
+      |        CASE WHEN q.lvl >= 9
+      |          THEN range(0, CAST(ceil((q.b - q.a) / 80.0) AS BIGINT))
+      |          ELSE list_filter(range(1, len(parts) + 1),
+      |            j -> j < len(parts)
+      |              OR length(list_extract(parts, len(parts))) > 0)
+      |        END AS js
+      |      FROM (
+      |        SELECT q0.*,
+      |          list_extract([chr(10)||chr(10)||chr(10),
+      |            chr(10)||chr(10), chr(10),
+      |            '. ', '! ', '? ', '; ', ', ', ' '],
+      |            least(q0.lvl, 8) + 1) AS sep,
+      |          string_split(substr(d0.text, q0.a + 1, q0.b - q0.a),
+      |            list_extract([chr(10)||chr(10)||chr(10),
+      |              chr(10)||chr(10), chr(10),
+      |              '. ', '! ', '? ', '; ', ', ', ' '],
+      |              least(q0.lvl, 8) + 1)) AS parts
+      |        FROM aq q0 JOIN docs d0 USING (doc_id)
+      |        WHERE NOT q0.fin) q
+      |      JOIN docs d USING (doc_id)))),
+      |at AS (
+      |  SELECT doc_id, a, b,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY a) AS ai
+      |  FROM aq WHERE fin),
+      |an AS (SELECT doc_id, max(ai) AS maxai FROM at GROUP BY doc_id),
+      |mst AS (
+      |  SELECT doc_id, ai, a AS cl_a, b AS cl_b,
+      |    CAST(NULL AS BIGINT) AS emit_a, CAST(NULL AS BIGINT) AS emit_b
+      |  FROM at WHERE ai = 1
+      |  UNION ALL
+      |  SELECT doc_id, ai,
+      |    CASE WHEN brk THEN na ELSE cl_a END, nb,
+      |    CASE WHEN brk THEN cl_a END, CASE WHEN brk THEN cl_b END
+      |  FROM (
+      |    SELECT m.doc_id, t.ai, m.cl_a, m.cl_b, t.a AS na, t.b AS nb,
+      |      len(regexp_extract_all(substr(d.text, m.cl_a + 1,
+      |        t.b - m.cl_a), '\S+')) > 20 AS brk
+      |    FROM mst m
+      |    JOIN at t ON t.doc_id = m.doc_id AND t.ai = m.ai + 1
+      |    JOIN docs d ON d.doc_id = m.doc_id)),
+      |sp AS (
+      |  SELECT doc_id, sa, sb,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY sa) AS si,
+      |    lag(sb) OVER (PARTITION BY doc_id ORDER BY sa) AS prev_b
+      |  FROM (
+      |    SELECT doc_id, emit_a AS sa, emit_b AS sb FROM mst
+      |    WHERE emit_a IS NOT NULL
+      |    UNION ALL
+      |    SELECT m.doc_id, m.cl_a, m.cl_b
+      |    FROM mst m JOIN an ON an.doc_id = m.doc_id
+      |      AND m.ai = an.maxai)),
+      |words AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
+      |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
+      |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
+      |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
+      |  FROM docs),
+      |pos AS (
+      |  SELECT doc_id, wi,
+      |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+      |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
+      |      - (length(w) + length(gap)) AS ws,
+      |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+      |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
+      |  FROM words),
+      |ov AS (
+      |  SELECT s.doc_id, s.si, s.sb,
+      |    CASE WHEN s.prev_b IS NULL THEN s.sa
+      |      ELSE least(s.sa, coalesce((
+      |        SELECT p2.ws FROM pos p2
+      |        WHERE p2.doc_id = s.doc_id AND p2.wi = greatest(
+      |          (SELECT max(p.wi) FROM pos p
+      |           WHERE p.doc_id = s.doc_id AND p.ws < s.prev_b) - 19,
+      |          0)), 0))
+      |    END AS ea
+      |  FROM sp s),
+      |ch AS (
+      |  SELECT o.doc_id, o.si, min(p.ws) AS s, max(p.we) AS e,
+      |    count(*) AS tc
+      |  FROM ov o JOIN pos p
+      |    ON p.doc_id = o.doc_id AND p.ws >= o.ea AND p.ws < o.sb
+      |  GROUP BY o.doc_id, o.si)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si) - 1
+      |    AS INT) AS chunk_index,
+      |  CAST(s AS INT) AS start_offset, CAST(e AS INT) AS end_offset,
+      |  CAST(tc AS INT) AS token_count
+      |FROM ch
+      |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin
+
+  /** C1 character chunker, EXACT oracle CTEs: the chunk loop is
+    * sequential (each start depends on the previous end), so the
+    * oracle is a recursive CTE — one recursion step per chunk, each
+    * step redoing the boundary snaps as regexes on the doc
+    * prefix/suffix:
+    *   sbp/sb  = sentenceBoundaryBefore (last '[.!?]\s' in the prefix,
+    *             then the whitespace run skipped forward)
+    *   wb      = wordBoundaryBefore (strip the trailing \S* run)
+    *   adj     = wordBoundaryAfter (skip \S*\s* from a mid-word start)
+    *   end2    = capTokens (cap at maxTokens whitespace tokens: the
+    *             capped end is the first whitespace after the last
+    *             in-budget token)
+    *   ta/tb   = trimSpan. Docs under minTokens*4 chars (est <
+    *             minTokens) take the single-trimmed-chunk branch
+    *             ("small").
+    * Parameterized over the ChunkConfig-derived constants so the
+    * chunk_character query (40/5), the build_pipeline ingest skeleton
+    * (100/10) and chunk_hybrid's character branch (40/50) share it;
+    * `docsFrom` swaps the document relation (hybrid's routed subset)
+    * and `p` prefixes the CTE names so the block can coexist
+    * with the semantic CTEs in one WITH. Callers prepend
+    * "WITH RECURSIVE " and append a final SELECT over `{p}st`
+    * (emit_idx rows) + `{p}small`.
+    * Chunking.scala character() is the line-by-line reference. */
+  private def characterChunkCtes(maxTokens: Int, overlapTokens: Int,
+                                 minTokens: Int,
+                                 docsFrom: String =
+                                   "documents WHERE length(text) > 0",
+                                 p: String = ""): String = {
+    val csize = maxTokens * 4   // cfg.charsPerToken = 4
+    val ov = overlapTokens * 4
+    val half = csize / 2
+    val smallMax = minTokens * 4 - 1
+    s"""${p}docs AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+      |    length(text) AS len
+      |  FROM $docsFrom),
+      |${p}small AS (
+      |  SELECT doc_id, text, len,
+      |    length(regexp_extract(text, '(?s)^(\\s*)', 1)) AS a,
+      |    len - length(regexp_extract(text, '(?s)(\\s*)$$', 1)) AS b
+      |  FROM ${p}docs WHERE len <= $smallMax),
+      |${p}st AS (
+      |  SELECT doc_id, text, len,
+      |    0 AS pos, 0 AS idx,
+      |    CAST(NULL AS INT) AS emit_idx, CAST(NULL AS BIGINT) AS a,
+      |    CAST(NULL AS BIGINT) AS b
+      |  FROM ${p}docs WHERE len >= ${smallMax + 1}
+      |  UNION ALL
+      |  SELECT doc_id, text, len,
+      |    CASE WHEN end2 >= len THEN len
+      |      WHEN end2 - $ov <= pos THEN pos + $half
+      |      ELSE end2 - $ov END AS pos,
+      |    CASE WHEN tb > ta THEN idx + 1 ELSE idx END AS idx,
+      |    CASE WHEN tb > ta THEN idx END AS emit_idx,
+      |    CASE WHEN tb > ta THEN ta END AS a,
+      |    CASE WHEN tb > ta THEN tb END AS b
+      |  FROM (
+      |    SELECT *, start1 + length(regexp_extract(
+      |        substr(text, start1 + 1, end2 - start1), '(?s)^(\\s*)', 1))
+      |        AS ta,
+      |      end2 - length(regexp_extract(
+      |        substr(text, start1 + 1, end2 - start1), '(?s)(\\s*)$$', 1))
+      |        AS tb
+      |    FROM (
+      |      SELECT *, greatest(
+      |        CASE WHEN regexp_matches(
+      |               substr(text, start1 + 1, end1 - start1),
+      |               '(?s)^\\s*(?:\\S+\\s+){$maxTokens}\\S')
+      |          THEN start1 + length(regexp_extract(
+      |            substr(text, start1 + 1, end1 - start1),
+      |            '(?s)^\\s*\\S+(?:\\s+\\S+){${maxTokens - 1}}', 0))
+      |          ELSE end1 END,
+      |        least(start1 + 1, len)) AS end2
+      |      FROM (
+      |        SELECT *, CASE WHEN idx > 0 AND start0 > 0 THEN
+      |            CASE WHEN adj < end1 THEN adj ELSE start0 END
+      |          ELSE start0 END AS start1
+      |        FROM (
+      |          SELECT *, CASE
+      |              WHEN regexp_matches(substr(text, start0 + 1, 1), '\\s')
+      |                THEN start0 + length(regexp_extract(
+      |                  substr(text, start0 + 1), '(?s)^(\\s*)', 1))
+      |              WHEN NOT regexp_matches(substr(text, start0, 1), '\\s')
+      |                THEN start0 + length(regexp_extract(
+      |                  substr(text, start0 + 1), '(?s)^(\\S*\\s*)', 0))
+      |              ELSE start0 END AS adj
+      |          FROM (
+      |            SELECT *, CASE WHEN end0 >= len THEN end0
+      |                WHEN sb > start0 AND sb <= end0 THEN sb
+      |                WHEN wb > start0 THEN wb
+      |                ELSE end0 END AS end1
+      |            FROM (
+      |              SELECT *, CASE WHEN sbp < 0 THEN -1
+      |                  ELSE sbp + length(regexp_extract(
+      |                    substr(text, sbp + 1), '(?s)^(\\s*)', 1)) END AS sb,
+      |                CASE WHEN end0 >= len THEN end0
+      |                  WHEN regexp_matches(substr(text, end0 + 1, 1), '\\s')
+      |                    THEN end0
+      |                  ELSE length(regexp_extract(substr(text, 1, end0),
+      |                    '(?s)^((?:.*\\s)?)\\S*$$', 1)) END AS wb
+      |              FROM (
+      |                SELECT *, CASE WHEN end0 >= len THEN -1
+      |                    WHEN regexp_matches(substr(text, 1, end0),
+      |                      '(?s)[.!?]\\s')
+      |                      THEN length(regexp_extract(
+      |                        substr(text, 1, end0), '(?s)^(.*[.!?])\\s', 1))
+      |                    ELSE -1 END AS sbp
+      |                FROM (
+      |                  SELECT *,
+      |                    CASE WHEN idx = 0 THEN 0 ELSE pos END AS start0,
+      |                    least(CASE WHEN idx = 0 THEN 0 ELSE pos END
+      |                      + $csize, len) AS end0
+      |                  FROM ${p}st WHERE pos < len)))))))))""".stripMargin
+  }
+
+  /** C4 semantic chunker oracle CTEs, parameterized by the document
+    * relation so chunk_hybrid can feed it the analyze()-routed subset.
+    * See the chunk_semantic entry's comment for the three phases. */
+  private def semanticChunkCtes(docsSelect: String): String =
+    s"""docs AS (
+      |  $docsSelect),
+      |rawsent AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
+      |    unnest(l) AS sentence
+      |  FROM (SELECT doc_id,
+      |          regexp_extract_all(text, '(?s).*?[.!?]+\\s+|(?s).+') AS l
+      |        FROM docs)),
+      |offs AS (
+      |  SELECT doc_id, pos, sentence,
+      |    coalesce(sum(length(sentence)) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS a
+      |  FROM rawsent),
+      |sents AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY a) - 1 AS si,
+      |    CAST(a AS BIGINT) AS a,
+      |    CAST(a + length(sentence) AS BIGINT) AS b,
+      |    len(regexp_extract_all(sentence, '\\S+')) AS wc,
+      |    list_distinct(list_filter(
+      |      regexp_extract_all(lower(sentence),
+      |        '[a-z0-9_]+(?:-[a-z0-9_]+)*'),
+      |      x -> length(x) >= 2)) AS toks
+      |  FROM offs WHERE regexp_matches(sentence, '\\S')),
+      |sims AS (
+      |  SELECT doc_id, si, a, b, wc,
+      |    CASE WHEN ptoks IS NULL THEN NULL
+      |      WHEN len(list_distinct(list_concat(ptoks, toks))) = 0 THEN 0.0
+      |      ELSE CAST(len(list_intersect(ptoks, toks)) AS DOUBLE)
+      |           / len(list_distinct(list_concat(ptoks, toks))) END AS sim
+      |  FROM (SELECT *, lag(toks) OVER (PARTITION BY doc_id
+      |          ORDER BY si) AS ptoks
+      |        FROM sents)),
+      |nn AS (SELECT doc_id, max(si) AS maxsi FROM sims GROUP BY doc_id),
+      |st AS (
+      |  SELECT doc_id, si, a AS cur_a, b AS cur_b, wc AS cur_wc,
+      |    CAST(NULL AS BIGINT) AS emit_a, CAST(NULL AS BIGINT) AS emit_b
+      |  FROM sims WHERE si = 0
+      |  UNION ALL
+      |  SELECT doc_id, si,
+      |    CASE WHEN brk THEN sa ELSE cur_a END,
+      |    sb,
+      |    CASE WHEN brk THEN swc ELSE cur_wc + swc END,
+      |    CASE WHEN brk THEN cur_a END,
+      |    CASE WHEN brk THEN cur_b END
+      |  FROM (
+      |    SELECT st.doc_id, s.si, st.cur_a, st.cur_b, st.cur_wc,
+      |      s.a AS sa, s.b AS sb, s.wc AS swc,
+      |      (st.cur_wc + s.wc > 40)
+      |        OR (s.sim < 0.3 AND st.cur_wc >= 10) AS brk
+      |    FROM st JOIN sims s
+      |      ON s.doc_id = st.doc_id AND s.si = st.si + 1)),
+      |clusters AS (
+      |  SELECT doc_id, emit_a AS ca, emit_b AS cb FROM st
+      |  WHERE emit_a IS NOT NULL
+      |  UNION ALL
+      |  SELECT st.doc_id, st.cur_a, st.cur_b
+      |  FROM st JOIN nn ON nn.doc_id = st.doc_id AND st.si = nn.maxsi),
+      |words AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '(\\S+)(\\s*)', 1)) AS w,
+      |    unnest(regexp_extract_all(text, '(\\S+)(\\s*)', 2)) AS gap,
+      |    unnest(range(len(regexp_extract_all(text, '\\S+')))) AS wi,
+      |    length(regexp_extract(text, '^(\\s*)', 1)) AS lead
+      |  FROM docs),
+      |pos AS (
+      |  SELECT doc_id, wi,
+      |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+      |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
+      |      - (length(w) + length(gap)) AS ws,
+      |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+      |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
+      |  FROM words),
+      |wcl AS (
+      |  SELECT c.doc_id, c.ca, p.ws, p.we,
+      |    (row_number() OVER (PARTITION BY c.doc_id, c.ca
+      |       ORDER BY p.ws) - 1) // 40 AS gi
+      |  FROM clusters c JOIN pos p
+      |    ON p.doc_id = c.doc_id AND p.ws >= c.ca AND p.ws < c.cb),
+      |chunks AS (
+      |  SELECT doc_id, ca, gi, min(ws) AS s, max(we) AS e,
+      |    count(*) AS tc
+      |  FROM wcl GROUP BY doc_id, ca, gi)""".stripMargin
+
+  /** Per-doc indexed final projection over the semantic `chunks` CTE. */
+  private val SemanticChunkSelect: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY ca, gi) - 1 AS INT) AS chunk_index,
+      |  CAST(s AS INT) AS start_offset, CAST(e AS INT) AS end_offset,
+      |  CAST(tc AS INT) AS token_count
+      |FROM chunks""".stripMargin
+
+  /** Complete C4 oracle query (chunk_semantic). */
+  private def semanticChunkOracleSql(docsSelect: String): String =
+    "WITH RECURSIVE " + semanticChunkCtes(docsSelect) + "\n" +
+      SemanticChunkSelect +
+      "\nORDER BY CAST(doc_id AS BIGINT), chunk_index"
+
+  /** The analyze() routing predicates (Chunking.scala:427-446)
+    * verbatim in SQL; `cond` further restricts to one route. */
+  private def hybridRoutedDocs(cond: String): String =
+    s"""SELECT doc_id, text FROM (
+      |    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+      |      (regexp_matches(text, '(?m)^#{1,6}\\s')
+      |        OR len(list_filter(
+      |             list_slice(string_split(text, chr(10)), 1, 50),
+      |             l -> starts_with(trim(l), '#')
+      |               AND length(trim(l)) > 1)) > 0) AS has_md,
+      |      (contains(text, '```')
+      |        OR contains(text, chr(10) || '    ')) AS has_code,
+      |      (contains(text, chr(10) || '- ')
+      |        OR contains(text, chr(10) || '* ')
+      |        OR contains(text, chr(10) || '1. ')
+      |        OR contains(text, chr(10) || '| ')
+      |        OR contains(text, chr(10) || '> ')) AS has_struct,
+      |      CAST(length(text) AS DOUBLE) / greatest(1,
+      |        length(text) - length(replace(replace(replace(text,
+      |          '.', ''), '!', ''), '?', ''))) AS avg_sl
+      |    FROM documents WHERE length(text) > 0)
+      |  WHERE NOT has_md AND NOT has_code AND NOT has_struct
+      |    AND $cond""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2782,100 +3177,9 @@ object SparkEntry {
         |FROM wins
         |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin,
 
-    // C1 character chunker, EXACT oracle: the chunk loop is sequential
-    // (each start depends on the previous end), so the oracle is a
-    // recursive CTE — one recursion step per chunk, each step redoing
-    // the boundary snaps as regexes on the doc prefix/suffix:
-    //   sbp/sb  = sentenceBoundaryBefore (last '[.!?]\s' in the prefix,
-    //             then the whitespace run skipped forward)
-    //   wb      = wordBoundaryBefore (strip the trailing \S* run)
-    //   adj     = wordBoundaryAfter (skip \S*\s* from a mid-word start)
-    //   end2    = capTokens (cap at 40 whitespace tokens: the capped
-    //             end is the first whitespace after token 40)
-    //   ta/tb   = trimSpan. Docs under 40 chars (est < minTokens) take
-    //             the single-trimmed-chunk branch ("small").
-    // Chunking.scala character() is the line-by-line reference.
+    // C1 character chunker, EXACT oracle — see characterChunkCtes.
     "chunk_character" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
-        |    length(text) AS len
-        |  FROM documents WHERE length(text) > 0),
-        |small AS (
-        |  SELECT doc_id, text, len,
-        |    length(regexp_extract(text, '(?s)^(\s*)', 1)) AS a,
-        |    len - length(regexp_extract(text, '(?s)(\s*)$', 1)) AS b
-        |  FROM docs WHERE len <= 39),
-        |st AS (
-        |  SELECT doc_id, text, len,
-        |    0 AS pos, 0 AS idx,
-        |    CAST(NULL AS INT) AS emit_idx, CAST(NULL AS BIGINT) AS a,
-        |    CAST(NULL AS BIGINT) AS b
-        |  FROM docs WHERE len >= 40
-        |  UNION ALL
-        |  SELECT doc_id, text, len,
-        |    CASE WHEN end2 >= len THEN len
-        |      WHEN end2 - 20 <= pos THEN pos + 80 ELSE end2 - 20 END AS pos,
-        |    CASE WHEN tb > ta THEN idx + 1 ELSE idx END AS idx,
-        |    CASE WHEN tb > ta THEN idx END AS emit_idx,
-        |    CASE WHEN tb > ta THEN ta END AS a,
-        |    CASE WHEN tb > ta THEN tb END AS b
-        |  FROM (
-        |    SELECT *, start1 + length(regexp_extract(
-        |        substr(text, start1 + 1, end2 - start1), '(?s)^(\s*)', 1))
-        |        AS ta,
-        |      end2 - length(regexp_extract(
-        |        substr(text, start1 + 1, end2 - start1), '(?s)(\s*)$', 1))
-        |        AS tb
-        |    FROM (
-        |      SELECT *, greatest(
-        |        CASE WHEN regexp_matches(
-        |               substr(text, start1 + 1, end1 - start1),
-        |               '(?s)^\s*(?:\S+\s+){40}\S')
-        |          THEN start1 + length(regexp_extract(
-        |            substr(text, start1 + 1, end1 - start1),
-        |            '(?s)^\s*\S+(?:\s+\S+){39}', 0))
-        |          ELSE end1 END,
-        |        least(start1 + 1, len)) AS end2
-        |      FROM (
-        |        SELECT *, CASE WHEN idx > 0 AND start0 > 0 THEN
-        |            CASE WHEN adj < end1 THEN adj ELSE start0 END
-        |          ELSE start0 END AS start1
-        |        FROM (
-        |          SELECT *, CASE
-        |              WHEN regexp_matches(substr(text, start0 + 1, 1), '\s')
-        |                THEN start0 + length(regexp_extract(
-        |                  substr(text, start0 + 1), '(?s)^(\s*)', 1))
-        |              WHEN NOT regexp_matches(substr(text, start0, 1), '\s')
-        |                THEN start0 + length(regexp_extract(
-        |                  substr(text, start0 + 1), '(?s)^(\S*\s*)', 0))
-        |              ELSE start0 END AS adj
-        |          FROM (
-        |            SELECT *, CASE WHEN end0 >= len THEN end0
-        |                WHEN sb > start0 AND sb <= end0 THEN sb
-        |                WHEN wb > start0 THEN wb
-        |                ELSE end0 END AS end1
-        |            FROM (
-        |              SELECT *, CASE WHEN sbp < 0 THEN -1
-        |                  ELSE sbp + length(regexp_extract(
-        |                    substr(text, sbp + 1), '(?s)^(\s*)', 1)) END AS sb,
-        |                CASE WHEN end0 >= len THEN end0
-        |                  WHEN regexp_matches(substr(text, end0 + 1, 1), '\s')
-        |                    THEN end0
-        |                  ELSE length(regexp_extract(substr(text, 1, end0),
-        |                    '(?s)^((?:.*\s)?)\S*$', 1)) END AS wb
-        |              FROM (
-        |                SELECT *, CASE WHEN end0 >= len THEN -1
-        |                    WHEN regexp_matches(substr(text, 1, end0),
-        |                      '(?s)[.!?]\s')
-        |                      THEN length(regexp_extract(
-        |                        substr(text, 1, end0), '(?s)^(.*[.!?])\s', 1))
-        |                    ELSE -1 END AS sbp
-        |                FROM (
-        |                  SELECT *,
-        |                    CASE WHEN idx = 0 THEN 0 ELSE pos END AS start0,
-        |                    least(CASE WHEN idx = 0 THEN 0 ELSE pos END + 160,
-        |                      len) AS end0
-        |                  FROM st WHERE pos < len)))))))))
+      ("WITH RECURSIVE " + characterChunkCtes(40, 5, 10) + """
         |SELECT doc_id, chunk_index, start_offset, end_offset, token_count
         |FROM (
         |  SELECT doc_id, CAST(emit_idx AS INT) AS chunk_index,
@@ -2889,7 +3193,29 @@ object SparkEntry {
         |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
         |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count
         |  FROM small WHERE b > a)
-        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin,
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin),
+
+    // S6/§3.3 build path: the chunk skeleton of Ingest.buildChunks —
+    // the character chunker at (maxTokens=100, overlap=10) via the
+    // same parameterized recursive CTE, chunk ids doc_id||'_'||idx,
+    // and the embed leg pinned by its dimension (the vector VALUES are
+    // hash-checked end-to-end by knn_text / search_hybrid_docs, which
+    // embed with the identical mockEmbeddingCol arithmetic).
+    "build_pipeline" ->
+      ("WITH RECURSIVE " + characterChunkCtes(100, 10, 10) + """
+        |SELECT chunk_id, doc_id, token_count, dim FROM (
+        |  SELECT doc_id, doc_id || '_' || emit_idx AS chunk_id,
+        |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
+        |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count,
+        |    64 AS dim
+        |  FROM st WHERE emit_idx IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, doc_id || '_0' AS chunk_id,
+        |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
+        |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count,
+        |    64 AS dim
+        |  FROM small WHERE b > a)
+        |ORDER BY chunk_id""".stripMargin),
 
     // C5 hierarchical chunker, EXACT oracle: with sizes (64, 16) every
     // boundary is word-aligned — capTokens caps a window at the end of
@@ -2959,98 +3285,47 @@ object SparkEntry {
     // groups of 40, and trimSpan on a word-aligned span is a no-op, so
     // final chunks are per-cluster word groups from the same
     // zip-unnested word-position relation chunk_hier uses.
-    "chunk_semantic" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
-        |  FROM documents WHERE length(text) > 0),
-        |rawsent AS (
-        |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
-        |    unnest(l) AS sentence
-        |  FROM (SELECT doc_id,
-        |          regexp_extract_all(text, '(?s).*?[.!?]+\s+|(?s).+') AS l
-        |        FROM docs)),
-        |offs AS (
-        |  SELECT doc_id, pos, sentence,
-        |    coalesce(sum(length(sentence)) OVER (PARTITION BY doc_id
-        |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND 1 PRECEDING), 0) AS a
-        |  FROM rawsent),
-        |sents AS (
-        |  SELECT doc_id,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY a) - 1 AS si,
-        |    CAST(a AS BIGINT) AS a, CAST(a + length(sentence) AS BIGINT) AS b,
-        |    len(regexp_extract_all(sentence, '\S+')) AS wc,
-        |    list_distinct(list_filter(
-        |      regexp_extract_all(lower(sentence),
-        |        '[a-z0-9_]+(?:-[a-z0-9_]+)*'),
-        |      x -> length(x) >= 2)) AS toks
-        |  FROM offs WHERE regexp_matches(sentence, '\S')),
-        |sims AS (
-        |  SELECT doc_id, si, a, b, wc,
-        |    CASE WHEN ptoks IS NULL THEN NULL
-        |      WHEN len(list_distinct(list_concat(ptoks, toks))) = 0 THEN 0.0
-        |      ELSE CAST(len(list_intersect(ptoks, toks)) AS DOUBLE)
-        |           / len(list_distinct(list_concat(ptoks, toks))) END AS sim
-        |  FROM (SELECT *, lag(toks) OVER (PARTITION BY doc_id
-        |          ORDER BY si) AS ptoks
-        |        FROM sents)),
-        |nn AS (SELECT doc_id, max(si) AS maxsi FROM sims GROUP BY doc_id),
-        |st AS (
-        |  SELECT doc_id, si, a AS cur_a, b AS cur_b, wc AS cur_wc,
-        |    CAST(NULL AS BIGINT) AS emit_a, CAST(NULL AS BIGINT) AS emit_b
-        |  FROM sims WHERE si = 0
+    "chunk_semantic" -> semanticChunkOracleSql(
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+        |  FROM documents WHERE length(text) > 0""".stripMargin),
+
+    // C6 hybrid chunker: the analyze() routing predicates verbatim in
+    // SQL (header regex + first-50-lines '#' fallback, fenced/indented
+    // code, list/table/quote markers, punctuation-derived average
+    // sentence length), dispatching each doc to its routed strategy's
+    // CTE block — semantic (avg_sl > 50) or character (else branch,
+    // overlap=50 config). On this corpus no doc routes to the
+    // markdown/hierarchical/mixed branches (zero markdown/code/
+    // structure docs); such a doc would emit no oracle rows and fail
+    // the gate loudly rather than silently pass — those branches stay
+    // pinned by ChunkingGoldenSpec.
+    "chunk_hybrid" ->
+      ("WITH RECURSIVE " +
+        semanticChunkCtes(hybridRoutedDocs("avg_sl > 50")) + ",\n" +
+        characterChunkCtes(40, 50, 10,
+          "(" + hybridRoutedDocs("avg_sl <= 50") + ")", "c") + """
+        |SELECT doc_id, chunk_index, start_offset, end_offset,
+        |  token_count
+        |FROM (
+        |  """.stripMargin + SemanticChunkSelect.replace("\n", "\n  ") + """
         |  UNION ALL
-        |  SELECT doc_id, si,
-        |    CASE WHEN brk THEN sa ELSE cur_a END,
-        |    sb,
-        |    CASE WHEN brk THEN swc ELSE cur_wc + swc END,
-        |    CASE WHEN brk THEN cur_a END,
-        |    CASE WHEN brk THEN cur_b END
-        |  FROM (
-        |    SELECT st.doc_id, s.si, st.cur_a, st.cur_b, st.cur_wc,
-        |      s.a AS sa, s.b AS sb, s.wc AS swc,
-        |      (st.cur_wc + s.wc > 40)
-        |        OR (s.sim < 0.3 AND st.cur_wc >= 10) AS brk
-        |    FROM st JOIN sims s
-        |      ON s.doc_id = st.doc_id AND s.si = st.si + 1)),
-        |clusters AS (
-        |  SELECT doc_id, emit_a AS ca, emit_b AS cb FROM st
-        |  WHERE emit_a IS NOT NULL
+        |  SELECT doc_id, CAST(emit_idx AS INT) AS chunk_index,
+        |    CAST(a AS INT) AS start_offset, CAST(b AS INT) AS end_offset,
+        |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
+        |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count
+        |  FROM cst WHERE emit_idx IS NOT NULL
         |  UNION ALL
-        |  SELECT st.doc_id, st.cur_a, st.cur_b
-        |  FROM st JOIN nn ON nn.doc_id = st.doc_id AND st.si = nn.maxsi),
-        |words AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
-        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
-        |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
-        |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
-        |  FROM docs),
-        |pos AS (
-        |  SELECT doc_id, wi,
-        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
-        |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
-        |      - (length(w) + length(gap)) AS ws,
-        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
-        |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
-        |  FROM words),
-        |wcl AS (
-        |  SELECT c.doc_id, c.ca, p.ws, p.we,
-        |    (row_number() OVER (PARTITION BY c.doc_id, c.ca
-        |       ORDER BY p.ws) - 1) // 40 AS gi
-        |  FROM clusters c JOIN pos p
-        |    ON p.doc_id = c.doc_id AND p.ws >= c.ca AND p.ws < c.cb),
-        |chunks AS (
-        |  SELECT doc_id, ca, gi, min(ws) AS s, max(we) AS e,
-        |    count(*) AS tc
-        |  FROM wcl GROUP BY doc_id, ca, gi)
-        |SELECT doc_id,
-        |  CAST(row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY ca, gi) - 1 AS INT) AS chunk_index,
-        |  CAST(s AS INT) AS start_offset, CAST(e AS INT) AS end_offset,
-        |  CAST(tc AS INT) AS token_count
-        |FROM chunks
-        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin,
+        |  SELECT doc_id, 0 AS chunk_index, CAST(a AS INT) AS start_offset,
+        |    CAST(b AS INT) AS end_offset,
+        |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
+        |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count
+        |  FROM csmall WHERE b > a)
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin),
+
+    // C2 / C3: see RecursiveChunkOracleSql scaladoc — markdown shares
+    // the recursive oracle via its headerless early return.
+    "chunk_recursive" -> RecursiveChunkOracleSql,
+    "chunk_markdown" -> RecursiveChunkOracleSql,
 
     "a6_chunk_stats" ->
       """SELECT min(n_chars) AS min_tokens, max(n_chars) AS max_tokens,

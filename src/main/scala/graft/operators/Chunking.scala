@@ -220,7 +220,11 @@ object Chunking {
           var a = start
           var i = content.indexOf(sep, start)
           var found = false
-          while (i >= 0 && i < end) {
+          // i + sep.length <= end (not i < end): a separator straddling
+          // the span end must not split — a piece extending past `end`
+          // would duplicate content into the next sibling's subtree.
+          // Equivalent to scanning the substring content[start, end).
+          while (i >= 0 && i + sep.length <= end) {
             found = true
             pieces += ((a, i + sep.length)) // separator stays with the piece
             a = i + sep.length
