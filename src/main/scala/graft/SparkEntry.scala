@@ -1708,32 +1708,54 @@ object SparkEntry {
     *    starting before prevEnd (doc start when the walk hits it), and
     *    trimmed spans/token counts are min-start/max-end/count over the
     *    zip-unnested word-position relation. */
-  private val RecursiveChunkOracleSql: String =
-    """WITH RECURSIVE docs AS (
+  private def recursiveChunkCtes(budget: Int, overlapWords: Int,
+                                 docsFrom: String =
+                                   "documents WHERE regexp_matches(text, '\\S')",
+                                 p: String = ""): String = {
+    val hardW = budget * 4  // cfg.charsPerToken = 4
+    val ovCte =
+      if (overlapWords == 0)
+        s"""${p}ov AS (
+          |  SELECT s.doc_id, s.si, s.sb, s.sa AS ea FROM ${p}sp s)"""
+          .stripMargin
+      else
+        s"""${p}ov AS (
+          |  SELECT s.doc_id, s.si, s.sb,
+          |    CASE WHEN s.prev_b IS NULL THEN s.sa
+          |      ELSE least(s.sa, coalesce((
+          |        SELECT p2.ws FROM ${p}pos p2
+          |        WHERE p2.doc_id = s.doc_id AND p2.wi = greatest(
+          |          (SELECT max(p.wi) FROM ${p}pos p
+          |           WHERE p.doc_id = s.doc_id AND p.ws < s.prev_b)
+          |           - ${overlapWords - 1}, 0)), 0))
+          |    END AS ea
+          |  FROM ${p}sp s)"""
+          .stripMargin
+    s"""${p}docs AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
-      |  FROM documents WHERE regexp_matches(text, '\S')),
-      |aq AS (
+      |  FROM $docsFrom),
+      |${p}aq AS (
       |  SELECT doc_id, CAST(0 AS BIGINT) AS a,
       |    CAST(length(text) AS BIGINT) AS b,
-      |    0 AS lvl, len(regexp_extract_all(text, '\S+')) <= 20 AS fin
-      |  FROM docs
+      |    0 AS lvl, len(regexp_extract_all(text, '\\S+')) <= $budget AS fin
+      |  FROM ${p}docs
       |  UNION ALL
       |  SELECT doc_id, pa, pb, lvl + 1 AS lvl,
       |    CASE WHEN lvl >= 9 THEN TRUE
       |      ELSE len(regexp_extract_all(substr(text, pa + 1, pb - pa),
-      |        '\S+')) <= 20
+      |        '\\S+')) <= $budget
       |    END AS fin
       |  FROM (
       |    SELECT doc_id, lvl, text,
       |      unnest(list_transform(js, j -> CAST(
-      |        CASE WHEN lvl >= 9 THEN a + j * 80
+      |        CASE WHEN lvl >= 9 THEN a + j * $hardW
       |          WHEN j = 1 THEN a
       |          ELSE a + coalesce(list_sum(list_transform(
       |                 list_slice(parts, 1, j - 1),
       |                 x -> CAST(length(x) AS BIGINT))), 0)
       |               + (j - 1) * length(sep) END AS BIGINT))) AS pa,
       |      unnest(list_transform(js, j -> CAST(
-      |        CASE WHEN lvl >= 9 THEN least(a + j * 80 + 80, b)
+      |        CASE WHEN lvl >= 9 THEN least(a + j * $hardW + $hardW, b)
       |          ELSE a + coalesce(list_sum(list_transform(
       |                 list_slice(parts, 1, j),
       |                 x -> CAST(length(x) AS BIGINT))), 0)
@@ -1744,7 +1766,7 @@ object SparkEntry {
       |    FROM (
       |      SELECT q.doc_id, q.a, q.b, q.lvl, d.text, sep, parts,
       |        CASE WHEN q.lvl >= 9
-      |          THEN range(0, CAST(ceil((q.b - q.a) / 80.0) AS BIGINT))
+      |          THEN range(0, CAST(ceil((q.b - q.a) / $hardW.0) AS BIGINT))
       |          ELSE list_filter(range(1, len(parts) + 1),
       |            j -> j < len(parts)
       |              OR length(list_extract(parts, len(parts))) > 0)
@@ -1760,18 +1782,18 @@ object SparkEntry {
       |              chr(10)||chr(10), chr(10),
       |              '. ', '! ', '? ', '; ', ', ', ' '],
       |              least(q0.lvl, 8) + 1)) AS parts
-      |        FROM aq q0 JOIN docs d0 USING (doc_id)
+      |        FROM ${p}aq q0 JOIN ${p}docs d0 USING (doc_id)
       |        WHERE NOT q0.fin) q
-      |      JOIN docs d USING (doc_id)))),
-      |at AS (
+      |      JOIN ${p}docs d USING (doc_id)))),
+      |${p}at AS (
       |  SELECT doc_id, a, b,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY a) AS ai
-      |  FROM aq WHERE fin),
-      |an AS (SELECT doc_id, max(ai) AS maxai FROM at GROUP BY doc_id),
-      |mst AS (
+      |  FROM ${p}aq WHERE fin),
+      |${p}an AS (SELECT doc_id, max(ai) AS maxai FROM ${p}at GROUP BY doc_id),
+      |${p}mst AS (
       |  SELECT doc_id, ai, a AS cl_a, b AS cl_b,
       |    CAST(NULL AS BIGINT) AS emit_a, CAST(NULL AS BIGINT) AS emit_b
-      |  FROM at WHERE ai = 1
+      |  FROM ${p}at WHERE ai = 1
       |  UNION ALL
       |  SELECT doc_id, ai,
       |    CASE WHEN brk THEN na ELSE cl_a END, nb,
@@ -1779,53 +1801,48 @@ object SparkEntry {
       |  FROM (
       |    SELECT m.doc_id, t.ai, m.cl_a, m.cl_b, t.a AS na, t.b AS nb,
       |      len(regexp_extract_all(substr(d.text, m.cl_a + 1,
-      |        t.b - m.cl_a), '\S+')) > 20 AS brk
-      |    FROM mst m
-      |    JOIN at t ON t.doc_id = m.doc_id AND t.ai = m.ai + 1
-      |    JOIN docs d ON d.doc_id = m.doc_id)),
-      |sp AS (
+      |        t.b - m.cl_a), '\\S+')) > $budget AS brk
+      |    FROM ${p}mst m
+      |    JOIN ${p}at t ON t.doc_id = m.doc_id AND t.ai = m.ai + 1
+      |    JOIN ${p}docs d ON d.doc_id = m.doc_id)),
+      |${p}sp AS (
       |  SELECT doc_id, sa, sb,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY sa) AS si,
       |    lag(sb) OVER (PARTITION BY doc_id ORDER BY sa) AS prev_b
       |  FROM (
-      |    SELECT doc_id, emit_a AS sa, emit_b AS sb FROM mst
+      |    SELECT doc_id, emit_a AS sa, emit_b AS sb FROM ${p}mst
       |    WHERE emit_a IS NOT NULL
       |    UNION ALL
       |    SELECT m.doc_id, m.cl_a, m.cl_b
-      |    FROM mst m JOIN an ON an.doc_id = m.doc_id
-      |      AND m.ai = an.maxai)),
-      |words AS (
+      |    FROM ${p}mst m JOIN ${p}an ON ${p}an.doc_id = m.doc_id
+      |      AND m.ai = ${p}an.maxai)),
+      |${p}words AS (
       |  SELECT doc_id,
-      |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
-      |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
-      |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
-      |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
-      |  FROM docs),
-      |pos AS (
+      |    unnest(regexp_extract_all(text, '(\\S+)(\\s*)', 1)) AS w,
+      |    unnest(regexp_extract_all(text, '(\\S+)(\\s*)', 2)) AS gap,
+      |    unnest(range(len(regexp_extract_all(text, '\\S+')))) AS wi,
+      |    length(regexp_extract(text, '^(\\s*)', 1)) AS lead
+      |  FROM ${p}docs),
+      |${p}pos AS (
       |  SELECT doc_id, wi,
       |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
       |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
       |      - (length(w) + length(gap)) AS ws,
       |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
       |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
-      |  FROM words),
-      |ov AS (
-      |  SELECT s.doc_id, s.si, s.sb,
-      |    CASE WHEN s.prev_b IS NULL THEN s.sa
-      |      ELSE least(s.sa, coalesce((
-      |        SELECT p2.ws FROM pos p2
-      |        WHERE p2.doc_id = s.doc_id AND p2.wi = greatest(
-      |          (SELECT max(p.wi) FROM pos p
-      |           WHERE p.doc_id = s.doc_id AND p.ws < s.prev_b) - 19,
-      |          0)), 0))
-      |    END AS ea
-      |  FROM sp s),
-      |ch AS (
+      |  FROM ${p}words),
+      |$ovCte,
+      |${p}ch AS (
       |  SELECT o.doc_id, o.si, min(p.ws) AS s, max(p.we) AS e,
       |    count(*) AS tc
-      |  FROM ov o JOIN pos p
+      |  FROM ${p}ov o JOIN ${p}pos p
       |    ON p.doc_id = o.doc_id AND p.ws >= o.ea AND p.ws < o.sb
-      |  GROUP BY o.doc_id, o.si)
+      |  GROUP BY o.doc_id, o.si)""".stripMargin
+  }
+
+  /** Complete C2 oracle query (chunk_recursive / chunk_markdown). */
+  private val RecursiveChunkOracleSql: String =
+    "WITH RECURSIVE " + recursiveChunkCtes(20, 20) + """
       |SELECT doc_id,
       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si) - 1
       |    AS INT) AS chunk_index,
@@ -1833,6 +1850,7 @@ object SparkEntry {
       |  CAST(tc AS INT) AS token_count
       |FROM ch
       |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin
+
 
   /** C1 character chunker, EXACT oracle CTEs: the chunk loop is
     * sequential (each start depends on the previous end), so the
@@ -3326,6 +3344,29 @@ object SparkEntry {
     // the recursive oracle via its headerless early return.
     "chunk_recursive" -> RecursiveChunkOracleSql,
     "chunk_markdown" -> RecursiveChunkOracleSql,
+
+    // DAG pipeline: first-match routing (lang=en -> recursive chunker
+    // at max=40/overlap=0, catch-all -> character at min=5/max=40/
+    // overlap=0) then per-path chunk/doc counts — the same two
+    // parameterized chunker CTE blocks, prefixed to coexist, with the
+    // route predicates inlined in each block's document relation.
+    "dag_pipeline" ->
+      ("WITH RECURSIVE " +
+        recursiveChunkCtes(40, 0,
+          "documents WHERE regexp_matches(text, '\\S') AND lang = 'en'",
+          "r") + ",\n" +
+        characterChunkCtes(40, 0, 5,
+          "documents WHERE length(text) > 0 AND lang <> 'en'", "c") + """
+        |SELECT path_id, n_chunks, n_docs FROM (
+        |  SELECT 'english' AS path_id, count(*) AS n_chunks,
+        |    count(DISTINCT doc_id) AS n_docs FROM rch
+        |  UNION ALL
+        |  SELECT 'chunk_rest' AS path_id, count(*) AS n_chunks,
+        |    count(DISTINCT doc_id) AS n_docs FROM (
+        |    SELECT doc_id FROM cst WHERE emit_idx IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id FROM csmall WHERE b > a))
+        |ORDER BY path_id""".stripMargin),
 
     "a6_chunk_stats" ->
       """SELECT min(n_chars) AS min_tokens, max(n_chars) AS max_tokens,
