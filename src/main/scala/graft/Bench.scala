@@ -71,6 +71,15 @@ object Bench {
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$headline,"sf":"$sfName","calibration_sha2m_sec":${f2(calibration)}}""")
+    // Also persist the full-precision record to a file in the repo so
+    // nothing ever has to recover it from a truncated stdout tail
+    // (sbt's "[success]" banner trails the compact line, so even a
+    // last-line parser can miss it).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // stdout stays the primary channel
     spark.stop()
   }
 }

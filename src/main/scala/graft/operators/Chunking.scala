@@ -42,11 +42,18 @@ object Chunking {
 
   /** Python str.isspace() analogue for the empty-document check:
     * Java's Character.isWhitespace excludes no-break spaces
-    * (U+00A0/U+2007/U+202F) which Python treats as whitespace, so an
-    * NBSP-only document must still parse as empty to match the
-    * reference's `if not content.strip(): return []`. */
+    * (U+00A0/U+2007/U+202F) and NEL (U+0085) which Python treats as
+    * whitespace, so a document of only those must still parse as empty
+    * to match the reference's `if not content.strip(): return []`.
+    *
+    * NOTE on the DuckDB chunk oracles: their doc gate is
+    * `regexp_matches(text, '\S')` where RE2's \s is ASCII-only, so a
+    * doc containing ONLY non-ASCII whitespace would be "non-empty" to
+    * the oracle and "empty" here. The driver corpus is ASCII (the
+    * generator emits ASCII words), so the gates agree there;
+    * ChunkingGoldenSpec pins the Scala-side semantics directly. */
   private def pyIsSpace(c: Char): Boolean =
-    Character.isWhitespace(c) || Character.isSpaceChar(c)
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
 
   def countTokens(s: String): Int = {
     var n = 0; var i = 0; var inTok = false

@@ -72,8 +72,14 @@ object IrMetrics {
     * long format) and [[macroAveraged]] (average the columns FIRST,
     * then explode one row — one fewer exchange than averaging the
     * exploded long format). */
-  private def wideMetrics(results: DataFrame, qrels: DataFrame,
+  private def wideMetrics(results: DataFrame, rawQrels: DataFrame,
                           kValues: Seq[Int]): (DataFrame, Seq[(String, Int, Column)]) = {
+    // max(grade) per (query_id, doc_id) first — same duplicate-qrels
+    // semantics as macroAveragedFromArrays, so the two formulations
+    // agree on inputs with repeated judgments (and the left join below
+    // can't fan results out)
+    val qrels = rawQrels
+      .groupBy("query_id", "doc_id").agg(max("grade").as("grade"))
     val graded = results
       .join(qrels, Seq("query_id", "doc_id"), "left")
       .withColumn("grade", coalesce(col("grade"), lit(0)))

@@ -38,7 +38,7 @@ object Cfb {
   private val MiniSector = 64
 
   final case class Entry(name: String, objectType: Int, startSector: Int,
-      size: Long)
+      size: Long, leftSib: Int = -1, rightSib: Int = -1, child: Int = -1)
 
   final case class Doc(entries: Seq[Entry], streams: Map[String, Array[Byte]]) {
     /** First stream whose name equals (or, for the .msg property
@@ -74,7 +74,17 @@ object Cfb {
     val firstDifatSector = i32(bytes, 0x44)
     val numDifatSectors = i32(bytes, 0x48)
 
-    def sectorOffset(sid: Int): Int = 512 + sid * sectorSize
+    // [MS-CFB] 2.2: sector n starts at (n+1)<<sectorShift — the header
+    // occupies the whole of "sector -1", so for v4 (4096-byte sectors)
+    // sector 0 begins at offset 4096, not 512.
+    def sectorOffset(sid: Int): Int = (sid + 1) * sectorSize
+
+    // Mini Stream Cutoff Size lives in the header (offset 0x38); real
+    // files always say 4096 but the spec allows otherwise.
+    val miniCutoff = {
+      val v = i32(bytes, 0x38)
+      if (v > 0) v else MiniCutoff
+    }
 
     // DIFAT: 109 entries in the header, then chained DIFAT sectors
     // (each holds sectorSize/4 - 1 FAT sector ids + a next pointer)
@@ -125,20 +135,41 @@ object Cfb {
       out
     }
 
-    // directory: 128-byte entries in the dir chain
+    // directory: 128-byte entries in the dir chain. Keep the raw slot
+    // indexing — sibling/child pointers are slot ids, so unused slots
+    // must stay as holes, not be compacted away.
     val dirBytes = readChain(firstDirSector, Long.MaxValue >> 8)
-    val entries = (0 until dirBytes.length / 128).flatMap { k =>
-      val off = k * 128
-      val nameLen = u16(dirBytes, off + 0x40) // bytes incl. terminator
-      val objType = dirBytes(off + 0x42) & 0xFF
-      if (nameLen < 2 || nameLen > 64 || objType == 0) None
-      else Some(Entry(
-        new String(dirBytes, off, nameLen - 2, StandardCharsets.UTF_16LE),
-        objType, i32(dirBytes, off + 0x74), i64(dirBytes, off + 0x78)))
-    }
+    val rawEntries: IndexedSeq[Option[Entry]] =
+      (0 until dirBytes.length / 128).map { k =>
+        val off = k * 128
+        val nameLen = u16(dirBytes, off + 0x40) // bytes incl. terminator
+        val objType = dirBytes(off + 0x42) & 0xFF
+        if (nameLen < 2 || nameLen > 64 || objType == 0) None
+        else Some(Entry(
+          new String(dirBytes, off, nameLen - 2, StandardCharsets.UTF_16LE),
+          objType, i32(dirBytes, off + 0x74), i64(dirBytes, off + 0x78),
+          i32(dirBytes, off + 0x44), i32(dirBytes, off + 0x48),
+          i32(dirBytes, off + 0x4C)))
+      }
+    val entries = rawEntries.flatten
 
-    val root = entries.find(_.objectType == 5)
-      .getOrElse(throw new IllegalArgumentException("no root entry"))
+    val rootIdx = rawEntries.indexWhere(_.exists(_.objectType == 5))
+    require(rootIdx >= 0, "no root entry")
+    val root = rawEntries(rootIdx).get
+
+    // An entry's direct children form a binary tree threaded through
+    // left/right sibling ids (NOSTREAM = 0xFFFFFFFF = -1 as Int).
+    // In-order walk with a cycle guard; out-of-range ids end the branch.
+    def childIds(startId: Int): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      val seen = scala.collection.mutable.Set[Int]()
+      def go(id: Int): Unit =
+        if (id >= 0 && id < rawEntries.length && seen.add(id))
+          rawEntries(id).foreach { e => go(e.leftSib); out += id; go(e.rightSib) }
+      go(startId)
+      out.result()
+    }
+    val rootChildIds = childIds(root.child)
 
     // miniFAT + ministream (the root entry's own chain holds the data)
     val miniFatBytes =
@@ -165,14 +196,27 @@ object Cfb {
       out
     }
 
-    val streams = entries.filter(_.objectType == 2).map { e =>
-      val data =
-        if (e.size == 0) Array.emptyByteArray
-        else if (e.size < MiniCutoff) readMiniChain(e.startSector, e.size)
-        else readChain(e.startSector, e.size)
-      e.name -> data
-    }.toMap
-    Doc(entries, streams)
+    def readStream(e: Entry): Array[Byte] =
+      if (e.size == 0) Array.emptyByteArray
+      else if (e.size < miniCutoff) readMiniChain(e.startSector, e.size)
+      else readChain(e.startSector, e.size)
+
+    // Root-child streams first, then the rest in slot order, first name
+    // wins — so a duplicate name nested in a sub-storage (e.g. a .msg
+    // attachment's own __substg1.0_1000001F under __attach*) can never
+    // shadow the top-level stream. If the sibling tree is corrupt the
+    // walk yields fewer ids and the slot-order pass still covers all.
+    val rootSet = rootChildIds.toSet
+    val orderedIds =
+      rootChildIds.filter(i => rawEntries(i).exists(_.objectType == 2)) ++
+        rawEntries.indices.filter(i =>
+          !rootSet(i) && rawEntries(i).exists(_.objectType == 2))
+    val streams = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    orderedIds.foreach { i =>
+      val e = rawEntries(i).get
+      if (!streams.contains(e.name)) streams(e.name) = readStream(e)
+    }
+    Doc(entries, streams.toMap)
   }
 
   // ------------------------------------------------------------ writer

@@ -39,6 +39,80 @@ class CfbSpec extends AnyFunSuite {
     }
   }
 
+  test("CFB v4 (4096-byte sectors): sector 0 starts at offset 4096") {
+    // Hand-built minimal v4 container ([MS-CFB] 2.2: sector n is at
+    // (n+1)<<sectorShift, so with shift 12 the header zone spans the
+    // whole first 4096 bytes). Layout: sector0=FAT sector1=dir
+    // sectors2,3=stream data.
+    val ss = 4096
+    val payload = Array.tabulate[Byte](5000)(i => (i * 7 % 251).toByte)
+    val buf = java.nio.ByteBuffer.allocate(ss + 4 * ss)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte))
+    buf.position(0x18)
+    buf.putShort(0x3E.toShort); buf.putShort(4.toShort) // major version 4
+    buf.putShort(0xFFFE.toShort)
+    buf.putShort(12.toShort); buf.putShort(6.toShort)   // sector shifts
+    buf.position(0x2C)
+    buf.putInt(1)           // FAT sectors
+    buf.putInt(1)           // first dir sector
+    buf.putInt(0)           // transaction
+    buf.putInt(4096)        // mini stream cutoff
+    buf.putInt(-2); buf.putInt(0) // no miniFAT
+    buf.putInt(-2); buf.putInt(0) // no DIFAT chain
+    buf.putInt(0)           // DIFAT[0] -> FAT at sector 0
+    (1 until 109).foreach(_ => buf.putInt(-1))
+    // FAT (sector 0 @ 4096): 0=FATSECT, 1=dir end, 2->3->end
+    buf.position(ss)
+    buf.putInt(0xFFFFFFFD); buf.putInt(-2); buf.putInt(3); buf.putInt(-2)
+    (4 until ss / 4).foreach(_ => buf.putInt(-1))
+    // directory (sector 1 @ 8192)
+    def putEntry(slot: Int, name: String, objType: Int, left: Int,
+                 right: Int, child: Int, start: Int, size: Long): Unit = {
+      val base = 2 * ss + slot * 128
+      val utf16 = name.getBytes(StandardCharsets.UTF_16LE)
+      buf.position(base); buf.put(utf16)
+      buf.position(base + 0x40)
+      buf.putShort((utf16.length + 2).toShort)
+      buf.put(objType.toByte); buf.put(1.toByte)
+      buf.putInt(left); buf.putInt(right); buf.putInt(child)
+      buf.position(base + 0x74); buf.putInt(start); buf.putLong(size)
+    }
+    putEntry(0, "Root Entry", 5, -1, -1, 1, -2, 0L)
+    putEntry(1, "BigV4", 2, -1, -1, -1, 2, payload.length.toLong)
+    buf.position(3 * ss); buf.put(payload)
+    val doc = Cfb.read(buf.array())
+    assert(doc.stream("BigV4").map(_.toSeq).contains(payload.toSeq),
+      "v4 sector addressing must be (sid+1)*4096, not 512+sid*4096")
+  }
+
+  test("CFB: root-child stream wins over a same-named orphan/nested one") {
+    // Write two root streams, rename both to one name, and detach the
+    // second from the root sibling chain — simulating a .msg where an
+    // attachment's __substg1.0_1000001F lives in a sub-storage. The
+    // reader must surface the root-child stream, not the detached one.
+    val topBody = "top-level body".getBytes(StandardCharsets.UTF_8)
+    val attach = "attachment body".getBytes(StandardCharsets.UTF_8)
+    // CFB name order is A then B, so slot1=A (root.child), slot2=B
+    val bytes = Cfb.write(Seq("A" -> topBody, "B" -> attach))
+    val name = "DupStream".getBytes(StandardCharsets.UTF_16LE)
+    def rename(slot: Int): Unit = {
+      val base = 512 + 128 * slot
+      java.util.Arrays.fill(bytes, base, base + 0x40, 0.toByte)
+      System.arraycopy(name, 0, bytes, base, name.length)
+      bytes(base + 0x40) = ((name.length + 2) & 0xFF).toByte
+      bytes(base + 0x41) = 0.toByte
+    }
+    rename(1); rename(2)
+    // A.rightSib = NOSTREAM: B becomes unreachable from the root tree
+    (0 until 4).foreach(i => bytes(512 + 128 + 0x48 + i) = 0xFF.toByte)
+    val doc = Cfb.read(bytes)
+    assert(doc.stream("DupStream")
+      .map(new String(_, StandardCharsets.UTF_8)).contains("top-level body"),
+      "root-child stream must shadow duplicates outside the root tree")
+  }
+
   test("CFB reader rejects non-CFB bytes") {
     assert(!Cfb.isCfb("plain text".getBytes))
     intercept[IllegalArgumentException](Cfb.read("plain text".getBytes))

@@ -120,6 +120,37 @@ class IrMetricsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate (query_id, doc_id) qrels: both paths agree via max(grade)") {
+    val res = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c"))
+    // "a" judged twice (0 then 3 — max wins), "b" judged twice (1, 1)
+    val qr = Seq((1, "a", 0), (1, "a", 3), (1, "b", 1), (1, "b", 1),
+      (1, "z", 2), (1, "z", 2)) // unretrieved dup must not inflate n_relevant
+    val ks = Seq(2, 5)
+    val rDF = res.toDF("query_id", "rank", "doc_id")
+    val qDF = qr.toDF("query_id", "doc_id", "grade")
+    val dedupDF = qDF.groupBy("query_id", "doc_id")
+      .agg(max("grade").as("grade"))
+    val rel = IrMetrics.macroAveraged(rDF, qDF, ks).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val relDedup = IrMetrics.macroAveraged(rDF, dedupDF, ks).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val arrIn = rDF.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id"))))
+        .as("hits"))
+      .select(col("query_id"),
+        transform(col("hits"), h => h.getField("doc_id")).as("docs"))
+    val arr = IrMetrics.macroAveragedFromArrays(arrIn, qDF, ks).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rel == relDedup, "duplicates must not change the relational path")
+    assert(rel.keySet == arr.keySet)
+    rel.foreach { case (key, v) =>
+      assert(math.abs(arr(key) - v) < 1e-12,
+        s"$key: relational $v vs array ${arr(key)}")
+    }
+    // sanity: recall@5 = 2/3 (a,b relevant+retrieved; z relevant, missed)
+    assert(math.abs(rel(("recall", 5)) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("array == relational on randomized runs/qrels (seeded)") {
     val rnd = new scala.util.Random(20260813L)
     for (trial <- 1 to 6) {
