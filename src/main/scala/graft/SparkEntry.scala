@@ -52,12 +52,15 @@ object SparkEntry {
       s"x -> length(x) >= 2)"
 
   /** BM25 stats CTE chain, parameterizable for per-collection corpora:
-    * `p` prefixes every CTE name, `where` restricts the source docs.
-    * The default instantiation (no prefix, full corpus) is the chain
+    * `p` prefixes every CTE name, `where` restricts the source docs,
+    * `source` swaps the corpus relation (any relation exposing
+    * (doc_id, text) — e.g. a chunk CTE re-keyed by chunk_id). The
+    * default instantiation (no prefix, full corpus) is the chain
     * every single-collection oracle composes. */
-  private def bm25StatsCtes(p: String = "", where: String = ""): String =
+  private def bm25StatsCtes(p: String = "", where: String = "",
+                            source: String = "documents"): String =
     s"""${p}docs AS (
-       |  SELECT doc_id, text FROM documents$where),
+       |  SELECT doc_id, text FROM $source$where),
        |${p}toks AS (
        |  SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM ${p}docs),
        |${p}lens AS (
@@ -71,8 +74,9 @@ object SparkEntry {
        |         greatest(0.0, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS idf
        |  FROM ${p}stats, ${p}gstats)""".stripMargin
 
-  private def bm25WeightsCtes(p: String = "", where: String = ""): String =
-    s"""${bm25StatsCtes(p, where)},
+  private def bm25WeightsCtes(p: String = "", where: String = "",
+                              source: String = "documents"): String =
+    s"""${bm25StatsCtes(p, where, source)},
        |${p}tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM ${p}toks
        |  GROUP BY doc_id, term),
@@ -111,6 +115,15 @@ object SparkEntry {
     TextFunctions.mockEmbeddingDouble(
       SearchEngine.formatQuery(SearchQuery, "semantic", None), KnnTextDim)
 
+  /** Dense-leg query vector after MockHyde expansion (F14) — the
+    * oracle literal for search_hyde's expanded variant; the sparse leg
+    * stays on [[SearchQuery]] (contracts/search.py:21-26). */
+  private lazy val HydeQueryVec: Array[Double] =
+    TextFunctions.mockEmbeddingDouble(
+      SearchEngine.formatQuery(
+        graft.plugins.Providers.MockHyde().expand(SearchQuery).get,
+        "semantic", None), KnnTextDim)
+
   /** DuckDB bucket expression mirroring Knn.lshBucket for literal
     * hyperplanes (mock-embedding-derived planes have only 8 nonzero
     * dims, so the dot truncates exactly). */
@@ -123,22 +136,27 @@ object SparkEntry {
       s"(CASE WHEN $dot >= 0.0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** DuckDB CTEs mirroring mockEmbeddingCol for `documents.text`:
+  /** DuckDB CTEs mirroring mockEmbeddingCol for any (id, text) relation:
     * 8 uint32s from the sha256 hex -> [-1,1) -> L2-normalize. Any dim
     * >= 8 has only these 8 nonzero components, so dots truncate exactly.
-    * Yields CTEs raw(doc_id, r0..r7) and nrm(doc_id, nn, r0..r7). */
-  private def mockDocVecCtes: String = {
+    * Yields CTEs ${p}raw(id, r0..r7) and ${p}nrm(id, nn, r0..r7). */
+  private def mockVecCtes(source: String, id: String, textExpr: String,
+                          p: String): String = {
     val raws = (0 until 8).map(i =>
-      s"(('0x' || substr(sha256(text), ${i * 8 + 1}, 8))::UBIGINT " +
+      s"(('0x' || substr(sha256($textExpr), ${i * 8 + 1}, 8))::UBIGINT " +
         s"/ 4294967296.0) * 2 - 1 AS r$i").mkString(",\n    ")
     val normExpr = (0 until 8).map(i => s"r$i*r$i").mkString(" + ")
-    s"""raw AS (
-       |  SELECT doc_id,
+    s"""${p}raw AS (
+       |  SELECT $id,
        |    $raws
-       |  FROM documents),
-       |nrm AS (
-       |  SELECT doc_id, sqrt($normExpr) AS nn, * FROM raw)""".stripMargin
+       |  FROM $source),
+       |${p}nrm AS (
+       |  SELECT $id, sqrt($normExpr) AS nn, * FROM ${p}raw)""".stripMargin
   }
+
+  /** The default instantiation over `documents.text` (knn_text & co). */
+  private def mockDocVecCtes: String =
+    mockVecCtes("documents", "doc_id", "text", "")
 
   /** Dot of the normalized mock doc vector with a literal query vector
     * (first 8 components), same operation order as the Spark plan. */
@@ -596,13 +614,22 @@ object SparkEntry {
     }),
 
     // ---- event-time tumbling window aggregation (streaming-capable
-    //      shape; ts arrives as nanos-since-epoch per Tables.load) ----
+    //      shape). ts arrives either as TIMESTAMP(NANOS) — which
+    //      Tables.load surfaces as a nanos-since-epoch long — or as a
+    //      plain parquet TIMESTAMP (the r6 testdata regeneration);
+    //      handle both. ----
     "q11_window_agg" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_utc",
+      val raw = t(s, dir, "events")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
           // integer division: `/` promotes to DOUBLE and nano epochs
           // (~1.7e18) exceed 2^53, losing up to ~1us near hour bounds
-          timestamp_micros(expr("ts div 1000")))
+          raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // session TZ is UTC, so an NTZ wall clock and the oracle's
+          // naive TIMESTAMP agree
+          raw.withColumn("ts_utc", col("ts").cast("timestamp"))
+      }
       ev.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 4).as("sum_value"))
@@ -990,6 +1017,36 @@ object SparkEntry {
         .orderBy(col("doc_id").cast("long"), col("level"), col("chunk_index"))
     }),
 
+    // ---- off-default chunker configs (r5 VERDICT item 7): the SAME
+    //      parameterized oracle CTEs instantiated at different
+    //      (budget, overlap) points, so the Spark↔SQL equivalence is
+    //      pinned across the config space, not at one point ----
+    "chunk_recursive_ov0" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "recursive", Chunking.ChunkConfig(minTokens = 10, maxTokens = 40,
+            overlapTokens = 0))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+    "chunk_recursive_tight" -> ((s, dir) => {
+      // maxTokens 20 with the default overlap 50 clamps to eff 10 →
+      // merge budget 10; stresses the clamp + small-budget path
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "recursive", Chunking.ChunkConfig(minTokens = 5, maxTokens = 20))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+    "chunk_character_wide" -> ((s, dir) => {
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          "character", Chunking.ChunkConfig(minTokens = 10, maxTokens = 100,
+            overlapTokens = 20))
+        .select("doc_id", "chunk_index", "start_offset", "end_offset",
+          "token_count")
+        .orderBy(col("doc_id").cast("long"), col("chunk_index"))
+    }),
+
     // ---- dense text search with full SQL oracle (W1 + F3 + F6) ----
     "knn_text" -> ((s, dir) => {
       val q = array(KnnQueryVec.toIndexedSeq.map(lit): _*)
@@ -1040,6 +1097,39 @@ object SparkEntry {
           round(col("reranked_score"), 6).as("reranked_score"))
         .orderBy(col("reranked_score").desc, col("score").desc,
           col("chunk_id"))
+    }),
+
+    // ---- F14 HyDE on the driver surface: the deterministic MockHyde
+    //      passage drives ONLY the dense leg while the original query
+    //      string drives the sparse leg (contracts/search.py:21-26,
+    //      search_service.py:469-498); a second variant routes through
+    //      a FAILING expander to exercise the fallback-to-original
+    //      path end-to-end (hyde.py:40-173). Docs-as-chunks twin so
+    //      both variants carry a full SQL oracle. ----
+    "search_hyde" -> ((s, dir) => {
+      val docsAsChunks = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("doc_id").cast("string").as("chunk_id"),
+        lit(0).as("chunk_index"), lit(1).as("total_chunks"),
+        col("doc_id").cast("string").as("path"),
+        lit(null).cast("string").as("path_id"),
+        col("text").as("content"),
+        TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+      val base = SearchEngine.SearchRequest(query = SearchQuery,
+        searchMode = "hybrid", k = 10, vectorDim = KnnTextDim)
+      val hyde = SearchEngine.withHyde(base,
+        graft.plugins.Providers.MockHyde())
+      val failing = new graft.plugins.Providers.QueryExpander {
+        override def expand(query: String): Option[String] = None
+      }
+      val fallback = SearchEngine.withHyde(base, failing)
+      SearchEngine.search(docsAsChunks, hyde)
+        .withColumn("variant", lit("hyde"))
+        .unionByName(SearchEngine.search(docsAsChunks, fallback)
+          .withColumn("variant", lit("fallback")))
+        .select(col("variant"), col("doc_id"), col("chunk_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("variant"), col("score").desc, col("chunk_id"))
     }),
 
     // ---- §3.2 multi-collection fan-out (J7 + W7), chunker-free twin
@@ -1407,6 +1497,53 @@ object SparkEntry {
       Sync.mergeBatch(state, batch, syncId = 7L)
         .select("doc_id", "status", "last_seen_at", "is_stale")
         .orderBy("doc_id")
+    }),
+
+    // ---- T6 blue/green reindex + T2 staleness ON the driver surface:
+    //      a full two-generation lifecycle against a fresh table root —
+    //      ingest gen-1 (full corpus), swap, ingest gen-2 (id%7 docs
+    //      removed, id%10 docs edited), swap again, then join the
+    //      CURRENT-pointer chunk set against the T2 merge state. Output:
+    //      per-doc status + staleness + index membership, all derivable
+    //      in plain SQL from the %-rules (ref webui/tasks/reindex.py:
+    //      275-330; document_tracker.py:70-142). ----
+    "reindex_swap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-reindex").toString
+      def asChunks(d: DataFrame) = d.select(
+        lit("main").as("collection_id"),
+        col("doc_id").cast("string").as("doc_id"),
+        col("doc_id").cast("string").as("chunk_id"),
+        col("text").as("content"))
+      def asBatch(d: DataFrame) = d.select(
+        col("doc_id"),
+        concat(lit("doc://"), col("doc_id")).as("uri"),
+        sha2(col("text").cast("binary"), 256).as("content_hash"))
+      // gen-2 corpus: id%7 removed, id%10 edited (content change)
+      val gen2docs = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      // T6: two builds, two atomic pointer swaps
+      Ingest.reindexSwap(s, asChunks(docs), root)
+      Ingest.reindexSwap(s, asChunks(gen2docs), root)
+      val current = Ingest.readCurrent(s, root)
+      // T2: state after sync-1 (all new), merged with the gen-2 batch
+      val state1 = Sync.mergeBatch(
+        asBatch(docs).limit(0)
+          .withColumn("status", lit(""))
+          .withColumn("last_seen_at", lit(0L))
+          .withColumn("is_stale", lit(false)),
+        asBatch(docs), syncId = 1L)
+      val merged = Sync.mergeBatch(state1, asBatch(gen2docs), syncId = 2L)
+      merged.join(
+          current.select(col("doc_id").cast("long").as("doc_id"),
+            lit(true).as("in_current")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id").cast("string").as("doc_id"), col("status"),
+          col("is_stale"), coalesce(col("in_current"), lit(false))
+            .as("in_current"))
+        .orderBy(col("doc_id").cast("long"))
     }),
 
     // ---- T3 incremental BM25 stats: three-batch merge from empty
@@ -1839,6 +1976,27 @@ object SparkEntry {
       |    ON p.doc_id = o.doc_id AND p.ws >= o.ea AND p.ws < o.sb
       |  GROUP BY o.doc_id, o.si)""".stripMargin
   }
+
+  /** The ingested chunks relation of [[ingestedChunksSnapshot]] /
+    * bench_eval's in-plan build, as a CTE over [[recursiveChunkCtes]]'
+    * terminal `ch(doc_id, si, s, e, tc)` relation: chunk ids are
+    * doc_id||'_'||chunk_index exactly as Ingest.buildChunks concats
+    * them, content is the trimmed-span substring (the offsets are the
+    * hash-exact chunk_recursive ones, so the substrings match the
+    * flatMap chunker's ChunkOut.text byte for byte).
+    * MATERIALIZED: the search/eval oracles reference `chunks` several
+    * times (BM25 corpus, dense vectors, rerank join, payload join);
+    * without the hint DuckDB re-inlines the whole recursive chunker —
+    * including `ov`'s correlated word-position subquery — per
+    * reference (measured 161 s vs ~4 s at sf0.001). */
+  private val ChunksFromRecursiveCte: String =
+    """chunks AS MATERIALIZED (
+      |  SELECT ch.doc_id,
+      |    ch.doc_id || '_' ||
+      |      (row_number() OVER (PARTITION BY ch.doc_id ORDER BY si) - 1)
+      |      AS chunk_id,
+      |    substr(d.text, CAST(s AS INT) + 1, CAST(e - s AS INT)) AS content
+      |  FROM ch JOIN docs d USING (doc_id))""".stripMargin
 
   /** Complete C2 oracle query (chunk_recursive / chunk_markdown). */
   private val RecursiveChunkOracleSql: String =
@@ -2398,6 +2556,64 @@ object SparkEntry {
          |FROM (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT 20)
          |ORDER BY score DESC, doc_id""".stripMargin,
 
+    // §3.1 flagship: the SAME dense+sparse+RRF+rerank oracle as
+    // search_hybrid_docs, but over the REAL ingested chunk relation —
+    // the recursive-chunker CTE (budget 20 = maxTokens 40 − effective
+    // overlap 20, the ingestedChunksSnapshot config) feeds chunk-level
+    // BM25 stats, chunk-level mock embeddings, both candidate legs at
+    // fetchK = candidateK(10) = 50, RRF k=60, the mock cross-encoder
+    // rerank, and the final top-10 (ref vecpipe/search/service.py:73-408).
+    "search_hybrid" -> {
+      val qtoks = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val qtoksList = qtoks.map(t => s"'$t'").mkString("[", ", ", "]")
+      "WITH RECURSIVE " + recursiveChunkCtes(20, 20) + s""",
+         |$ChunksFromRecursiveCte,
+         |${bm25WeightsCtes(p = "b",
+            source = "(SELECT chunk_id AS doc_id, content AS text FROM chunks)")},
+         |bqw AS (
+         |  SELECT q.term, CAST(q.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)
+         |  JOIN bidf i ON q.term = i.term WHERE i.idf > 0),
+         |bscores AS (
+         |  SELECT w.doc_id AS chunk_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term)) AS score
+         |  FROM bweights w JOIN bqw qw ON w.term = qw.term
+         |  GROUP BY w.doc_id),
+         |${mockVecCtes("chunks", "chunk_id", "content", "cv")},
+         |dscored AS (
+         |  SELECT chunk_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM cvnrm),
+         |dense AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT chunk_id,
+         |      row_number() OVER (ORDER BY dscore DESC, chunk_id) AS r
+         |    FROM dscored) WHERE r <= 50),
+         |sparse AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT chunk_id,
+         |      row_number() OVER (ORDER BY score DESC, chunk_id) AS r
+         |    FROM bscores) WHERE r <= 50),
+         |fused AS (
+         |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.chunk_id = sp.chunk_id),
+         |pool AS (
+         |  SELECT chunk_id, score FROM fused
+         |  ORDER BY score DESC, chunk_id LIMIT 50),
+         |rer AS (
+         |  SELECT p.chunk_id, p.score,
+         |    CAST(len(list_intersect(${sqlToks("c.content")}, $qtoksList))
+         |      AS DOUBLE) / ${qtoks.size} AS rscore
+         |  FROM pool p JOIN chunks c ON c.chunk_id = p.chunk_id),
+         |topr AS (
+         |  SELECT chunk_id, score, rscore FROM rer
+         |  ORDER BY rscore DESC, score DESC, chunk_id LIMIT 10)
+         |SELECT c.doc_id AS doc_id, t.chunk_id AS chunk_id,
+         |  round(t.score, 6) AS score, round(t.rscore, 6) AS reranked_score
+         |FROM topr t JOIN chunks c ON c.chunk_id = t.chunk_id
+         |ORDER BY reranked_score DESC, score DESC, chunk_id""".stripMargin
+    },
+
     "search_hybrid_docs" -> {
       val qtoks = TextFunctions.tokenize(SearchQuery).distinct.sorted
       val qtoksList = qtoks.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -2438,6 +2654,46 @@ object SparkEntry {
          |  round(rscore, 6) AS reranked_score
          |FROM topr
          |ORDER BY reranked_score DESC, score DESC, chunk_id""".stripMargin
+    },
+
+    // F14 HyDE: the expanded-passage vector drives the dense leg only;
+    // the sparse leg and the fallback variant stay on the original
+    // query. No reranker → fetchK = k = 10 on every leg.
+    "search_hyde" -> {
+      def leg(p: String, qv: Array[Double]): String =
+        s"""${p}dense AS (
+           |  SELECT chunk_id, r FROM (
+           |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+           |      row_number() OVER (ORDER BY dscore DESC,
+           |        CAST(doc_id AS VARCHAR)) AS r
+           |    FROM (SELECT doc_id, ${mockDotExpr(qv)} AS dscore FROM nrm))
+           |  WHERE r <= 10),
+           |${p}fused AS (
+           |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+           |    coalesce(1.0 / (60 + d.r), 0.0) +
+           |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+           |  FROM ${p}dense d FULL OUTER JOIN sparse sp
+           |    ON d.chunk_id = sp.chunk_id),
+           |${p}top AS (
+           |  SELECT chunk_id, score FROM ${p}fused
+           |  ORDER BY score DESC, chunk_id LIMIT 10)"""
+      s"""WITH $Bm25ScoresCtes,
+         |$mockDocVecCtes,
+         |sparse AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY score DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM bm25_scores) WHERE r <= 10),
+         |${leg("h_", HydeQueryVec)},
+         |${leg("f_", KnnQueryVec)}
+         |SELECT variant, chunk_id AS doc_id, chunk_id,
+         |  round(score, 6) AS score
+         |FROM (
+         |  SELECT 'hyde' AS variant, chunk_id, score FROM h_top
+         |  UNION ALL
+         |  SELECT 'fallback', chunk_id, score FROM f_top)
+         |ORDER BY variant, score DESC, chunk_id""".stripMargin
     },
 
     "search_multi_docs" -> {
@@ -2487,6 +2743,83 @@ object SparkEntry {
          |FROM (SELECT * FROM unioned
          |  ORDER BY score DESC, collection_id, chunk_id LIMIT 10)
          |ORDER BY score DESC, collection_id, chunk_id""".stripMargin
+    },
+
+    // Batch benchmark eval over the REAL chunked corpus: the recursive
+    // chunker CTE (same (20,20) instantiation as search_hybrid) feeds
+    // per-query dense + sparse runs at k=20, RRF fusion, the W6
+    // first-hit doc collapse (docs re-ranked 1..n by their best chunk's
+    // fused rank), and the shared A5/J6 metric tail
+    // (ref shared/benchmarks/evaluator.py:118-308).
+    "bench_eval" -> {
+      val denseSelects = BenchQueries.map { case (qid, qtext) =>
+        val qv = TextFunctions.mockEmbeddingDouble(qtext, KnnTextDim)
+        s"SELECT $qid AS query_id, chunk_id, ${mockDotExpr(qv)} AS score" +
+          " FROM cvnrm"
+      }.mkString("\nUNION ALL\n")
+      val qtermVals = BenchQueries.flatMap { case (qid, qtext) =>
+        TextFunctions.tokenize(qtext).groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(_._1).map { case (t, n) => s"($qid, '$t', $n)" }
+      }.mkString(", ")
+      "WITH RECURSIVE " + recursiveChunkCtes(20, 20) + s""",
+         |$ChunksFromRecursiveCte,
+         |${bm25WeightsCtes(p = "b",
+            source = "(SELECT chunk_id AS doc_id, content AS text FROM chunks)")},
+         |${mockVecCtes("chunks", "chunk_id", "content", "cv")},
+         |dscore AS (
+         |  $denseSelects),
+         |drun AS (
+         |  SELECT query_id, chunk_id, r FROM (
+         |    SELECT query_id, chunk_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, chunk_id) AS r
+         |    FROM dscore) WHERE r <= 20),
+         |bqterms AS (
+         |  SELECT * FROM (VALUES $qtermVals) AS t(query_id, term, q_tf)),
+         |bqw AS (
+         |  SELECT bqterms.query_id, bqterms.term,
+         |    CAST(bqterms.q_tf AS DOUBLE) * bidf.idf AS q_weight
+         |  FROM bqterms JOIN bidf ON bqterms.term = bidf.term
+         |  WHERE bidf.idf > 0),
+         |sscore AS (
+         |  SELECT bqw.query_id, w.doc_id AS chunk_id,
+         |    list_sum(list(w.weight * bqw.q_weight ORDER BY w.term)) AS score
+         |  FROM bweights w JOIN bqw ON w.term = bqw.term
+         |  GROUP BY bqw.query_id, w.doc_id),
+         |srun AS (
+         |  SELECT query_id, chunk_id, r FROM (
+         |    SELECT query_id, chunk_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, chunk_id) AS r
+         |    FROM sscore) WHERE r <= 20),
+         |fusedq AS (
+         |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |    coalesce(d.chunk_id, s.chunk_id) AS chunk_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + s.r), 0.0) AS score
+         |  FROM drun d FULL OUTER JOIN srun s
+         |    ON d.query_id = s.query_id AND d.chunk_id = s.chunk_id),
+         |crun AS (
+         |  SELECT query_id, chunk_id, crank FROM (
+         |    SELECT query_id, chunk_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, chunk_id) AS crank
+         |    FROM fusedq) WHERE crank <= 20),
+         |collapsed AS (
+         |  SELECT c.query_id, k.doc_id, min(c.crank) AS frank
+         |  FROM crun c JOIN chunks k ON k.chunk_id = c.chunk_id
+         |  GROUP BY c.query_id, k.doc_id),
+         |runs AS (
+         |  SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY frank) AS rank,
+         |    doc_id
+         |  FROM collapsed),
+         |qrels AS (
+         |  SELECT CAST(doc_id % 3 + 1 AS INT) AS query_id,
+         |    CAST(doc_id AS VARCHAR) AS doc_id,
+         |    CAST(doc_id % 4 AS INT) AS grade
+         |  FROM documents),
+         |$irMetricsSqlTail""".stripMargin
     },
 
     "bench_eval_docs" -> {
@@ -3345,6 +3678,44 @@ object SparkEntry {
     "chunk_recursive" -> RecursiveChunkOracleSql,
     "chunk_markdown" -> RecursiveChunkOracleSql,
 
+    // Off-default configs of the SAME parameterized CTEs (VERDICT r5
+    // item 7): overlap 0, a clamped tight budget, and a wide character
+    // window — the oracle equivalence holds across the config space.
+    "chunk_recursive_ov0" ->
+      ("WITH RECURSIVE " + recursiveChunkCtes(40, 0) + """
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si) - 1
+        |    AS INT) AS chunk_index,
+        |  CAST(s AS INT) AS start_offset, CAST(e AS INT) AS end_offset,
+        |  CAST(tc AS INT) AS token_count
+        |FROM ch
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin),
+    "chunk_recursive_tight" ->
+      ("WITH RECURSIVE " + recursiveChunkCtes(10, 10) + """
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si) - 1
+        |    AS INT) AS chunk_index,
+        |  CAST(s AS INT) AS start_offset, CAST(e AS INT) AS end_offset,
+        |  CAST(tc AS INT) AS token_count
+        |FROM ch
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin),
+    "chunk_character_wide" ->
+      ("WITH RECURSIVE " + characterChunkCtes(100, 20, 10) + """
+        |SELECT doc_id, chunk_index, start_offset, end_offset, token_count
+        |FROM (
+        |  SELECT doc_id, CAST(emit_idx AS INT) AS chunk_index,
+        |    CAST(a AS INT) AS start_offset, CAST(b AS INT) AS end_offset,
+        |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
+        |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count
+        |  FROM st WHERE emit_idx IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS chunk_index, CAST(a AS INT) AS start_offset,
+        |    CAST(b AS INT) AS end_offset,
+        |    CAST(length(regexp_extract_all(substr(text, CAST(a AS INT) + 1,
+        |      CAST(b - a AS INT)), '\S+')) AS INT) AS token_count
+        |  FROM small WHERE b > a)
+        |ORDER BY CAST(doc_id AS BIGINT), chunk_index""".stripMargin),
+
     // DAG pipeline: first-match routing (lang=en -> recursive chunker
     // at max=40/overlap=0, catch-all -> character at min=5/max=40/
     // overlap=0) then per-path chunk/doc counts — the same two
@@ -3443,6 +3814,20 @@ object SparkEntry {
         |    ELSE 2 END AS INT) AS grade
         |FROM documents WHERE doc_id < 200
         |ORDER BY query_id, doc_ref""".stripMargin,
+
+    // T6+T2 lifecycle: the %-rules fully determine the post-swap state —
+    // id%7 docs vanish from gen-2 (stale, out of the CURRENT index, the
+    // status they earned in sync-1 kept), id%10 edits re-hash as
+    // 'updated', everything else 'unchanged' and present.
+    "reindex_swap" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'new'
+        |    WHEN doc_id % 10 = 0 THEN 'updated'
+        |    ELSE 'unchanged' END AS status,
+        |  doc_id % 7 = 0 AS is_stale,
+        |  doc_id % 7 <> 0 AS in_current
+        |FROM documents
+        |ORDER BY CAST(doc_id AS BIGINT)""".stripMargin,
 
     "sync_merge" ->
       """WITH state AS (

@@ -293,14 +293,20 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy("src").agg(min("nrep").as("min_neighbor"))
-      // checkpoint BEFORE the convergence probe so the round's join
-      // executes once, not once per consumer
+      // the convergence probe rides the checkpoint materialization as
+      // an observed metric — ONE job per round, where a separate
+      // filter(...).isEmpty probe after the checkpoint cost a second
+      // scheduler round-trip per iteration
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
       val updated = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .withColumn("new_rep",
           least(col("rep"), coalesce(col("min_neighbor"), col("rep"))))
+        .observe(obs, sum(when(col("new_rep") < col("rep"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      converged = updated.filter(col("new_rep") < col("rep")).isEmpty
+      converged = Option(obs.get("changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
       labels = updated.select(col("id"), col("new_rep").as("rep"))
       i += 1
     }

@@ -149,6 +149,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup verify: semi-filter precedes any shingle shuffle; cache holds") {
+    // the r4 regression class: the candidate semi-filter drifting above
+    // the cache (3× re-evaluation of the corpus shingle build) or the
+    // shingle relation shuffling BEFORE the candidate semi-join
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val sh = graft.operators.Dedup.shingles(docs, "doc_id", "text", 3)
+
+    // (1) the semi-join itself must broadcast the candidate ids — the
+    // corpus-sized shingle side crosses NO hash exchange to be filtered
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val semi = sh.join(candIds, Seq("id"), "left_semi")
+    semi.collect() // let AQE finalize
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi"), semiPlan)
+    assert(semiPlan.contains("BroadcastHashJoin"),
+      s"candidate semi-filter is not a broadcast join:\n$semiPlan")
+
+    // (2) the full verify: every LeftSemi in the plan (incl. the ones
+    // shown inside cached-relation printouts) must be a BroadcastHashJoin
+    // — a broadcast imposes no distribution on the streamed shingle
+    // side, so the corpus relation is NEVER exchanged to be filtered —
+    // and the intersection's a/b sides must read the semi-filtered
+    // CACHE (InMemoryTableScan with the id_a/id_b renames), not re-plan
+    // the semi-join per consumer (the r4 3×-re-evaluation regression)
+    val out = graft.operators.Dedup.ngramJaccardFrom(sh.cache(), pairs)
+    val p = out.queryExecution.executedPlan.toString
+    val semiLines = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, p)
+    semiLines.foreach(l => assert(
+      l.contains("BroadcastHashJoin") && l.contains("BuildRight"),
+      s"candidate semi-filter shuffles the shingle relation: $l"))
+    assert("InMemoryTableScan \\[id_a#".r.findFirstIn(p).isDefined &&
+      "InMemoryTableScan \\[id_b#".r.findFirstIn(p).isDefined,
+      s"a/b intersection sides do not read the semi-filtered cache:\n$p")
+    sh.unpersist()
+  }
+
   test("chunks scan prunes partitions by collection_id") {
     val tmp = java.nio.file.Files.createTempDirectory("pp").toString
     import spark.implicits._
