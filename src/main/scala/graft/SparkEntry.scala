@@ -1132,6 +1132,53 @@ object SparkEntry {
         .orderBy(col("variant"), col("score").desc, col("chunk_id"))
     }),
 
+    // ---- J2 sparse id remap on the driver surface: sparse points
+    //      indexed under DERIVED ids (here 'd'||doc_id) carry an
+    //      original_chunk_id payload; hits re-key to the original
+    //      chunk BEFORE any consumer (service.py:248-274). Top-k and
+    //      its tie-break run on the derived ids; the remap happens
+    //      after — the oracle replays exactly that order. ----
+    "sparse_remap" -> ((s, dir) => {
+      val derived = t(s, dir, "documents").select(
+        concat(lit("d"), col("doc_id")).as("chunk_id"),
+        col("doc_id").cast("string").as("original_chunk_id"),
+        col("text").as("content"))
+      SearchEngine.sparseHits(derived,
+          SearchEngine.SearchRequest(query = SearchQuery,
+            searchMode = "sparse", k = 20), limit = 20)
+        .select(
+          // F13 naming: the sparse sibling collection these hits live in
+          lit(Ingest.sparseCollectionName("docs", "bm25"))
+            .as("sparse_collection"),
+          col("chunk_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("chunk_id"))
+    }),
+
+    // ---- P4 path_id filter on the driver surface: pipeline-path
+    //      routing tags (null = 'default') filter the FUSED result set
+    //      — after RRF, before threshold (service.py:313-318), so the
+    //      output is the alpha-path SUBSET of the global top-10, not a
+    //      top-10 over the alpha corpus. The row count (< k) proves
+    //      the filter position. ----
+    "search_path_filter" -> ((s, dir) => {
+      val docsAsChunks = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("doc_id").cast("string").as("chunk_id"),
+        lit(0).as("chunk_index"), lit(1).as("total_chunks"),
+        col("doc_id").cast("string").as("path"),
+        when(col("doc_id") % 3 === 1, lit("alpha"))
+          .when(col("doc_id") % 3 === 2, lit("beta"))
+          .otherwise(lit(null).cast("string")).as("path_id"),
+        col("text").as("content"),
+        TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+      SearchEngine.search(docsAsChunks, SearchEngine.SearchRequest(
+          query = SearchQuery, searchMode = "hybrid", k = 10,
+          pathId = Some("alpha"), vectorDim = KnnTextDim))
+        .select(col("doc_id"), col("chunk_id"), col("path_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("chunk_id"))
+    }),
+
     // ---- §3.2 multi-collection fan-out (J7 + W7), chunker-free twin
     //      with a full SQL oracle: per-collection BM25 corpora + dense
     //      legs, RRF per collection, global top-k across both ----
@@ -1544,6 +1591,85 @@ object SparkEntry {
           col("is_stale"), coalesce(col("in_current"), lit(false))
             .as("in_current"))
         .orderBy(col("doc_id").cast("long"))
+    }),
+
+    // ---- T1 continuous sync ON the driver surface: a real Structured
+    //      Streaming run (file source -> foreachBatch -> T2 merge into
+    //      swapped state), Trigger.AvailableNow, against a staged
+    //      incoming snapshot where id%6 docs are missing (stale) and
+    //      id%4==1 docs re-hashed (updated). The final merged state is
+    //      pure %-rule SQL (ref webui/tasks/sync_dispatcher.py;
+    //      document_tracker.py:70-142). ----
+    "continuous_sync" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sync")
+      val incoming = tmp.resolve("incoming").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val batch = docs.filter(col("doc_id") % 6 =!= 0).select(
+        col("doc_id"),
+        concat(lit("doc://"), col("doc_id")).as("uri"),
+        sha2(when(col("doc_id") % 4 === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).cast("binary"), 256).as("content_hash"))
+      batch.coalesce(1).write.parquet(incoming)
+      // gen-0 state: every doc known at its original hash
+      var state = docs.select(col("doc_id"),
+          concat(lit("doc://"), col("doc_id")).as("uri"),
+          sha2(col("text").cast("binary"), 256).as("content_hash"),
+          lit("unchanged").as("status"), lit(0L).as("last_seen_at"),
+          lit(false).as("is_stale"))
+        .localCheckpoint()
+      Sync.continuousSync(s, incoming, batch.schema,
+          loadState = () => state,
+          // localCheckpoint: the merged snapshot must outlive the
+          // micro-batch DataFrame it was derived from
+          saveState = st => { state = st.localCheckpoint() },
+          checkpointDir = ckpt)
+        .awaitTermination()
+      state.select(col("doc_id").cast("string").as("doc_id"),
+          col("status"), col("is_stale"))
+        .orderBy(col("doc_id").cast("long"))
+    }),
+
+    // ---- T5 failure tracking/halt/backoff as ONE relational plan: a
+    //      deterministic synthetic failure log (%-rules), classified
+    //      transient/permanent by the shared pattern list
+    //      (Sync.classifyErrorCol — parity-guarded against the driver
+    //      function), exponential backoff summed for retryable rows,
+    //      and the executor halt rule (≥3 CONSECUTIVE failures,
+    //      executor.py:214-224) via a per-collection gaps-and-islands
+    //      window. Every window partitions by collection_id. ----
+    "failure_policy" -> ((s, dir) => {
+      val attempts = t(s, dir, "documents").select(
+        col("source").as("collection_id"), col("doc_id"),
+        (col("doc_id") % 5).cast("int").as("attempt"),
+        when(col("doc_id") % 11 === 0, lit("connection refused by host"))
+          .when(col("doc_id") % 13 === 0, lit("HTTP 429 too many requests"))
+          .when(col("doc_id") % 7 === 0, lit("invalid document schema"))
+          .otherwise(lit(null).cast("string")).as("error"))
+      val cls = attempts
+        .withColumn("failed", col("error").isNotNull)
+        .withColumn("error_class", when(col("failed"),
+          Sync.classifyErrorCol(col("error"))))
+        .withColumn("backoff_sec", when(col("error_class") === "transient",
+          least(pow(lit(2.0), col("attempt")), lit(300.0)))
+          .otherwise(lit(0.0)))
+      val w = Window.partitionBy("collection_id").orderBy("doc_id")
+      val runs = cls.withColumn("grp",
+        sum(when(col("failed"), 0).otherwise(1)).over(w))
+      val maxRun = runs.filter(col("failed"))
+        .groupBy("collection_id", "grp").agg(count(lit(1)).as("run_len"))
+        .groupBy("collection_id").agg(max("run_len").as("max_run"))
+      cls.groupBy("collection_id").agg(
+          sum(col("failed").cast("long")).as("n_failed"),
+          sum((col("error_class") === "transient").cast("long"))
+            .as("n_transient"),
+          sum((col("error_class") === "permanent").cast("long"))
+            .as("n_permanent"),
+          round(sum("backoff_sec"), 6).as("total_backoff_sec"))
+        .join(maxRun, Seq("collection_id"), "left")
+        .withColumn("halted", coalesce(col("max_run") >= 3, lit(false)))
+        .drop("max_run")
+        .orderBy("collection_id")
     }),
 
     // ---- T3 incremental BM25 stats: three-batch merge from empty
@@ -2696,6 +2822,50 @@ object SparkEntry {
          |ORDER BY variant, score DESC, chunk_id""".stripMargin
     },
 
+    // J2: BM25 over the derived-id corpus — identical weights, and the
+    // derived ids ('d' || doc_id) share the doc-id string order, so the
+    // top-20 tie-break is the same; ids remap to originals afterwards.
+    "sparse_remap" ->
+      s"""WITH $Bm25ScoresCtes
+         |SELECT 'docs_sparse_bm25' AS sparse_collection,
+         |  CAST(doc_id AS VARCHAR) AS chunk_id,
+         |  round(score, 6) AS score
+         |FROM (SELECT doc_id, score FROM bm25_scores
+         |  ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 20)
+         |ORDER BY score DESC, chunk_id""".stripMargin,
+
+    // P4: the alpha-path subset of the GLOBAL fused top-10 (filter
+    // sits after fusion, before threshold — fewer than k rows out).
+    "search_path_filter" ->
+      s"""WITH $Bm25ScoresCtes,
+         |$mockDocVecCtes,
+         |dscored AS (
+         |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM nrm),
+         |dense AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY dscore DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM dscored) WHERE r <= 10),
+         |sparse AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY score DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM bm25_scores) WHERE r <= 10),
+         |fused AS (
+         |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.chunk_id = sp.chunk_id),
+         |top10 AS (
+         |  SELECT chunk_id, score FROM fused
+         |  ORDER BY score DESC, chunk_id LIMIT 10)
+         |SELECT chunk_id AS doc_id, chunk_id, 'alpha' AS path_id,
+         |  round(score, 6) AS score
+         |FROM top10 WHERE CAST(chunk_id AS BIGINT) % 3 = 1
+         |ORDER BY score DESC, chunk_id""".stripMargin,
+
     "search_multi_docs" -> {
       def halfSql(p: String, parity: Int): String =
         s"""${bm25WeightsCtes(p, s" WHERE doc_id % 2 = $parity")},
@@ -3814,6 +3984,57 @@ object SparkEntry {
         |    ELSE 2 END AS INT) AS grade
         |FROM documents WHERE doc_id < 200
         |ORDER BY query_id, doc_ref""".stripMargin,
+
+    // T5: %-rule failure log — %11/%13 messages contain transient
+    // patterns ('connection' / '429'), %7 is permanent; backoff
+    // 2^attempt capped at 300 (here ≤ 16); halt = any ≥3-consecutive
+    // failure run per collection in doc order (gaps-and-islands).
+    "failure_policy" ->
+      """WITH att AS (
+        |  SELECT source AS collection_id, doc_id,
+        |    CAST(doc_id % 5 AS INT) AS attempt,
+        |    CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+        |        OR doc_id % 7 = 0 THEN TRUE ELSE FALSE END AS failed,
+        |    CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 'transient'
+        |      WHEN doc_id % 7 = 0 THEN 'permanent' END AS error_class
+        |  FROM documents),
+        |cls AS (
+        |  SELECT *, CASE WHEN error_class = 'transient'
+        |    THEN least(power(2.0, attempt), 300.0) ELSE 0.0 END AS backoff_sec
+        |  FROM att),
+        |runs AS (
+        |  SELECT collection_id, doc_id, failed,
+        |    sum(CASE WHEN failed THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY collection_id ORDER BY doc_id) AS grp
+        |  FROM cls),
+        |mr AS (
+        |  SELECT collection_id, max(run_len) AS max_run FROM (
+        |    SELECT collection_id, grp, count(*) AS run_len
+        |    FROM runs WHERE failed GROUP BY collection_id, grp)
+        |  GROUP BY collection_id)
+        |SELECT c.collection_id,
+        |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |  CAST(sum(CASE WHEN error_class = 'transient' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_transient,
+        |  CAST(sum(CASE WHEN error_class = 'permanent' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_permanent,
+        |  round(sum(backoff_sec), 6) AS total_backoff_sec,
+        |  coalesce(max(mr.max_run) >= 3, FALSE) AS halted
+        |FROM cls c LEFT JOIN mr ON mr.collection_id = c.collection_id
+        |GROUP BY c.collection_id
+        |ORDER BY c.collection_id""".stripMargin,
+
+    // T1 stream-merge: docs absent from the staged incoming snapshot
+    // (id%6) go stale with their prior status kept; re-hashed docs
+    // (id%4==1, when present) become 'updated'; the rest 'unchanged'.
+    "continuous_sync" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'unchanged'
+        |    WHEN doc_id % 4 = 1 THEN 'updated'
+        |    ELSE 'unchanged' END AS status,
+        |  doc_id % 6 = 0 AS is_stale
+        |FROM documents
+        |ORDER BY CAST(doc_id AS BIGINT)""".stripMargin,
 
     // T6+T2 lifecycle: the %-rules fully determine the post-swap state —
     // id%7 docs vanish from gen-2 (stale, out of the CURRENT index, the

@@ -279,7 +279,21 @@ object Dedup {
     * propagation has not converged after `maxIter` rounds — a silent
     * cap would return WRONG labels for any component whose diameter
     * exceeds it. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Below this many candidate pairs the component resolution runs as
+    * a driver-side union-find: the pair relation is the BOUNDED
+    * candidate set (never the corpus), so ≤1M edges is ≤ ~50 MB on the
+    * driver, and the union-find replaces per-round join+checkpoint
+    * scheduling (~1 s/round in local mode for a 256-edge graph) with
+    * microseconds. Above it, the distributed hash-min propagation runs
+    * unchanged — the 10⁹-doc posture is untouched. */
+  val LocalCcMaxPairs: Long = 1000000L
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          localMaxPairs: Long = LocalCcMaxPairs): DataFrame = {
+    // callers pass a pinned (cached) pair relation, so this count is
+    // one cheap job — the same runtime-size-based strategy switch AQE
+    // applies to joins, applied to component resolution
+    if (pairs.count() <= localMaxPairs) return localConnectedComponents(pairs)
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -315,6 +329,56 @@ object Dedup {
       s"connected components did not converge in $maxIter rounds — a " +
         "component's diameter exceeds maxIter; raise it")
     labels
+  }
+
+  /** Driver-side union-find for small candidate graphs (the normal
+    * case — near-dup pair sets are tiny next to the corpus). Same
+    * semantics as the propagation: rep = the component's minimum id
+    * under Spark's ordering for the id type. Zero iterative jobs. */
+  private[graft] def localConnectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _: org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.FloatType =>
+        (a, b) => a.asInstanceOf[Number].doubleValue <
+          b.asInstanceOf[Number].doubleValue
+      case _ =>
+        (a, b) => a.asInstanceOf[Number].longValue <
+          b.asInstanceOf[Number].longValue
+    }
+    val edges = pairs.select("id_a", "id_b").collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = parent.keys.toSeq
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot.get(r) match {
+        case Some(m) => if (lt(n, m)) minOfRoot(r) = n
+        case None => minOfRoot(r) = n
+      }
+    }
+    val out = nodes.map(n => org.apache.spark.sql.Row(n, minOfRoot(find(n))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("rep", idType)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, schema)
   }
 
   /** Duplicate-cluster resolution — the step that turns near-dup PAIRS

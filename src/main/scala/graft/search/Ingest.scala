@@ -50,6 +50,12 @@ object Ingest {
         "token_count", "path_id", "vector", "partition_key")
   }
 
+  /** Sparse index naming (F13): the sibling collection that holds a
+    * base collection's sparse vectors, "{base}_sparse_{type}"
+    * (ref vecpipe/sparse.py:244-254). */
+  def sparseCollectionName(base: String, indexerType: String): String =
+    s"${base}_sparse_$indexerType"
+
   /** Change-skip (P7): drop incoming docs whose (doc_id, content_hash)
     * already exists — a left-anti join, the scalable form of the
     * reference's per-file hash lookup (executor.py:713-744). */

@@ -178,14 +178,28 @@ object Sync {
 
   // ---- T5: failure classification + retry backoff ----
 
-  /** Transient vs permanent error classification
+  /** Retryable-error patterns — the single source of truth for both
+    * the driver-side classifier and its column twin
     * (webui/tasks/error_classifier.py:26-221, collapsed to the
     * observable contract: retryable patterns vs not). */
+  val TransientPatterns: Seq[String] = Seq("timeout", "timed out",
+    "connection", "temporarily", "unavailable", "too many requests",
+    "rate limit", "503", "502", "429")
+
+  /** Transient vs permanent error classification. */
   def classifyError(message: String): String = {
     val m = if (message == null) "" else message.toLowerCase
-    val transient = Seq("timeout", "timed out", "connection", "temporarily",
-      "unavailable", "too many requests", "rate limit", "503", "502", "429")
-    if (transient.exists(m.contains)) "transient" else "permanent"
+    if (TransientPatterns.exists(m.contains)) "transient" else "permanent"
+  }
+
+  /** Column twin of [[classifyError]] (codegen'd contains chain), for
+    * classifying failure logs in-plan; parity with the driver-side
+    * function is spec-guarded. */
+  def classifyErrorCol(message: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val m = lower(coalesce(message, lit("")))
+    when(TransientPatterns.map(p => m.contains(p)).reduce(_ || _),
+      lit("transient")).otherwise(lit("permanent"))
   }
 
   /** Exponential backoff with cap: min(2^attempt * base, max) seconds. */

@@ -19,9 +19,11 @@ class ClusterContaminationSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
-  test("connectedComponents converges on a long chain") {
+  test("connectedComponents converges on a long chain (distributed path)") {
     val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, maxIter = 40).collect()
+    // localMaxPairs = 0 forces the distributed propagation loop
+    val got = Dedup.connectedComponents(pairs, maxIter = 40,
+      localMaxPairs = 0L).collect()
     assert(got.length == 31)
     assert(got.forall(_.getLong(1) == 0L), "whole chain labels to 0")
   }
@@ -29,8 +31,28 @@ class ClusterContaminationSpec extends SparkSpec {
   test("connectedComponents throws LOUDLY when maxIter is too small") {
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException](
-      Dedup.connectedComponents(pairs, maxIter = 3).collect())
+      Dedup.connectedComponents(pairs, maxIter = 3, localMaxPairs = 0L)
+        .collect())
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("local union-find agrees with the distributed propagation") {
+    // deterministic pseudo-random graph: chains, triangles, crossings
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(Dedup.connectedComponents(pairs))
+    val dist = toMap(Dedup.connectedComponents(pairs, localMaxPairs = 0L))
+    assert(local == dist, "strategy switch changes component labels")
+    // string ids: lexicographic min must drive the rep on both paths
+    val spairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")
+    def toMapS(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(toMapS(Dedup.connectedComponents(spairs)) ==
+      Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("resolveClusters keeps min-id per cluster and singletons") {

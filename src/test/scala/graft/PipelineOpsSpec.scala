@@ -176,6 +176,18 @@ class SyncSpec extends SparkSpec {
     assert(Sync.shouldHalt(Seq(false, false, true, false, false), 3) == false)
     assert(Sync.shouldHalt(Seq(true, false, false, false), 3) == true)
   }
+
+  test("classifyErrorCol agrees with the driver-side classifier (T5)") {
+    import spark.implicits._
+    val msgs = Seq("Connection timed out", "HTTP 429 Too Many Requests",
+      "schema mismatch", "Service Unavailable", "rate limit exceeded",
+      "disk full", "gateway returned 502", "TEMPORARILY offline", "", null)
+    val got = msgs.toDF("msg")
+      .select(Sync.classifyErrorCol(org.apache.spark.sql.functions.col("msg")))
+      .as[String].collect()
+    assert(got.toSeq == msgs.map(Sync.classifyError),
+      "column twin diverges from Sync.classifyError")
+  }
 }
 
 /** T4 counter semantics (ref executor_types.py:200-246): the
