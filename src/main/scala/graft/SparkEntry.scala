@@ -1717,9 +1717,12 @@ object SparkEntry {
     // ---- batch benchmark evaluation (A5+J6+W6 in one plan) ----
     "bench_eval" -> ((s, dir) => {
       import graft.operators.BenchmarkRunner
-      val chunks = Ingest.buildChunks(t(s, dir, "documents"), "docs",
-        "doc_id", "text", "recursive",
-        Chunking.ChunkConfig(minTokens = 5, maxTokens = 40), dim = 32).cache()
+      // same ingested collection as search_hybrid (identical chunker
+      // config), blue/green-persisted once per session — the reference
+      // evaluates against an EXISTING index, so the bench times the
+      // EVAL; the build path keeps its own probe (build_pipeline).
+      // The oracle replays the identical chunk relation in SQL.
+      val chunks = ingestedChunksSnapshot(s, dir)
       val spark = s
       import spark.implicits._
       val queries = BenchQueries.toDF("query_id", "query_text")

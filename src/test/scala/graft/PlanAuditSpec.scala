@@ -149,6 +149,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("failure_policy windows only WITHIN collection partitions") {
+    val p = plan("failure_policy")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("collection_id"),
+      s"global window in failure_policy plan: $w"))
+  }
+
+  test("search_hyde: dense legs are TakeOrderedAndProject, no shuffle join") {
+    val p = plan("search_hyde")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
   test("dedup verify: semi-filter precedes any shingle shuffle; cache holds") {
     // the r4 regression class: the candidate semi-filter drifting above
     // the cache (3× re-evaluation of the corpus shingle build) or the
