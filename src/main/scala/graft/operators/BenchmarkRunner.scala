@@ -144,15 +144,17 @@ object BenchmarkRunner {
     * macro metrics (A5/J6). Returns (metric, k, value, n_queries). */
   def evaluate(chunks: DataFrame, queries: DataFrame, qrels: DataFrame,
                mode: String = "hybrid", k: Int = 20, dim: Int = 64,
-               kValues: Seq[Int] = IrMetrics.DefaultKValues): DataFrame = {
+               kValues: Seq[Int] = IrMetrics.DefaultKValues,
+               index: Option[Bm25.Index] = None): DataFrame = {
     // the BM25 stats relation feeds BOTH the query-term weighting and
     // the doc-weight computation — pin it (single partition: it's the
     // vocabulary, tiny next to the corpus) so the index aggregation
     // runs once per batch. docWeights has exactly one consumer; caching
     // it would only force a fixed partitioning on the scoring join.
+    // Callers holding the collection's STANDING index pass it instead.
     val idx = if (mode == "dense") None
-      else Some(Bm25.buildIndex(chunks, "chunk_id", "content",
-        pinStats = true))
+      else index.orElse(Some(Bm25.buildIndex(chunks, "chunk_id", "content",
+        pinStats = true)))
     // each query's collapsed doc ranking stays ONE array row end to
     // end: the hybrid path holds a sorted array straight out of its
     // fusion exchange (the W6 collapse runs inside it, no further

@@ -102,16 +102,24 @@ object SearchEngine {
     * If the table carries `original_chunk_id` (sparse points indexed
     * under derived ids), hits re-key to the original chunk first —
     * operator J2 (service.py:248-274). */
-  def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame =
-    sparseHits(chunks, req, limit).join(chunks, Seq("chunk_id"))
+  def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int,
+                index: Option[Bm25.Index] = None): DataFrame =
+    sparseHits(chunks, req, limit, index).join(chunks, Seq("chunk_id"))
 
   /** The sparse leg's (chunk_id, score) hits WITHOUT the payload join —
     * what hybrid fusion consumes. An inner join the consumer's
     * projection discards cannot be pruned by the optimizer (it could
     * change cardinality), so hybrid mode must not pay for it; payload
-    * enrichment happens once, after fusion (J3). */
-  def sparseHits(chunks: DataFrame, req: SearchRequest, limit: Int): DataFrame = {
-    val hits = Bm25.searchTopK(chunks, "chunk_id", "content", req.query, limit)
+    * enrichment happens once, after fusion (J3).
+    *
+    * `index`: a prebuilt (persisted) BM25 index for the collection —
+    * the reference keeps a STANDING sparse index per collection
+    * (vecpipe/sparse.py), so repeated queries must not re-derive
+    * corpus statistics; omitted, the index derives in-plan. */
+  def sparseHits(chunks: DataFrame, req: SearchRequest, limit: Int,
+                 index: Option[Bm25.Index] = None): DataFrame = {
+    val hits = Bm25.searchTopK(chunks, "chunk_id", "content", req.query,
+        limit, index = index)
       .withColumnRenamed("id", "chunk_id")
     if (chunks.columns.contains("original_chunk_id"))
       hits.join(chunks.select("chunk_id", "original_chunk_id"), "chunk_id")
@@ -126,20 +134,25 @@ object SearchEngine {
     * [+ content when included] [+ reranked_score when reranking]. */
   def search(chunks: DataFrame, req: SearchRequest,
              reranker: graft.plugins.Providers.Reranker =
-               graft.plugins.Providers.MockReranker()): DataFrame = {
+               graft.plugins.Providers.MockReranker(),
+             sparseIndex: Option[Bm25.Index] = None): DataFrame = {
     // P2: user metadata filters push into the scan
     val filtered =
       if (req.filters.isEmpty) chunks
       else chunks.filter(Predicates.compile(req.filters))
     val fetchK = if (req.useReranker) candidateK(req.k) else req.k
+    // a standing index scores the WHOLE collection; with row filters in
+    // play the sparse leg must derive over the filtered corpus instead
+    // (the hit set, not just the payload join, has to honor P2)
+    val idx = if (req.filters.isEmpty) sparseIndex else None
 
     val fused: DataFrame = req.searchMode match {
       case "dense" => denseLeg(filtered, req, fetchK)
-      case "sparse" => sparseLeg(filtered, req, fetchK)
+      case "sparse" => sparseLeg(filtered, req, fetchK, idx)
       case "hybrid" =>
         val d = denseLeg(filtered, req, fetchK)
           .select("chunk_id", "score")
-        val s = sparseHits(filtered, req, fetchK)
+        val s = sparseHits(filtered, req, fetchK, idx)
           .select("chunk_id", "score")
         // J1 fusion, then payload enrichment from the dense-first union
         Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK)
