@@ -611,6 +611,34 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- skew mitigation on the driver surface: the hot-key paths a
+    //      1000-executor cluster needs when AQE can't help (broadcast-
+    //      ineligible replicated side / non-SMJ plans). Results must
+    //      equal the plain join/aggregate — which IS the oracle. ----
+    "skew_salted_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      // events.event_type is the hot key (5 values over ~50k rows)
+      val dim = t(s, dir, "events").select("event_type").distinct()
+        .withColumn("type_tag", concat(lit("t_"), col("event_type")))
+      Skew.saltedJoin(t(s, dir, "events"), dim, Seq("event_type"),
+          saltBy = col("event_id"), numSalts = 8)
+        .groupBy("event_type", "type_tag")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+    "skew_two_phase_agg" -> ((s, dir) => {
+      import graft.operators.Skew
+      Skew.twoPhaseAgg(t(s, dir, "events"), Seq("event_type"),
+          saltBy = col("event_id"), numSalts = 8,
+          partialAggs = Seq(count(lit(1)).as("_n"),
+            sum("value").as("_sv"), max("value").as("_mx")),
+          finalAggs = Seq(sum("_n").as("n_events"),
+            round(sum("_sv"), 4).as("sum_value"),
+            max("_mx").as("max_value")))
+        .orderBy("event_type")
+    }),
+
     // ---- events aggregation ----
     "q9_events_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2565,6 +2593,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 25
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Skew helpers: salting must not change the result — the oracle is
+    // the PLAIN join / aggregate the salted plan must equal.
+    "skew_salted_join" ->
+      """SELECT e.event_type, 't_' || e.event_type AS type_tag,
+        |  count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+        |FROM events e
+        |JOIN (SELECT DISTINCT event_type FROM events) d
+        |  ON d.event_type = e.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
+    "skew_two_phase_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value, max(value) AS max_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q9_events_agg" ->
       """SELECT user_id, event_type, count(*) AS n_events,

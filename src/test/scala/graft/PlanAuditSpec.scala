@@ -149,6 +149,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("skew_two_phase_agg spreads the hot key over (key, salt) first") {
+    val p = plan("skew_two_phase_agg")
+    assert("Exchange hashpartitioning\\(event_type[#\\d]*, _salt".r
+      .findFirstIn(p).isDefined,
+      s"partial phase does not partition by (key, salt):\n$p")
+  }
+
   test("failure_policy windows only WITHIN collection partitions") {
     val p = plan("failure_policy")
     val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
