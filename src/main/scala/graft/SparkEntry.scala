@@ -880,7 +880,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- embedding-cosine near-dup via LSH buckets (rows-only) ----
+    // ---- embedding-cosine near-dup via LSH buckets (hash-checked:
+    //      literal-hyperplane bucket SQL in the oracle) ----
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, threshold = 0.3, nPlanes = 4)
@@ -888,7 +889,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- ANN via LSH bucket restriction (rows-only oracle) ----
+    // ---- ANN via LSH bucket restriction (hash-checked: the oracle
+    //      replays the bucket membership with literal hyperplanes) ----
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qv = queryVecFor(s, dir)
@@ -1004,13 +1006,14 @@ object SparkEntry {
 
     // ---- chunking UDTFs (offsets dumped, text omitted for size —
     //      invariants covered by ChunkingSpec) ----
-    // Oracle status: chunk_fixed (pure column plan), chunk_character
-    // (recursive-CTE replay of the boundary-snap loop), chunk_hier
-    // (word-group algebra) and chunk_semantic (recursive-CTE sentence
-    // merge + word-group re-split) are hash-checked; recursive/
-    // markdown/hybrid stay rows-only — their separator recursion has
-    // no faithful SQL twin yet (goldens in ChunkingGoldenSpec pin them
-    // to the reference instead). ----
+    // Oracle status: ALL strategies are hash-checked — chunk_fixed
+    // (pure column plan), chunk_character (recursive-CTE replay of the
+    // boundary-snap loop), chunk_hier (word-group algebra),
+    // chunk_semantic (recursive-CTE sentence merge + word-group
+    // re-split), chunk_recursive/markdown (separator-hierarchy
+    // work-queue CTE) and chunk_hybrid (routed dispatch), plus three
+    // off-default configs; ChunkingGoldenSpec additionally pins the
+    // Scala semantics to the reference. ----
     "chunk_fixed" -> ((s, dir) => {
       Chunking.fixedWindows(t(s, dir, "documents"), "doc_id", "text",
           Chunking.ChunkConfig(maxTokens = 40, overlapTokens = 5))
@@ -1105,7 +1108,9 @@ object SparkEntry {
     }),
 
     // ---- end-to-end hybrid search over an ingested chunks table
-    //      (§3.1 + §3.3; rows-only — chunker not SQL-expressible) ----
+    //      (§3.1 + §3.3) — HASH-CHECKED: the oracle composes the
+    //      recursive-chunker CTE with the full dense+sparse+RRF+rerank
+    //      SQL (see the search_hybrid entry in oracleSql) ----
     "search_hybrid" -> ((s, dir) => {
       // the §3.1 query is measured against an ALREADY-INGESTED
       // collection, as in the reference (search hits a persisted
