@@ -76,10 +76,16 @@ object Bench {
     // (sbt's "[success]" banner trails the compact line, so even a
     // last-line parser can miss it).
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // anchor beside this class's source tree when launched from the
+    // repo (sbt runs from the project root), overridable for other cwds
+    val benchPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    try java.nio.file.Files.write(benchPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // stdout stays the primary channel
+    catch { // stdout stays the primary channel; never mask fatal errors
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not persist $benchPath: $e")
+    }
     spark.stop()
   }
 }

@@ -288,12 +288,22 @@ object Dedup {
     * unchanged — the 10⁹-doc posture is untouched. */
   val LocalCcMaxPairs: Long = 1000000L
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+  def connectedComponents(rawPairs: DataFrame, maxIter: Int = 50,
                           localMaxPairs: Long = LocalCcMaxPairs): DataFrame = {
-    // callers pass a pinned (cached) pair relation, so this count is
-    // one cheap job — the same runtime-size-based strategy switch AQE
-    // applies to joins, applied to component resolution
-    if (pairs.count() <= localMaxPairs) return localConnectedComponents(pairs)
+    // pin uncached inputs before the size probe — otherwise the (often
+    // deep) candidate pipeline would evaluate once for the count and
+    // again for the collect / edges build
+    val wasCached =
+      rawPairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs = if (wasCached) rawPairs else rawPairs.cache()
+    def done[T](r: T): T = { if (!wasCached) pairs.unpersist(); r }
+    // runtime-size-based strategy switch (the same idea AQE applies to
+    // joins): small candidate graphs resolve on the driver. Only id
+    // types whose driver-side ordering provably matches Spark's take
+    // the local path — anything else stays distributed.
+    if (pairs.count() <= localMaxPairs &&
+        localOrdering(pairs.schema("id_a").dataType).isDefined)
+      return done(localConnectedComponents(pairs))
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -328,7 +338,33 @@ object Dedup {
     require(converged,
       s"connected components did not converge in $maxIter rounds — a " +
         "component's diameter exceeds maxIter; raise it")
-    labels
+    done(labels)
+  }
+
+  /** Driver-side `<` matching Spark's ordering for the id type, or
+    * None when no provably-equivalent comparison exists (then the
+    * distributed path must run regardless of size). Strings compare as
+    * UTF-8 bytes — Spark's string ordering is binary UTF-8, and Scala's
+    * UTF-16 `<` DIVERGES on supplementary-plane characters (surrogates
+    * 0xD800+ sort before 0xE000.. in UTF-16 but after in UTF-8). */
+  private[graft] def localOrdering(
+      idType: org.apache.spark.sql.types.DataType)
+      : Option[(Any, Any) => Boolean] = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case StringType => Some { (a, b) =>
+        val ab = a.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(ab, bb) < 0
+      }
+      case ByteType | ShortType | IntegerType | LongType => Some {
+        (a, b) => a.asInstanceOf[Number].longValue <
+          b.asInstanceOf[Number].longValue
+      }
+      case _ => None // dates, decimals, floats… stay distributed
+    }
   }
 
   /** Driver-side union-find for small candidate graphs (the normal
@@ -338,17 +374,9 @@ object Dedup {
   private[graft] def localConnectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
-    val lt: (Any, Any) => Boolean = idType match {
-      case _: org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
-      case _: org.apache.spark.sql.types.DoubleType |
-           _: org.apache.spark.sql.types.FloatType =>
-        (a, b) => a.asInstanceOf[Number].doubleValue <
-          b.asInstanceOf[Number].doubleValue
-      case _ =>
-        (a, b) => a.asInstanceOf[Number].longValue <
-          b.asInstanceOf[Number].longValue
-    }
+    val lt: (Any, Any) => Boolean = localOrdering(idType).getOrElse(
+      throw new IllegalArgumentException(
+        s"no driver-side ordering for id type $idType"))
     val edges = pairs.select("id_a", "id_b").collect()
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {

@@ -104,7 +104,38 @@ object SearchEngine {
     * operator J2 (service.py:248-274). */
   def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int,
                 index: Option[Bm25.Index] = None): DataFrame =
-    sparseHits(chunks, req, limit, index).join(chunks, Seq("chunk_id"))
+    sparseHits(chunks, req, limit, index)
+      .join(payloadByOriginal(chunks), Seq("chunk_id"))
+
+  /** The chunks table re-keyed by ORIGINAL chunk id for payload joins
+    * (J2): sparseHits re-keys its hits to `original_chunk_id`, so the
+    * payload side must be keyed the same way or the join finds nothing.
+    * Derived rows sharing an original collapse to one payload row
+    * (lowest derived chunk_id — deterministic). Identity for tables
+    * without derived ids, so the standard path is untouched. */
+  private def payloadByOriginal(chunks: DataFrame): DataFrame =
+    if (!chunks.columns.contains("original_chunk_id")) chunks
+    else {
+      val keyed = chunks.withColumn("_eff",
+        coalesce(col("original_chunk_id"), col("chunk_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_eff").orderBy(col("chunk_id"))
+      keyed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("chunk_id", "_rn")
+        .withColumnRenamed("_eff", "chunk_id")
+    }
+
+  /** Re-key a leg's (chunk_id, …) hits to original chunk ids when the
+    * table indexes derived points (J2) — ranks stay as assigned on the
+    * derived ids (top-k first, remap after, service.py:248-274);
+    * duplicate originals fuse to their best rank inside Rrf.fuse. */
+  private def remapToOriginal(hits: DataFrame, chunks: DataFrame): DataFrame =
+    if (!chunks.columns.contains("original_chunk_id")) hits
+    else hits.join(chunks.select("chunk_id", "original_chunk_id"), "chunk_id")
+      .withColumn("chunk_id",
+        coalesce(col("original_chunk_id"), col("chunk_id")))
+      .drop("original_chunk_id")
 
   /** The sparse leg's (chunk_id, score) hits WITHOUT the payload join —
     * what hybrid fusion consumes. An inner join the consumer's
@@ -150,15 +181,18 @@ object SearchEngine {
       case "dense" => denseLeg(filtered, req, fetchK)
       case "sparse" => sparseLeg(filtered, req, fetchK, idx)
       case "hybrid" =>
-        val d = denseLeg(filtered, req, fetchK)
-          .select("chunk_id", "score")
+        // J2: on a derived-id table BOTH legs re-key to original ids
+        // before fusion, so dense and sparse hits actually meet
+        val d = remapToOriginal(
+          denseLeg(filtered, req, fetchK).select("chunk_id", "score"),
+          filtered)
         val s = sparseHits(filtered, req, fetchK, idx)
           .select("chunk_id", "score")
         // J1 fusion, then payload enrichment from the dense-first union
         Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK)
           .select("chunk_id", "score", "_dense_rank", "_sparse_rank",
             "_dense_score", "_sparse_score")
-          .join(chunks, Seq("chunk_id")) // J3 payload enrichment
+          .join(payloadByOriginal(chunks), Seq("chunk_id")) // J3 payload
       case other =>
         throw new IllegalArgumentException(s"unknown search mode: $other")
     }

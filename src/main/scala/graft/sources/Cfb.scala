@@ -40,7 +40,13 @@ object Cfb {
   final case class Entry(name: String, objectType: Int, startSector: Int,
       size: Long, leftSib: Int = -1, rightSib: Int = -1, child: Int = -1)
 
-  final case class Doc(entries: Seq[Entry], streams: Map[String, Array[Byte]]) {
+  /** `streams` preserves the reader's resolution order (root children
+    * first, then slot order) — it must stay a SeqMap: streamByPrefix's
+    * "first match wins" contract is what stops a nested sub-storage's
+    * duplicate-prefix stream (e.g. a .msg attachment body) from
+    * shadowing the root one. */
+  final case class Doc(entries: Seq[Entry],
+                       streams: scala.collection.immutable.SeqMap[String, Array[Byte]]) {
     /** First stream whose name equals (or, for the .msg property
       * streams, starts with) `name`. */
     def stream(name: String): Option[Array[Byte]] = streams.get(name)
@@ -159,14 +165,30 @@ object Cfb {
 
     // An entry's direct children form a binary tree threaded through
     // left/right sibling ids (NOSTREAM = 0xFFFFFFFF = -1 as Int).
-    // In-order walk with a cycle guard; out-of-range ids end the branch.
+    // In-order walk with a cycle guard. Iterative with an explicit
+    // stack: a degenerate sibling chain is as deep as the entry count
+    // (Cfb.write itself emits one chain level per stream), and a
+    // recursive walk would StackOverflowError — an Error, which
+    // escapes the parsers' Exception handlers and kills the task.
     def childIds(startId: Int): Seq[Int] = {
       val out = Seq.newBuilder[Int]
       val seen = scala.collection.mutable.Set[Int]()
-      def go(id: Int): Unit =
-        if (id >= 0 && id < rawEntries.length && seen.add(id))
-          rawEntries(id).foreach { e => go(e.leftSib); out += id; go(e.rightSib) }
-      go(startId)
+      def valid(id: Int): Boolean =
+        id >= 0 && id < rawEntries.length && rawEntries(id).isDefined
+      var stack = List.empty[Int]
+      var cur = startId
+      while ((valid(cur) && !seen(cur)) || stack.nonEmpty) {
+        if (valid(cur) && !seen(cur)) {
+          seen += cur
+          stack = cur :: stack
+          cur = rawEntries(cur).get.leftSib
+        } else {
+          val id = stack.head
+          stack = stack.tail
+          out += id
+          cur = rawEntries(id).get.rightSib
+        }
+      }
       out.result()
     }
     val rootChildIds = childIds(root.child)
@@ -216,7 +238,10 @@ object Cfb {
       val e = rawEntries(i).get
       if (!streams.contains(e.name)) streams(e.name) = readStream(e)
     }
-    Doc(entries, streams.toMap)
+    // VectorMap keeps the resolution order (a plain .toMap rebuilds a
+    // hash map and re-randomizes streamByPrefix's first-match)
+    Doc(entries,
+      scala.collection.immutable.VectorMap.from(streams))
   }
 
   // ------------------------------------------------------------ writer

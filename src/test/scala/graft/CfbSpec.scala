@@ -113,6 +113,20 @@ class CfbSpec extends AnyFunSuite {
       "root-child stream must shadow duplicates outside the root tree")
   }
 
+  test("CFB: a deep sibling chain parses without stack overflow") {
+    // Cfb.write threads root children as one sibling chain level per
+    // stream — thousands of streams = a recursion-depth-sized chain;
+    // the tree walk must be iterative or real containers kill the task
+    // with a StackOverflowError (an Error, invisible to the parsers'
+    // Exception handlers).
+    val n = 20000
+    val streams = (0 until n).map(i => (f"S$i%05d", s"v$i".getBytes))
+    val doc = Cfb.read(Cfb.write(streams))
+    assert(doc.streams.size == n)
+    assert(doc.stream("S00000").map(new String(_)).contains("v0"))
+    assert(doc.stream(f"S${n - 1}%05d").map(new String(_)).contains(s"v${n - 1}"))
+  }
+
   test("CFB reader rejects non-CFB bytes") {
     assert(!Cfb.isCfb("plain text".getBytes))
     intercept[IllegalArgumentException](Cfb.read("plain text".getBytes))

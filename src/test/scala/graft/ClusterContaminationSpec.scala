@@ -55,6 +55,20 @@ class ClusterContaminationSpec extends SparkSpec {
       Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("id types without a proven driver-side ordering stay distributed") {
+    // DateType has no localOrdering entry: the size switch must route
+    // to the distributed loop (which handles any orderable type via
+    // least()) instead of crashing in the union-find's comparator
+    val pairs = Seq(("2020-01-02", "2020-01-01"), ("2020-03-01", "2020-03-02"))
+      .toDF("id_a", "id_b")
+      .select(col("id_a").cast("date"), col("id_b").cast("date"))
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getDate(0).toString -> r.getDate(1).toString).toMap
+    assert(got == Map(
+      "2020-01-01" -> "2020-01-01", "2020-01-02" -> "2020-01-01",
+      "2020-03-01" -> "2020-03-01", "2020-03-02" -> "2020-03-01"))
+  }
+
   test("resolveClusters keeps min-id per cluster and singletons") {
     val all = (1L to 10L).toDF("doc_id")
     val pairs = Seq((2L, 5L), (5L, 9L)).toDF("id_a", "id_b")

@@ -85,6 +85,32 @@ class SearchEngineSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) <= 2.0 / 61))
   }
 
+  test("J2: search over a derived-id table re-keys BOTH legs and the payload") {
+    // sparse points indexed under derived ids with original_chunk_id
+    // payload (service.py:248-274): full search() must return rows
+    // keyed by ORIGINAL ids — sparse mode used to inner-join the
+    // remapped hits back to the derived-keyed table and return nothing
+    val derived = chunks
+      .withColumn("original_chunk_id", col("chunk_id"))
+      .withColumn("chunk_id", concat(lit("d"), col("chunk_id")))
+    val sparse = SearchEngine.search(derived, SearchRequest(
+      query = "tomato", searchMode = "sparse", k = 5, vectorDim = Dim))
+      .collect()
+    assert(sparse.nonEmpty, "sparse over derived-id table returned nothing")
+    assert(sparse.forall(!_.getString(1).startsWith("d")),
+      "hits not re-keyed to original ids")
+    assert(sparse.map(_.getString(0)).toSet == Set("2", "4"))
+
+    val hybrid = SearchEngine.search(derived, SearchRequest(
+      query = "spark join", searchMode = "hybrid", k = 5, vectorDim = Dim))
+      .collect()
+    assert(hybrid.nonEmpty)
+    assert(hybrid.forall(!_.getString(1).startsWith("d")))
+    // both legs meet on original ids: some hit carries BOTH rank terms
+    assert(hybrid.exists(_.getDouble(2) > 1.0 / 60),
+      "no fused hit scored by both legs — legs did not meet on one key")
+  }
+
   test("score threshold and path filter apply before rerank") {
     val req = SearchRequest(query = "tomato", searchMode = "sparse", k = 5,
       scoreThreshold = 1e9, vectorDim = Dim)
