@@ -860,6 +860,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus-level span (line) dedup — the C4/RefinedWeb
+    //      boilerplate-removal pass. The synthetic corpus has no
+    //      natural span duplication, so the query stages the classic
+    //      scenario via %-rules: a newsletter banner on id%5 docs and a
+    //      rights footer on id%7 docs; each survives in exactly one
+    //      document. ----
+    "span_dedup" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("Subscribe to our newsletter today!\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nAll rights reserved.")).otherwise(lit(""))).as("text"))
+      Dedup.dedupSpans(staged, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- benchmark decontamination: train docs sharing any 3-gram
     //      shingle with the (deterministic) eval split ----
     "contamination" -> ((s, dir) => {
@@ -3166,6 +3186,41 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = p.id_b
          |ORDER BY id_a""".stripMargin
     },
+
+    // Span dedup: zip-unnest spans with positions, rank duplicates of
+    // each normalized span by (doc_id, idx), keep rank 1 (whitespace
+    // spans always kept), reassemble in span order.
+    "span_dedup" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0
+        |       THEN 'Subscribe to our newsletter today!' || chr(10)
+        |       ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |       THEN chr(10) || 'All rights reserved.'
+        |       ELSE '' END) AS text
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(parts))) AS idx,
+        |    unnest(parts) AS span
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        |        FROM staged)),
+        |marked AS (
+        |  SELECT doc_id, idx, span,
+        |    CASE WHEN trim(lower(span)) = '' THEN 1
+        |      ELSE row_number() OVER (PARTITION BY lower(trim(span))
+        |        ORDER BY doc_id, idx) END AS rn
+        |  FROM spans)
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, chr(10)
+        |    ORDER BY idx), '') AS text
+        |FROM marked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes

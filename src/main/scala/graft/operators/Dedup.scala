@@ -103,6 +103,39 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Corpus-level exact span dedup (the C4/RefinedWeb "line dedup"
+    * pass): split each document on `sep`, drop every duplicate
+    * normalized (lower+trim) span EXCEPT its first occurrence — first =
+    * lowest (id, span index) — and reassemble the documents. Shared
+    * boilerplate (nav lines, footers) survives in exactly one document.
+    *
+    * Scale: one shuffle keyed by the normalized span. Whitespace-only
+    * spans are document structure, not content — they bypass the
+    * window entirely (they would otherwise concentrate the whole
+    * corpus's blank lines into one hot partition).
+    * Output: (id, text, n_spans, n_removed). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "span")))
+      .withColumn("_norm", lower(trim(col("span"))))
+    val w = Window.partitionBy("_norm").orderBy(col("id"), col("idx"))
+    val content = spans.filter(col("_norm") =!= "")
+      .withColumn("_keep", row_number().over(w) === 1)
+    val empties = spans.filter(col("_norm") === "")
+      .withColumn("_keep", lit(true))
+    content.unionByName(empties)
+      .groupBy("id")
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("idx"), col("span"))))),
+          x => x.getField("span"))).as("text"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Seeded hash families for MinHash/SimHash.
     * - xxhash64: the scale default (cheapest; codegen'd)
     * - sha-32-bit: slower but expressible in the DuckDB oracle

@@ -199,6 +199,21 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(h.exists { case (lo, _, n) => lo == 0 && n == 3 })
   }
 
+  test("dedupSpans drops duplicate normalized lines, keeps first + blanks") {
+    val docs = Seq(
+      (1L, "Header\nalpha beta\n\nfooter"),
+      (2L, "HEADER  \ngamma delta\nfooter"), // case/trim-normalized dup
+      (3L, "unique only")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 holds every first occurrence (incl. the blank structural line)
+    assert(got(1L) == ("Header\nalpha beta\n\nfooter", 4L, 0L))
+    // doc 2 loses the normalized 'header' dup and the footer
+    assert(got(2L) == ("gamma delta", 3L, 2L))
+    assert(got(3L) == ("unique only", 1L, 0L))
+  }
+
   test("contamination flags docs sharing shingles with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs today"),
