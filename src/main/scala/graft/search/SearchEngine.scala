@@ -103,9 +103,16 @@ object SearchEngine {
     * under derived ids), hits re-key to the original chunk first —
     * operator J2 (service.py:248-274). */
   def sparseLeg(chunks: DataFrame, req: SearchRequest, limit: Int,
-                index: Option[Bm25.Index] = None): DataFrame =
-    sparseHits(chunks, req, limit, index)
-      .join(payloadByOriginal(chunks), Seq("chunk_id"))
+                index: Option[Bm25.Index] = None): DataFrame = {
+    val hits = sparseHits(chunks, req, limit, index)
+    // J2 can map several derived hits to one original — sparse mode has
+    // no fusion stage to collapse them, so do it here (hybrid's dedup
+    // lives inside Rrf.fuse)
+    val unique =
+      if (chunks.columns.contains("original_chunk_id")) collapseBest(hits)
+      else hits
+    unique.join(payloadByOriginal(chunks), Seq("chunk_id"))
+  }
 
   /** The chunks table re-keyed by ORIGINAL chunk id for payload joins
     * (J2): sparseHits re-keys its hits to `original_chunk_id`, so the
@@ -152,13 +159,14 @@ object SearchEngine {
     val hits = Bm25.searchTopK(chunks, "chunk_id", "content", req.query,
         limit, index = index)
       .withColumnRenamed("id", "chunk_id")
-    if (chunks.columns.contains("original_chunk_id"))
-      hits.join(chunks.select("chunk_id", "original_chunk_id"), "chunk_id")
-        .withColumn("chunk_id",
-          coalesce(col("original_chunk_id"), col("chunk_id")))
-        .drop("original_chunk_id")
-    else hits
+    remapToOriginal(hits, chunks)
   }
+
+  /** Collapse duplicate ids a J2 remap can produce (several derived
+    * points mapping to one original chunk) to the best-scoring hit —
+    * the same best-row-wins rule Rrf.fuse applies during fusion. */
+  private def collapseBest(hits: DataFrame): DataFrame =
+    hits.groupBy("chunk_id").agg(max("score").as("score"))
 
   /** Full §3.1 plan over one collection's chunks table. Output columns:
     * doc_id, chunk_id, score, path, chunk_index, total_chunks, path_id
@@ -178,7 +186,16 @@ object SearchEngine {
     val idx = if (req.filters.isEmpty) sparseIndex else None
 
     val fused: DataFrame = req.searchMode match {
-      case "dense" => denseLeg(filtered, req, fetchK)
+      case "dense" =>
+        // J2 applies to dense over a derived-id table too: re-key,
+        // collapse duplicates to the best hit, rebuild the payload —
+        // so all three modes answer with original chunk ids
+        if (!chunks.columns.contains("original_chunk_id"))
+          denseLeg(filtered, req, fetchK)
+        else collapseBest(remapToOriginal(
+            denseLeg(filtered, req, fetchK).select("chunk_id", "score"),
+            filtered))
+          .join(payloadByOriginal(chunks), Seq("chunk_id"))
       case "sparse" => sparseLeg(filtered, req, fetchK, idx)
       case "hybrid" =>
         // J2: on a derived-id table BOTH legs re-key to original ids

@@ -90,9 +90,14 @@ class SearchEngineSpec extends SparkSpec {
     // payload (service.py:248-274): full search() must return rows
     // keyed by ORIGINAL ids — sparse mode used to inner-join the
     // remapped hits back to the derived-keyed table and return nothing
-    val derived = chunks
+    val derivedBase = chunks
       .withColumn("original_chunk_id", col("chunk_id"))
       .withColumn("chunk_id", concat(lit("d"), col("chunk_id")))
+    // a SECOND derived point for doc 2's chunk (sub-token split shape):
+    // both score on 'tomato', must collapse to ONE original hit
+    val derived = derivedBase.unionByName(
+      derivedBase.filter($"doc_id" === "2")
+        .withColumn("chunk_id", concat(lit("e"), col("original_chunk_id"))))
     val sparse = SearchEngine.search(derived, SearchRequest(
       query = "tomato", searchMode = "sparse", k = 5, vectorDim = Dim))
       .collect()
@@ -100,12 +105,28 @@ class SearchEngineSpec extends SparkSpec {
     assert(sparse.forall(!_.getString(1).startsWith("d")),
       "hits not re-keyed to original ids")
     assert(sparse.map(_.getString(0)).toSet == Set("2", "4"))
+    val ids = sparse.map(_.getString(1)).toSeq
+    assert(ids.distinct == ids,
+      s"duplicate original ids in sparse results: $ids")
+
+    // dense mode answers with original ids too (mode consistency)
+    val dense = SearchEngine.search(derived, SearchRequest(
+      query = "tomato", searchMode = "dense", k = 5,
+      scoreThreshold = -1e9, vectorDim = Dim)).collect()
+    assert(dense.nonEmpty)
+    assert(dense.forall(!_.getString(1).startsWith("d")),
+      "dense hits not re-keyed to original ids")
+    val dids = dense.map(_.getString(1)).toSeq
+    assert(dids.distinct == dids, s"duplicate ids in dense results: $dids")
 
     val hybrid = SearchEngine.search(derived, SearchRequest(
       query = "spark join", searchMode = "hybrid", k = 5, vectorDim = Dim))
       .collect()
     assert(hybrid.nonEmpty)
-    assert(hybrid.forall(!_.getString(1).startsWith("d")))
+    assert(hybrid.forall(r => !r.getString(1).startsWith("d") &&
+      !r.getString(1).startsWith("e")))
+    val hids = hybrid.map(_.getString(1)).toSeq
+    assert(hids.distinct == hids, s"duplicate ids in hybrid results: $hids")
     // both legs meet on original ids: some hit carries BOTH rank terms
     assert(hybrid.exists(_.getDouble(2) > 1.0 / 60),
       "no fused hit scored by both legs — legs did not meet on one key")
