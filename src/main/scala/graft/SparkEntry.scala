@@ -909,6 +909,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- SemDeDup cluster-bounded semantic dedup (hash-checked: the
+    //      oracle replays the k-means assignment with the SAME memoized
+    //      centroid literals as ann_ivf, then the within-cluster
+    //      keep-first-by-id verdict) ----
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          ivfCentroidsFor(s, dir), threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          col("is_duplicate"), col("dup_of"),
+          round(col("max_cosine"), 6).as("max_cosine"))
+        .orderBy("vec_id")
+    }),
+
     // ---- ANN via LSH bucket restriction (hash-checked: the oracle
     //      replays the bucket membership with literal hyperplanes) ----
     "ann_lsh" -> ((s, dir) => {
@@ -944,6 +957,28 @@ object SparkEntry {
     // ---- quality scoring ----
     "quality" -> ((s, dir) => {
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Gopher-rule document filter (Rae et al. 2021 App. A). The
+    //      synthetic corpus has no line structure, so %-rules stage the
+    //      classic failure shapes — an all-bullet doc, an ellipsis-heavy
+    //      doc, a symbol-spam doc, a numeric doc — while every other
+    //      document keeps its natural text (whose word-count /
+    //      stop-word variation exercises the remaining rules). ----
+    "gopher_quality" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 23 === 3,
+            lit("• the data\n• of the\n• and that\n• with have"))
+          .when(col("doc_id") % 23 === 4,
+            lit("the rest follows...\nmore to come…\nof and that have with"))
+          .when(col("doc_id") % 23 === 5,
+            concat(col("text"), lit(" ## ## ## ## ## ## ## ## ## ##")))
+          .when(col("doc_id") % 23 === 6,
+            lit("1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 the of"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.gopherQuality(staged, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -3352,6 +3387,77 @@ object SparkEntry {
          |FROM sig ORDER BY doc_id""".stripMargin
     },
 
+    "gopher_quality" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 23 = 3 THEN '• the data' || chr(10) ||
+        |        '• of the' || chr(10) || '• and that' || chr(10) ||
+        |        '• with have'
+        |      WHEN doc_id % 23 = 4 THEN 'the rest follows...' || chr(10) ||
+        |        'more to come…' || chr(10) || 'of and that have with'
+        |      WHEN doc_id % 23 = 5 THEN text ||
+        |        ' ## ## ## ## ## ## ## ## ## ##'
+        |      WHEN doc_id % 23 = 6 THEN
+        |        '1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 the of'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS lines
+        |  FROM staged),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS DOUBLE) AS nw,
+        |    greatest(CAST(len(words) AS DOUBLE), 1.0) AS safew,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))),
+        |      0) AS DOUBLE) AS wlen,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      AS DOUBLE) AS nhash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      + (length(text) - length(replace(text, '…', '')))
+        |      AS DOUBLE) AS nell,
+        |    CAST(len(list_filter(lines, l ->
+        |      substr(l, 1, 1) = '•' OR substr(l, 1, 1) = '-' OR
+        |      substr(l, 1, 1) = '*')) AS DOUBLE) AS nbullet,
+        |    CAST(len(list_filter(lines, l ->
+        |      (length(l) >= 3 AND substr(l, length(l) - 2, 3) = '...') OR
+        |      substr(l, length(l), 1) = '…')) AS DOUBLE) AS nelines,
+        |    greatest(CAST(len(lines) AS DOUBLE), 1.0) AS safel,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) AS nalpha,
+        |    len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+        |      'have', 'with'], s -> list_contains(
+        |        list_transform(words, x -> lower(x)), s))) AS nstop
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, nw, wlen / safew AS ml,
+        |    (nhash + nell) / safew AS sym, nbullet / safel AS bl,
+        |    nelines / safel AS el, nalpha / safew AS al, nstop
+        |  FROM sig)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(ml, 6) AS mean_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(bl, 6) AS bullet_line_ratio,
+        |  round(el, 6) AS ellipsis_line_ratio,
+        |  round(al, 6) AS alpha_word_ratio,
+        |  CAST(nstop AS BIGINT) AS stop_hits,
+        |  nw >= 50 AND nw <= 100000 AS pass_word_count,
+        |  ml >= 3.0 AND ml <= 10.0 AS pass_mean_word_len,
+        |  sym <= 0.1 AS pass_symbol_ratio,
+        |  bl <= 0.9 AS pass_bullet_lines,
+        |  el <= 0.3 AS pass_ellipsis_lines,
+        |  al >= 0.8 AS pass_alpha_words,
+        |  nstop >= 2 AS pass_stop_words,
+        |  (nw >= 50 AND nw <= 100000) AND (ml >= 3.0 AND ml <= 10.0) AND
+        |    sym <= 0.1 AND bl <= 0.9 AND el <= 0.3 AND al >= 0.8 AND
+        |    nstop >= 2 AS gopher_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -4269,6 +4375,36 @@ object SparkEntry {
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
              |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        "dedup_semantic" -> {
+          val cvals = IvfOracleCentroids.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid) AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |dups AS (
+             |  SELECT b.vec_id AS id, min(a.vec_id) AS dup_of,
+             |    max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |      CAST(b.embedding AS DOUBLE[]))) AS mc
+             |  FROM assigned a JOIN assigned b
+             |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |    CAST(b.embedding AS DOUBLE[])) >= 0.3
+             |  GROUP BY b.vec_id)
+             |SELECT s.vec_id, s.cid AS cluster_id,
+             |  d.dup_of IS NOT NULL AS is_duplicate,
+             |  d.dup_of, round(d.mc, 6) AS max_cosine
+             |FROM assigned s LEFT JOIN dups d ON d.id = s.vec_id
+             |ORDER BY s.vec_id""".stripMargin
         },
 
         "ann_int8" -> {

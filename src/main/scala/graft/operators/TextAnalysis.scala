@@ -331,4 +331,80 @@ object TextAnalysis {
     }
     df.withColumn("split", split)
   }
+
+  /** The eight required stop words of the Gopher quality rules. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule document filter (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A.1.1 — the published heuristic rule set most
+    * large-corpus pipelines start from). Per document:
+    *
+    *  - n_words, mean_word_len — reject if n_words ∉ [minWords, maxWords]
+    *    or mean length ∉ [3, 10]
+    *  - symbol_ratio: ('#' chars + '...'/'…' occurrences) / words ≤ 0.1
+    *  - bullet_line_ratio: lines starting with a bullet ≤ 0.9
+    *  - ellipsis_line_ratio: lines ending with an ellipsis ≤ 0.3
+    *  - alpha_word_ratio: words containing a letter ≥ 0.8
+    *  - stop_hits: distinct hits among [[GopherStopWords]] ≥ 2
+    *
+    * Map-only column arithmetic — no shuffle, no UDF; at 100 TB this is
+    * a pass-through filter at scan speed. Line ratios use trimmed
+    * nonempty lines; a document with no such lines passes both line
+    * rules (ratio 0). */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("double")
+    val safeWords = greatest(nWords, lit(1.0))
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / safeWords
+    val nHash = (length(text) - length(replace(text, lit("#"), lit(""))))
+      .cast("double")
+    val nEllipsis =
+      ((length(text) - length(replace(text, lit("..."), lit("")))) / 3 +
+        (length(text) - length(replace(text, lit("…"), lit(""))))).cast("double")
+    val symbolRatio = (nHash + nEllipsis) / safeWords
+    val lines = filter(transform(split(text, "\n", -1), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("double")
+    val safeLines = greatest(nLines, lit(1.0))
+    val bulletRatio = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("double") / safeLines
+    val ellipsisRatio = size(filter(lines, l =>
+      (length(l) >= 3 && substring(l, -3, 3) === "...") ||
+        substring(l, -1, 1) === "…")).cast("double") / safeLines
+    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / safeWords
+    val wordsLower = transform(words, lower(_))
+    val stopHits = size(filter(
+      array(GopherStopWords.map(lit): _*),
+      s => array_contains(wordsLower, s)))
+    val passWords = nWords >= minWords && nWords <= maxWords
+    val passMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val passSymbol = symbolRatio <= 0.1
+    val passBullet = bulletRatio <= 0.9
+    val passEllipsis = ellipsisRatio <= 0.3
+    val passAlpha = alphaRatio >= 0.8
+    val passStop = stopHits >= 2
+    df.select(col(idCol).as("id"),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletRatio, 6).as("bullet_line_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_line_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      passWords.as("pass_word_count"),
+      passMeanLen.as("pass_mean_word_len"),
+      passSymbol.as("pass_symbol_ratio"),
+      passBullet.as("pass_bullet_lines"),
+      passEllipsis.as("pass_ellipsis_lines"),
+      passAlpha.as("pass_alpha_words"),
+      passStop.as("pass_stop_words"),
+      (passWords && passMeanLen && passSymbol && passBullet &&
+        passEllipsis && passAlpha && passStop).as("gopher_pass"))
+  }
 }

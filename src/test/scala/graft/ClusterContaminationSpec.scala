@@ -231,4 +231,64 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got(2L) == (0L, false))
     assert(got(3L) == (0L, false)) // too short for any shingle
   }
+
+  test("semanticDedup: keep-first within cluster, cross-cluster pairs never compared") {
+    val centroids = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.01f, 0f, 0f)),   // cluster 0, kept
+      (2L, Seq(0.99f, 0.02f, 0f, 0f)),  // cluster 0, ~id 1 → dup_of 1
+      (3L, Seq(0.6f, 0.1f, 0.79f, 0f)), // cluster 0, below threshold
+      (4L, Seq(0.01f, 1.0f, 0f, 0f)),   // cluster 1, kept
+      (5L, Seq(0.7f, 0.72f, 0f, 0f)),   // cluster 1
+      (6L, Seq(0.72f, 0.7f, 0f, 0f)))   // cluster 0, cos(5,6)≈1 but the
+      .toDF("vec_id", "embedding")      //   pair spans clusters → kept
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, threshold = 0.95).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == ((0, false, -1L)))
+    assert(got(2L) == ((0, true, 1L)))
+    assert(got(3L) == ((0, false, -1L)))
+    assert(got(4L) == ((1, false, -1L)))
+    assert(got(5L) == ((1, false, -1L)), "near-dup of 6 lives in the other cluster")
+    assert(got(6L) == ((0, false, -1L)), "earlier near-dup 5 is cluster-bounded away")
+  }
+
+  test("gopherQuality: each rule fires on its shaped document") {
+    val fill = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fill the of"),                        // passes everything
+      (2L, "the of tiny"),                          // fails word count only
+      (3L, "• the data\n• of beta\n• and gamma"),   // all-bullet lines
+      (4L, s"$fill the of\nto be continued...\nand then some more…"),
+      (5L, s"$fill the of # # # # # # # # # # # #"), // symbol spam
+      (6L, "1 2 3 4 5 6 7 8 9 10 11 12 the of"),    // numeric words
+      (7L, s"$fill alpha beta"),                    // no 2 stop words
+      (8L, ""))                                     // empty: no NPE
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .gopherQuality(docs, "doc_id", "text").collect()
+      .map { r =>
+        r.getLong(0) -> Map(
+          "words" -> r.getAs[Boolean]("pass_word_count"),
+          "meanlen" -> r.getAs[Boolean]("pass_mean_word_len"),
+          "symbol" -> r.getAs[Boolean]("pass_symbol_ratio"),
+          "bullet" -> r.getAs[Boolean]("pass_bullet_lines"),
+          "ellipsis" -> r.getAs[Boolean]("pass_ellipsis_lines"),
+          "alpha" -> r.getAs[Boolean]("pass_alpha_words"),
+          "stop" -> r.getAs[Boolean]("pass_stop_words"),
+          "all" -> r.getAs[Boolean]("gopher_pass"))
+      }.toMap
+    assert(got(1L)("all"), s"doc 1 should pass: ${got(1L)}")
+    assert(!got(2L)("words") && got(2L)("stop") && !got(2L)("all"))
+    assert(!got(3L)("bullet"), "3/3 bullet lines > 0.9")
+    assert(!got(4L)("ellipsis") && got(4L)("words"),
+      "2/3 ellipsis lines > 0.3")
+    assert(!got(5L)("symbol") && got(5L)("alpha"))
+    assert(!got(6L)("alpha") && !got(6L)("meanlen"))
+    assert(!got(7L)("stop") && got(7L)("words") && !got(7L)("all"))
+    assert(!got(8L)("words") && got(8L)("bullet") && got(8L)("ellipsis"),
+      "empty doc: line rules pass at ratio 0, word count fails")
+  }
 }
