@@ -355,33 +355,47 @@ object TextAnalysis {
     * rules (ratio 0). */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
                     minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    // Three staged projections so each array (the word split, the line
+    // split) and each count is computed ONCE per row: a single flat
+    // select would inline the split ~20x across the flag expressions,
+    // and CollapseProject will not re-merge stages whose aliases are
+    // multiply referenced and non-cheap.
     val text = col(textCol)
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    val nWords = size(words).cast("double")
+    val staged = df.select(col(idCol).as("id"), text.as("_text"),
+      filter(split(text, "\\s+"), w => length(w) > 0).as("_words"),
+      filter(transform(split(text, "\n", -1), l => trim(l)),
+        l => length(l) > 0).as("_lines"))
+    val t = col("_text")
+    val words = col("_words")
+    val lines = col("_lines")
+    val counted = staged.select(col("id"),
+      size(words).cast("double").as("_nw"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double").as("_wlen"),
+      (length(t) - length(replace(t, lit("#"), lit("")))).cast("double")
+        .as("_nhash"),
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
+        (length(t) - length(replace(t, lit("…"), lit(""))))).cast("double")
+        .as("_nell"),
+      size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*")))
+        .cast("double").as("_nbullet"),
+      size(filter(lines, l =>
+        (length(l) >= 3 && substring(l, -3, 3) === "...") ||
+          substring(l, -1, 1) === "…")).cast("double").as("_nelines"),
+      size(lines).cast("double").as("_nlines"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+        .as("_nalpha"),
+      size(filter(array(GopherStopWords.map(lit): _*),
+        s => array_contains(transform(words, lower(_)), s))).as("_nstop"))
+    val nWords = col("_nw")
     val safeWords = greatest(nWords, lit(1.0))
-    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / safeWords
-    val nHash = (length(text) - length(replace(text, lit("#"), lit(""))))
-      .cast("double")
-    val nEllipsis =
-      ((length(text) - length(replace(text, lit("..."), lit("")))) / 3 +
-        (length(text) - length(replace(text, lit("…"), lit(""))))).cast("double")
-    val symbolRatio = (nHash + nEllipsis) / safeWords
-    val lines = filter(transform(split(text, "\n", -1), l => trim(l)),
-      l => length(l) > 0)
-    val nLines = size(lines).cast("double")
-    val safeLines = greatest(nLines, lit(1.0))
-    val bulletRatio = size(filter(lines,
-      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("double") / safeLines
-    val ellipsisRatio = size(filter(lines, l =>
-      (length(l) >= 3 && substring(l, -3, 3) === "...") ||
-        substring(l, -1, 1) === "…")).cast("double") / safeLines
-    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
-      .cast("double") / safeWords
-    val wordsLower = transform(words, lower(_))
-    val stopHits = size(filter(
-      array(GopherStopWords.map(lit): _*),
-      s => array_contains(wordsLower, s)))
+    val meanLen = col("_wlen") / safeWords
+    val symbolRatio = (col("_nhash") + col("_nell")) / safeWords
+    val safeLines = greatest(col("_nlines"), lit(1.0))
+    val bulletRatio = col("_nbullet") / safeLines
+    val ellipsisRatio = col("_nelines") / safeLines
+    val alphaRatio = col("_nalpha") / safeWords
+    val stopHits = col("_nstop")
     val passWords = nWords >= minWords && nWords <= maxWords
     val passMeanLen = meanLen >= 3.0 && meanLen <= 10.0
     val passSymbol = symbolRatio <= 0.1
@@ -389,7 +403,7 @@ object TextAnalysis {
     val passEllipsis = ellipsisRatio <= 0.3
     val passAlpha = alphaRatio >= 0.8
     val passStop = stopHits >= 2
-    df.select(col(idCol).as("id"),
+    counted.select(col("id"),
       nWords.cast("long").as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
       round(symbolRatio, 6).as("symbol_ratio"),

@@ -210,6 +210,35 @@ class PlanAuditSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("gopher_quality is map-only and splits each array once per row") {
+    val p = plan("gopher_quality")
+    // the final .orderBy is the dump's determinism sort; nothing before
+    // it may shuffle — drop the terminal sort's exchange from the count
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val sortExchanges = p.linesIterator
+      .count(l => l.contains("Exchange rangepartitioning"))
+    assert(exchanges == sortExchanges,
+      s"gopher rules must not shuffle (found a hash exchange):\n$p")
+    // the staged projections must survive optimization: a collapsed
+    // plan would re-inline the word split into every rule flag (~10x
+    // per-row recompute of the regex split)
+    val wordSplits = "split\\(_?text".r.findAllIn(p)
+      .count(_ => true)
+    assert(wordSplits <= 2,
+      s"word/line splits recomputed $wordSplits times (expected <=2):\n$p")
+  }
+
+  test("semanticDedup pairs meet on cluster_id equi-join, never cartesian") {
+    val p = graft.operators.Dedup.semanticDedup(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        Seq(Array.fill(64)(0.1), Array.fill(64)(-0.1)), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing degenerated to all-pairs:\n$p")
+    assert(p.contains("cluster_id"), p)
+  }
+
   test("chunks scan prunes partitions by collection_id") {
     val tmp = java.nio.file.Files.createTempDirectory("pp").toString
     import spark.implicits._
