@@ -983,6 +983,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C4 line/page cleaning filters (Raffel et al. 2020 §2.2).
+    //      %-rules stage the rule shapes the flat corpus lacks: a
+    //      clean 4-line page with one javascript line, a lorem-ipsum
+    //      page, a curly-brace code page, an all-short-lines page, a
+    //      one-sentence page (natural text + '.'), and a clean keeper;
+    //      every other doc keeps its natural text (one line, no
+    //      terminal punctuation → all lines dropped). ----
+    "c4_filters" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 1,
+            lit("First sentence one two three four.\n" +
+              "Second sentence five six seven eight!\n" +
+              "Third sentence with javascript enabled today?\n" +
+              "Fourth valid sentence is right here."))
+          .when(col("doc_id") % 7 === 2,
+            lit("Alpha beta gamma delta epsilon one.\n" +
+              "Zeta eta theta iota kappa two.\n" +
+              "Lorem ipsum dolor sit amet today."))
+          .when(col("doc_id") % 7 === 3,
+            lit("Good sentence number one right here.\n" +
+              "Good sentence number two right here.\n" +
+              "var f = function() { return 1; }"))
+          .when(col("doc_id") % 7 === 4,
+            lit("Tiny line.\nToo short."))
+          .when(col("doc_id") % 7 === 5, concat(col("text"), lit(".")))
+          .when(col("doc_id") % 7 === 6,
+            lit("One full sentence with five words.\n" +
+              "Another full sentence with five words!\n" +
+              "A third full sentence with six words?"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.c4Filters(staged, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept_lines").cast("long").as("n_kept_lines"),
+          col("n_sentences").cast("long").as("n_sentences"),
+          col("has_lorem_ipsum"), col("has_curly_brace"), col("c4_keep"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- token counting ----
     "token_count" -> ((s, dir) => {
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -3386,6 +3426,64 @@ object SparkEntry {
          |        0.3 * (1.0 - least(punct * 5.0, 1.0)), 6) AS quality_score
          |FROM sig ORDER BY doc_id""".stripMargin
     },
+
+    "c4_filters" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 7 = 1 THEN
+        |        'First sentence one two three four.' || chr(10) ||
+        |        'Second sentence five six seven eight!' || chr(10) ||
+        |        'Third sentence with javascript enabled today?' || chr(10) ||
+        |        'Fourth valid sentence is right here.'
+        |      WHEN doc_id % 7 = 2 THEN
+        |        'Alpha beta gamma delta epsilon one.' || chr(10) ||
+        |        'Zeta eta theta iota kappa two.' || chr(10) ||
+        |        'Lorem ipsum dolor sit amet today.'
+        |      WHEN doc_id % 7 = 3 THEN
+        |        'Good sentence number one right here.' || chr(10) ||
+        |        'Good sentence number two right here.' || chr(10) ||
+        |        'var f = function() { return 1; }'
+        |      WHEN doc_id % 7 = 4 THEN 'Tiny line.' || chr(10) || 'Too short.'
+        |      WHEN doc_id % 7 = 5 THEN text || '.'
+        |      WHEN doc_id % 7 = 6 THEN
+        |        'One full sentence with five words.' || chr(10) ||
+        |        'Another full sentence with five words!' || chr(10) ||
+        |        'A third full sentence with six words?'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS lines
+        |  FROM staged),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, x ->
+        |      (substr(x, length(x), 1) = '.' OR
+        |       substr(x, length(x), 1) = '!' OR
+        |       substr(x, length(x), 1) = '?' OR
+        |       substr(x, length(x), 1) = '"') AND
+        |      len(list_filter(string_split_regex(x, '\s+'),
+        |        w -> length(w) > 0)) >= 5 AND
+        |      NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l),
+        |j AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS ctext,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        |    contains(text, '{') AS has_curly_brace
+        |  FROM k)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  CAST(len(regexp_extract_all(ctext, '[.!?]')) AS BIGINT)
+        |    AS n_sentences,
+        |  has_lorem_ipsum, has_curly_brace,
+        |  (NOT has_lorem_ipsum AND NOT has_curly_brace AND
+        |   len(regexp_extract_all(ctext, '[.!?]')) >= 3) AS c4_keep,
+        |  ctext AS text
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "gopher_quality" ->
       """WITH staged AS (

@@ -332,6 +332,48 @@ object TextAnalysis {
     df.withColumn("split", split)
   }
 
+  /** C4 line- and page-level cleaning filters (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning…", §2.2 — the published
+    * rule set behind the C4 corpus). Line level: keep only trimmed
+    * nonempty lines that end in a terminal punctuation mark
+    * (.  !  ?  "), contain at least `minLineWords` words, and do not
+    * mention "javascript". Page level: drop documents containing
+    * "lorem ipsum" or a curly brace, or whose retained text has fewer
+    * than `minSentences` sentences (terminal-punctuation count). The
+    * paper's third-sentence-span dedup is the corpus-level pass —
+    * [[graft.operators.Dedup.dedupSpans]]; its bad-words list is a
+    * deployment-supplied resource, pluggable as an extra line
+    * predicate.
+    *
+    * Map-only column arithmetic (no shuffle, no UDF) — a scan-speed
+    * pass at 100 TB. Output keeps the cleaned text plus per-rule
+    * counters and flags. */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+                minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val staged = df.select(col(idCol).as("id"), col(textCol).as("_text"),
+      filter(transform(split(col(textCol), "\n", -1), l => trim(l)),
+        l => length(l) > 0).as("_lines"))
+    val kept = staged.select(col("id"), col("_text"), col("_lines"),
+      filter(col("_lines"), l =>
+        substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+          size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+          !lower(l).contains("javascript")).as("_kept"))
+    val joined = kept.select(col("id"),
+      size(col("_lines")).as("n_lines"),
+      size(col("_kept")).as("n_kept_lines"),
+      array_join(col("_kept"), "\n").as("text"),
+      lower(col("_text")).contains("lorem ipsum").as("has_lorem_ipsum"),
+      col("_text").contains("{").as("has_curly_brace"))
+    joined
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))))
+      .withColumn("c4_keep",
+        !col("has_lorem_ipsum") && !col("has_curly_brace") &&
+          col("n_sentences") >= minSentences)
+      .select("id", "n_lines", "n_kept_lines", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "c4_keep", "text")
+  }
+
   /** The eight required stop words of the Gopher quality rules. */
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -291,4 +291,29 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(!got(8L)("words") && got(8L)("bullet") && got(8L)("ellipsis"),
       "empty doc: line rules pass at ratio 0, word count fails")
   }
+
+  test("c4Filters: line rules drop, page rules reject, keeper survives") {
+    val docs = Seq(
+      (1L, "Alpha beta gamma delta one.\nKeep this full sentence two!\n" +
+        "Third complete sentence right here?"),              // keeper
+      (2L, "Good sentence number one right here.\n" +
+        "some javascript heavy line with words.\nshort no."), // line drops
+      (3L, "lorem ipsum dolor sit amet today.\nB good sentence here five."),
+      (4L, "Fine sentence one two three.\ncode { inside }"),  // curly page
+      (5L, "no terminal punctuation on this line at all"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .c4Filters(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getString(7))).toMap
+    // keeper: 3 lines kept, 3 sentences, clean page
+    assert(got(1L)._2 == 3 && got(1L)._3 == 3 && got(1L)._6, got(1L))
+    // javascript line and the 2-word line drop; 1 kept < 3 sentences
+    assert(got(2L)._2 == 1 && !got(2L)._6, got(2L))
+    assert(got(3L)._4 && !got(3L)._6, "lorem ipsum rejects the page")
+    assert(got(4L)._5 && !got(4L)._6, "curly brace rejects the page")
+    assert(got(5L)._2 == 0 && got(5L)._7 == "",
+      "unpunctuated line drops; cleaned text empty, not null")
+  }
 }
