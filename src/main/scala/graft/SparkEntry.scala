@@ -983,6 +983,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): target = the
+    //      doc_id%10==0 eval slice (the same split contamination uses),
+    //      raw = the rest; hashed unigram+bigram importance log-ratios
+    //      per raw doc, top-100 (on the ROUNDED weight, ties by id)
+    //      selected via TakeOrdered + broadcast semi-join — no global
+    //      window. ----
+    "dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      val raw = docs.filter(col("doc_id") % 10 =!= 0)
+      val w = TextAnalysis.dsirWeights(raw, "doc_id", "text",
+          target, "text", buckets = 64)
+        .withColumn("log_weight", round(col("log_weight"), 6))
+      val top = w.orderBy(col("log_weight").desc, col("id"))
+        .limit(100).select(col("id").as("_sel"))
+      w.join(broadcast(top), w("id") === top("_sel"), "left")
+        .withColumn("selected", col("_sel").isNotNull)
+        .select(col("id").as("doc_id"), col("n_features"),
+          col("log_weight"), col("selected"))
+        .orderBy("doc_id")
+    }),
+
     // ---- C4 line/page cleaning filters (Raffel et al. 2020 §2.2).
     //      %-rules stage the rule shapes the flat corpus lacks: a
     //      clean 4-line page with one javascript line, a lorem-ipsum
@@ -3425,6 +3447,53 @@ object SparkEntry {
          |  round(0.4 * least(nt / 100.0, 1.0) + 0.3 * alpha +
          |        0.3 * (1.0 - least(punct * 5.0, 1.0)), 6) AS quality_score
          |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "dsir_select" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toks AS t FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(list_concat(t,
+         |    CASE WHEN len(t) < 2 THEN []
+         |      ELSE list_transform(generate_series(1, len(t) - 1),
+         |        i -> concat_ws(' ', t[i], t[i+1])) END)) AS f
+         |  FROM toks),
+         |b AS (
+         |  SELECT doc_id, CAST(('0x' || substr(sha256('dsir:' || f), 1, 8))
+         |    ::UBIGINT % 64 AS BIGINT) AS bucket
+         |  FROM feats),
+         |tcnt AS (SELECT bucket, count(*) AS c FROM b
+         |  WHERE doc_id % 10 = 0 GROUP BY bucket),
+         |rcnt AS (SELECT bucket, count(*) AS c FROM b
+         |  WHERE doc_id % 10 <> 0 GROUP BY bucket),
+         |tots AS (SELECT
+         |  (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+         |  (SELECT coalesce(sum(c), 0) FROM rcnt) AS rt),
+         |bdim AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+         |ratio AS (
+         |  SELECT g.bucket,
+         |    ln((coalesce(t.c, 0) + 1.0) / (tots.tt + 64.0)) -
+         |    ln((coalesce(r.c, 0) + 1.0) / (tots.rt + 64.0)) AS lr
+         |  FROM bdim g CROSS JOIN tots
+         |  LEFT JOIN tcnt t ON t.bucket = g.bucket
+         |  LEFT JOIN rcnt r ON r.bucket = g.bucket),
+         |w AS (
+         |  SELECT b.doc_id, count(*) AS nf, sum(ratio.lr) AS lw
+         |  FROM b JOIN ratio ON ratio.bucket = b.bucket
+         |  WHERE b.doc_id % 10 <> 0 GROUP BY b.doc_id),
+         |allraw AS (
+         |  SELECT d.doc_id, coalesce(w.nf, 0) AS n_features,
+         |    coalesce(round(w.lw, 6), 0.0) AS log_weight
+         |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+         |  WHERE d.doc_id % 10 <> 0),
+         |ranked AS (
+         |  SELECT doc_id, n_features, log_weight,
+         |    row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rn
+         |  FROM allraw)
+         |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+         |  log_weight, rn <= 100 AS selected
+         |FROM ranked ORDER BY doc_id""".stripMargin
     },
 
     "c4_filters" ->

@@ -332,6 +332,71 @@ object TextAnalysis {
     df.withColumn("split", split)
   }
 
+  /** Hashed unigram+bigram feature occurrences (the DSIR feature map):
+    * one row per occurrence (bag semantics, NOT distinct), bucketed by
+    * the first 8 hex digits of sha256("dsir:" || feature) mod
+    * `buckets` — the same oracle-expressible hash family hashSplit
+    * uses. Output: (id, bucket). */
+  def dsirFeatureBuckets(df: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): DataFrame = {
+    val toks = col("_toks")
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => array_join(slice(toks, i + 1, lit(2)), " ")))
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sha2(
+          concat(lit("dsir:"), col("f")).cast("binary"), 256)), 0))
+    df.select(col(idCol).as("id"),
+        TextFunctions.tokensCol(col(textCol), removeStopwords = false)
+          .as("_toks"))
+      .select(col("id"), explode(concat(toks, bigrams)).as("f"))
+      .select(col("id"), pmod(h, lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * fit add-one-smoothed hashed-n-gram distributions over a TARGET
+    * corpus sample and the RAW corpus, then score every raw document
+    * with the importance log-ratio Σ_f [ln p_target(b(f)) −
+    * ln p_raw(b(f))] over its feature occurrences. High weight = looks
+    * like the target domain; resample the top slice for training.
+    *
+    * Scale shape: two map-side-combined bucket counts (`buckets` rows
+    * each), a `buckets`-row ratio dimension broadcast against the raw
+    * feature stream, one shuffle on doc id for the per-doc sum. No
+    * all-pairs, no global window — selection is a TakeOrdered top-k
+    * plus a broadcast semi-join (see the dsir_select query).
+    *
+    * Output: (id, n_features, log_weight), one row per raw document
+    * (feature-less docs carry 0 / 0.0). */
+  def dsirWeights(raw: DataFrame, rawId: String, rawText: String,
+                  target: DataFrame, targetText: String,
+                  buckets: Int = 64): DataFrame = {
+    val k = buckets.toDouble
+    val tCnt = dsirFeatureBuckets(target, rawId, targetText, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("_tc"))
+    val rawFeats = dsirFeatureBuckets(raw, rawId, rawText, buckets)
+    val rCnt = rawFeats.groupBy("bucket").agg(count(lit(1)).as("_rc"))
+    val dim = raw.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    val ratios = dim
+      .join(tCnt, Seq("bucket"), "left").na.fill(0L, Seq("_tc"))
+      .join(rCnt, Seq("bucket"), "left").na.fill(0L, Seq("_rc"))
+      .crossJoin(tCnt.agg(sum("_tc").as("_tt")).na.fill(0L, Seq("_tt")))
+      .crossJoin(rCnt.agg(sum("_rc").as("_rt")).na.fill(0L, Seq("_rt")))
+      .select(col("bucket"),
+        (log((col("_tc") + 1.0) / (col("_tt") + k)) -
+          log((col("_rc") + 1.0) / (col("_rt") + k))).as("_lr"))
+    val perDoc = rawFeats
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_features"), sum("_lr").as("log_weight"))
+    raw.select(col(rawId).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_features")).na.fill(0.0, Seq("log_weight"))
+  }
+
   /** C4 line- and page-level cleaning filters (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning…", §2.2 — the published
     * rule set behind the C4 corpus). Line level: keep only trimmed

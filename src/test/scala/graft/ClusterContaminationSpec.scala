@@ -316,4 +316,23 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got(5L)._2 == 0 && got(5L)._7 == "",
       "unpunctuated line drops; cleaned text empty, not null")
   }
+
+  test("dsirWeights ranks target-like raw docs above off-domain docs") {
+    val target = Seq((100L, "spark sql query engine"),
+      (101L, "spark query planner")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark sql query planner engine"), // target-like
+      (2L, "cooking pasta with tomato sauce"), // off-domain
+      (3L, "")) // feature-less
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .dsirWeights(raw, "doc_id", "text", target, "text", buckets = 32)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._2 > got(2L)._2,
+      s"target-domain doc must outweigh off-domain: $got")
+    assert(got(3L) == ((0L, 0.0)), "no features → zero weight, not null")
+    // 5 unigrams + 4 bigrams (bag semantics, not distinct)
+    assert(got(1L)._1 == 9)
+  }
 }
