@@ -335,4 +335,53 @@ class ClusterContaminationSpec extends SparkSpec {
     // 5 unigrams + 4 bigrams (bag semantics, not distinct)
     assert(got(1L)._1 == 9)
   }
+
+  test("c4Filters cleaned text is a line-level fixed point") {
+    val rnd = new scala.util.Random(5)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "spark", "query",
+      "table", "merge", "window", "filter")
+    val enders = Vector(".", "!", "?", "", "...", ";")
+    val docs = (0L until 40L).map { i =>
+      val lines = (0 to rnd.nextInt(5)).map { _ =>
+        (0 to 2 + rnd.nextInt(6)).map(_ => pool(rnd.nextInt(pool.size)))
+          .mkString(" ") + enders(rnd.nextInt(enders.size))
+      }
+      (i, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = graft.operators.TextAnalysis
+      .c4Filters(docs, "doc_id", "text").select("id", "text")
+    val twice = graft.operators.TextAnalysis
+      .c4Filters(once, "id", "text").collect()
+    // every line that survived pass 1 satisfies all line rules, so
+    // pass 2 must keep all of them
+    twice.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"doc ${r.getLong(0)}: pass 2 dropped lines (${r.getInt(1)} -> " +
+          s"${r.getInt(2)}) from already-cleaned text ${r.getString(7)}")
+    }
+  }
+
+  test("dsirWeights is partitioning-invariant (up to fp roundoff)") {
+    val rnd = new scala.util.Random(9)
+    val pool = Vector("spark", "sql", "query", "pasta", "sauce", "engine",
+      "tomato", "planner", "join", "cook")
+    val mk = (n: Int) => (0 until n).map(i => (i.toLong,
+      (0 until 12).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")))
+    val rawRows = mk(60)
+    val targetRows = mk(12)
+    def weights(parts: Int): Map[Long, Double] =
+      graft.operators.TextAnalysis.dsirWeights(
+          rawRows.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text",
+          targetRows.toDF("doc_id", "text").repartition(parts), "text",
+          buckets = 32)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w1 = weights(1)
+    val w7 = weights(7)
+    assert(w1.keySet == w7.keySet)
+    w1.foreach { case (id, w) =>
+      assert(math.abs(w - w7(id)) < 1e-9,
+        s"doc $id: weight drifts with partitioning: $w vs ${w7(id)}")
+    }
+  }
 }

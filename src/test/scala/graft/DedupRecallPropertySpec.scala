@@ -105,4 +105,51 @@ class DedupRecallPropertySpec extends SparkSpec {
       sh.unpersist()
     }
   }
+
+  test("semanticDedup is EXACT vs brute force on random vectors: " +
+    "within-cluster pairs all found, cross-cluster pairs all excluded") {
+    val dim = 8
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      // planted structure: half the vectors are jittered copies of an
+      // earlier vector so the threshold actually fires
+      val base = Array.fill(60)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val vecs = base.zipWithIndex.map { case (v, i) =>
+        if (i % 2 == 1) {
+          val src = base(i - 1)
+          (i.toLong, src.map(x => x + (rnd.nextGaussian() * 0.05).toFloat).toSeq)
+        } else (i.toLong, v.toSeq)
+      }.toSeq
+      val crnd = new scala.util.Random(seed + 7)
+      val centroids = (0 until 4).map(_ =>
+        Array.fill(dim)(crnd.nextGaussian()))
+      val threshold = 0.9
+      def dot(a: Seq[Float], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        d / (na * nb)
+      }
+      val assign = vecs.map { case (id, v) =>
+        id -> centroids.zipWithIndex.maxBy { case (c, i) => (dot(v, c), -i) }._2
+      }.toMap
+      val expected = vecs.map { case (id, v) =>
+        val earlier = vecs.filter { case (j, w) =>
+          j < id && assign(j) == assign(id) && cos(w, v) >= threshold
+        }
+        id -> earlier.map(_._1).sorted.headOption
+      }.toMap
+      val got = Dedup.semanticDedup(vecs.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", centroids, threshold).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(got == expected,
+        s"seed=$seed: verdicts diverge from brute force: " +
+          s"${got.toSeq.diff(expected.toSeq).take(5)}")
+      assert(expected.values.count(_.isDefined) >= 5,
+        s"seed=$seed: want planted dups to actually fire")
+    }
+  }
 }
