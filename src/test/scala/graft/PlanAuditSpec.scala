@@ -239,6 +239,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cluster_id"), p)
   }
 
+  test("dsir_select: broadcast ratio join, TakeOrdered selection, no window") {
+    val p = plan("dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row ratio/selection dims must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Window"),
+      s"selection must not use a corpus-wide window:\n$p")
+  }
+
   test("chunks scan prunes partitions by collection_id") {
     val tmp = java.nio.file.Files.createTempDirectory("pp").toString
     import spark.implicits._
