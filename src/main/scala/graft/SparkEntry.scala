@@ -253,6 +253,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "text", buckets = 64)
     })
 
+  /** Staged corpus for the quality classifier: the synthetic corpus
+    * has no natural quality signal, so the %10==0 "reference corpus"
+    * slice gets a distinctive suffix — the classifier must then
+    * recover the split from the hashed features alone. Shared by the
+    * query AND the oracle staging CTE. */
+  private val QcMarker = " encyclopedia reference citation"
+
+  private def qcStaged(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0, lit(QcMarker)).otherwise(lit("")))
+        .as("text"),
+      (col("doc_id") % 10 === 0).cast("double").as("y"))
+
+  private val qcModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, TextAnalysis.QualityClassifier]
+
+  private def qcModelFor(s: SparkSession, dir: String): TextAnalysis.QualityClassifier =
+    qcModelCache.getOrElseUpdate(dir,
+      // BALANCED fit sample (all positives vs the same-sized %10==1
+      // negative slice): with the full 9:1 imbalance, 3 GD steps at
+      // eta=1 drive every weight negative and the classifier
+      // degenerates to constant-false
+      TextAnalysis.qualityClassifierFit(
+        qcStaged(s, dir).filter(col("doc_id") % 10 <= 1), "doc_id",
+        "text", "y", buckets = 64, iters = 40, eta = 64.0))
+
   private val queryVecCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -1009,12 +1036,28 @@ object SparkEntry {
       val w = TextAnalysis.dsirScore(raw, "doc_id", "text",
           dsirModelFor(s, dir))
         .withColumn("log_weight", round(col("log_weight"), 6))
-      val top = w.orderBy(col("log_weight").desc, col("id"))
+      val top = w.orderBy(col("log_weight").desc, col("id").cast("long"))
         .limit(100).select(col("id").as("_sel"))
       w.join(broadcast(top), w("id") === top("_sel"), "left")
         .withColumn("selected", col("_sel").isNotNull)
-        .select(col("id").as("doc_id"), col("n_features"),
+        .select(col("id").cast("long").as("doc_id"), col("n_features"),
           col("log_weight"), col("selected"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- GPT-3/LLaMA-style quality classifier: hashed-n-gram
+    //      logistic regression fit by 3 full-batch GD steps on the
+    //      staged reference-vs-crawl split (GPT-3 paper App. A; the
+    //      fit is a standing artifact, memoized like the IVF
+    //      centroids; the oracle replays all 3 unrolled iterations
+    //      in SQL). ----
+    "quality_classifier" -> ((s, dir) => {
+      val staged = qcStaged(s, dir)
+      TextAnalysis.qualityClassifierScore(staged, "doc_id", "text",
+          qcModelFor(s, dir))
+        .select(col("id").cast("long").as("doc_id"),
+          round(col("prob"), 6).as("quality_prob"))
+        .withColumn("predicted", col("quality_prob") >= 0.5)
         .orderBy("doc_id")
     }),
 
@@ -3460,6 +3503,78 @@ object SparkEntry {
          |  round(0.4 * least(nt / 100.0, 1.0) + 0.3 * alpha +
          |        0.3 * (1.0 - least(punct * 5.0, 1.0)), 6) AS quality_score
          |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    // The quality-classifier oracle REPLAYS the whole fit: a
+    // RECURSIVE CTE carries (iter, w DOUBLE[64], b) and runs the same
+    // 40 full-batch GD steps op-for-op (s = list_inner_product of the
+    // dense per-doc tf vector with w, in ascending-bucket order exactly
+    // like the driver loop; w' = w − η·g/n; bias step scaled by
+    // 1/buckets), then scores the staged corpus with the final state.
+    // Chained per-iteration CTEs hit DuckDB's 128 binder-depth cap at
+    // ~15 iterations — recursion has no such limit. Base CTEs are
+    // MATERIALIZED so they don't re-scan the parquet per reference.
+    "quality_classifier" -> {
+      val toks = sqlToksKeepStop("text")
+      val B = 64
+      val xTerms = (0 until B).map(k =>
+        s"coalesce(sum(CASE WHEN pb.bucket = $k THEN pb.cnt END), 0.0)")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      val zeros = Seq.fill(B)("0.0").mkString("[", ", ", "]::DOUBLE[]")
+      val rExpr =
+        "(1.0 / (1.0 + exp(-(list_inner_product(d.x, g.w) + g.b))) - d.y)"
+      val wTerms = (0 until B).map(k =>
+        s"g.w[${k + 1}] - 64.0 * sum(d.x[${k + 1}] * $rExpr) / nn.n")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH RECURSIVE staged AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 10 = 0 THEN '$QcMarker'
+         |      ELSE '' END AS text,
+         |    CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, $toks AS t FROM staged),
+         |feats AS (
+         |  SELECT doc_id, unnest(list_concat(t,
+         |    CASE WHEN len(t) < 2 THEN []
+         |      ELSE list_transform(generate_series(1, len(t) - 1),
+         |        i -> concat_ws(' ', t[i], t[i+1])) END)) AS f
+         |  FROM toks),
+         |pbraw AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(sha256('dsir:' || f), 1, 8))
+         |      ::UBIGINT % 64 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS DOUBLE) AS c
+         |  FROM feats GROUP BY 1, 2),
+         |pb AS MATERIALIZED (
+         |  SELECT p.doc_id, p.bucket, p.c / m.m AS cnt
+         |  FROM pbraw p JOIN (SELECT doc_id, sum(c) AS m FROM pbraw
+         |    GROUP BY doc_id) m USING (doc_id)),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id, y FROM staged WHERE doc_id % 10 <= 1),
+         |xd AS MATERIALIZED (
+         |  SELECT lab.doc_id, lab.y, $xTerms AS x
+         |  FROM lab LEFT JOIN pb USING (doc_id)
+         |  GROUP BY lab.doc_id, lab.y),
+         |nn0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+         |gd AS (
+         |  SELECT 0 AS it, $zeros AS w, CAST(0.0 AS DOUBLE) AS b
+         |  UNION ALL
+         |  SELECT g.it + 1, $wTerms,
+         |    g.b - 64.0 / 64 * sum($rExpr) / nn.n
+         |  FROM gd g CROSS JOIN xd d CROSS JOIN nn0 nn
+         |  WHERE g.it < 40
+         |  GROUP BY g.it, g.w, g.b, nn.n),
+         |wfin AS (SELECT w, b FROM gd WHERE it = 40),
+         |score AS (
+         |  SELECT pb.doc_id, sum(pb.cnt * wf.w[pb.bucket + 1]) AS s
+         |  FROM pb CROSS JOIN wfin wf GROUP BY pb.doc_id),
+         |outp AS (
+         |  SELECT staged.doc_id,
+         |    round(1.0 / (1.0 + exp(-(coalesce(score.s, 0.0) +
+         |      (SELECT b FROM wfin)))), 6) AS quality_prob
+         |  FROM staged LEFT JOIN score USING (doc_id))
+         |SELECT doc_id, quality_prob, quality_prob >= 0.5 AS predicted
+         |FROM outp ORDER BY doc_id""".stripMargin
     },
 
     "dsir_select" -> {

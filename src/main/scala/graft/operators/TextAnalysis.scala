@@ -332,33 +332,148 @@ object TextAnalysis {
     df.withColumn("split", split)
   }
 
-  /** The DSIR feature array per document: unigrams ++ bigrams over the
-    * keep-stopwords tokenizer, bag semantics (NOT distinct). */
-  private def dsirFeaturesCol(text: Column): Column = {
-    val toks = TextFunctions.tokensCol(text, removeStopwords = false)
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => array_join(slice(toks, i + 1, lit(2)), " ")))
-    concat(toks, bigrams)
+  /** The DSIR feature list per document: unigrams ++ bigrams over the
+    * keep-stopwords tokenizer, bag semantics (NOT distinct). Doc-local
+    * imperative work, so it runs in plain Scala inside typed
+    * mapPartitions like the chunkers/repetition signals — the
+    * declarative twin (transform/slice/array_join over the token
+    * array) ran its lambdas interpreted and was measured ~10x slower
+    * than this path over the sf0.1 corpus. Tokenizer parity with the
+    * codegen'd Tokenize expression is pinned by ExpressionParitySpec. */
+  private[operators] def dsirFeaturesLocal(text: String): Seq[String] = {
+    val toks = TextFunctions.tokenize(text, removeStopwords = false)
+    if (toks.size < 2) toks
+    else toks ++ toks.iterator.sliding(2).withPartial(false)
+      .map(_.mkString(" "))
   }
 
-  /** Bucket of one feature value: first 8 hex digits of
-    * sha256("dsir:" || feature) mod `buckets` — the oracle-expressible
-    * hash family hashSplit uses (codegen'd, no radix-string parse). */
-  private def dsirBucketCol(f: Column, buckets: Int): Column =
-    pmod(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.HexSliceToLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sha2(
-          concat(lit("dsir:"), f).cast("binary"), 256)), 0)),
-      lit(buckets.toLong))
+  /** Bucket of one feature value: first 8 hex digits (= top 4 bytes,
+    * unsigned) of sha256("dsir:" || feature) mod `buckets` — the same
+    * oracle-expressible hash family hashSplit uses. */
+  private[operators] def dsirBucketLocal(
+      md: java.security.MessageDigest, f: String, buckets: Int): Int = {
+    md.reset()
+    val d = md.digest(("dsir:" + f)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % buckets).toInt
+  }
 
-  /** Hashed feature occurrences as rows: (id, bucket). Used by the fit
-    * pass; the score pass stays array-local (no explode). */
+  /** Hashed feature occurrences as rows: (id STRING, bucket). Used by
+    * the fit passes; scoring never explodes (see dsirScore). */
   def dsirFeatureBuckets(df: DataFrame, idCol: String, textCol: String,
-                         buckets: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(dsirFeaturesCol(col(textCol))).as("f"))
-      .select(col("id"), dsirBucketCol(col("f"), buckets).as("bucket"))
+                         buckets: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as(Encoders.product[Chunking.DocIn])
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap(d => dsirFeaturesLocal(d.text)
+          .map(f => (d.id, dsirBucketLocal(md, f, buckets).toLong)))
+      }(Encoders.product[(String, Long)])
+      .toDF("id", "bucket")
+  }
+
+  /** A fitted hashed-feature logistic-regression quality classifier
+    * (the GPT-3 Appendix A / LLaMA "looks like the reference corpus"
+    * filter, with hashed n-grams standing in for fasttext features). */
+  case class QualityClassifier(buckets: Int, weights: Array[Double],
+                               bias: Double)
+
+  /** Fit the quality classifier by full-batch gradient descent over a
+    * LABELED SAMPLE (positives = reference-corpus docs, negatives =
+    * crawl docs): per iteration, one aggregation computes the per-doc
+    * probabilities from the current driver-held weight literals and one
+    * computes the 64-dim gradient — k rows to the driver per step, the
+    * ivfFit/Lloyd pattern. Deterministic: no randomness, fixed
+    * iteration count, weights start at zero. The per-(doc, bucket)
+    * count relation is computed once and cached for the loop, then
+    * released — it is the fit SAMPLE, not the corpus. */
+  def qualityClassifierFit(labeled: DataFrame, idCol: String,
+                           textCol: String, labelCol: String,
+                           buckets: Int = 64, iters: Int = 40,
+                           eta: Double = 64.0): QualityClassifier = {
+    // LENGTH-NORMALIZED tf features (the fasttext mean-of-embeddings
+    // form): raw occurrence counts make every score ≈ doc_len × mean
+    // weight, so any length imbalance between the classes swamps the
+    // per-bucket signal and the sigmoid saturates.
+    //
+    // The LABELED SAMPLE is bounded by design (like the UMAP/t-SNE
+    // sample fits), so after ONE distributed aggregation the GD loop
+    // runs driver-side over the collected (doc, bucket, tf) relation —
+    // iterations are then free; per-iteration Spark jobs were the
+    // dominant cost of the distributed loop this replaces. Summation
+    // order is pinned (sorted by doc, bucket) so the fit is bit-stable
+    // across partitionings.
+    val rawPb = dsirFeatureBuckets(labeled, idCol, textCol, buckets)
+      .groupBy("id", "bucket").agg(count(lit(1)).cast("double").as("_c"))
+    val pb = rawPb
+      .join(rawPb.groupBy("id").agg(sum("_c").as("_m")), Seq("id"))
+      .select(col("id"), col("bucket"), (col("_c") / col("_m")).as("cnt"))
+    val feats: Map[String, Array[(Int, Double)]] = pb.collect()
+      .map(r => (r.get(0).toString, r.getLong(1).toInt, r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) =>
+        id -> rs.map(t => (t._2, t._3)).sortBy(_._1)
+      }
+    val docs = labeled
+      .select(col(idCol).cast("string").as("id"),
+        col(labelCol).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val n = docs.length.toDouble
+    val w = new Array[Double](buckets)
+    var b = 0.0
+    val empty = Array.empty[(Int, Double)]
+    for (_ <- 0 until iters) {
+      val g = new Array[Double](buckets)
+      var gb = 0.0
+      docs.foreach { case (id, y) =>
+        val fs = feats.getOrElse(id, empty)
+        var s = 0.0
+        fs.foreach { case (bk, tf) => s += tf * w(bk) }
+        val r = 1.0 / (1.0 + math.exp(-(s + b))) - y
+        fs.foreach { case (bk, tf) => g(bk) += tf * r }
+        gb += r
+      }
+      var i = 0
+      while (i < buckets) {
+        w(i) = w(i) - eta * g(i) / n
+        i += 1
+      }
+      // the bias "feature" is 1 per doc vs the tf features' ~1/buckets
+      // mass: a single eta stable for the weights overshoots the bias
+      // 64-fold and diverges it — scale the bias step down accordingly
+      b = b - eta / buckets * gb / n
+    }
+    QualityClassifier(buckets, w, b)
+  }
+
+  /** Score pass: same typed zero-shuffle map as [[dsirScore]], then
+    * the sigmoid over the mean feature weight (the fit's tf
+    * normalization). */
+  def qualityClassifierScore(df: DataFrame, idCol: String,
+                             textCol: String,
+                             model: QualityClassifier): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val w = model.weights
+    val bias = model.bias
+    val buckets = model.buckets
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as(Encoders.product[Chunking.DocIn])
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { d =>
+          val fs = dsirFeaturesLocal(d.text)
+          var s = 0.0
+          fs.foreach(f => s += w(dsirBucketLocal(md, f, buckets)))
+          val mean = if (fs.nonEmpty) s / fs.size else 0.0
+          (d.id, 1.0 / (1.0 + math.exp(-(mean + bias))))
+        }
+      }(Encoders.product[(String, Double)])
+      .toDF("id", "prob")
+  }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
@@ -371,13 +486,8 @@ object TextAnalysis {
     * Scale shape — fit then score, like any estimator. The fit pass is
     * two map-side-combined bucket counts collapsing to `buckets` rows,
     * collected to the driver as literals (k-row collect, the same
-    * bounded-fit idiom as the IVF centroids). The score pass explodes
-    * features inside whole-stage codegen, looks each bucket up in the
-    * LITERAL ratio array (no join, no broadcast), and partial-
-    * aggregates per doc before the single id shuffle. (A join-free
-    * array-fold via aggregate() was tried and measured ~3x SLOWER:
-    * lambda-bearing higher-order functions run interpreted, outside
-    * codegen.) Selection is a TakeOrdered top-k plus a broadcast
+    * bounded-fit idiom as the IVF centroids). The score pass is a
+    * zero-shuffle typed map (see [[dsirScore]]). Selection is a TakeOrdered top-k plus a broadcast
     * semi-join (see the dsir_select query).
     *
     * Output: (id, n_features, log_weight), one row per raw document
@@ -410,26 +520,31 @@ object TextAnalysis {
         math.log((rc(b) + 1.0) / (rt + k))))
   }
 
-  /** Score pass: explode features inside whole-stage codegen, look
-    * each bucket up in the LITERAL ratio array (no join, no
-    * broadcast), partial-aggregate per doc before the single id
-    * shuffle. (A join-free array-fold via aggregate() was tried and
-    * measured ~3x SLOWER: lambda-bearing higher-order functions run
-    * interpreted, outside codegen.) */
+  /** Score pass: ONE typed map, zero shuffles — each doc folds its
+    * own features against the driver-literal ratio table in plain
+    * Scala. Streams at scan speed over any corpus size, deterministic
+    * (feature-order summation). Two declarative alternatives were
+    * measured and rejected: an aggregate() array fold (~3x slower —
+    * higher-order lambdas run interpreted) and explode + literal
+    * lookup + re-agg (~8x slower — the bigram transform() dominates,
+    * also interpreted). */
   def dsirScore(raw: DataFrame, rawId: String, rawText: String,
                 model: DsirModel): DataFrame = {
-    val lrLit = typedLit(model.logRatios.toSeq)
-    raw.select(col(rawId).as("id"),
-        explode_outer(dsirFeaturesCol(col(rawText))).as("f"))
-      // the null row explode_outer emits for a feature-less doc must
-      // stay null: element_at with a runtime-null index over a foldable
-      // array mis-evaluates to an element (Spark 4.1 codegen) — guard
-      // explicitly, never feed element_at a nullable index
-      .select(col("id"), when(col("f").isNotNull, element_at(lrLit,
-        (dsirBucketCol(col("f"), model.buckets) + 1).cast("int"))).as("_lr"))
-      .groupBy("id")
-      .agg(count(col("_lr")).as("n_features"),
-        coalesce(sum(col("_lr")), lit(0.0)).as("log_weight"))
+    import org.apache.spark.sql.Encoders
+    val lr = model.logRatios
+    val buckets = model.buckets
+    raw.select(col(rawId).cast("string").as("id"), col(rawText).as("text"))
+      .as(Encoders.product[Chunking.DocIn])
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { d =>
+          val fs = dsirFeaturesLocal(d.text)
+          var s = 0.0
+          fs.foreach(f => s += lr(dsirBucketLocal(md, f, buckets)))
+          (d.id, fs.size.toLong, s)
+        }
+      }(Encoders.product[(String, Long, Double)])
+      .toDF("id", "n_features", "log_weight")
   }
 
   /** Fit + score in one call (see [[dsirFit]]/[[dsirScore]]; prefer

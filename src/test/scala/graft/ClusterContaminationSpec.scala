@@ -328,12 +328,37 @@ class ClusterContaminationSpec extends SparkSpec {
     val got = graft.operators.TextAnalysis
       .dsirWeights(raw, "doc_id", "text", target, "text", buckets = 32)
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getString(0).toLong -> (r.getLong(1), r.getDouble(2)))
+      .toMap
     assert(got(1L)._2 > got(2L)._2,
       s"target-domain doc must outweigh off-domain: $got")
     assert(got(3L) == ((0L, 0.0)), "no features → zero weight, not null")
     // 5 unigrams + 4 bigrams (bag semantics, not distinct)
     assert(got(1L)._1 == 9)
+  }
+
+  test("qualityClassifier separates a labeled toy corpus and generalizes") {
+    val pos = (0L until 10L).map(i =>
+      (i, s"spark sql query engine plan number$i", 1.0))
+    val neg = (10L until 20L).map(i =>
+      (i, s"pasta tomato sauce cooking recipe number$i", 0.0))
+    val labeled = (pos ++ neg).toDF("doc_id", "text", "y")
+    val model = graft.operators.TextAnalysis.qualityClassifierFit(
+      labeled, "doc_id", "text", "y", buckets = 32, iters = 40, eta = 32.0)
+    // UNSEEN docs sharing each class's vocabulary
+    val unseen = Seq((100L, "spark query plan"),
+      (101L, "tomato sauce recipe")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .qualityClassifierScore(unseen, "doc_id", "text", model)
+      .collect().map(r => r.getString(0).toLong -> r.getDouble(1)).toMap
+    assert(got(100L) > 0.6 && got(101L) < 0.4,
+      s"classifier failed to separate unseen docs: $got")
+    // the driver-side fit pins summation order: refit must be bit-equal
+    val model2 = graft.operators.TextAnalysis.qualityClassifierFit(
+      labeled.repartition(7), "doc_id", "text", "y",
+      buckets = 32, iters = 40, eta = 32.0)
+    assert(model.weights.sameElements(model2.weights) &&
+      model.bias == model2.bias, "fit must be partitioning-invariant")
   }
 
   test("c4Filters cleaned text is a line-level fixed point") {
@@ -375,7 +400,7 @@ class ClusterContaminationSpec extends SparkSpec {
           "doc_id", "text",
           targetRows.toDF("doc_id", "text").repartition(parts), "text",
           buckets = 32)
-        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        .collect().map(r => r.getString(0).toLong -> r.getDouble(2)).toMap
     val w1 = weights(1)
     val w7 = weights(7)
     assert(w1.keySet == w7.keySet)
