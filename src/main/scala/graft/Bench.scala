@@ -59,7 +59,8 @@ object Bench {
     // ~90 queries (r1-r4: the driver's parsed field was null every
     // round for exactly this reason) — so the calibration field goes
     // LAST (it survives the window) and a compact line follows.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}"""
+    println(full)
     // Compact final line, guaranteed inside the tail window: headline
     // queries only (>=0.1s — below that, scheduler jitter dominates
     // the signal), 2-decimal values, short sf. A tail-window parser
@@ -75,7 +76,6 @@ object Bench {
     // nothing ever has to recover it from a truncated stdout tail
     // (sbt's "[success]" banner trails the compact line, so even a
     // last-line parser can miss it).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}"""
     // anchor beside this class's source tree when launched from the
     // repo (sbt runs from the project root), overridable for other cwds
     val benchPath = java.nio.file.Paths.get(

@@ -1046,11 +1046,11 @@ object SparkEntry {
     }),
 
     // ---- GPT-3/LLaMA-style quality classifier: hashed-n-gram
-    //      logistic regression fit by 3 full-batch GD steps on the
+    //      logistic regression fit by 40 full-batch GD steps on the
     //      staged reference-vs-crawl split (GPT-3 paper App. A; the
     //      fit is a standing artifact, memoized like the IVF
-    //      centroids; the oracle replays all 3 unrolled iterations
-    //      in SQL). ----
+    //      centroids; the oracle replays ALL 40 training iterations
+    //      via a recursive CTE carrying the weight vector). ----
     "quality_classifier" -> ((s, dir) => {
       val staged = qcStaged(s, dir)
       TextAnalysis.qualityClassifierScore(staged, "doc_id", "text",

@@ -562,9 +562,13 @@ object Dedup {
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Array[Double]],
                     threshold: Double): DataFrame = {
+    // cache: three consumers (both pair sides + the final payload
+    // projection) would otherwise each re-run the k-dot-product argmax
+    // over the full vectors scan — the same multi-reference pinning
+    // the n-gram verify uses (shc above)
     val assigned = Knn.ivfAssign(
       vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", centroids)
+      "vec", centroids).cache()
     val l = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val r = assigned.select(col("cluster_id"), col("id").as("id_b"),

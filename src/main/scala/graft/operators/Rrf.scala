@@ -43,15 +43,22 @@ object Rrf {
     * `max` reconstructs the outer join's NULL-padding exactly). */
   def fuse(dense: DataFrame, sparse: DataFrame, idCol: String,
            scoreCol: String, k: Int, rrfK: Int = DefaultRrfK,
-           queryCol: Option[String] = None): DataFrame = {
+           queryCol: Option[String] = None,
+           preRanked: Boolean = false): DataFrame = {
     val keys = queryCol.toSeq :+ idCol
     val nullI = lit(null).cast("int")
     val nullD = lit(null).cast("double")
-    val d = ranked(dense, idCol, scoreCol, queryCol)
+    // preRanked: the caller already assigned leg ranks (needed when
+    // the retrieval ids differ from the fusion ids — J2 assigns ranks
+    // on the DERIVED list, then remaps; re-ranking here would tie-break
+    // by the remapped id instead of the retrieval order)
+    def leg(df: DataFrame) =
+      if (preRanked) df else ranked(df, idCol, scoreCol, queryCol)
+    val d = leg(dense)
       .select(keys.map(col) :+ col("rank").cast("int").as("_dense_rank") :+
         col(scoreCol).cast("double").as("_dense_score") :+
         nullI.as("_sparse_rank") :+ nullD.as("_sparse_score"): _*)
-    val s = ranked(sparse, idCol, scoreCol, queryCol)
+    val s = leg(sparse)
       .select(keys.map(col) :+ nullI.as("_dense_rank") :+
         nullD.as("_dense_score") :+ col("rank").cast("int").as("_sparse_rank") :+
         col(scoreCol).cast("double").as("_sparse_score"): _*)

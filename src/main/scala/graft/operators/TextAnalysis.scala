@@ -383,13 +383,13 @@ object TextAnalysis {
 
   /** Fit the quality classifier by full-batch gradient descent over a
     * LABELED SAMPLE (positives = reference-corpus docs, negatives =
-    * crawl docs): per iteration, one aggregation computes the per-doc
-    * probabilities from the current driver-held weight literals and one
-    * computes the 64-dim gradient — k rows to the driver per step, the
-    * ivfFit/Lloyd pattern. Deterministic: no randomness, fixed
-    * iteration count, weights start at zero. The per-(doc, bucket)
-    * count relation is computed once and cached for the loop, then
-    * released — it is the fit SAMPLE, not the corpus. */
+    * crawl docs): ONE distributed aggregation collects the per-(doc,
+    * bucket) counts — bounded because the sample is, like the UMAP/
+    * t-SNE fits — and the GD loop then runs driver-side where
+    * iterations are free. Deterministic: no randomness, fixed
+    * iteration count, weights start at zero, summation order pinned
+    * (sorted by doc, bucket), so the fit is bit-stable across
+    * partitionings. */
   def qualityClassifierFit(labeled: DataFrame, idCol: String,
                            textCol: String, labelCol: String,
                            buckets: Int = 64, iters: Int = 40,
@@ -397,26 +397,20 @@ object TextAnalysis {
     // LENGTH-NORMALIZED tf features (the fasttext mean-of-embeddings
     // form): raw occurrence counts make every score ≈ doc_len × mean
     // weight, so any length imbalance between the classes swamps the
-    // per-bucket signal and the sigmoid saturates.
-    //
-    // The LABELED SAMPLE is bounded by design (like the UMAP/t-SNE
-    // sample fits), so after ONE distributed aggregation the GD loop
-    // runs driver-side over the collected (doc, bucket, tf) relation —
-    // iterations are then free; per-iteration Spark jobs were the
-    // dominant cost of the distributed loop this replaces. Summation
-    // order is pinned (sorted by doc, bucket) so the fit is bit-stable
-    // across partitionings.
-    val rawPb = dsirFeatureBuckets(labeled, idCol, textCol, buckets)
-      .groupBy("id", "bucket").agg(count(lit(1)).cast("double").as("_c"))
-    val pb = rawPb
-      .join(rawPb.groupBy("id").agg(sum("_c").as("_m")), Seq("id"))
-      .select(col("id"), col("bucket"), (col("_c") / col("_m")).as("cnt"))
-    val feats: Map[String, Array[(Int, Double)]] = pb.collect()
-      .map(r => (r.get(0).toString, r.getLong(1).toInt, r.getDouble(2)))
-      .groupBy(_._1)
-      .map { case (id, rs) =>
-        id -> rs.map(t => (t._2, t._3)).sortBy(_._1)
-      }
+    // per-bucket signal and the sigmoid saturates. The normalization
+    // (c / Σc per doc) happens on the driver — a relational self-join
+    // for the per-doc totals would re-evaluate the tokenize+sha
+    // feature explode on both join sides.
+    val feats: Map[String, Array[(Int, Double)]] =
+      dsirFeatureBuckets(labeled, idCol, textCol, buckets)
+        .groupBy("id", "bucket").agg(count(lit(1)).cast("double").as("_c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1).toInt, r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (id, rs) =>
+          val m = rs.map(_._3).sum
+          id -> rs.map(t => (t._2, t._3 / m)).sortBy(_._1)
+        }
     val docs = labeled
       .select(col(idCol).cast("string").as("id"),
         col(labelCol).cast("double").as("y"))
@@ -506,7 +500,12 @@ object TextAnalysis {
     val k = buckets.toDouble
     def counts(df: DataFrame, textCol: String): Array[Long] = {
       val a = new Array[Long](buckets)
-      dsirFeatureBuckets(df, rawId, textCol, buckets)
+      // bucket counts need only the text column — featurize under a
+      // synthetic id so the target corpus is NOT required to carry the
+      // raw corpus's id column name
+      dsirFeatureBuckets(
+          df.select(lit("").as("_cid"), col(textCol).as("_ctext")),
+          "_cid", "_ctext", buckets)
         .groupBy("bucket").agg(count(lit(1)).as("c")).collect()
         .foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
       a
@@ -630,6 +629,10 @@ object TextAnalysis {
       filter(split(text, "\\s+"), w => length(w) > 0).as("_words"),
       filter(transform(split(text, "\n", -1), l => trim(l)),
         l => length(l) > 0).as("_lines"))
+      // lowered words staged separately: inlined into the stop-word
+      // membership lambda the lowercase pass would re-run once per
+      // stop word (8x per row)
+      .withColumn("_wlow", transform(col("_words"), lower(_)))
     val t = col("_text")
     val words = col("_words")
     val lines = col("_lines")
@@ -651,7 +654,7 @@ object TextAnalysis {
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
         .as("_nalpha"),
       size(filter(array(GopherStopWords.map(lit): _*),
-        s => array_contains(transform(words, lower(_)), s))).as("_nstop"))
+        s => array_contains(col("_wlow"), s))).as("_nstop"))
     val nWords = col("_nw")
     val safeWords = greatest(nWords, lit(1.0))
     val meanLen = col("_wlen") / safeWords

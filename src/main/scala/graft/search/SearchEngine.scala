@@ -195,21 +195,41 @@ object SearchEngine {
         else collapseBest(remapToOriginal(
             denseLeg(filtered, req, fetchK).select("chunk_id", "score"),
             filtered))
-          .join(payloadByOriginal(chunks), Seq("chunk_id"))
+          // payload rows must honor P2 like the hits do (the reference
+          // merges the user filter into the payload scroll,
+          // payloads.py:60-74) — joining the unfiltered table could
+          // resurrect an excluded derived sibling's metadata
+          .join(payloadByOriginal(filtered), Seq("chunk_id"))
       case "sparse" => sparseLeg(filtered, req, fetchK, idx)
       case "hybrid" =>
         // J2: on a derived-id table BOTH legs re-key to original ids
-        // before fusion, so dense and sparse hits actually meet
-        val d = remapToOriginal(
-          denseLeg(filtered, req, fetchK).select("chunk_id", "score"),
-          filtered)
-        val s = sparseHits(filtered, req, fetchK, idx)
-          .select("chunk_id", "score")
+        // before fusion, so dense and sparse hits actually meet. Leg
+        // ranks are assigned on the DERIVED retrieval lists FIRST
+        // (service.py:222-233 collects dense ranks pre-remap), then
+        // the remap carries them — re-ranking after the remap would
+        // tie-break equal scores by the original id instead of the
+        // retrieval order. Duplicate originals keep their best
+        // (lowest-rank) row, rank/score staying aligned since rank asc
+        // ↔ score desc within a leg.
+        val derived = chunks.columns.contains("original_chunk_id")
+        def prepared(leg: DataFrame): DataFrame =
+          if (!derived) leg
+          else remapToOriginal(
+              Rrf.ranked(leg, "chunk_id", "score"), filtered)
+            .groupBy("chunk_id")
+            .agg(min("rank").as("rank"), max("score").as("score"))
+        val d = prepared(
+          denseLeg(filtered, req, fetchK).select("chunk_id", "score"))
+        val s = prepared(Bm25.searchTopK(filtered, "chunk_id", "content",
+            req.query, fetchK, index = idx)
+          .withColumnRenamed("id", "chunk_id").select("chunk_id", "score"))
         // J1 fusion, then payload enrichment from the dense-first union
-        Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK)
+        Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK,
+            preRanked = derived)
           .select("chunk_id", "score", "_dense_rank", "_sparse_rank",
             "_dense_score", "_sparse_score")
-          .join(payloadByOriginal(chunks), Seq("chunk_id")) // J3 payload
+          // filtered for the same P2 reason as dense mode above
+          .join(payloadByOriginal(filtered), Seq("chunk_id")) // J3 payload
       case other =>
         throw new IllegalArgumentException(s"unknown search mode: $other")
     }

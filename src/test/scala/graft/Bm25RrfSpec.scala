@@ -91,4 +91,26 @@ class Bm25RrfSpec extends SparkSpec {
     assert(fused.map(_.getString(0)).toSeq ==
       Seq("d1", "s1", "d2", "s2", "d3"))
   }
+
+  test("fuse(preRanked) honors caller-assigned leg ranks (J2 contract)") {
+    // equal scores: the derived retrieval list ranked "10" first (its
+    // derived id sorted first), but re-ranking on the remapped ids
+    // would put "10" behind "2"... no — string "10" < "2", so
+    // re-ranking would PROMOTE "10"; the caller's ranking says "2"
+    // leads. preRanked must preserve the caller's order.
+    val dense = Seq(("2", 1.0, 1), ("10", 1.0, 2))
+      .toDF("chunk_id", "score", "rank")
+    val sparse = Seq.empty[(String, Double, Int)]
+      .toDF("chunk_id", "score", "rank")
+    val got = Rrf.fuse(dense, sparse, "chunk_id", "score", k = 10,
+        preRanked = true).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("_dense_rank")).toMap
+    assert(got == Map("2" -> 1, "10" -> 2),
+      s"preRanked fusion must not re-rank: $got")
+    // sanity: WITHOUT preRanked the same input re-ranks by id and flips
+    val re = Rrf.fuse(dense.drop("rank"), sparse.drop("rank"),
+        "chunk_id", "score", k = 10).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("_dense_rank")).toMap
+    assert(re == Map("10" -> 1, "2" -> 2))
+  }
 }
