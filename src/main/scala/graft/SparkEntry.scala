@@ -249,7 +249,7 @@ object SparkEntry {
     dsirModelCache.getOrElseUpdate(dir, {
       val docs = Tables.load(s, dir, "documents")
       TextAnalysis.dsirFit(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "text",
         docs.filter(col("doc_id") % 10 === 0), "text", buckets = 64)
     })
 
@@ -273,9 +273,9 @@ object SparkEntry {
   private def qcModelFor(s: SparkSession, dir: String): TextAnalysis.QualityClassifier =
     qcModelCache.getOrElseUpdate(dir,
       // BALANCED fit sample (all positives vs the same-sized %10==1
-      // negative slice): with the full 9:1 imbalance, 3 GD steps at
-      // eta=1 drive every weight negative and the classifier
-      // degenerates to constant-false
+      // negative slice): with the full 9:1 imbalance the gradient is
+      // dominated by the negative class, every weight goes negative,
+      // and the classifier degenerates to constant-false
       TextAnalysis.qualityClassifierFit(
         qcStaged(s, dir).filter(col("doc_id") % 10 <= 1), "doc_id",
         "text", "y", buckets = 64, iters = 40, eta = 64.0))

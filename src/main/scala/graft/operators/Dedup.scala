@@ -562,13 +562,16 @@ object Dedup {
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Array[Double]],
                     threshold: Double): DataFrame = {
-    // cache: three consumers (both pair sides + the final payload
-    // projection) would otherwise each re-run the k-dot-product argmax
-    // over the full vectors scan — the same multi-reference pinning
-    // the n-gram verify uses (shc above)
+    // localCheckpoint: three consumers (both pair sides + the final
+    // payload projection) would otherwise each re-run the
+    // k-dot-product argmax over the full vectors scan. Checkpoint, not
+    // cache(): a per-call cache is never unpersisted and would pin a
+    // corpus-sized relation for the session; checkpoint blocks are
+    // released by the ContextCleaner once the result is dropped (the
+    // same lifetime pattern connectedComponents uses).
     val assigned = Knn.ivfAssign(
       vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", centroids).cache()
+      "vec", centroids).localCheckpoint()
     val l = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val r = assigned.select(col("cluster_id"), col("id").as("id_b"),

@@ -32,7 +32,12 @@ object Rrf {
   }
 
   /** Fuse two ranked lists. Inputs need columns (idCol, scoreCol)
-    * [+ queryCol]; output: id [+ query], score (fused), _dense_rank,
+    * [+ queryCol] — plus a `rank` column when `preRanked` is set, in
+    * which case the caller ALSO owns the one-row-per-key and
+    * rank-asc-↔-score-desc alignment invariants the duplicate-id
+    * safety net below assumes (the J2 remap path satisfies both by
+    * collapsing to min(rank)/max(score) per original id before
+    * fusing). Output: id [+ query], score (fused), _dense_rank,
     * _sparse_rank, _dense_score, _sparse_score, top-k per query.
     *
     * The leg merge is union + one max-aggregation rather than a

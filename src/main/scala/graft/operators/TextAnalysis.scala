@@ -494,7 +494,7 @@ object TextAnalysis {
   /** Fit pass: two map-side-combined bucket counts collapsing to
     * `buckets` rows each, collected to the driver (k-row collect, the
     * same bounded-fit idiom as the IVF centroids). */
-  def dsirFit(raw: DataFrame, rawId: String, rawText: String,
+  def dsirFit(raw: DataFrame, rawText: String,
               target: DataFrame, targetText: String,
               buckets: Int = 64): DsirModel = {
     val k = buckets.toDouble
@@ -552,7 +552,7 @@ object TextAnalysis {
                   target: DataFrame, targetText: String,
                   buckets: Int = 64): DataFrame =
     dsirScore(raw, rawId, rawText,
-      dsirFit(raw, rawId, rawText, target, targetText, buckets))
+      dsirFit(raw, rawText, target, targetText, buckets))
 
   /** C4 line- and page-level cleaning filters (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning…", §2.2 — the published
@@ -629,10 +629,6 @@ object TextAnalysis {
       filter(split(text, "\\s+"), w => length(w) > 0).as("_words"),
       filter(transform(split(text, "\n", -1), l => trim(l)),
         l => length(l) > 0).as("_lines"))
-      // lowered words staged separately: inlined into the stop-word
-      // membership lambda the lowercase pass would re-run once per
-      // stop word (8x per row)
-      .withColumn("_wlow", transform(col("_words"), lower(_)))
     val t = col("_text")
     val words = col("_words")
     val lines = col("_lines")
@@ -653,8 +649,13 @@ object TextAnalysis {
       size(lines).cast("double").as("_nlines"),
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
         .as("_nalpha"),
-      size(filter(array(GopherStopWords.map(lit): _*),
-        s => array_contains(col("_wlow"), s))).as("_nstop"))
+      // array_intersect evaluates the lowered-words child ONCE; a
+      // membership lambda over the stop-word array would re-run the
+      // lowercase transform per stop word (8x/row), and a separately
+      // staged alias gets inlined right back by CollapseProject
+      // (single static reference). Distinct-hit semantics unchanged.
+      size(array_intersect(array(GopherStopWords.map(lit): _*),
+        transform(words, lower(_)))).as("_nstop"))
     val nWords = col("_nw")
     val safeWords = greatest(nWords, lit(1.0))
     val meanLen = col("_wlen") / safeWords

@@ -155,12 +155,19 @@ object SearchEngine {
     * (vecpipe/sparse.py), so repeated queries must not re-derive
     * corpus statistics; omitted, the index derives in-plan. */
   def sparseHits(chunks: DataFrame, req: SearchRequest, limit: Int,
-                 index: Option[Bm25.Index] = None): DataFrame = {
-    val hits = Bm25.searchTopK(chunks, "chunk_id", "content", req.query,
+                 index: Option[Bm25.Index] = None): DataFrame =
+    remapToOriginal(rawSparseHits(chunks, req, limit, index), chunks)
+
+  /** The sparse hits on their RETRIEVAL (possibly derived) ids — the
+    * single owner of the BM25-leg recipe (top-k over `content` with
+    * the ORIGINAL query string, id renamed to chunk_id); sparseHits
+    * and hybrid's leg both build on it so the contract cannot drift. */
+  private def rawSparseHits(chunks: DataFrame, req: SearchRequest,
+                            limit: Int,
+                            index: Option[Bm25.Index]): DataFrame =
+    Bm25.searchTopK(chunks, "chunk_id", "content", req.query,
         limit, index = index)
       .withColumnRenamed("id", "chunk_id")
-    remapToOriginal(hits, chunks)
-  }
 
   /** Collapse duplicate ids a J2 remap can produce (several derived
     * points mapping to one original chunk) to the best-scoring hit —
@@ -220,9 +227,8 @@ object SearchEngine {
             .agg(min("rank").as("rank"), max("score").as("score"))
         val d = prepared(
           denseLeg(filtered, req, fetchK).select("chunk_id", "score"))
-        val s = prepared(Bm25.searchTopK(filtered, "chunk_id", "content",
-            req.query, fetchK, index = idx)
-          .withColumnRenamed("id", "chunk_id").select("chunk_id", "score"))
+        val s = prepared(rawSparseHits(filtered, req, fetchK, idx)
+          .select("chunk_id", "score"))
         // J1 fusion, then payload enrichment from the dense-first union
         Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK,
             preRanked = derived)
