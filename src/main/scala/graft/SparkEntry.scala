@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{BenchmarkDatasets, Bm25, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, TextAnalysis}
+import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, TextAnalysis}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -57,6 +57,74 @@ object SparkEntry {
     * (doc_id, text) — e.g. a chunk CTE re-keyed by chunk_id). The
     * default instantiation (no prefix, full corpus) is the chain
     * every single-collection oracle composes. */
+  /** Chained merge-iteration CTEs replaying the WHOLE BPE training loop
+    * in DuckDB (one block per merge): `s{i}` is the word→symbol-position
+    * state after i merges, `b{i}` iteration i's argmax pair. The
+    * leftmost-greedy non-overlapping merge = within each island of
+    * consecutive matching positions, keep the even offsets (gaps-and-
+    * islands via pos − row_number). MATERIALIZED is load-bearing: each
+    * state CTE is referenced twice per iteration and DuckDB inlines
+    * plain CTEs — n=40 would otherwise build a 2^40-leaf plan. Returns
+    * the WITH-chain; callers append their final SELECT over `s{n}` /
+    * `b{i}`. */
+  private def bpeTrainCtes(n: Int): String = {
+    val head =
+      s"""WITH bw AS MATERIALIZED (
+         |  SELECT wd AS word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(text, '${Bpe.WordPattern}')) AS wd
+         |    FROM documents)
+         |  GROUP BY 1
+         |),
+         |s0 AS MATERIALIZED (
+         |  SELECT word, cnt, unnest(range(length(word)))::BIGINT AS pos,
+         |         unnest(string_split(word, '')) AS sym
+         |  FROM bw
+         |)""".stripMargin
+    val iters = (0 until n).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT l, r, sum(c)::BIGINT AS c FROM (
+         |    SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r,
+         |           cnt AS c
+         |    FROM s$i) WHERE r IS NOT NULL GROUP BY 1, 2
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |m$i AS (
+         |  SELECT s.word, s.cnt, s.pos, s.sym,
+         |         coalesce(s.sym = b.l AND
+         |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.r,
+         |           FALSE) AS mt
+         |  FROM s$i s CROSS JOIN b$i b
+         |),
+         |i$i AS (
+         |  SELECT *, CASE WHEN mt THEN
+         |    pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) END AS isl
+         |  FROM m$i
+         |),
+         |t$i AS (
+         |  SELECT *, mt AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0)
+         |    AS take
+         |  FROM i$i
+         |),
+         |n$i AS (
+         |  SELECT word, cnt, pos,
+         |         CASE WHEN take THEN
+         |           sym || lead(sym) OVER (PARTITION BY word ORDER BY pos)
+         |         ELSE sym END AS sym,
+         |         coalesce(lag(take) OVER (PARTITION BY word ORDER BY pos), FALSE)
+         |           AS absorbed
+         |  FROM t$i
+         |),
+         |s${i + 1} AS MATERIALIZED (
+         |  SELECT word, cnt, row_number() OVER (PARTITION BY word ORDER BY pos) - 1
+         |           AS pos, sym
+         |  FROM n$i WHERE NOT absorbed
+         |)""".stripMargin
+    }
+    head + iters.mkString
+  }
+
   private def bm25StatsCtes(p: String = "", where: String = "",
                             source: String = "documents"): String =
     s"""${p}docs AS (
@@ -252,6 +320,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0), "text",
         docs.filter(col("doc_id") % 10 === 0), "text", buckets = 64)
     })
+
+  /** Merge-table size for the corpus-trained BPE tokenizer (A8). */
+  private val BpeMergeCount = 40
+
+  private val bpeModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, Bpe.Trained]
+
+  /** The standing BPE fit for the dir's corpus: the merge table is a
+    * durable tokenizer artifact — train once per corpus, encode per
+    * query, exactly like the BM25 stats or IVF centroids above. The
+    * oracle retrains from scratch in SQL (chained merge-iteration CTEs),
+    * so unlike the float fits there is no shared-literal risk: both
+    * sides are integer/string-exact. */
+  private def bpeModelFor(s: SparkSession, dir: String): Bpe.Trained =
+    bpeModelCache.getOrElseUpdate(dir,
+      Bpe.train(Tables.load(s, dir, "documents"), BpeMergeCount,
+        partitions = 1))
 
   /** Staged corpus for the quality classifier: the synthetic corpus
     * has no natural quality signal, so the %10==0 "reference corpus"
@@ -1177,6 +1262,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus-trained BPE tokenizer (A8's exact path: the merge
+    //      table is LEARNED from the corpus — Sennrich 2016 — so no
+    //      external vocabulary file is needed; see Bpe.scala) ----
+    "bpe_train" -> ((s, dir) => {
+      lastDir = dir
+      s.createDataFrame(bpeModelFor(s, dir).merges)
+        .select(col("rank").as("merge_rank"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("pairCount").as("pair_count"))
+        .orderBy("merge_rank")
+    }),
+
+    "bpe_encode" -> ((s, dir) => {
+      Bpe.encode(t(s, dir, "documents"), bpeModelFor(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    "bpe_vocab" -> ((s, dir) => {
+      lastDir = dir
+      Bpe.tokenFrequencies(bpeModelFor(s, dir))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(50)
+    }),
+
     // ---- chunking UDTFs (offsets dumped, text omitted for size —
     //      invariants covered by ChunkingSpec) ----
     // Oracle status: ALL strategies are hash-checked — chunk_fixed
@@ -2081,6 +2189,50 @@ object SparkEntry {
           size(col("feature")).as("dim"),
           round(VectorFunctions.norm(col("feature")), 4).as("norm"))
         .orderBy("doc_id")
+    }),
+
+    // ---- REAL-codec multimodal round-trips (JdkCodec): deterministic
+    //      gray PNGs staged in-plan, pushed through a genuine ImageIO
+    //      encode → decode; the oracle recomputes every output from the
+    //      pixel-generator arithmetic, so a lossy or shifted codec path
+    //      hash-fails. Dims vary per doc to exercise non-square sizes.
+    "multimodal_real_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val staged = Multimodal.SyntheticImages.stage(
+        t(s, dir, "documents"), "doc_id",
+        w = id => 16 + (id % 17).toInt, h = id => 16 + ((id * 7) % 23).toInt)
+      Multimodal.decode(staged, Multimodal.JdkCodec)
+        .select(col("doc_id").cast("long").as("doc_id"), col("width"),
+          col("height"), col("channels"), col("codec"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- real nearest-neighbor resize: 8×8 downsample, re-encoded,
+    //      re-decoded, summed — out(x,y) = src(x·sw/8, y·sh/8) ----
+    "multimodal_real_resize" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val staged = Multimodal.SyntheticImages.stage(
+        t(s, dir, "documents"), "doc_id",
+        w = id => 16 + (id % 17).toInt, h = id => 16 + ((id * 7) % 23).toInt)
+      val resized = Multimodal.resize(staged, 8, 8, Multimodal.JdkCodec)
+      val sumUdf = udf((b: Array[Byte]) => Multimodal.SyntheticImages.graySum(b))
+      resized.select(col("doc_id").cast("long").as("doc_id"), col("width"),
+          col("height"), sumUdf(col("content")).as("gray_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- real luminance-pooled features: 32×32 gray → 4×4 grid of
+    //      8×8-cell means / 256 (power-of-two scale ⇒ Float-exact) ----
+    "multimodal_real_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val staged = Multimodal.SyntheticImages.stage(
+        t(s, dir, "documents"), "doc_id", w = _ => 32, h = _ => 32)
+      Multimodal.extractFeatures(staged, dim = 16, Multimodal.JdkCodec)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(col("feature")))
+        .select(col("doc_id"), col("pos").as("cell"),
+          round(col("col").cast("double"), 6).as("feat"))
+        .orderBy("doc_id", "cell")
     }),
 
     // ---- end-to-end curation pipeline: exact-dedup → drop eval split
@@ -3855,6 +4007,42 @@ object SparkEntry {
         |    1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "bpe_train" -> {
+      val rows = (0 until BpeMergeCount).map(i =>
+        s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
+          s"c AS pair_count FROM b$i").mkString(" UNION ALL ")
+      bpeTrainCtes(BpeMergeCount) +
+        s"\nSELECT * FROM ($rows) ORDER BY merge_rank"
+    },
+
+    "bpe_encode" -> {
+      bpeTrainCtes(BpeMergeCount) +
+        s""",
+           |bv AS (
+           |  SELECT word, count(*)::BIGINT AS n_syms
+           |  FROM s$BpeMergeCount GROUP BY 1),
+           |bdw AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text,
+           |    '${Bpe.WordPattern}')) AS word
+           |  FROM documents)
+           |SELECT d.doc_id,
+           |  coalesce(x.n_words, 0)::BIGINT AS n_words,
+           |  coalesce(x.bpe_tokens, 0)::BIGINT AS bpe_tokens
+           |FROM documents d LEFT JOIN (
+           |  SELECT bdw.doc_id, count(*)::BIGINT AS n_words,
+           |         sum(bv.n_syms)::BIGINT AS bpe_tokens
+           |  FROM bdw JOIN bv USING (word) GROUP BY 1) x USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+    },
+
+    "bpe_vocab" -> {
+      bpeTrainCtes(BpeMergeCount) +
+        s"""
+           |SELECT sym AS token, sum(cnt)::BIGINT AS freq
+           |FROM s$BpeMergeCount GROUP BY 1
+           |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin
+    },
+
     "knn_text" -> knnTextOracle,
 
     // FakeCodec image metadata is pure sha256 arithmetic: u(i) = the
@@ -3871,6 +4059,44 @@ object SparkEntry {
     "multimodal_features" ->
       """SELECT doc_id, 32 AS dim, 1.0 AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // REAL-codec round-trips: the oracle recomputes each output from
+    // the synthetic pixel generator gray(x,y,doc) = (31x+17y+13·doc)%256
+    // — the Spark side must reproduce it through an actual PNG
+    // encode + ImageIO decode, so any codec lossiness hash-fails.
+    "multimodal_real_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 23 AS INT) AS height,
+        |  1 AS channels, 'png' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // nearest-neighbor: out(x,y) = src(x·sw/8, y·sh/8), integer division
+    "multimodal_real_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 23 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    (x.x * d.w) // 8 AS sx, (y.y * d.h) // 8 AS sy
+        |  FROM dims d, generate_series(0, 7) x(x), generate_series(0, 7) y(y))
+        |SELECT doc_id, 8 AS width, 8 AS height,
+        |  sum((sx * 31 + sy * 17 + doc_id * 13) % 256)::BIGINT AS gray_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 4×4 grid of 8×8-cell luminance means / 256 over the 32×32 image
+    "multimodal_real_features" ->
+      """WITH cells AS (
+        |  SELECT d.doc_id, c.c AS cell,
+        |    (c.c % 4) * 8 AS x0, (c.c // 4) * 8 AS y0
+        |  FROM documents d, generate_series(0, 15) c(c)),
+        |px AS (
+        |  SELECT doc_id, cell,
+        |    ((x0 + dx.dx) * 31 + (y0 + dy.dy) * 17 + doc_id * 13) % 256 AS gray
+        |  FROM cells, generate_series(0, 7) dx(dx), generate_series(0, 7) dy(dy))
+        |SELECT doc_id, CAST(cell AS INT) AS cell,
+        |  round(sum(gray) / (64.0 * 256.0), 6) AS feat
+        |FROM px GROUP BY doc_id, cell ORDER BY doc_id, cell""".stripMargin,
 
     // resize keeps requested dims; content becomes
     // sha256(bytes || 'resize:WxH') (FakeCodec digest arithmetic)

@@ -85,6 +85,223 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for every format the bare JDK ships a decoder for:
+    * images via `javax.imageio` (PNG/JPEG/GIF/BMP/WBMP), audio via
+    * `javax.sound.sampled` (WAV/AIFF/AU). Video stays a typed failure —
+    * the JDK has no built-in video decoder — so callers route those
+    * rows to an external codec or the declared [[FakeCodec]] stub;
+    * "stubbed codec" now means ONLY the formats the JVM genuinely
+    * lacks. Everything here is deterministic: resize is explicit
+    * nearest-neighbor raster arithmetic (no AWT rendering hints),
+    * features are pure pixel/PCM arithmetic, and ImageIO's PNG writer
+    * emits no timestamp chunks. */
+  object JdkCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    import javax.sound.sampled.AudioSystem
+
+    private def sniff(b: Array[Byte]): String =
+      if (b.length >= 2 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte) "png"
+      else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+      else if (b.length >= 3 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte) "gif"
+      else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
+      else "bin"
+
+    private def readImage(bytes: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null,
+        s"JdkCodec: no ImageIO decoder for these bytes (sniffed ${sniff(bytes)})")
+      img
+    }
+
+    private def writePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    override def decode(mediaType: String, bytes: Array[Byte]): MediaMeta =
+      mediaType match {
+        case "image" =>
+          val img = readImage(bytes)
+          MediaMeta(img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, 0, 0, sniff(bytes))
+        case "audio" =>
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val durMs =
+              if (in.getFrameLength >= 0 && fmt.getFrameRate > 0)
+                (in.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+              else 0L
+            MediaMeta(0, 0, fmt.getChannels, fmt.getSampleRate.toInt, durMs,
+              "pcm")
+          } finally in.close()
+        case other => throw new IllegalArgumentException(
+          s"JdkCodec: no JVM built-in decoder for media_type=$other " +
+            "(video needs an external MediaCodec)")
+      }
+
+    /** Explicit nearest-neighbor resample: out(x,y) = src(x·sw/w, y·sh/h)
+      * with integer division — bit-reproducible across JVMs, unlike
+      * Graphics2D scaling under rendering hints. Gray sources stay
+      * single-band; everything else goes through packed RGB. */
+    override def resize(meta: MediaMeta, w: Int, h: Int,
+                        bytes: Array[Byte]): (MediaMeta, Array[Byte]) = {
+      val src = readImage(bytes)
+      val sw = src.getWidth
+      val sh = src.getHeight
+      val gray = src.getColorModel.getNumComponents == 1
+      val out = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sx = x * sw / w
+          val sy = y * sh / h
+          if (gray) out.getRaster.setSample(x, y, 0,
+            src.getRaster.getSample(sx, sy, 0))
+          else out.setRGB(x, y, src.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      (meta.copy(width = w, height = h,
+        channels = out.getColorModel.getNumComponents, codec = "png"),
+        writePng(out))
+    }
+
+    /** Image: luminance pooled over a ⌈√dim⌉×⌈√dim⌉ grid (row-major,
+      * first `dim` cells), scaled by 1/256 — a power of two, so every
+      * feature value k/(cell·256) is exact in Float AND in the oracle's
+      * double arithmetic. Audio: per-window RMS over the PCM stream. */
+    override def extractFeature(mediaType: String, bytes: Array[Byte],
+                                dim: Int): Array[Float] = mediaType match {
+      case "image" =>
+        val img = readImage(bytes)
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = img.getColorModel.getNumComponents == 1
+        val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val feats = new Array[Float](dim)
+        var c = 0
+        while (c < dim) {
+          val cx = c % g
+          val cy = c / g
+          val x0 = cx * w / g; val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+          val y0 = cy * h / g; val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val lum =
+                if (gray) img.getRaster.getSample(x, y, 0)
+                else {
+                  val rgb = img.getRGB(x, y)
+                  ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                }
+              sum += lum; n += 1
+              x += 1
+            }
+            y += 1
+          }
+          feats(c) = if (n == 0) 0f else (sum.toDouble / n / 256.0).toFloat
+          c += 1
+        }
+        feats
+      case "audio" =>
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val data = in.readAllBytes()
+          // 16-bit little-endian mono PCM assumed (the staged format);
+          // other layouts would read via fmt, omitted for brevity
+          val nSamples = data.length / 2
+          val feats = new Array[Float](dim)
+          if (nSamples == 0) return feats
+          val win = math.max(1, nSamples / dim)
+          var c = 0
+          while (c < dim) {
+            var sumSq = 0.0
+            var n = 0
+            var i = c * win
+            while (i < math.min((c + 1) * win, nSamples)) {
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+              sumSq += s.toDouble * s; n += 1
+              i += 1
+            }
+            feats(c) = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat / 32768f
+            c += 1
+          }
+          feats
+        } finally in.close()
+      case other => throw new IllegalArgumentException(
+        s"JdkCodec: no feature extractor for media_type=$other")
+    }
+  }
+
+  /** Deterministic synthetic images for the real-codec driver queries:
+    * gray(x, y, doc) = (31x + 17y + 13·doc) mod 256 — pure integer
+    * arithmetic a SQL oracle replays exactly, while the Spark side
+    * round-trips the pixels through a REAL PNG encode + [[JdkCodec]]
+    * decode (PNG is lossless, so the samples must survive bit-exact). */
+  object SyntheticImages {
+    def grayAt(docId: Long, x: Int, y: Int): Int =
+      ((x * 31L + y * 17L + docId * 13L) % 256L).toInt
+
+    def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, grayAt(docId, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Sum of gray samples — the readback checksum of a decoded PNG. */
+    def graySum(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "graySum: undecodable bytes")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += img.getRaster.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+
+    /** Stage one synthetic PNG per input row: (doc_id, media_type,
+      * content) with doc-dependent dimensions, ready for [[decode]] /
+      * [[resize]] / [[extractFeatures]] with [[JdkCodec]]. */
+    def stage(ids: DataFrame, idCol: String, w: Long => Int,
+              h: Long => Int): DataFrame = {
+      val ds = ids.select(col(idCol).cast("long").as("id"))
+        .as(Encoders.scalaLong)
+      ds.map { id =>
+        MediaRow(id.toString, "image", encodePng(id, w(id), h(id)))
+      }(Encoders.product[MediaRow]).toDF()
+    }
+  }
+
   /** Decode: binary → typed metadata columns. Batched per partition
     * (the JVM analog of a mapInPandas batch: one codec instance per
     * partition, rows streamed through it). */

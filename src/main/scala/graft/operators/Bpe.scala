@@ -1,0 +1,188 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained byte-pair-encoding tokenizer (Sennrich 2016; the
+  * GPT-2/cl100k family is the same algorithm over a fixed vocabulary).
+  *
+  * The reference counts tokens with tiktoken's pre-trained cl100k_base
+  * vocabulary (`shared/chunking/unified/base.py:21-24`); that 1.7 MB
+  * merge table cannot exist in this zero-egress build, so [[graft.operators.TextAnalysis.tokenCounts]]
+  * ships declared approximations. This operator closes the gap from the
+  * other direction: it TRAINS a BPE merge table from the corpus itself —
+  * no external data file — and tokenizes with it, giving an exact,
+  * reproducible, oracle-checkable subword tokenizer. Dropping in the
+  * cl100k merge table (one parquet of (rank, left, right)) would make
+  * [[encode]] count exactly like the reference; only [[train]] becomes
+  * unnecessary.
+  *
+  * Distributed shape (the standard large-corpus BPE recipe):
+  *  - training runs over the DISTINCT-WORD table weighted by frequency,
+  *    never the corpus: one `groupBy(word)` shuffle up front collapses a
+  *    100 TB corpus to a bounded vocabulary relation (tens of millions
+  *    of rows at web scale), and every merge iteration shuffles only
+  *    that relation's symbol pairs;
+  *  - each iteration is pair-count → argmax (a 1-row `TakeOrdered`
+  *    collect — bounded) → merge applied word-locally (narrow);
+  *  - the word relation is `localCheckpoint`'ed every iteration so the
+  *    per-iteration argmax scans one materialized table instead of
+  *    re-evaluating the whole merge chain (the [[Dedup.connectedComponents]]
+  *    lineage discipline), and the superseded checkpoint is unpersisted;
+  *  - encoding joins the corpus word stream against the trained
+  *    word→symbols relation — broadcastable while the vocabulary is
+  *    small, a plain shuffle join (Catalyst/AQE's call) beyond that.
+  *
+  * Words are `[A-Za-z]+|[0-9]+` runs (ASCII, matching the documented
+  * ASCII-corpus assumption of the chunker oracles); merges never cross
+  * word boundaries. Pair counts follow the classic learn-bpe counting:
+  * every adjacent position counts (overlapping pairs included), while
+  * merge application is leftmost-greedy non-overlapping. Ties in the
+  * argmax break deterministically: (count DESC, left ASC, right ASC).
+  */
+object Bpe {
+
+  /** ASCII word pattern — identical semantics in Java regex (Spark) and
+    * RE2 (the DuckDB oracle). */
+  val WordPattern = "[A-Za-z]+|[0-9]+"
+
+  final case class Merge(rank: Int, left: String, right: String,
+      pairCount: Long)
+
+  final case class Trained(merges: Seq[Merge], vocab: DataFrame)
+
+  private def words(docs: DataFrame, textCol: String): Column =
+    regexp_extract_all(col(textCol), lit(WordPattern), lit(0))
+
+  /** Distinct-word frequency relation: the one corpus-wide shuffle of
+    * the whole training loop. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(words(docs, textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Leftmost-greedy non-overlapping application of one merge. */
+  private[operators] def applyMergeLocal(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private final case class WordState(word: String, cnt: Long,
+      syms: Array[String])
+
+  /** Train `nMerges` merges. Returns the ordered merge table and the
+    * final word→symbols vocabulary relation (`word, cnt, syms`) — which
+    * IS the encoding of every distinct word, so [[encode]] needs no
+    * second merge pass.
+    *
+    * The loop body runs on the RDD layer deliberately (the spark.ml
+    * fitter pattern — DataFrames at the edges, `treeAggregate` inside):
+    * a Catalyst plan per merge iteration costs more in analysis/
+    * optimization time than the iteration's actual work on the bounded
+    * vocabulary relation, and the pair-count is a genuine per-partition
+    * imperative aggregation. Each iteration is ONE shuffle-free job
+    * (partial pair-count maps merged in a tree) plus one narrow
+    * checkpoint materialization; the driver holds only the merged
+    * distinct-pair counts, bounded by the vocabulary's adjacent-pair
+    * set, never corpus-sized. (A vocabulary too large for that map —
+    * past ~10^8 distinct pairs — would flip the argmax to a relational
+    * groupBy + TakeOrdered(1); the corpus never re-enters the loop
+    * either way.)
+    *
+    * `partitions` sizes the iterated relation: small for a bounded
+    * vocabulary (cuts per-iteration task overhead), larger on a real
+    * cluster where the distinct-word table is wide.
+    */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      partitions: Int = 8): Trained = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = wordCounts(docs, textCol).as[(String, Long)].rdd
+      .map { case (w, c) => WordState(w, c, w.map(_.toString).toArray) }
+      .coalesce(partitions)
+    cur.localCheckpoint()
+    // The previous generation's checkpoint blocks stay pinned until the
+    // CURRENT one is materialized (its truncated lineage needs them);
+    // each generation is freed one iteration late, after the aggregate
+    // that materialized its successor.
+    var toFree: Option[org.apache.spark.rdd.RDD[WordState]] = None
+    val merges = ArrayBuffer.empty[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      // classic counting: one count per adjacent position (overlaps
+      // included), weighted by the word's corpus frequency. This
+      // aggregate is ALSO the action that materializes cur's
+      // checkpoint — one job per iteration, not two.
+      val counts = cur.treeAggregate(
+          scala.collection.mutable.HashMap.empty[(String, String), Long])(
+        seqOp = { (acc, ws) =>
+          var i = 0
+          while (i < ws.syms.length - 1) {
+            val k = (ws.syms(i), ws.syms(i + 1))
+            acc.update(k, acc.getOrElse(k, 0L) + ws.cnt)
+            i += 1
+          }
+          acc
+        },
+        combOp = { (a, b) =>
+          b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+          a
+        })
+      toFree.foreach(_.unpersist(blocking = false))
+      toFree = None
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        merges += Merge(rank, l, r, c)
+        toFree = Some(cur)
+        cur = cur.map(ws =>
+          ws.copy(syms = applyMergeLocal(ws.syms.toSeq, l, r).toArray))
+        cur.localCheckpoint()
+        rank += 1
+      }
+    }
+    cur.count() // materialize the final generation, then free its parent
+    toFree.foreach(_.unpersist(blocking = false))
+    val vocab = cur.map(ws => (ws.word, ws.cnt, ws.syms.toSeq))
+      .toDF("word", "cnt", "syms")
+    Trained(merges.toSeq, vocab)
+  }
+
+  /** Per-document subword token counts under the trained vocabulary.
+    * Documents with no extractable words keep a row with zero counts —
+    * a tokenizer that silently drops documents corrupts a packing or
+    * budgeting pass downstream. */
+  def encode(docs: DataFrame, trained: Trained, idCol: String = "doc_id",
+      textCol: String = "text", broadcastVocab: Boolean = true): DataFrame = {
+    val vocabSlim = trained.vocab
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val vocab = if (broadcastVocab) broadcast(vocabSlim) else vocabSlim
+    val docWords = docs
+      .select(col(idCol).as("doc_id"), explode(words(docs, textCol)).as("word"))
+    val perDoc = docWords.join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("bpe_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** Corpus token frequencies under the trained vocabulary: the view a
+    * vocabulary-size / coverage decision reads. */
+  def tokenFrequencies(trained: Trained): DataFrame =
+    trained.vocab
+      .select(explode(col("syms")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("freq"))
+}

@@ -1,0 +1,107 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Bpe
+
+/** Corpus-trained BPE: golden merges, parity with an independent local
+  * reference implementation, and encode invariants. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent in-memory BPE (same published algorithm, written
+    * against the spec not the operator) for parity checks. */
+  private def localBpe(texts: Seq[String], nMerges: Int)
+      : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    val wordRe = Bpe.WordPattern.r
+    val counts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach(t => wordRe.findAllIn(t).foreach(w => counts(w) += 1))
+    var syms: Map[String, Seq[String]] =
+      counts.keys.map(w => w -> w.map(_.toString)).toMap
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+        pc((ss(i), ss(i + 1))) += counts(w)
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c <= 0) done = true
+        else {
+          merges += ((l, r, c))
+          syms = syms.map { case (w, ss) =>
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < ss.length) {
+              if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += ss(i); i += 1 }
+            }
+            w -> out.toSeq
+          }
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  test("golden: merges on a tiny corpus, overlap is leftmost-greedy") {
+    // "aaab" x3: pairs (a,a)x2 per word -> 6, (a,b) -> 3
+    val docs = Seq((1L, "aaab"), (2L, "aaab"), (3L, "aaab")).toDF("doc_id", "text")
+    val t = Bpe.train(docs, nMerges = 2, partitions = 2)
+    // after (a,a): [aa, a, b]; remaining pairs tie at 3 — (aa,a) vs
+    // (a,b) — and the (count DESC, left ASC, right ASC) rule picks
+    // ("a","b") because "a" < "aa"
+    assert(t.merges.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("a", "a", 6L), ("a", "b", 3L)))
+    val (lm, _) = localBpe(Seq("aaab", "aaab", "aaab"), 2)
+    assert(t.merges.map(m => (m.left, m.right, m.pairCount)) === lm)
+  }
+
+  test("parity with the independent local implementation on a mixed corpus") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs 42 42",
+      "the the the theme theater theory",
+      "aaa aaaa aaaaa abababab",
+      "mixed CASE Words and CASE words")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val n = 12
+    val t = Bpe.train(docs, nMerges = n, partitions = 2)
+    val (lm, lsyms) = localBpe(texts, n)
+    assert(t.merges.map(m => (m.left, m.right, m.pairCount)) === lm)
+    // final vocabulary states agree word-for-word
+    val got = t.vocab.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(got === lsyms)
+  }
+
+  test("train stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val t = Bpe.train(docs, nMerges = 5, partitions = 1)
+    assert(t.merges.isEmpty)
+    assert(t.vocab.count() === 3)
+  }
+
+  test("encode: counts sum per doc; wordless docs keep a zero row") {
+    val docs = Seq((1L, "the theme"), (2L, "...!!!"), (3L, "the"))
+      .toDF("doc_id", "text")
+    val t = Bpe.train(docs, nMerges = 3, partitions = 1)
+    val enc = Bpe.encode(docs, t).collect()
+      .map { case Row(d: Long, w: Long, b: Long) => d -> ((w, b)) }.toMap
+    assert(enc.keySet === Set(1L, 2L, 3L))
+    assert(enc(2L) === ((0L, 0L)))
+    val vocabSizes = t.vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap.view.mapValues(_.length)
+    assert(enc(1L)._2 === vocabSizes("the") + vocabSizes("theme"))
+    assert(enc(3L) === ((1L, vocabSizes("the").toLong)))
+    // token frequencies: sum of freq == total corpus symbol count
+    val totalFreq = Bpe.tokenFrequencies(t).agg(org.apache.spark.sql.functions.sum("freq"))
+      .as[Long].head()
+    assert(totalFreq === 2L * vocabSizes("the") + vocabSizes("theme"))
+  }
+}

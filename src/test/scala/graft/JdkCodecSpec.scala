@@ -1,0 +1,91 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{JdkCodec, SyntheticImages}
+
+/** Real JDK codec: genuine PNG/WAV round-trips, deterministic resize,
+  * pixel-exact features, typed failure for formats the JVM lacks. */
+class JdkCodecSpec extends SparkSpec {
+
+  private def wavBytes(rateHz: Int, seconds: Int, freqHz: Double): Array[Byte] = {
+    val n = rateHz * seconds
+    val data = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * freqHz * i / rateHz) * 16384).toInt.toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("image: PNG round-trip is pixel-exact and meta is real") {
+    val png = SyntheticImages.encodePng(7L, 20, 12)
+    val m = JdkCodec.decode("image", png)
+    assert((m.width, m.height, m.channels, m.codec) === ((20, 12, 1, "png")))
+    // lossless: every sample survives the encode+decode
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+    for (y <- 0 until 12; x <- 0 until 20)
+      assert(img.getRaster.getSample(x, y, 0) === SyntheticImages.grayAt(7L, x, y))
+  }
+
+  test("resize: nearest-neighbor arithmetic, bit-deterministic") {
+    val png = SyntheticImages.encodePng(3L, 16, 16)
+    val (m1, b1) = JdkCodec.resize(JdkCodec.decode("image", png), 4, 4, png)
+    val (_, b2) = JdkCodec.resize(JdkCodec.decode("image", png), 4, 4, png)
+    assert(m1.width === 4 && m1.height === 4)
+    assert(b1.toSeq === b2.toSeq)
+    val out = javax.imageio.ImageIO.read(new ByteArrayInputStream(b1))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(out.getRaster.getSample(x, y, 0) ===
+        SyntheticImages.grayAt(3L, x * 16 / 4, y * 16 / 4))
+  }
+
+  test("features: grid-pooled luminance matches direct pixel math") {
+    val png = SyntheticImages.encodePng(11L, 32, 32)
+    val f = JdkCodec.extractFeature("image", png, 16)
+    assert(f.length === 16)
+    for (c <- 0 until 16) {
+      val (cx, cy) = (c % 4, c / 4)
+      val vals = for (dy <- 0 until 8; dx <- 0 until 8)
+        yield SyntheticImages.grayAt(11L, cx * 8 + dx, cy * 8 + dy)
+      val expect = (vals.sum.toDouble / 64 / 256.0).toFloat
+      assert(f(c) === expect)
+    }
+  }
+
+  test("audio: WAV metadata and RMS features are real") {
+    val wav = wavBytes(8000, 1, 440.0)
+    val m = JdkCodec.decode("audio", wav)
+    assert((m.channels, m.sampleRateHz, m.durationMs) === ((1, 8000, 1000L)))
+    val f = JdkCodec.extractFeature("audio", wav, 8)
+    assert(f.length === 8)
+    // a full-scale/2 sine has RMS ~ 16384/sqrt(2)/32768 ~ 0.3536
+    f.foreach(v => assert(math.abs(v - 0.3536f) < 0.01f))
+  }
+
+  test("video: typed failure, not a silent fake") {
+    val e = intercept[IllegalArgumentException](
+      JdkCodec.decode("video", Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("video"))
+  }
+
+  test("operators run end-to-end with the real codec") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val staged = SyntheticImages.stage(ids, "doc_id", _ => 16, _ => 16)
+    val dec = Multimodal.decode(staged, JdkCodec).collect()
+    assert(dec.length === 3 && dec.forall(r =>
+      r.getAs[Int]("width") == 16 && r.getAs[String]("codec") == "png"))
+    val feats = Multimodal.extractFeatures(staged, dim = 16, JdkCodec).collect()
+    assert(feats.forall(_.getAs[Seq[Float]]("feature").length == 16))
+  }
+}
