@@ -1006,6 +1006,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- exact duplicated-substring spans (Lee et al. 2021 ExactSubstr
+    //      at 8-token window granularity; string window keys so the
+    //      oracle replays the same relation — the scale path swaps in
+    //      xxhash64 keys, asserted equivalent in DedupKnnSpec) ----
+    "substring_dedup" -> ((s, dir) => {
+      Dedup.duplicatedSubstrings(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, hashKey = false)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- benchmark decontamination: train docs sharing any 3-gram
     //      shingle with the (deterministic) eval split ----
     "contamination" -> ((s, dir) => {
@@ -3495,6 +3507,40 @@ object SparkEntry {
     // Span dedup: zip-unnest spans with positions, rank duplicates of
     // each normalized span by (doc_id, idx), keep rank 1 (whitespace
     // spans always kept), reassemble in span order.
+    "substring_dedup" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tl FROM documents),
+         |wl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tl) < 8 THEN []
+         |    ELSE list_transform(generate_series(0, len(tl) - 8),
+         |      i -> array_to_string(tl[i+1:i+8], ' ')) END AS wins
+         |  FROM tk),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(len(wins)))::BIGINT AS ti,
+         |         unnest(wins) AS win
+         |  FROM wl),
+         |dups AS (SELECT win FROM wins GROUP BY win HAVING count(*) > 1),
+         |marked AS (
+         |  SELECT w.doc_id, w.ti, w.ti + 7 AS te
+         |  FROM wins w JOIN dups USING (win)),
+         |isl AS (
+         |  SELECT doc_id, ti, te,
+         |    CASE WHEN max(te) OVER pw IS NULL OR ti > max(te) OVER pw + 1
+         |    THEN 1 ELSE 0 END AS nw
+         |  FROM marked
+         |  WINDOW pw AS (PARTITION BY doc_id ORDER BY ti
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl2 AS (
+         |  SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY ti) AS island
+         |  FROM isl)
+         |SELECT doc_id, min(ti)::BIGINT AS span_start,
+         |  max(te)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
+
     "span_dedup" ->
       """WITH staged AS (
         |  SELECT doc_id,

@@ -141,6 +141,60 @@ object Dedup {
         sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Exact duplicated-substring detection at token-window granularity —
+    * the distributed shape of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better", the suffix-array ExactSubstr
+    * method): a span is reported wherever a k-token window recurs
+    * ANYWHERE in the corpus (other docs or the same doc), and adjacent/
+    * overlapping duplicated windows merge into maximal spans — which is
+    * exactly the set of ≥k-token repeated substrings, discretized to
+    * window starts. Complements [[dedupSpans]] (line-granularity
+    * boilerplate) with arbitrary-position repeats.
+    *
+    * Shape: window generation is a narrow per-doc array transform (no
+    * self-join, no suffix array materialization); the corpus-wide
+    * duplicate test is ONE groupBy on the window key; the island merge
+    * is a per-doc window function. With `hashKey` (the scale default)
+    * the shuffle key is xxhash64(window) — 8 bytes instead of the
+    * k-token string; collisions only ever ADD a candidate window
+    * (they cannot drop a true duplicate). The oracle-checked variant
+    * keeps the string key: identical semantics modulo those
+    * vanishingly-rare extra candidates, asserted equal in DedupKnnSpec. */
+  def duplicatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, hashKey: Boolean = true): DataFrame = {
+    val toksArr = col("_toks")
+    val winStruct = when(size(toksArr) < k,
+        array().cast("array<struct<ti:int,win:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toksArr) - k),
+        i => struct(i.as("ti"),
+          array_join(slice(toksArr, i + 1, lit(k)), " ").as("win"))))
+    // cache: two consumers (the duplicate groupBy and the semi-join
+    // probe side) would otherwise re-run the corpus-wide tokenize +
+    // window build — the same re-evaluation class the minhash verify
+    // path fixed in r5
+    val wins = df.select(col(idCol).as("id"),
+        TextFunctions.tokensCol(col(textCol), removeStopwords = false)
+          .as("_toks"))
+      .select(col("id"), explode(winStruct).as("w"))
+      .select(col("id"), col("w.ti").as("ti"),
+        (if (hashKey) xxhash64(col("w.win")) else col("w.win")).as("wkey"))
+      .cache()
+    val dup = wins.groupBy("wkey").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val marked = wins.join(dup.select("wkey"), Seq("wkey"), "left_semi")
+    val byDoc = Window.partitionBy("id").orderBy("ti")
+    val prevMaxEnd = max(col("te"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked.withColumn("te", col("ti") + lit(k - 1))
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col("ti") > prevMaxEnd + 1, 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_island"))
+      .agg(min("ti").as("span_start"), max("te").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_island")
+  }
+
   /** Seeded hash families for MinHash/SimHash.
     * - xxhash64: the scale default (cheapest; codegen'd)
     * - sha-32-bit: slower but expressible in the DuckDB oracle

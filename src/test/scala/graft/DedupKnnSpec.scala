@@ -102,6 +102,33 @@ class DedupKnnSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L, 1), (1L, 12L, 2)))
   }
 
+  test("duplicated substrings: maximal spans, hashKey path equivalent") {
+    // doc 10 and 11 share a 10-token run (tokens 2..11 of each); doc 12
+    // repeats its own 8-token run; doc 13 is clean filler
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (10L, s"aa bb $run yy zz"),
+      (11L, s"cc dd $run ww vv"),
+      (12L, s"one two three four five six seven eight pad one two three four five six seven eight"),
+      (13L, "nothing here repeats at all believe me truly unique words only"))
+      .toDF("doc_id", "text")
+    def spans(hk: Boolean) =
+      Dedup.duplicatedSubstrings(d, "doc_id", "text", k = 8, hashKey = hk)
+        .select("id", "span_start", "span_end", "n_windows")
+        .as[(Long, Int, Int, Long)].collect().toSet
+    val s = spans(hk = false)
+    // the shared 10-token run = 3 overlapping 8-windows starting at
+    // token 2 -> one maximal span [2, 11] in both docs
+    assert(s.contains((10L, 2, 11, 3L)))
+    assert(s.contains((11L, 2, 11, 3L)))
+    // the self-repeat: duplicated windows at 0 and 9 cover [0,7] and
+    // [9,16]; the one-token gap (9 > 7+1) keeps them separate spans
+    assert(s.contains((12L, 0, 7, 1L)))
+    assert(s.contains((12L, 9, 16, 1L)))
+    assert(!s.exists(_._1 == 13L))
+    assert(spans(hk = true) === s)
+  }
+
   test("column tokenizer agrees with the pure-Scala tokenizer") {
     val texts = Seq("Hello big-world X a_b 1 THE data",
       "Spark 4.1 runs FAST; really-fast code_paths!", "", "a -- b")
