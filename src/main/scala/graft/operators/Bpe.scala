@@ -167,16 +167,16 @@ object Bpe {
     val vocabSlim = trained.vocab
       .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
     val vocab = if (broadcastVocab) broadcast(vocabSlim) else vocabSlim
-    val docWords = docs
-      .select(col(idCol).as("doc_id"), explode(words(docs, textCol)).as("word"))
-    val perDoc = docWords.join(vocab, Seq("word"))
+    // explode_outer keeps a null-word row for wordless documents, so no
+    // second docs-sized join is needed to preserve them — one broadcast
+    // probe + one aggregate shuffle is the whole plan
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(words(docs, textCol)).as("word"))
+      .join(vocab, Seq("word"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("bpe_tokens"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum("n_syms"), lit(0L)).as("bpe_tokens"))
   }
 
   /** Corpus token frequencies under the trained vocabulary: the view a

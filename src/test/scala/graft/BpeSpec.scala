@@ -80,6 +80,16 @@ class BpeSpec extends SparkSpec {
     assert(got === lsyms)
   }
 
+  test("off-config parity on the real sf0.001 corpus (n=60, not the " +
+      "driver's 40) — the oracle equivalence is not pinned to one config") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val texts = docs.select("text").as[String].collect().toSeq
+    val n = 60
+    val t = Bpe.train(docs, nMerges = n, partitions = 2)
+    val (lm, _) = localBpe(texts, n)
+    assert(t.merges.map(m => (m.left, m.right, m.pairCount)) === lm)
+  }
+
   test("train stops early when no pairs remain") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val t = Bpe.train(docs, nMerges = 5, partitions = 1)

@@ -210,6 +210,28 @@ class PlanAuditSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("substring_dedup: probe side reads the cached window relation " +
+      "and the duplicate semi-filter broadcasts") {
+    val out = SparkEntry.queries("substring_dedup")(spark, dir)
+    out.collect() // let AQE finalize
+    val p = out.queryExecution.executedPlan.toString
+    // the wins relation must come from the cache (one corpus tokenize),
+    // and the duplicated-window filter must broadcast the small dup set
+    // rather than exchange the corpus-sized window relation
+    assert(p.contains("InMemoryTableScan"),
+      s"window relation not cached (double tokenize):\n$p")
+    val semiLines = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, p)
+    semiLines.foreach(l => assert(l.contains("BroadcastHashJoin"),
+      s"duplicate semi-filter shuffles the window relation: $l"))
+  }
+
+  test("bpe_encode: vocabulary joins as broadcast, not shuffle") {
+    val p = plan("bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
   test("gopher_quality is map-only and splits each array once per row") {
     val p = plan("gopher_quality")
     // the final .orderBy is the dump's determinism sort; nothing before
