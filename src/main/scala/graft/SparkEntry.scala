@@ -64,9 +64,12 @@ object SparkEntry {
     * consecutive matching positions, keep the even offsets (gaps-and-
     * islands via pos − row_number). MATERIALIZED is load-bearing: each
     * state CTE is referenced twice per iteration and DuckDB inlines
-    * plain CTEs — n=40 would otherwise build a 2^40-leaf plan. Returns
-    * the WITH-chain; callers append their final SELECT over `s{n}` /
-    * `b{i}`. */
+    * plain CTEs — n=40 would otherwise build a 2^40-leaf plan. The
+    * argmax joins in as LEFT JOIN ON TRUE so pair exhaustion before n
+    * merges passes the state through unchanged (matching Bpe.train's
+    * `exhausted` early-stop) instead of annihilating every later CTE.
+    * Returns the WITH-chain; callers append their final SELECT over
+    * `s{n}` / `b{i}`. */
   private def bpeTrainCtes(n: Int): String = {
     val head =
       s"""WITH bw AS MATERIALIZED (
@@ -95,7 +98,7 @@ object SparkEntry {
          |         coalesce(s.sym = b.l AND
          |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.r,
          |           FALSE) AS mt
-         |  FROM s$i s CROSS JOIN b$i b
+         |  FROM s$i s LEFT JOIN b$i b ON TRUE
          |),
          |i$i AS (
          |  SELECT *, CASE WHEN mt THEN

@@ -44,8 +44,10 @@ object Multimodal {
     * deterministic for reproducible pipelines. */
   trait MediaCodec extends Serializable {
     def decode(mediaType: String, bytes: Array[Byte]): MediaMeta
-    def resize(meta: MediaMeta, w: Int, h: Int,
-               bytes: Array[Byte]): (MediaMeta, Array[Byte])
+    /** Derives the source metadata itself — one decode per row, not a
+      * decode-for-meta plus a decode-for-pixels. */
+    def resize(mediaType: String, bytes: Array[Byte], w: Int,
+               h: Int): (MediaMeta, Array[Byte])
     def extractFeature(mediaType: String, bytes: Array[Byte],
                        dim: Int): Array[Float]
   }
@@ -73,9 +75,9 @@ object Multimodal {
       }
     }
 
-    override def resize(meta: MediaMeta, w: Int, hgt: Int,
-                        bytes: Array[Byte]): (MediaMeta, Array[Byte]) =
-      (meta.copy(width = w, height = hgt),
+    override def resize(mediaType: String, bytes: Array[Byte], w: Int,
+                        hgt: Int): (MediaMeta, Array[Byte]) =
+      (decode(mediaType, bytes).copy(width = w, height = hgt),
         h(bytes ++ s"resize:${w}x$hgt".getBytes("UTF-8")))
 
     override def extractFeature(mediaType: String, bytes: Array[Byte],
@@ -109,8 +111,14 @@ object Multimodal {
       else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
       else "bin"
 
+    // explicit memory-cache streams: ImageIO's default useCache=true
+    // would create+delete a temp FILE per read/write — per-row disk
+    // I/O inside Spark tasks for a pure in-memory byte round-trip
     private def readImage(bytes: Array[Byte]): BufferedImage = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself
+      val img = ImageIO.read(iis)
       require(img != null,
         s"JdkCodec: no ImageIO decoder for these bytes (sniffed ${sniff(bytes)})")
       img
@@ -118,7 +126,8 @@ object Multimodal {
 
     private def writePng(img: BufferedImage): Array[Byte] = {
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { ImageIO.write(img, "png", ios); ios.flush() } finally ios.close()
       out.toByteArray
     }
 
@@ -148,8 +157,10 @@ object Multimodal {
       * with integer division — bit-reproducible across JVMs, unlike
       * Graphics2D scaling under rendering hints. Gray sources stay
       * single-band; everything else goes through packed RGB. */
-    override def resize(meta: MediaMeta, w: Int, h: Int,
-                        bytes: Array[Byte]): (MediaMeta, Array[Byte]) = {
+    override def resize(mediaType: String, bytes: Array[Byte], w: Int,
+                        h: Int): (MediaMeta, Array[Byte]) = {
+      require(mediaType == "image",
+        s"JdkCodec: resize supports images only, got $mediaType")
       val src = readImage(bytes)
       val sw = src.getWidth
       val sh = src.getHeight
@@ -169,8 +180,7 @@ object Multimodal {
         }
         y += 1
       }
-      (meta.copy(width = w, height = h,
-        channels = out.getColorModel.getNumComponents, codec = "png"),
+      (MediaMeta(w, h, out.getColorModel.getNumComponents, 0, 0, "png"),
         writePng(out))
     }
 
@@ -218,24 +228,45 @@ object Multimodal {
       case "audio" =>
         val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
         try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
+            s"JdkCodec: unsupported PCM sample size ${fmt.getSampleSizeInBits}")
           val data = in.readAllBytes()
-          // 16-bit little-endian mono PCM assumed (the staged format);
-          // other layouts would read via fmt, omitted for brevity
-          val nSamples = data.length / 2
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val ch = fmt.getChannels
+          val frameBytes = bytesPerSample * ch
+          val nFrames = data.length / frameBytes
           val feats = new Array[Float](dim)
-          if (nSamples == 0) return feats
-          val win = math.max(1, nSamples / dim)
+          if (nFrames == 0) return feats
+          // per-frame amplitude = channel mean, honoring the stream's
+          // declared endianness and width (AIFF is big-endian; 8-bit
+          // WAV PCM is unsigned per the spec)
+          def sampleAt(frame: Int, chan: Int): Double = {
+            val off = frame * frameBytes + chan * bytesPerSample
+            if (bytesPerSample == 1)
+              ((data(off) & 0xff) - 128).toDouble / 128.0
+            else {
+              val (lo, hi) =
+                if (fmt.isBigEndian) (data(off + 1), data(off))
+                else (data(off), data(off + 1))
+              (((hi << 8) | (lo & 0xff)).toShort).toDouble / 32768.0
+            }
+          }
+          val win = math.max(1, nFrames / dim)
           var c = 0
           while (c < dim) {
             var sumSq = 0.0
             var n = 0
             var i = c * win
-            while (i < math.min((c + 1) * win, nSamples)) {
-              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
-              sumSq += s.toDouble * s; n += 1
+            while (i < math.min((c + 1) * win, nFrames)) {
+              var s = 0.0
+              var k = 0
+              while (k < ch) { s += sampleAt(i, k); k += 1 }
+              s /= ch
+              sumSq += s * s; n += 1
               i += 1
             }
-            feats(c) = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat / 32768f
+            feats(c) = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat
             c += 1
           }
           feats
@@ -326,8 +357,7 @@ object Multimodal {
       .as(Encoders.product[MediaRow])
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val meta = codec.decode(r.media_type, r.content)
-        val (m2, bytes) = codec.resize(meta, w, h, r.content)
+        val (m2, bytes) = codec.resize(r.media_type, r.content, w, h)
         DecodedRow(r.doc_id, r.media_type, bytes, m2.width, m2.height,
           m2.channels, m2.sampleRateHz, m2.durationMs, m2.codec)
       }
@@ -355,8 +385,11 @@ object Multimodal {
     }(Encoders.product[FrameRow]).toDF()
   }
 
-  /** Feature extraction: binary → Array[Float] embedding column,
-    * unit-normalized, ready for the ANN/dedup operators. */
+  /** Feature extraction: binary → Array[Float] embedding column.
+    * Normalization is the CODEC's contract: [[FakeCodec]] returns unit
+    * vectors (mock embedding); [[JdkCodec]] returns raw pooled
+    * luminance / RMS values — L2-normalize downstream before feeding a
+    * cosine-threshold ANN/dedup operator. */
   def extractFeatures(media: DataFrame, dim: Int = 64,
                       codec: MediaCodec = FakeCodec): DataFrame = {
     val ds = media.select(col("doc_id").cast("string").as("doc_id"),

@@ -168,17 +168,20 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(toksArr) - k),
         i => struct(i.as("ti"),
           array_join(slice(toksArr, i + 1, lit(k)), " ").as("win"))))
-    // cache: two consumers (the duplicate groupBy and the semi-join
-    // probe side) would otherwise re-run the corpus-wide tokenize +
-    // window build — the same re-evaluation class the minhash verify
-    // path fixed in r5
+    // localCheckpoint, not cache(): two consumers (the duplicate
+    // groupBy and the semi-join probe side) would otherwise re-run the
+    // corpus-wide tokenize + window build, but a per-call cache is
+    // never unpersisted and would pin this corpus-sized relation for
+    // the session — the checkpoint's blocks are released by the
+    // ContextCleaner once the plan is garbage-collected (the
+    // semanticDedup discipline)
     val wins = df.select(col(idCol).as("id"),
         TextFunctions.tokensCol(col(textCol), removeStopwords = false)
           .as("_toks"))
       .select(col("id"), explode(winStruct).as("w"))
       .select(col("id"), col("w.ti").as("ti"),
         (if (hashKey) xxhash64(col("w.win")) else col("w.win")).as("wkey"))
-      .cache()
+      .localCheckpoint()
     val dup = wins.groupBy("wkey").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
     val marked = wins.join(dup.select("wkey"), Seq("wkey"), "left_semi")

@@ -39,8 +39,8 @@ class JdkCodecSpec extends SparkSpec {
 
   test("resize: nearest-neighbor arithmetic, bit-deterministic") {
     val png = SyntheticImages.encodePng(3L, 16, 16)
-    val (m1, b1) = JdkCodec.resize(JdkCodec.decode("image", png), 4, 4, png)
-    val (_, b2) = JdkCodec.resize(JdkCodec.decode("image", png), 4, 4, png)
+    val (m1, b1) = JdkCodec.resize("image", png, 4, 4)
+    val (_, b2) = JdkCodec.resize("image", png, 4, 4)
     assert(m1.width === 4 && m1.height === 4)
     assert(b1.toSeq === b2.toSeq)
     val out = javax.imageio.ImageIO.read(new ByteArrayInputStream(b1))

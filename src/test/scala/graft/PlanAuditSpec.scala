@@ -215,11 +215,13 @@ class PlanAuditSpec extends SparkSpec {
     val out = SparkEntry.queries("substring_dedup")(spark, dir)
     out.collect() // let AQE finalize
     val p = out.queryExecution.executedPlan.toString
-    // the wins relation must come from the cache (one corpus tokenize),
-    // and the duplicated-window filter must broadcast the small dup set
-    // rather than exchange the corpus-sized window relation
-    assert(p.contains("InMemoryTableScan"),
-      s"window relation not cached (double tokenize):\n$p")
+    // the wins relation must come from its localCheckpoint (one corpus
+    // tokenize — the plan reads the materialized RDD, never re-scans
+    // documents), and the duplicated-window filter must broadcast the
+    // small dup set rather than exchange the corpus-sized window
+    // relation
+    assert(!p.contains("FileScan"),
+      s"window relation not checkpointed (re-tokenizes the corpus):\n$p")
     val semiLines = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
     assert(semiLines.nonEmpty, p)
     semiLines.foreach(l => assert(l.contains("BroadcastHashJoin"),
