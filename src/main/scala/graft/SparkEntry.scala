@@ -324,6 +324,48 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "text", buckets = 64)
     })
 
+  private val stagedEventsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Three ts-ordered event micro-batch files for the streaming window
+    * query, staged ONCE per sf dir with explicit strictly-increasing
+    * mtimes (the StreamingStatsSpec discipline — wall-clock mtimes can
+    * coalesce under coarse filesystem timestamps, making batch order
+    * nondeterministic). */
+  private def stagedEventBatches(s: SparkSession, dir: String): String =
+    stagedEventsCache.getOrElseUpdate(dir, {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts_utc", col("ts").cast("timestamp"))
+      }
+      val t1 = lit("2024-01-11").cast("timestamp")
+      val t2 = lit("2024-01-21").cast("timestamp")
+      val in = java.nio.file.Files.createTempDirectory("graft-swin")
+        .resolve("in").toString
+      val sel = ev.select(col("ts_utc"), col("event_type"))
+      var stamp = 1600000000000L
+      val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      def stage(part: DataFrame): Unit = {
+        part.coalesce(1).write.mode("append").parquet(in)
+        stamp += 60000
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+        try ls.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.endsWith(".parquet") &&
+              !stamped.contains(p)) {
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(stamp))
+            stamped += p
+          }
+        } finally ls.close()
+      }
+      stage(sel.filter(col("ts_utc") < t1))
+      stage(sel.filter(col("ts_utc") >= t1 && col("ts_utc") < t2))
+      stage(sel.filter(col("ts_utc") >= t2))
+      in
+    })
+
   /** Merge-table size for the corpus-trained BPE tokenizer (A8). */
   private val BpeMergeCount = 40
 
@@ -1980,6 +2022,39 @@ object SparkEntry {
       state.select(col("doc_id").cast("string").as("doc_id"),
           col("status"), col("is_stale"))
         .orderBy(col("doc_id").cast("long"))
+    }),
+
+    // ---- watermarked streaming window aggregation, REALLY streamed:
+    //      events staged as three ts-ordered micro-batch files
+    //      (mtime-stamped for deterministic order), run through a
+    //      maxFilesPerTrigger=1 file stream with a 10-minute watermark
+    //      in append mode. Emitted = windows finalized by the FINAL
+    //      watermark (the trailing no-data micro-batch advances it to
+    //      global max(ts) − 10min and flushes) — a pure batch-SQL
+    //      predicate, so the oracle hash-checks real event-time
+    //      semantics (ts-ordered staging ⇒ no late drops; boundary
+    //      equality impossible: microsecond ts vs whole-hour window
+    //      ends). ----
+    "streaming_window_agg" -> ((s, dir) => {
+      // the staged micro-batch files are a fixture (memoized per sf
+      // dir, like the ingested chunk snapshot); the measured work is
+      // the stream run itself, which executes fresh per call with a
+      // fresh checkpoint
+      val in = stagedEventBatches(s, dir)
+      val ck = java.nio.file.Files.createTempDirectory("graft-swin-ck")
+        .resolve("ck").toString
+      val stream = s.readStream.schema("ts_utc TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = Sync.windowedEventAgg(stream, "ts_utc", "event_type",
+        windowLen = "1 hour", delay = "10 minutes")
+      val name = "swagg_" + Integer.toHexString(dir.hashCode)
+      s.catalog.dropTempView(name)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .select(col("window_start"), col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
     }),
 
     // ---- T5 failure tracking/halt/backoff as ONE relational plan: a
@@ -4835,6 +4910,22 @@ object SparkEntry {
     // T1 stream-merge: docs absent from the staged incoming snapshot
     // (id%6) go stale with their prior status kept; re-hashed docs
     // (id%4==1, when present) become 'updated'; the rest 'unchanged'.
+    // emitted = windows whose end precedes the FINAL watermark: after
+    // the last data batch the stream runs a no-data micro-batch
+    // (noDataMicroBatches, on by default) that advances the watermark
+    // to the global max(ts) − 10min and flushes the newly finalized
+    // windows; ts-ordered staging means no late drops, so emitted
+    // counts equal the full batch counts
+    "streaming_window_agg" ->
+      """WITH wm AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events
+        |FROM events, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
     "continuous_sync" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         |  CASE WHEN doc_id % 6 = 0 THEN 'unchanged'
