@@ -401,6 +401,21 @@ object SparkEntry {
       pinned
     })
 
+  /** Standing per-collection indexes for the multi-collection twin
+    * (each parity half is its own collection with its own corpus
+    * stats). */
+  private def halfSparseIndex(s: SparkSession, dir: String,
+      parity: Int): Bm25.Index =
+    docsIndexCache.getOrElseUpdate(s"$dir#half$parity", {
+      val idx = Bm25.buildIndex(
+        docsAsChunksSnapshot(s, dir)
+          .filter(col("doc_id").cast("long") % 2 === parity),
+        "chunk_id", "content", pinStats = true)
+      val pinned = idx.copy(docWeights = idx.docWeights.cache())
+      pinned.docWeights.count()
+      pinned
+    })
+
   /** Merge-table size for the corpus-trained BPE tokenizer (A8). */
   private val BpeMergeCount = 40
 
@@ -1601,19 +1616,20 @@ object SparkEntry {
     //      with a full SQL oracle: per-collection BM25 corpora + dense
     //      legs, RRF per collection, global top-k across both ----
     "search_multi_docs" -> ((s, dir) => {
-      def half(parity: Int) = t(s, dir, "documents")
-        .filter(col("doc_id") % 2 === parity).select(
-          col("doc_id").cast("string").as("doc_id"),
-          col("doc_id").cast("string").as("chunk_id"),
-          lit(0).as("chunk_index"), lit(1).as("total_chunks"),
-          col("doc_id").cast("string").as("path"),
-          lit(null).cast("string").as("path_id"),
-          col("text").as("content"),
-          TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+      lastDir = dir
+      // halves of the standing snapshot (embeddings already
+      // materialized); each collection keeps its own standing index —
+      // per-collection corpus stats, built once per dir
+      def half(parity: Int) = docsAsChunksSnapshot(s, dir)
+        .filter(col("doc_id").cast("long") % 2 === parity)
+      val idx = Map(
+        "even" -> halfSparseIndex(s, dir, 0),
+        "odd" -> halfSparseIndex(s, dir, 1))
       SearchEngine.searchMany(
           Seq("even" -> half(0), "odd" -> half(1)),
           SearchEngine.SearchRequest(query = SearchQuery,
-            searchMode = "hybrid", k = 10, vectorDim = KnnTextDim))
+            searchMode = "hybrid", k = 10, vectorDim = KnnTextDim),
+          indexes = idx)
         .select(col("collection_id"), col("doc_id"), col("chunk_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("collection_id"), col("chunk_id"))

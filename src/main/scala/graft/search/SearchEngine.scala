@@ -281,7 +281,8 @@ object SearchEngine {
     * (SURVEY.md §7.4 risk 6). */
   def searchMany(collections: Seq[(String, DataFrame)],
                  req: SearchRequest,
-                 dims: Map[String, Int] = Map.empty): DataFrame = {
+                 dims: Map[String, Int] = Map.empty,
+                 indexes: Map[String, Bm25.Index] = Map.empty): DataFrame = {
     require(collections.nonEmpty && collections.size <= 10,
       "1-10 collections per query (webui/api/v2/search.py:54)")
     val per = collections.map { case (cid, chunks) =>
@@ -292,7 +293,8 @@ object SearchEngine {
         case Some(d) => req.copy(vectorDim = d)
         case None => req
       }
-      search(chunks, perReq).withColumn("collection_id", lit(cid))
+      search(chunks, perReq, sparseIndex = indexes.get(cid))
+        .withColumn("collection_id", lit(cid))
     }
     val all = per.reduce(_ unionByName _)
     val sortKey =
