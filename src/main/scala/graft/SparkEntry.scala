@@ -2089,9 +2089,17 @@ object SparkEntry {
         windowLen = "1 hour", delay = "10 minutes")
       val name = "swagg_" + Integer.toHexString(dir.hashCode)
       s.catalog.dropTempView(name)
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(name).option("checkpointLocation", ck).start()
-      q.processAllAvailable(); q.stop()
+      // state-store parallelism: the stateful agg pins one store per
+      // shuffle partition per micro-batch — 8 is plenty for ~3.6k live
+      // windows and quarters the per-batch store/commit overhead
+      // (scoped to this stream; the session value is restored)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName(name).option("checkpointLocation", ck).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .select(col("window_start"), col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")
