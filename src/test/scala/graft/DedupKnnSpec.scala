@@ -129,6 +129,52 @@ class DedupKnnSpec extends SparkSpec {
     assert(spans(hk = true) === s)
   }
 
+  test("duplicated substrings: property parity with brute force on " +
+      "seeded-random corpora") {
+    // independent local reference: brute-force window multiset ->
+    // duplicated starts -> interval merge
+    def localSpans(texts: Seq[(Long, String)], k: Int)
+        : Set[(Long, Int, Int, Long)] = {
+      val toks = texts.map { case (id, t) =>
+        id -> graft.functions.TextFunctions.tokenize(t, removeStopwords = false)
+      }
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+      for ((_, ts) <- toks; i <- 0 to ts.length - k)
+        occ(ts.slice(i, i + k).mkString(" ")) += 1
+      val out = scala.collection.mutable.Set.empty[(Long, Int, Int, Long)]
+      for ((id, ts) <- toks) {
+        val starts = (0 to ts.length - k)
+          .filter(i => occ(ts.slice(i, i + k).mkString(" ")) > 1)
+        var i = 0
+        while (i < starts.length) {
+          var j = i
+          var end = starts(i) + k - 1
+          while (j + 1 < starts.length && starts(j + 1) <= end + 1) {
+            j += 1; end = math.max(end, starts(j) + k - 1)
+          }
+          out += ((id, starts(i), end, (j - i + 1).toLong))
+          i = j + 1
+        }
+      }
+      out.toSet
+    }
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (seed <- Seq(7L, 21L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (0L until 24L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val got = Dedup.duplicatedSubstrings(
+          texts.toDF("doc_id", "text"), "doc_id", "text", k = 4,
+          hashKey = seed % 2 == 1)
+        .select("id", "span_start", "span_end", "n_windows")
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(got === localSpans(texts, 4), s"seed $seed")
+    }
+  }
+
   test("column tokenizer agrees with the pure-Scala tokenizer") {
     val texts = Seq("Hello big-world X a_b 1 THE data",
       "Spark 4.1 runs FAST; really-fast code_paths!", "", "a -- b")
