@@ -344,7 +344,7 @@ object SparkEntry {
       val t2 = lit("2024-01-21").cast("timestamp")
       val in = java.nio.file.Files.createTempDirectory("graft-swin")
         .resolve("in").toString
-      val sel = ev.select(col("ts_utc"), col("event_type"))
+      val sel = ev.select(col("ts_utc"), col("event_type"), col("user_id"))
       var stamp = 1600000000000L
       val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
       def stage(part: DataFrame): Unit = {
@@ -2103,6 +2103,38 @@ object SparkEntry {
       s.table(name)
         .select(col("window_start"), col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // ---- streaming sessionization with custom per-user state
+    //      (flatMapGroupsWithState), REALLY streamed over the same
+    //      ts-ordered micro-batches: a session closes — and is emitted
+    //      — only when its successor event arrives, so the emitted set
+    //      is exactly "every session except each user's last", a
+    //      batching-independent rule the batch oracle replays with
+    //      gaps-and-islands SQL. ----
+    "streaming_sessionize" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val ck = java.nio.file.Files.createTempDirectory("graft-sess-ck")
+        .resolve("ck").toString
+      val stream = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = Sync.sessionize(stream, "ts_utc", "user_id",
+        gapUs = 4L * 3600 * 1000000)
+      val name = "sess_" + Integer.toHexString(dir.hashCode)
+      s.catalog.dropTempView(name)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName(name).option("checkpointLocation", ck).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).select(col("user_id"),
+          timestamp_micros(col("session_start_us")).as("session_start"),
+          timestamp_micros(col("session_end_us")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }),
 
     // ---- T5 failure tracking/halt/backoff as ONE relational plan: a
@@ -4970,6 +5002,30 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // emitted = all sessions but each user's last (a session closes
+    // only when its successor event arrives; 4-hour gap)
+    "streaming_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1
+        |    ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM d),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*)::BIGINT AS n_events
+        |  FROM sess GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+        |SELECT a.user_id, CAST(a.session_start AS TIMESTAMP) AS session_start,
+        |  CAST(a.session_end AS TIMESTAMP) AS session_end, a.n_events
+        |FROM agg a JOIN mx USING (user_id)
+        |WHERE a.sid < mx.last_sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "continuous_sync" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,

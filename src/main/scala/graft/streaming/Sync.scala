@@ -94,6 +94,53 @@ object Sync {
       .toDF()
   }
 
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionRow(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Streaming sessionization with custom per-key state
+    * (`flatMapGroupsWithState`): events grouped by user; a session is a
+    * maximal run of events with inter-event gaps ≤ `gapUs`. A closed
+    * session is emitted in the micro-batch containing its SUCCESSOR
+    * event — never by stream end or wall-clock timeout — so the
+    * emitted set is exactly "every session except each user's last",
+    * a batching-independent, fully deterministic rule a batch SQL
+    * oracle replays (timeout-based flushing would make emission depend
+    * on trigger timing). Each batch's per-user rows are sorted by
+    * event time inside the function: Spark hands the group iterator in
+    * arbitrary order, and cross-batch order is the caller's staging
+    * contract (ts-ordered micro-batches). State is one O(1) record per
+    * user. Works identically on a bounded Dataset as one pass. */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"))
+      .as(E.tuple(E.scalaLong, E.scalaLong))
+    typed.groupByKey(_._1)(E.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          val out = Seq.newBuilder[SessionRow]
+          var cur = state.getOption
+          sorted.foreach { t =>
+            cur match {
+              case None => cur = Some(SessionState(t, t, 1L))
+              case Some(s) if t - s.lastUs > gapUs =>
+                out += SessionRow(user, s.startUs, s.lastUs, s.n)
+                cur = Some(SessionState(t, t, 1L))
+              case Some(s) =>
+                cur = Some(s.copy(lastUs = t, n = s.n + 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }(E.product[SessionState], E.product[SessionRow])
+      .toDF()
+  }
+
   /** Continuous sync (T1): stream new files from a directory, MERGE
     * each micro-batch into the parquet state table. The caller supplies
     * how to load the current state and persist the next snapshot (a

@@ -151,4 +151,43 @@ class StreamingStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
+
+  test("sessionize: closes on successor, carries state across batches") {
+    import spark.implicits._
+    // bounded mode: one pass, same rule
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 0L * us), (1L, 60L * us), (1L, 10000L * us), // gap > 1h closes s1
+      (1L, 10060L * us),                                 // extends s2 (open)
+      (2L, 5L * us)                                      // single open session
+    ).toDF("user_id", "ts_us").withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val got = graft.streaming.Sync.sessionize(ev, "ts", "user_id",
+        gapUs = 3600L * us)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // only user 1's FIRST session closed (by the 10000s event)
+    assert(got === Set((1L, 0L, 60L * us, 2L)))
+
+    // streaming mode: the closing event arrives in a LATER batch
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("sessck").toString + "/ck"
+    Seq((1L, 0L * us), (1L, 60L * us)).toDF("user_id", "ts_us")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtime second is enough for 2 files
+    Seq((1L, 10000L * us)).toDF("user_id", "ts_us")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema("user_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val out = graft.streaming.Sync.sessionize(stream, "ts", "user_id",
+      gapUs = 3600L * us)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessq").option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.sql(
+        "SELECT user_id, session_start_us, session_end_us, n_events FROM sessq")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the batch-2 event closed the batch-1 session held in state
+    assert(emitted === Set((1L, 0L, 60L * us, 2L)))
+  }
 }
