@@ -324,6 +324,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "text", buckets = 64)
     })
 
+  /** events with a normalized `ts_utc` timestamp column. ts arrives
+    * either as TIMESTAMP(NANOS) — which Tables.load surfaces as a
+    * nanos-since-epoch long — or as a plain parquet TIMESTAMP (the r6
+    * testdata regeneration); handle both. Integer division for the
+    * nanos case: `/` promotes to DOUBLE and nano epochs (~1.7e18)
+    * exceed 2^53, losing up to ~1us near hour bounds. Session TZ is
+    * UTC, so an NTZ wall clock and the oracle's naive TIMESTAMP agree. */
+  private def eventsWithTsUtc(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts_utc", col("ts").cast("timestamp"))
+    }
+  }
+
   private val stagedEventsCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -334,12 +350,7 @@ object SparkEntry {
     * nondeterministic). */
   private def stagedEventBatches(s: SparkSession, dir: String): String =
     stagedEventsCache.getOrElseUpdate(dir, {
-      val raw = Tables.load(s, dir, "events")
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-        case _ => raw.withColumn("ts_utc", col("ts").cast("timestamp"))
-      }
+      val ev = eventsWithTsUtc(s, dir)
       val t1 = lit("2024-01-11").cast("timestamp")
       val t2 = lit("2024-01-21").cast("timestamp")
       val in = java.nio.file.Files.createTempDirectory("graft-swin")
@@ -415,6 +426,27 @@ object SparkEntry {
       pinned.docWeights.count()
       pinned
     })
+
+  /** Run a streaming DataFrame to a memory sink and return the result
+    * table: fresh checkpoint, dir-hashed view name, and state-store
+    * parallelism scoped to the stream (one store per shuffle partition
+    * per micro-batch — 8 is plenty for the staged event streams'
+    * state, and the session value is restored even on failure). */
+  private def runStreamToTable(s: SparkSession, out: DataFrame,
+      prefix: String, dir: String): DataFrame = {
+    val ck = java.nio.file.Files.createTempDirectory(s"graft-$prefix-ck")
+      .resolve("ck").toString
+    val name = prefix + "_" + Integer.toHexString(dir.hashCode)
+    s.catalog.dropTempView(name)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+  }
 
   /** Merge-table size for the corpus-trained BPE tokenizer (A8). */
   private val BpeMergeCount = 40
@@ -885,18 +917,8 @@ object SparkEntry {
     //      plain parquet TIMESTAMP (the r6 testdata regeneration);
     //      handle both. ----
     "q11_window_agg" -> ((s, dir) => {
-      val raw = t(s, dir, "events")
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // integer division: `/` promotes to DOUBLE and nano epochs
-          // (~1.7e18) exceed 2^53, losing up to ~1us near hour bounds
-          raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-        case _ =>
-          // session TZ is UTC, so an NTZ wall clock and the oracle's
-          // naive TIMESTAMP agree
-          raw.withColumn("ts_utc", col("ts").cast("timestamp"))
-      }
-      ev.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      eventsWithTsUtc(s, dir)
+        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 4).as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
@@ -2081,26 +2103,11 @@ object SparkEntry {
       // the stream run itself, which executes fresh per call with a
       // fresh checkpoint
       val in = stagedEventBatches(s, dir)
-      val ck = java.nio.file.Files.createTempDirectory("graft-swin-ck")
-        .resolve("ck").toString
       val stream = s.readStream.schema("ts_utc TIMESTAMP, event_type STRING")
         .option("maxFilesPerTrigger", 1).parquet(in)
       val out = Sync.windowedEventAgg(stream, "ts_utc", "event_type",
         windowLen = "1 hour", delay = "10 minutes")
-      val name = "swagg_" + Integer.toHexString(dir.hashCode)
-      s.catalog.dropTempView(name)
-      // state-store parallelism: the stateful agg pins one store per
-      // shuffle partition per micro-batch — 8 is plenty for ~3.6k live
-      // windows and quarters the per-batch store/commit overhead
-      // (scoped to this stream; the session value is restored)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = out.writeStream.outputMode("append").format("memory")
-          .queryName(name).option("checkpointLocation", ck).start()
-        q.processAllAvailable(); q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name)
+      runStreamToTable(s, out, "swagg", dir)
         .select(col("window_start"), col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")
     }),
@@ -2114,23 +2121,12 @@ object SparkEntry {
     //      gaps-and-islands SQL. ----
     "streaming_sessionize" -> ((s, dir) => {
       val in = stagedEventBatches(s, dir)
-      val ck = java.nio.file.Files.createTempDirectory("graft-sess-ck")
-        .resolve("ck").toString
       val stream = s.readStream
         .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
         .option("maxFilesPerTrigger", 1).parquet(in)
       val out = Sync.sessionize(stream, "ts_utc", "user_id",
         gapUs = 4L * 3600 * 1000000)
-      val name = "sess_" + Integer.toHexString(dir.hashCode)
-      s.catalog.dropTempView(name)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = out.writeStream.outputMode("append").format("memory")
-          .queryName(name).option("checkpointLocation", ck).start()
-        q.processAllAvailable(); q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name).select(col("user_id"),
+      runStreamToTable(s, out, "sess", dir).select(col("user_id"),
           timestamp_micros(col("session_start_us")).as("session_start"),
           timestamp_micros(col("session_end_us")).as("session_end"),
           col("n_events"))

@@ -229,8 +229,18 @@ object Multimodal {
         val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          require(fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8,
-            s"JdkCodec: unsupported PCM sample size ${fmt.getSampleSizeInBits}")
+          // linear PCM only, with the width/sign pairing the decode
+          // below implements (16-bit signed, 8-bit unsigned — the WAV
+          // conventions); u-law/A-law or signed-8-bit streams must
+          // fail typed, not silently decode as the wrong amplitude
+          val enc = fmt.getEncoding
+          val okEnc = (fmt.getSampleSizeInBits == 16 &&
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+            (fmt.getSampleSizeInBits == 8 &&
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          require(okEnc, s"JdkCodec: unsupported audio layout $enc/" +
+            s"${fmt.getSampleSizeInBits}-bit (16-bit PCM_SIGNED or " +
+            "8-bit PCM_UNSIGNED only)")
           val data = in.readAllBytes()
           val bytesPerSample = fmt.getSampleSizeInBits / 8
           val ch = fmt.getChannels
