@@ -448,6 +448,47 @@ object SparkEntry {
     s.table(name)
   }
 
+  private val imapStagingCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** On-disk staged mailbox tree for the DSv2 connector query — the
+    * SAME synthetic messages the in-plan imap_scan stages, written once
+    * per sf dir as `{root}/{mailbox}/{uid}.eml` (distributed write:
+    * executors write their partitions; the driver writes only the
+    * per-mailbox UIDVALIDITY markers). */
+  private def stagedImapRoot(s: SparkSession, dir: String): String =
+    imapStagingCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-imap")
+        .toString
+      Seq("INBOX" -> 7L, "Archive" -> 12L, "Reports" -> 5L).foreach {
+        case (mb, uv) =>
+          val d = java.nio.file.Paths.get(root, mb)
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.write(d.resolve("UIDVALIDITY"),
+            uv.toString.getBytes("UTF-8"))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("uid"),
+          element_at(array(lit("INBOX"), lit("Archive"), lit("Reports")),
+            (col("doc_id") % 3 + 1).cast("int")).as("mailbox"),
+          concat(
+            lit("From: sender@example.com\r\nTo: list@example.com\r\n"),
+            lit("Message-ID: <m"), col("doc_id").cast("string"),
+            lit("@example.com>\r\nSubject: doc "),
+            col("doc_id").cast("string"),
+            lit("\r\nDate: Thu, 01 Feb 2024 10:30:00 GMT\r\n\r\n"),
+            col("text")).cast("binary").as("content"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, r.getAs[String]("mailbox"),
+                s"${r.getAs[Long]("uid")}.eml"),
+              r.getAs[Array[Byte]]("content"))
+          }
+        }
+      root
+    })
+
   /** Merge-table size for the corpus-trained BPE tokenizer (A8). */
   private val BpeMergeCount = 40
 
@@ -1827,6 +1868,24 @@ object SparkEntry {
           col("from_addr"), col("to_addr"), col("date"),
           col("size_bytes"), col("change_hint"), col("body"))
         .orderBy("mailbox", "uid")
+    }),
+
+    // ---- the SAME staged-mailbox contract through the DataSource V2
+    //      surface: spark.read.format("graft-imap") with mailbox
+    //      directory pruning + uid file pruning pushed into the scan
+    //      and a real on-disk fixture (ImapDsv2Spec proves pruned
+    //      files are never opened; the oracle checks the parsed
+    //      output through the same arithmetic as imap_scan). ----
+    "imap_scan_v2" -> ((s, dir) => {
+      val root = stagedImapRoot(s, dir)
+      s.read.format("graft-imap").option("host", "mail.example.com")
+        .load(root)
+        .filter(col("mailbox") === "INBOX" && col("uid") >= 30)
+        .select(col("mailbox"), col("uid"), col("uidvalidity"), col("uri"),
+          col("message_id"), col("subject"), col("filename"),
+          col("from_addr"), col("to_addr"), col("date"),
+          col("size_bytes"), col("change_hint"), col("body"))
+        .orderBy("uid")
     }),
 
     // ---- S2 git enumeration + blob-sha change hints: two synthetic
@@ -4486,6 +4545,39 @@ object SparkEntry {
     // S3: the oracle rebuilds the synthetic RFC822 bytes, the parsed
     // header surface, and the UIDVALIDITY-reset incremental rule in
     // SQL; the fixed Date header pins the RFC2822→ISO conversion
+    "imap_scan_v2" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS uid,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'INBOX'
+        |      WHEN 1 THEN 'Archive' ELSE 'Reports' END AS mailbox,
+        |    text
+        |  FROM documents),
+        |m2 AS (
+        |  SELECT *,
+        |    CAST(CASE mailbox WHEN 'INBOX' THEN 7 WHEN 'Archive' THEN 12
+        |      ELSE 5 END AS BIGINT) AS uidvalidity,
+        |    'From: sender@example.com' || chr(13) || chr(10) ||
+        |    'To: list@example.com' || chr(13) || chr(10) ||
+        |    'Message-ID: <m' || uid || '@example.com>' || chr(13) || chr(10) ||
+        |    'Subject: doc ' || uid || chr(13) || chr(10) ||
+        |    'Date: Thu, 01 Feb 2024 10:30:00 GMT' || chr(13) || chr(10) ||
+        |    chr(13) || chr(10) || text AS raw
+        |  FROM m)
+        |SELECT mailbox, uid, uidvalidity,
+        |  'imap://mail.example.com/' || mailbox || ';uid=' || uid AS uri,
+        |  '<m' || uid || '@example.com>' AS message_id,
+        |  'doc ' || uid AS subject,
+        |  'doc ' || uid || '.eml' AS filename,
+        |  'sender@example.com' AS from_addr,
+        |  'list@example.com' AS to_addr,
+        |  '2024-02-01T10:30:00Z' AS "date",
+        |  CAST(octet_length(encode(raw)) AS BIGINT) AS size_bytes,
+        |  CAST(uid AS VARCHAR) AS change_hint,
+        |  text AS body
+        |FROM m2
+        |WHERE mailbox = 'INBOX' AND uid >= 30
+        |ORDER BY uid""".stripMargin,
+
     "imap_scan" ->
       """WITH m AS (
         |  SELECT CAST(doc_id AS BIGINT) AS uid,

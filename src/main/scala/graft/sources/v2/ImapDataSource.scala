@@ -1,0 +1,222 @@
+package graft.sources.v2
+
+import java.io.File
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ImapConnector
+
+/** DataSource V2 connector for a staged IMAP mailbox tree
+  * (`{root}/{mailbox}/{uid}.eml` + per-mailbox `UIDVALIDITY` marker —
+  * the same staging contract as [[graft.sources.ImapConnector]], ref
+  * `shared/connectors/imap.py:303-531`), exposed through Spark's full
+  * custom-source surface instead of a helper-function scan:
+  *
+  *  - `TableProvider` + `DataSourceRegister`: `spark.read
+  *    .format("graft-imap").option("host", …).load(root)`
+  *  - **filter pushdown** (`SupportsPushDownFilters`): `mailbox`
+  *    equality/IN prunes whole mailbox DIRECTORIES and `uid` range
+  *    predicates prune individual FILES at planning time, from the
+  *    filename alone — the connector analog of partition pruning; no
+  *    pruned file is ever opened
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): when no
+  *    requested column needs the message text (only mailbox/uid/
+  *    uidvalidity/size_bytes/change_hint/uri), the reader stats files
+  *    without reading them
+  *  - one `InputPartition` per mailbox (the reference's per-mailbox
+  *    sync parallelism); every pushed filter is ALSO returned to Spark
+  *    for re-evaluation, so pushdown can only prune, never change
+  *    results.
+  *
+  * At cluster scale the staging root lives on shared storage; the
+  * driver touches only directory listings (names, not contents).
+  */
+class ImapDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-imap"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ImapDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val root = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-imap: 'path' is required"))
+    val host = Option(properties.get("host")).getOrElse("localhost")
+    new ImapTable(root, host)
+  }
+}
+
+object ImapDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("mailbox", StringType), StructField("uid", LongType),
+    StructField("uidvalidity", LongType), StructField("uri", StringType),
+    StructField("message_id", StringType), StructField("subject", StringType),
+    StructField("filename", StringType), StructField("from_addr", StringType),
+    StructField("to_addr", StringType), StructField("date", StringType),
+    StructField("size_bytes", LongType), StructField("change_hint", StringType),
+    StructField("body", StringType)))
+
+  /** Columns computable without opening the message file. */
+  val StatOnlyColumns: Set[String] =
+    Set("mailbox", "uid", "uidvalidity", "size_bytes", "change_hint", "uri")
+
+  /** Test observability: messages actually read (not just statted). */
+  val filesOpened = new AtomicLong(0)
+}
+
+private[v2] class ImapTable(root: String, host: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-imap:$root"
+  override def schema(): StructType = ImapDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ImapScanBuilder(root, host)
+}
+
+private[v2] class ImapScanBuilder(root: String, host: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ImapDataSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("mailbox", _: String) => true
+      case In("mailbox", _) => true
+      case EqualTo("uid", _) | GreaterThan("uid", _) |
+           GreaterThanOrEqual("uid", _) | LessThan("uid", _) |
+           LessThanOrEqual("uid", _) => true
+      case _ => false
+    }
+    // everything still re-evaluated by Spark: pushdown only prunes
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ImapScan(root, host, pushed, required)
+}
+
+private[v2] final case class MailboxPartition(
+    mailbox: String, uidvalidity: Long, host: String,
+    files: Array[(Long, String)]) extends InputPartition
+
+private[v2] class ImapScan(root: String, host: String,
+    pushed: Array[Filter], required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-imap root=$root PushedFilters=[${pushed.mkString(", ")}] " +
+      s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  private def mailboxAllowed(mb: String): Boolean = pushed.forall {
+    case EqualTo("mailbox", v: String) => mb == v
+    case In("mailbox", vs) => vs.contains(mb)
+    case _ => true
+  }
+  private def uidAllowed(uid: Long): Boolean = pushed.forall {
+    case EqualTo("uid", v: Number) => uid == v.longValue()
+    case GreaterThan("uid", v: Number) => uid > v.longValue()
+    case GreaterThanOrEqual("uid", v: Number) => uid >= v.longValue()
+    case LessThan("uid", v: Number) => uid < v.longValue()
+    case LessThanOrEqual("uid", v: Number) => uid <= v.longValue()
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rootDir = new File(root)
+    val mailboxes = Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(mailboxAllowed)
+    mailboxes.map { mb =>
+      val dir = new File(rootDir, mb)
+      val uv = {
+        val f = new File(dir, "UIDVALIDITY")
+        if (f.isFile)
+          new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+        else 0L
+      }
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".eml"))
+        .flatMap { f =>
+          val base = f.getName.stripSuffix(".eml")
+          base.toLongOption.map(uid => uid -> f.getPath)
+        }
+        .filter { case (uid, _) => uidAllowed(uid) }
+        .sortBy(_._1)
+      MailboxPartition(mb, uv, host, files): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ImapReaderFactory(required)
+}
+
+private[v2] class ImapReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ImapPartitionReader(p.asInstanceOf[MailboxPartition], required)
+}
+
+private[v2] class ImapPartitionReader(p: MailboxPartition,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val statOnly =
+    required.fieldNames.forall(ImapDataSource.StatOnlyColumns)
+  private var i = -1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= p.files.length) return false
+    val (uid, path) = p.files(i)
+    val f = new File(path)
+    val values: Map[String, Any] =
+      if (statOnly) Map(
+        "mailbox" -> p.mailbox, "uid" -> uid,
+        "uidvalidity" -> p.uidvalidity,
+        "size_bytes" -> f.length(),
+        "change_hint" -> uid.toString,
+        "uri" -> s"imap://${p.host}/${p.mailbox};uid=$uid")
+      else {
+        ImapDataSource.filesOpened.incrementAndGet()
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val e = ImapConnector.parseMessage(p.mailbox, uid, p.uidvalidity, bytes)
+        Map(
+          "mailbox" -> e.mailbox, "uid" -> e.uid,
+          "uidvalidity" -> e.uidvalidity,
+          "uri" -> s"imap://${p.host}/${p.mailbox};uid=$uid",
+          "message_id" -> e.message_id, "subject" -> e.subject,
+          "filename" -> e.filename, "from_addr" -> e.from_addr,
+          "to_addr" -> e.to_addr, "date" -> e.date,
+          "size_bytes" -> e.size_bytes, "change_hint" -> e.change_hint,
+          "body" -> e.body)
+      }
+    row = new GenericInternalRow(required.fields.map { fld =>
+      values(fld.name) match {
+        case s: String => UTF8String.fromString(s)
+        case l: Long => l: Any
+        case other => other
+      }
+    })
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
