@@ -62,6 +62,23 @@ class JdkCodecSpec extends SparkSpec {
     }
   }
 
+  test("other JDK image formats decode with correct meta and sniff") {
+    val src = SyntheticImages.encodePng(5L, 24, 18)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(src))
+    for ((fmt, sniffed) <- Seq("jpg" -> "jpeg", "bmp" -> "bmp", "gif" -> "gif")) {
+      val out = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), fmt)
+      val m = JdkCodec.decode("image", out.toByteArray)
+      assert((m.width, m.height, m.codec) === ((24, 18, sniffed)), fmt)
+    }
+    // 1x1 edge: decode + 16-cell features degrade gracefully
+    val tiny = SyntheticImages.encodePng(9L, 1, 1)
+    assert(JdkCodec.decode("image", tiny).width === 1)
+    val f = JdkCodec.extractFeature("image", tiny, 16)
+    assert(f.length === 16 &&
+      f.forall(v => v >= 0f && v <= 1f))
+  }
+
   test("audio: WAV metadata and RMS features are real") {
     val wav = wavBytes(8000, 1, 440.0)
     val m = JdkCodec.decode("audio", wav)
