@@ -128,6 +128,28 @@ object SparkEntry {
     head + iters.mkString
   }
 
+  /** The synthetic staged-mailbox message arithmetic, shared by the
+    * imap_scan and imap_scan_v2 oracles — one definition of the bytes
+    * that [[syntheticMailboxRelation]] stages. */
+  private val imapMessageCtes: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS uid,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'INBOX'
+      |      WHEN 1 THEN 'Archive' ELSE 'Reports' END AS mailbox,
+      |    text
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT *,
+      |    CAST(CASE mailbox WHEN 'INBOX' THEN 7 WHEN 'Archive' THEN 12
+      |      ELSE 5 END AS BIGINT) AS uidvalidity,
+      |    'From: sender@example.com' || chr(13) || chr(10) ||
+      |    'To: list@example.com' || chr(13) || chr(10) ||
+      |    'Message-ID: <m' || uid || '@example.com>' || chr(13) || chr(10) ||
+      |    'Subject: doc ' || uid || chr(13) || chr(10) ||
+      |    'Date: Thu, 01 Feb 2024 10:30:00 GMT' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) || text AS raw
+      |  FROM m)""".stripMargin
+
   private def bm25StatsCtes(p: String = "", where: String = "",
                             source: String = "documents"): String =
     s"""${p}docs AS (
@@ -353,8 +375,7 @@ object SparkEntry {
       val ev = eventsWithTsUtc(s, dir)
       val t1 = lit("2024-01-11").cast("timestamp")
       val t2 = lit("2024-01-21").cast("timestamp")
-      val in = java.nio.file.Files.createTempDirectory("graft-swin")
-        .resolve("in").toString
+      val in = tempDirCleanedOnExit("graft-swin").resolve("in").toString
       val sel = ev.select(col("ts_utc"), col("event_type"), col("user_id"))
       var stamp = 1600000000000L
       val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
@@ -448,6 +469,43 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Temp staging dirs registered for recursive deletion at JVM exit —
+    * the corpus-scaled fixtures (imap trees, event batches) must not
+    * accumulate across bench/verify runs. */
+  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir
+  }
+
+  /** ONE definition of the synthetic staged-mailbox relation
+    * (mailbox routing, UIDVALIDITY constants, RFC822 template) shared
+    * by the in-plan imap_scan twin and the on-disk DSv2 fixture — the
+    * oracles replay these bytes, so the template must not drift
+    * between the two queries. */
+  private def syntheticMailboxRelation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("uid"), col("text"))
+      .withColumn("mailbox", element_at(
+        array(lit("INBOX"), lit("Archive"), lit("Reports")),
+        (col("uid") % 3 + 1).cast("int")))
+      .withColumn("uidvalidity",
+        when(col("mailbox") === "INBOX", 7L)
+          .when(col("mailbox") === "Archive", 12L).otherwise(5L))
+      .withColumn("content", concat(
+        lit("From: sender@example.com\r\nTo: list@example.com\r\n"),
+        lit("Message-ID: <m"), col("uid").cast("string"),
+        lit("@example.com>\r\nSubject: doc "), col("uid").cast("string"),
+        lit("\r\nDate: Thu, 01 Feb 2024 10:30:00 GMT\r\n\r\n"),
+        col("text")).cast("binary"))
+      .select("mailbox", "uid", "uidvalidity", "content")
+
   private val imapStagingCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -458,8 +516,7 @@ object SparkEntry {
     * per-mailbox UIDVALIDITY markers). */
   private def stagedImapRoot(s: SparkSession, dir: String): String =
     imapStagingCache.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files.createTempDirectory("graft-imap")
-        .toString
+      val root = tempDirCleanedOnExit("graft-imap").toString
       Seq("INBOX" -> 7L, "Archive" -> 12L, "Reports" -> 5L).foreach {
         case (mb, uv) =>
           val d = java.nio.file.Paths.get(root, mb)
@@ -467,25 +524,19 @@ object SparkEntry {
           java.nio.file.Files.write(d.resolve("UIDVALIDITY"),
             uv.toString.getBytes("UTF-8"))
       }
-      t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("uid"),
-          element_at(array(lit("INBOX"), lit("Archive"), lit("Reports")),
-            (col("doc_id") % 3 + 1).cast("int")).as("mailbox"),
-          concat(
-            lit("From: sender@example.com\r\nTo: list@example.com\r\n"),
-            lit("Message-ID: <m"), col("doc_id").cast("string"),
-            lit("@example.com>\r\nSubject: doc "),
-            col("doc_id").cast("string"),
-            lit("\r\nDate: Thu, 01 Feb 2024 10:30:00 GMT\r\n\r\n"),
-            col("text")).cast("binary").as("content"))
-        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          rows.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(root, r.getAs[String]("mailbox"),
-                s"${r.getAs[Long]("uid")}.eml"),
-              r.getAs[Array[Byte]]("content"))
-          }
+      val staged = syntheticMailboxRelation(s, dir)
+      // one file per row: a duplicate uid would silently last-write-win
+      // on disk while the oracle emits both rows
+      require(staged.groupBy("uid").count().filter(col("count") > 1).isEmpty,
+        "stagedImapRoot: duplicate uids in the documents fixture")
+      staged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, r.getAs[String]("mailbox"),
+              s"${r.getAs[Long]("uid")}.eml"),
+            r.getAs[Array[Byte]]("content"))
         }
+      }
       root
     })
 
@@ -1843,21 +1894,7 @@ object SparkEntry {
     //      unknown (→ every message new). ----
     "imap_scan" -> ((s, dir) => {
       import graft.sources.ImapConnector
-      val staged = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("uid"), col("text"))
-        .withColumn("mailbox", element_at(
-          array(lit("INBOX"), lit("Archive"), lit("Reports")),
-          (col("uid") % 3 + 1).cast("int")))
-        .withColumn("uidvalidity",
-          when(col("mailbox") === "INBOX", 7L)
-            .when(col("mailbox") === "Archive", 12L).otherwise(5L))
-        .withColumn("content", concat(
-          lit("From: sender@example.com\r\nTo: list@example.com\r\n"),
-          lit("Message-ID: <m"), col("uid").cast("string"),
-          lit("@example.com>\r\nSubject: doc "), col("uid").cast("string"),
-          lit("\r\nDate: Thu, 01 Feb 2024 10:30:00 GMT\r\n\r\n"),
-          col("text")).cast("binary"))
-        .select("mailbox", "uid", "uidvalidity", "content")
+      val staged = syntheticMailboxRelation(s, dir)
       val scan = ImapConnector.parseStaged(staged, "mail.example.com")
       import s.implicits._
       val cursor = Seq(("INBOX", 7L, 300L), ("Archive", 11L, 999999L))
@@ -4546,23 +4583,8 @@ object SparkEntry {
     // header surface, and the UIDVALIDITY-reset incremental rule in
     // SQL; the fixed Date header pins the RFC2822→ISO conversion
     "imap_scan_v2" ->
-      """WITH m AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS uid,
-        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'INBOX'
-        |      WHEN 1 THEN 'Archive' ELSE 'Reports' END AS mailbox,
-        |    text
-        |  FROM documents),
-        |m2 AS (
-        |  SELECT *,
-        |    CAST(CASE mailbox WHEN 'INBOX' THEN 7 WHEN 'Archive' THEN 12
-        |      ELSE 5 END AS BIGINT) AS uidvalidity,
-        |    'From: sender@example.com' || chr(13) || chr(10) ||
-        |    'To: list@example.com' || chr(13) || chr(10) ||
-        |    'Message-ID: <m' || uid || '@example.com>' || chr(13) || chr(10) ||
-        |    'Subject: doc ' || uid || chr(13) || chr(10) ||
-        |    'Date: Thu, 01 Feb 2024 10:30:00 GMT' || chr(13) || chr(10) ||
-        |    chr(13) || chr(10) || text AS raw
-        |  FROM m)
+      (imapMessageCtes +
+      """
         |SELECT mailbox, uid, uidvalidity,
         |  'imap://mail.example.com/' || mailbox || ';uid=' || uid AS uri,
         |  '<m' || uid || '@example.com>' AS message_id,
@@ -4576,26 +4598,11 @@ object SparkEntry {
         |  text AS body
         |FROM m2
         |WHERE mailbox = 'INBOX' AND uid >= 30
-        |ORDER BY uid""".stripMargin,
+        |ORDER BY uid""".stripMargin),
 
     "imap_scan" ->
-      """WITH m AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS uid,
-        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'INBOX'
-        |      WHEN 1 THEN 'Archive' ELSE 'Reports' END AS mailbox,
-        |    text
-        |  FROM documents),
-        |m2 AS (
-        |  SELECT *,
-        |    CAST(CASE mailbox WHEN 'INBOX' THEN 7 WHEN 'Archive' THEN 12
-        |      ELSE 5 END AS BIGINT) AS uidvalidity,
-        |    'From: sender@example.com' || chr(13) || chr(10) ||
-        |    'To: list@example.com' || chr(13) || chr(10) ||
-        |    'Message-ID: <m' || uid || '@example.com>' || chr(13) || chr(10) ||
-        |    'Subject: doc ' || uid || chr(13) || chr(10) ||
-        |    'Date: Thu, 01 Feb 2024 10:30:00 GMT' || chr(13) || chr(10) ||
-        |    chr(13) || chr(10) || text AS raw
-        |  FROM m),
+      (imapMessageCtes +
+      """,
         |cur(mailbox, cur_uv, cur_last) AS (
         |  VALUES ('INBOX', 7, 300), ('Archive', 11, 999999))
         |SELECT mailbox, uid, uidvalidity,
@@ -4611,7 +4618,7 @@ object SparkEntry {
         |  text AS body
         |FROM m2 LEFT JOIN cur USING (mailbox)
         |WHERE cur_last IS NULL OR uidvalidity <> cur_uv OR uid > cur_last
-        |ORDER BY mailbox, uid""".stripMargin,
+        |ORDER BY mailbox, uid""".stripMargin),
 
     // S2: change-detection semantics through the blob sha — the oracle
     // compares CONTENT where Spark compares sha1 blob hashes (DuckDB

@@ -72,7 +72,12 @@ object ImapDataSource {
   val StatOnlyColumns: Set[String] =
     Set("mailbox", "uid", "uidvalidity", "size_bytes", "change_hint", "uri")
 
-  /** Test observability: messages actually read (not just statted). */
+  /** Test observability: messages actually read (not just statted).
+    * A process-global counter, meaningful only in local mode (executor
+    * increments on a real cluster never reach the driver) and only for
+    * a single scan at a time — the pruning specs that read it run
+    * their scans serially. A production metric would be a Spark
+    * accumulator or custom task metric. */
   val filesOpened = new AtomicLong(0)
 }
 
@@ -178,6 +183,29 @@ private[v2] class ImapPartitionReader(p: MailboxPartition,
     required: StructType) extends PartitionReader[InternalRow] {
   private val statOnly =
     required.fieldNames.forall(ImapDataSource.StatOnlyColumns)
+  // per-field extractors resolved ONCE: the row loop does no map
+  // lookups or per-row closure allocation beyond the row itself
+  private type Ctx = (Long, File, ImapConnector.EmailRow)
+  private def str(f: Ctx => String): Ctx => Any =
+    c => UTF8String.fromString(f(c))
+  private val extractors: Array[Ctx => Any] =
+    required.fields.map(_.name match {
+      case "mailbox" => str(_ => p.mailbox)
+      case "uid" => (c: Ctx) => c._1
+      case "uidvalidity" => (_: Ctx) => p.uidvalidity
+      case "uri" => str(c => s"imap://${p.host}/${p.mailbox};uid=${c._1}")
+      case "size_bytes" =>
+        (c: Ctx) => if (c._3 == null) c._2.length() else c._3.size_bytes
+      case "change_hint" => str(c => c._1.toString)
+      case "message_id" => str(_._3.message_id)
+      case "subject" => str(_._3.subject)
+      case "filename" => str(_._3.filename)
+      case "from_addr" => str(_._3.from_addr)
+      case "to_addr" => str(_._3.to_addr)
+      case "date" => str(_._3.date)
+      case "body" => str(_._3.body)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
   private var i = -1
   private var row: InternalRow = _
 
@@ -186,34 +214,18 @@ private[v2] class ImapPartitionReader(p: MailboxPartition,
     if (i >= p.files.length) return false
     val (uid, path) = p.files(i)
     val f = new File(path)
-    val values: Map[String, Any] =
-      if (statOnly) Map(
-        "mailbox" -> p.mailbox, "uid" -> uid,
-        "uidvalidity" -> p.uidvalidity,
-        "size_bytes" -> f.length(),
-        "change_hint" -> uid.toString,
-        "uri" -> s"imap://${p.host}/${p.mailbox};uid=$uid")
+    val parsed =
+      if (statOnly) null
       else {
         ImapDataSource.filesOpened.incrementAndGet()
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        val e = ImapConnector.parseMessage(p.mailbox, uid, p.uidvalidity, bytes)
-        Map(
-          "mailbox" -> e.mailbox, "uid" -> e.uid,
-          "uidvalidity" -> e.uidvalidity,
-          "uri" -> s"imap://${p.host}/${p.mailbox};uid=$uid",
-          "message_id" -> e.message_id, "subject" -> e.subject,
-          "filename" -> e.filename, "from_addr" -> e.from_addr,
-          "to_addr" -> e.to_addr, "date" -> e.date,
-          "size_bytes" -> e.size_bytes, "change_hint" -> e.change_hint,
-          "body" -> e.body)
+        ImapConnector.parseMessage(p.mailbox, uid, p.uidvalidity, bytes)
       }
-    row = new GenericInternalRow(required.fields.map { fld =>
-      values(fld.name) match {
-        case s: String => UTF8String.fromString(s)
-        case l: Long => l: Any
-        case other => other
-      }
-    })
+    val ctx: Ctx = (uid, f, parsed)
+    val out = new Array[Any](extractors.length)
+    var j = 0
+    while (j < extractors.length) { out(j) = extractors(j)(ctx); j += 1 }
+    row = new GenericInternalRow(out)
     true
   }
 
