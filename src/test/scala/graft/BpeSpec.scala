@@ -3,6 +3,7 @@ package graft
 import scala.collection.mutable
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.Bpe
 
@@ -88,6 +89,23 @@ class BpeSpec extends SparkSpec {
     val t = Bpe.train(docs, nMerges = n, partitions = 2)
     val (lm, _) = localBpe(texts, n)
     assert(t.merges.map(m => (m.left, m.right, m.pairCount)) === lm)
+  }
+
+  test("scale invariance: a 10x-replicated corpus trains the identical " +
+      "merge table with 10x counts") {
+    // pair counts scale uniformly under corpus replication, so every
+    // argmax — including tie-breaks — must be unchanged; a partitioning
+    // or accumulation-order dependence would break this
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100).select("doc_id", "text")
+    val rep = (0 until 10).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+    val base = Bpe.train(docs, nMerges = 20, partitions = 2).merges
+    val big = Bpe.train(rep, nMerges = 20, partitions = 4).merges
+    assert(big.map(m => (m.left, m.right)) === base.map(m => (m.left, m.right)))
+    assert(big.map(_.pairCount) === base.map(_.pairCount * 10))
   }
 
   test("train stops early when no pairs remain") {
