@@ -324,13 +324,18 @@ object SparkEntry {
     * (vecpipe/sparse.py), so per-query searches must not re-derive
     * corpus statistics. */
   private def ingestedSparseIndex(s: SparkSession, dir: String): Bm25.Index =
-    sparseIndexCache.getOrElseUpdate(dir, {
-      val idx = Bm25.buildIndex(ingestedChunksSnapshot(s, dir),
-        "chunk_id", "content", pinStats = true)
-      val pinned = idx.copy(docWeights = idx.docWeights.cache())
-      pinned.docWeights.count() // materialize once, off the query clock
-      pinned
-    })
+    sparseIndexCache.getOrElseUpdate(dir,
+      pinnedSparseIndex(ingestedChunksSnapshot(s, dir)))
+
+  /** Build a STANDING index: stats pinned, docWeights cached and
+    * materialized once, off the query clock — the one definition of
+    * the standing-index discipline every per-dir index cache uses. */
+  private def pinnedSparseIndex(chunks: DataFrame): Bm25.Index = {
+    val idx = Bm25.buildIndex(chunks, "chunk_id", "content", pinStats = true)
+    val pinned = idx.copy(docWeights = idx.docWeights.cache())
+    pinned.docWeights.count()
+    pinned
+  }
 
   private val dsirModelCache = scala.collection.concurrent.TrieMap
     .empty[String, TextAnalysis.DsirModel]
@@ -425,28 +430,17 @@ object SparkEntry {
     * per sf dir (the ingestedSparseIndex discipline: stats pinned,
     * docWeights materialized off the query clock). */
   private def docsSparseIndex(s: SparkSession, dir: String): Bm25.Index =
-    docsIndexCache.getOrElseUpdate(dir, {
-      val idx = Bm25.buildIndex(docsAsChunksSnapshot(s, dir),
-        "chunk_id", "content", pinStats = true)
-      val pinned = idx.copy(docWeights = idx.docWeights.cache())
-      pinned.docWeights.count()
-      pinned
-    })
+    docsIndexCache.getOrElseUpdate(dir,
+      pinnedSparseIndex(docsAsChunksSnapshot(s, dir)))
 
   /** Standing per-collection indexes for the multi-collection twin
     * (each parity half is its own collection with its own corpus
     * stats). */
   private def halfSparseIndex(s: SparkSession, dir: String,
       parity: Int): Bm25.Index =
-    docsIndexCache.getOrElseUpdate(s"$dir#half$parity", {
-      val idx = Bm25.buildIndex(
-        docsAsChunksSnapshot(s, dir)
-          .filter(col("doc_id").cast("long") % 2 === parity),
-        "chunk_id", "content", pinStats = true)
-      val pinned = idx.copy(docWeights = idx.docWeights.cache())
-      pinned.docWeights.count()
-      pinned
-    })
+    docsIndexCache.getOrElseUpdate(s"$dir#half$parity",
+      pinnedSparseIndex(docsAsChunksSnapshot(s, dir)
+        .filter(col("doc_id").cast("long") % 2 === parity)))
 
   /** Run a streaming DataFrame to a memory sink and return the result
     * table: fresh checkpoint, dir-hashed view name, and state-store

@@ -62,10 +62,13 @@ object Bpe {
     docs.select(explode(words(docs, textCol)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** Leftmost-greedy non-overlapping application of one merge. */
-  private[operators] def applyMergeLocal(syms: Seq[String], l: String,
-      r: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  /** Leftmost-greedy non-overlapping application of one merge —
+    * Array in/out: this runs once per word per iteration in the
+    * training loop, so no Seq wrapping/copying on the hot path. */
+  private[operators] def applyMergeLocal(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    out.sizeHint(syms.length)
     var i = 0
     val n = syms.length
     while (i < n) {
@@ -146,7 +149,7 @@ object Bpe {
         merges += Merge(rank, l, r, c)
         toFree = Some(cur)
         cur = cur.map(ws =>
-          ws.copy(syms = applyMergeLocal(ws.syms.toSeq, l, r).toArray))
+          ws.copy(syms = applyMergeLocal(ws.syms, l, r)))
         cur.localCheckpoint()
         rank += 1
       }
