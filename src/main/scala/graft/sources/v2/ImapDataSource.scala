@@ -117,6 +117,25 @@ private[v2] class ImapScanBuilder(root: String, host: String)
   override def build(): Scan = new ImapScan(root, host, pushed, required)
 }
 
+/** DSv2 custom metrics: per-task counts aggregated by Spark itself, so
+  * they are correct on a real cluster (unlike a process-global counter)
+  * and visible in the SQL UI / listener bus. */
+private[v2] class FilesOpenedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesOpened"
+  override def description(): String = "staged messages actually read"
+}
+private[v2] class FilesStattedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesStatted"
+  override def description(): String = "staged messages answered stat-only"
+}
+private[v2] final case class TaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 private[v2] final case class MailboxPartition(
     mailbox: String, uidvalidity: Long, host: String,
     files: Array[(Long, String)]) extends InputPartition
@@ -171,6 +190,10 @@ private[v2] class ImapScan(root: String, host: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ImapReaderFactory(required)
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FilesOpenedMetric, new FilesStattedMetric)
 }
 
 private[v2] class ImapReaderFactory(required: StructType)
@@ -208,6 +231,8 @@ private[v2] class ImapPartitionReader(p: MailboxPartition,
     })
   private var i = -1
   private var row: InternalRow = _
+  private var opened = 0L
+  private var statted = 0L
 
   override def next(): Boolean = {
     i += 1
@@ -215,8 +240,9 @@ private[v2] class ImapPartitionReader(p: MailboxPartition,
     val (uid, path) = p.files(i)
     val f = new File(path)
     val parsed =
-      if (statOnly) null
+      if (statOnly) { statted += 1; null }
       else {
+        opened += 1
         ImapDataSource.filesOpened.incrementAndGet()
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
         ImapConnector.parseMessage(p.mailbox, uid, p.uidvalidity, bytes)
@@ -231,4 +257,8 @@ private[v2] class ImapPartitionReader(p: MailboxPartition,
 
   override def get(): InternalRow = row
   override def close(): Unit = ()
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TaskMetric("filesOpened", opened), TaskMetric("filesStatted", statted))
 }

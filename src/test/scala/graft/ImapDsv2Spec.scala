@@ -69,6 +69,20 @@ class ImapDsv2Spec extends SparkSpec {
     assert(ImapDataSource.filesOpened.get() === 0L)
   }
 
+  test("DSv2 custom metrics report opened vs statted counts per scan") {
+    def scanMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+      scans.flatMap(_.metrics).map { case (k, m) => k -> m.value }.toMap
+    }
+    val full = scanMetrics(read().select("mailbox", "uid", "body"))
+    assert(full.get("filesOpened").contains(20L), full)
+    assert(full.get("filesStatted").contains(0L), full)
+    val slim = scanMetrics(read().select("mailbox", "uid", "size_bytes"))
+    assert(slim.get("filesOpened").contains(0L), slim)
+    assert(slim.get("filesStatted").contains(20L), slim)
+  }
+
   test("pushdown appears in the scan description; results match the " +
       "unpushed plan") {
     val filtered = read().filter(col("uid") <= 2)
