@@ -1500,6 +1500,17 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // ---- chunking under an EXACT subword-token budget (the
+    //      reference's tiktoken-capped chunking, with the trained
+    //      merge table standing in for cl100k; the oracle replays the
+    //      greedy word-atomic packing as a recursive walk over the
+    //      word stream priced by the trained vocabulary) ----
+    "chunk_bpe_budget" -> ((s, dir) => {
+      Bpe.budgetChunks(t(s, dir, "documents"), bpeModelFor(s, dir),
+          budget = 24)
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     // ---- chunking UDTFs (offsets dumped, text omitted for size —
     //      invariants covered by ChunkingSpec) ----
     // Oracle status: ALL strategies are hash-checked — chunk_fixed
@@ -4328,6 +4339,41 @@ object SparkEntry {
            |SELECT sym AS token, sum(cnt)::BIGINT AS freq
            |FROM s$BpeMergeCount GROUP BY 1
            |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin
+    },
+
+    // greedy word-atomic packing as a recursive walk: the cut rule
+    // fires when the running chunk would exceed the budget (a chunk is
+    // never empty, so the first word of a doc — even over-budget —
+    // starts chunk 0 with acc = its own count, matching Bpe.budgetChunks)
+    "chunk_bpe_budget" -> {
+      bpeTrainCtes(BpeMergeCount)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""",
+           |bv AS (
+           |  SELECT word, count(*)::BIGINT AS n
+           |  FROM s$BpeMergeCount GROUP BY 1),
+           |bdw2 AS (
+           |  SELECT doc_id, unnest(range(len(ws)))::BIGINT AS wi,
+           |         unnest(ws) AS word
+           |  FROM (SELECT doc_id, regexp_extract_all(text,
+           |    '${Bpe.WordPattern}') AS ws FROM documents)),
+           |dwn AS MATERIALIZED (
+           |  SELECT b.doc_id, b.wi, bv.n FROM bdw2 b JOIN bv USING (word)),
+           |walk AS (
+           |  SELECT doc_id, wi, 0 AS chunk_idx, n AS acc
+           |  FROM dwn WHERE wi = 0
+           |  UNION ALL
+           |  SELECT w.doc_id, w.wi,
+           |    CASE WHEN r.acc + w.n > 24 THEN r.chunk_idx + 1
+           |      ELSE r.chunk_idx END,
+           |    CASE WHEN r.acc + w.n > 24 THEN w.n ELSE r.acc + w.n END
+           |  FROM walk r JOIN dwn w
+           |    ON w.doc_id = r.doc_id AND w.wi = r.wi + 1)
+           |SELECT k.doc_id, k.chunk_idx AS chunk_index,
+           |  min(k.wi)::BIGINT AS start_word, max(k.wi)::BIGINT AS end_word,
+           |  count(*)::BIGINT AS n_words, sum(d.n)::BIGINT AS bpe_tokens
+           |FROM walk k JOIN dwn d ON d.doc_id = k.doc_id AND d.wi = k.wi
+           |GROUP BY 1, 2 ORDER BY k.doc_id, chunk_index""".stripMargin
     },
 
     "knn_text" -> knnTextOracle,

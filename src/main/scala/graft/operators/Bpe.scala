@@ -188,4 +188,51 @@ object Bpe {
     trained.vocab
       .select(explode(col("syms")).as("token"), col("cnt"))
       .groupBy("token").agg(sum("cnt").as("freq"))
+
+  final case class BpeChunkRow(doc_id: Long, chunk_index: Int,
+      start_word: Int, end_word: Int, n_words: Long, bpe_tokens: Long)
+
+  /** Greedy word-atomic chunking under an EXACT subword-token budget —
+    * the reference caps chunks by tiktoken counts
+    * (`shared/chunking/unified/base.py:136-151`); with a trained merge
+    * table the budget is exact here too, because BPE merges never cross
+    * word boundaries, so a chunk's token count is the SUM of its words'
+    * counts (compositionality is what makes this one broadcast join +
+    * a per-doc scan, not a re-tokenization per candidate boundary).
+    * Rule: accumulate words in order; if adding the next word would
+    * exceed `budget` and the chunk is non-empty, cut — a single
+    * over-budget word still gets its own chunk rather than vanishing.
+    * Spans are word indices into the document's extracted word stream. */
+  def budgetChunks(docs: DataFrame, trained: Trained, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = broadcast(trained.vocab
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms")))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(words(docs, textCol)).as(Seq("wi", "word")))
+      .join(vocab, Seq("word"))
+      .select(col("doc_id"), col("wi").cast("int").as("wi"), col("n_syms"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: Long, it: Iterator[(Long, Int, Long)]) =>
+        val ws = it.toArray.sortBy(_._2)
+        val out = ArrayBuffer.empty[BpeChunkRow]
+        var ci = 0
+        var acc = 0L
+        var nw = 0L
+        var startW = 0
+        var lastW = 0
+        ws.foreach { case (_, wi, n) =>
+          if (nw > 0 && acc + n > budget) {
+            out += BpeChunkRow(doc, ci, startW, lastW, nw, acc)
+            ci += 1; acc = 0L; nw = 0L; startW = wi
+          }
+          if (nw == 0) startW = wi
+          acc += n; nw += 1; lastW = wi
+        }
+        if (nw > 0) out += BpeChunkRow(doc, ci, startW, lastW, nw, acc)
+        out
+      }.toDF()
+  }
 }

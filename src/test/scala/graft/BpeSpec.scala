@@ -115,6 +115,46 @@ class BpeSpec extends SparkSpec {
     assert(t.vocab.count() === 3)
   }
 
+  test("budgetChunks: exact budgets, word-atomic, over-budget word " +
+      "gets its own chunk") {
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb"), // all 1-token words after merges? verify sums
+      (2L, "zzzzzzzzzz")         // one word; may exceed any small budget
+    ).toDF("doc_id", "text")
+    val t = Bpe.train(docs, nMerges = 2, partitions = 1)
+    val vocabSizes = t.vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap.view.mapValues(_.length.toLong)
+    val budget = 3L
+    val chunks = Bpe.budgetChunks(docs, t, budget)
+      .orderBy("doc_id", "chunk_index")
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+    // every chunk except single-word over-budget ones is within budget
+    chunks.foreach { case (_, _, sw, ew, nw, toks) =>
+      assert(toks <= budget || nw == 1L, (sw, ew, nw, toks))
+      assert(nw === (ew - sw + 1).toLong)
+    }
+    // chunks tile each doc's word stream with no gaps or overlaps
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._4 + 1)
+        case _ =>
+      }
+    }
+    // token sums per doc equal the encode totals
+    val enc = Bpe.encode(docs, t).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    byDoc.foreach { case (doc, cs) =>
+      assert(cs.map(_._6).sum === enc(doc))
+    }
+    // the single over-budget word forms its own chunk if it exceeds
+    val zTokens = vocabSizes("zzzzzzzzzz")
+    if (zTokens > budget)
+      assert(byDoc(2L).toSeq === Seq((2L, 0, 0, 0, 1L, zTokens)))
+  }
+
   test("encode: counts sum per doc; wordless docs keep a zero row") {
     val docs = Seq((1L, "the theme"), (2L, "...!!!"), (3L, "the"))
       .toDF("doc_id", "text")
