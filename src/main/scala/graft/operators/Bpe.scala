@@ -162,6 +162,10 @@ object Bpe {
   }
 
   /** Per-document subword token counts under the trained vocabulary.
+    * The vocabulary must COVER the corpus (automatic when trained on
+    * it — the usual call pairs one corpus's train with its encode);
+    * scoring a foreign corpus would need merge application on unseen
+    * words rather than this lookup join.
     * Documents with no extractable words keep a row with zero counts —
     * a tokenizer that silently drops documents corrupts a packing or
     * budgeting pass downstream. */
@@ -202,7 +206,9 @@ object Bpe {
     * Rule: accumulate words in order; if adding the next word would
     * exceed `budget` and the chunk is non-empty, cut — a single
     * over-budget word still gets its own chunk rather than vanishing.
-    * Spans are word indices into the document's extracted word stream. */
+    * Spans are word indices into the document's extracted word stream.
+    * Same coverage contract as [[encode]]: the vocabulary must cover
+    * the corpus (automatic when trained on it). */
   def budgetChunks(docs: DataFrame, trained: Trained, budget: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
