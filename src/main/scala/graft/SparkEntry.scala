@@ -70,12 +70,12 @@ object SparkEntry {
     * `exhausted` early-stop) instead of annihilating every later CTE.
     * Returns the WITH-chain; callers append their final SELECT over
     * `s{n}` / `b{i}`. */
-  private def bpeTrainCtes(n: Int): String = {
+  private def bpeTrainCtes(n: Int, source: String = "documents"): String = {
     val head =
       s"""WITH bw AS MATERIALIZED (
          |  SELECT wd AS word, count(*)::BIGINT AS cnt FROM (
          |    SELECT unnest(regexp_extract_all(text, '${Bpe.WordPattern}')) AS wd
-         |    FROM documents)
+         |    FROM $source)
          |  GROUP BY 1
          |),
          |s0 AS MATERIALIZED (
@@ -92,38 +92,77 @@ object SparkEntry {
          |    FROM s$i) WHERE r IS NOT NULL GROUP BY 1, 2
          |),
          |b$i AS MATERIALIZED (
-         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-         |m$i AS (
-         |  SELECT s.word, s.cnt, s.pos, s.sym,
-         |         coalesce(s.sym = b.l AND
-         |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.r,
-         |           FALSE) AS mt
-         |  FROM s$i s LEFT JOIN b$i b ON TRUE
+         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin +
+        bpeApplyCtes(s"s$i", s"b$i", i.toString, s"s${i + 1}")
+    }
+    head + iters.mkString
+  }
+
+  /** One leftmost-greedy non-overlapping merge application as CTEs:
+    * state `stateIn` (word, cnt, pos, sym) + 1-row pair `pair` (l, r)
+    * → `stateOut`. Islands of consecutive matching positions keep the
+    * even offsets (gaps-and-islands via pos − row_number). Shared by
+    * the training chain (pair = that iteration's argmax) and the
+    * foreign replay chain (pair = the TRAINED `b{i}` applied to a
+    * different corpus's word stream — the schedule-replay encode of
+    * [[graft.operators.Bpe.mergeVocab]]). */
+  private def bpeApplyCtes(stateIn: String, pair: String, tag: String,
+      stateOut: String): String =
+    s""",
+       |m$tag AS (
+       |  SELECT s.word, s.cnt, s.pos, s.sym,
+       |         coalesce(s.sym = b.l AND
+       |           lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.r,
+       |           FALSE) AS mt
+       |  FROM $stateIn s LEFT JOIN $pair b ON TRUE
+       |),
+       |i$tag AS (
+       |  SELECT *, CASE WHEN mt THEN
+       |    pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) END AS isl
+       |  FROM m$tag
+       |),
+       |t$tag AS (
+       |  SELECT *, mt AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0)
+       |    AS take
+       |  FROM i$tag
+       |),
+       |n$tag AS (
+       |  SELECT word, cnt, pos,
+       |         CASE WHEN take THEN
+       |           sym || lead(sym) OVER (PARTITION BY word ORDER BY pos)
+       |         ELSE sym END AS sym,
+       |         coalesce(lag(take) OVER (PARTITION BY word ORDER BY pos), FALSE)
+       |           AS absorbed
+       |  FROM t$tag
+       |),
+       |$stateOut AS MATERIALIZED (
+       |  SELECT word, cnt, row_number() OVER (PARTITION BY word ORDER BY pos) - 1
+       |           AS pos, sym
+       |  FROM n$tag WHERE NOT absorbed
+       |)""".stripMargin
+
+  /** Foreign-corpus replay chain: the FULL corpus's distinct-word
+    * stream pushed through the n trained merges in rank order (each
+    * `b{i}` comes from the training chain over the SUBSET source) —
+    * `f{n}` is then the word→symbols vocabulary for the full corpus,
+    * exactly what [[graft.operators.Bpe.mergeVocab]] computes. Append
+    * after [[bpeTrainCtes]]. */
+  private def bpeReplayCtes(n: Int, source: String = "documents"): String = {
+    val head =
+      s""",
+         |fw AS MATERIALIZED (
+         |  SELECT wd AS word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(text, '${Bpe.WordPattern}')) AS wd
+         |    FROM $source)
+         |  GROUP BY 1
          |),
-         |i$i AS (
-         |  SELECT *, CASE WHEN mt THEN
-         |    pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) END AS isl
-         |  FROM m$i
-         |),
-         |t$i AS (
-         |  SELECT *, mt AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0)
-         |    AS take
-         |  FROM i$i
-         |),
-         |n$i AS (
-         |  SELECT word, cnt, pos,
-         |         CASE WHEN take THEN
-         |           sym || lead(sym) OVER (PARTITION BY word ORDER BY pos)
-         |         ELSE sym END AS sym,
-         |         coalesce(lag(take) OVER (PARTITION BY word ORDER BY pos), FALSE)
-         |           AS absorbed
-         |  FROM t$i
-         |),
-         |s${i + 1} AS MATERIALIZED (
-         |  SELECT word, cnt, row_number() OVER (PARTITION BY word ORDER BY pos) - 1
-         |           AS pos, sym
-         |  FROM n$i WHERE NOT absorbed
+         |f0 AS MATERIALIZED (
+         |  SELECT word, cnt, unnest(range(length(word)))::BIGINT AS pos,
+         |         unnest(string_split(word, '')) AS sym
+         |  FROM fw
          |)""".stripMargin
+    val iters = (0 until n).map { i =>
+      bpeApplyCtes(s"f$i", s"b$i", s"f$i", s"f${i + 1}")
     }
     head + iters.mkString
   }
@@ -550,6 +589,19 @@ object SparkEntry {
     bpeModelCache.getOrElseUpdate(dir,
       Bpe.train(Tables.load(s, dir, "documents"), BpeMergeCount,
         partitions = 1))
+
+  /** The FOREIGN-corpus fit: merges trained on the `doc_id % 3 = 0`
+    * subset only, then the vocabulary for the FULL corpus rebuilt from
+    * that merge table alone via [[Bpe.mergeVocab]] (schedule-replay
+    * encode) — the cl100k drop-in shape, where the merge table comes
+    * from one corpus and the corpus being encoded is another. */
+  private def bpeForeignModelFor(s: SparkSession, dir: String): Bpe.Trained =
+    bpeModelCache.getOrElseUpdate(dir + "#foreign", {
+      val docs = Tables.load(s, dir, "documents")
+      val sub = Bpe.train(docs.where(col("doc_id") % 3 === 0),
+        BpeMergeCount, partitions = 1)
+      Bpe.Trained(sub.merges, Bpe.mergeVocab(docs, sub.merges))
+    })
 
   /** Staged corpus for the quality classifier: the synthetic corpus
     * has no natural quality signal, so the %10==0 "reference corpus"
@@ -1490,6 +1542,15 @@ object SparkEntry {
 
     "bpe_encode" -> ((s, dir) => {
       Bpe.encode(t(s, dir, "documents"), bpeModelFor(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // ---- FOREIGN-corpus encode (the cl100k drop-in shape): merges
+    //      trained on the doc_id%3==0 subset only, the full corpus
+    //      encoded via schedule-replay of that merge table — unseen
+    //      words get real merge application, not a lookup miss ----
+    "bpe_encode_foreign" -> ((s, dir) => {
+      Bpe.encode(t(s, dir, "documents"), bpeForeignModelFor(s, dir))
         .orderBy("doc_id")
     }),
 
@@ -4330,6 +4391,30 @@ object SparkEntry {
            |  SELECT bdw.doc_id, count(*)::BIGINT AS n_words,
            |         sum(bv.n_syms)::BIGINT AS bpe_tokens
            |  FROM bdw JOIN bv USING (word) GROUP BY 1) x USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+    },
+
+    // train on the subset, replay the trained schedule over the FULL
+    // corpus's word stream (bpeReplayCtes), then the same count join
+    "bpe_encode_foreign" -> {
+      bpeTrainCtes(BpeMergeCount,
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)") +
+        bpeReplayCtes(BpeMergeCount) +
+        s""",
+           |bvf AS (
+           |  SELECT word, count(*)::BIGINT AS n_syms
+           |  FROM f$BpeMergeCount GROUP BY 1),
+           |bdwf AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text,
+           |    '${Bpe.WordPattern}')) AS word
+           |  FROM documents)
+           |SELECT d.doc_id,
+           |  coalesce(x.n_words, 0)::BIGINT AS n_words,
+           |  coalesce(x.bpe_tokens, 0)::BIGINT AS bpe_tokens
+           |FROM documents d LEFT JOIN (
+           |  SELECT bdwf.doc_id, count(*)::BIGINT AS n_words,
+           |         sum(bvf.n_syms)::BIGINT AS bpe_tokens
+           |  FROM bdwf JOIN bvf USING (word) GROUP BY 1) x USING (doc_id)
            |ORDER BY doc_id""".stripMargin
     },
 

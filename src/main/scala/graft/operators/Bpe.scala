@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * ships declared approximations. This operator closes the gap from the
   * other direction: it TRAINS a BPE merge table from the corpus itself —
   * no external data file — and tokenizes with it, giving an exact,
-  * reproducible, oracle-checkable subword tokenizer. Dropping in the
-  * cl100k merge table (one parquet of (rank, left, right)) would make
-  * [[encode]] count exactly like the reference; only [[train]] becomes
-  * unnecessary.
+  * reproducible, oracle-checkable subword tokenizer. The cl100k drop-in
+  * path is [[mergeVocab]]: given ANY ordered merge table (one parquet of
+  * (rank, left, right) — trained here or pretrained elsewhere), it
+  * derives the word→symbols relation for ANY corpus by replaying the
+  * merge schedule per word, so [[encode]]/[[budgetChunks]] no longer
+  * require the vocabulary to have been trained on the corpus being
+  * encoded; [[train]] is only needed when no merge table exists yet.
   *
   * Distributed shape (the standard large-corpus BPE recipe):
   *  - training runs over the DISTINCT-WORD table weighted by frequency,
@@ -81,6 +84,84 @@ object Bpe {
 
   private final case class WordState(word: String, cnt: Long,
       syms: Array[String])
+
+  /** Schedule-replay encoding of one word: apply the trained merges in
+    * rank order (each a single leftmost-greedy non-overlapping pass —
+    * the same [[applyMergeLocal]] the trainer uses), skipping merges
+    * whose pair is not present. For a word that was IN the training
+    * corpus this reproduces [[train]]'s final symbols exactly, because
+    * training IS rank-order application; for an unseen word it is the
+    * standard BPE encode loop (GPT-2's `bpe()` applies the
+    * lowest-ranked present pair first, which equals rank-order replay
+    * whenever the merge table is causally consistent — every merge's
+    * operands exist before its rank — as trained tables are).
+    *
+    * Cost is independent of merge-table size: a min-heap of the ranks
+    * of pairs PRESENT in the word (each rank entering at most once —
+    * pops are non-decreasing, and a pair formed by applying rank r can
+    * only carry a rank > r) makes this O(applications × |word|), so a
+    * 100k-entry cl100k table costs the same per word as a 40-entry
+    * trained one. */
+  private[operators] def replayEncodeWord(word: String,
+      ranks: collection.Map[(String, String), Int],
+      byRank: collection.Map[Int, (String, String)]): Array[String] = {
+    var syms: Array[String] = {
+      val a = new Array[String](word.length)
+      var i = 0
+      while (i < word.length) { a(i) = String.valueOf(word.charAt(i)); i += 1 }
+      a
+    }
+    if (syms.length < 2) return syms
+    val pq = scala.collection.mutable.PriorityQueue.empty[Int](
+      Ordering.Int.reverse)
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def pushPresent(floor: Int): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { rk =>
+          if (rk > floor && seen.add(rk)) pq.enqueue(rk)
+        }
+        i += 1
+      }
+    }
+    pushPresent(-1)
+    while (pq.nonEmpty && syms.length > 1) {
+      val rk = pq.dequeue()
+      val (l, r) = byRank(rk)
+      // the pair may have been destroyed by an earlier merge — the
+      // single pass is then a no-op, exactly as rank-order would skip
+      syms = applyMergeLocal(syms, l, r)
+      pushPresent(rk)
+    }
+    syms
+  }
+
+  /** Word→symbols relation derived from the merge table ALONE — the
+    * [[encode]]/[[budgetChunks]] vocabulary for a corpus the table was
+    * NOT trained on (the cl100k drop-in path, and cross-corpus
+    * tokenization generally). One distinct-word shuffle over the
+    * corpus, then a narrow mapPartitions replaying the broadcast merge
+    * schedule per distinct word — the corpus itself is never touched
+    * again, and the merge table rides the broadcast, so this is one
+    * job regardless of table size. Returns the same (word, cnt, syms)
+    * shape as [[Trained.vocab]]; wrap as `Trained(merges, mergeVocab(...))`
+    * and every downstream operator works unchanged. */
+  def mergeVocab(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.map(m =>
+      (m.rank, m.left, m.right)))
+    wordCounts(docs, textCol).as[(String, Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val ranks = ms.map { case (rk, l, r) => ((l, r), rk) }.toMap
+        val byRank = ms.map { case (rk, l, r) => (rk, (l, r)) }.toMap
+        it.map { case (w, c) =>
+          (w, c, replayEncodeWord(w, ranks, byRank).toSeq)
+        }
+      }.toDF("word", "cnt", "syms")
+  }
 
   /** Train `nMerges` merges. Returns the ordered merge table and the
     * final word→symbols vocabulary relation (`word, cnt, syms`) — which
@@ -161,11 +242,25 @@ object Bpe {
     Trained(merges.toSeq, vocab)
   }
 
-  /** Per-document subword token counts under the trained vocabulary.
-    * The vocabulary must COVER the corpus (automatic when trained on
-    * it — the usual call pairs one corpus's train with its encode);
-    * scoring a foreign corpus would need merge application on unseen
-    * words rather than this lookup join.
+  /** Typed-failure guard for the vocabulary lookup joins: a corpus
+    * word the vocabulary does not cover raises at execution time
+    * (the [[graft.multimodal.Multimodal]] JdkCodec discipline) instead
+    * of silently counting as 0 tokens or vanishing from a chunk span.
+    * Never fires when the vocabulary was trained on the corpus being
+    * encoded, or built for it via [[mergeVocab]]. */
+  private def coveredSyms(wordCol: Column, nSymsCol: Column): Column =
+    when(wordCol.isNotNull && nSymsCol.isNull,
+      raise_error(concat(lit("BPE vocabulary does not cover word '"),
+        wordCol,
+        lit("'; train on this corpus or build the vocabulary with " +
+          "Bpe.mergeVocab"))).cast("long"))
+      .otherwise(nSymsCol)
+
+  /** Per-document subword token counts under the vocabulary. The
+    * vocabulary must COVER the corpus — automatic when trained on it,
+    * or when built for it via [[mergeVocab]] (the foreign-corpus /
+    * cl100k drop-in path); an uncovered word is a typed execution
+    * failure, never a silent zero.
     * Documents with no extractable words keep a row with zero counts —
     * a tokenizer that silently drops documents corrupts a packing or
     * budgeting pass downstream. */
@@ -181,6 +276,8 @@ object Bpe {
       .select(col(idCol).as("doc_id"),
         explode_outer(words(docs, textCol)).as("word"))
       .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"), col("word"),
+        coveredSyms(col("word"), col("n_syms")).as("n_syms"))
       .groupBy("doc_id")
       .agg(count(col("word")).as("n_words"),
         coalesce(sum("n_syms"), lit(0L)).as("bpe_tokens"))
@@ -208,7 +305,9 @@ object Bpe {
     * over-budget word still gets its own chunk rather than vanishing.
     * Spans are word indices into the document's extracted word stream.
     * Same coverage contract as [[encode]]: the vocabulary must cover
-    * the corpus (automatic when trained on it). */
+    * the corpus (train on it, or [[mergeVocab]]); an uncovered word
+    * raises instead of silently vanishing from the chunk spans and the
+    * budget accounting. */
   def budgetChunks(docs: DataFrame, trained: Trained, budget: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -217,8 +316,9 @@ object Bpe {
       .select(col("word"), size(col("syms")).cast("long").as("n_syms")))
     docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(words(docs, textCol)).as(Seq("wi", "word")))
-      .join(vocab, Seq("word"))
-      .select(col("doc_id"), col("wi").cast("int").as("wi"), col("n_syms"))
+      .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"), col("wi").cast("int").as("wi"),
+        coveredSyms(col("word"), col("n_syms")).as("n_syms"))
       .as[(Long, Int, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (doc: Long, it: Iterator[(Long, Int, Long)]) =>

@@ -155,6 +155,75 @@ class BpeSpec extends SparkSpec {
       assert(byDoc(2L).toSeq === Seq((2L, 0, 0, 0, 1L, zTokens)))
   }
 
+  /** Independent schedule-replay encode written against the spec: apply
+    * the merge table in rank order, each a leftmost-greedy
+    * non-overlapping pass. */
+  private def localReplay(word: String, merges: Seq[(String, String)])
+      : Seq[String] = {
+    var ss: Seq[String] = word.map(_.toString)
+    merges.foreach { case (l, r) =>
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      ss = out.toSeq
+    }
+    ss
+  }
+
+  test("mergeVocab on the training corpus reproduces train's vocabulary " +
+      "exactly (schedule replay == training application)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200).select("doc_id", "text")
+    val t = Bpe.train(docs, nMerges = 30, partitions = 2)
+    val replayed = Bpe.mergeVocab(docs, t.merges)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val trained = t.vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(replayed === trained)
+  }
+
+  test("mergeVocab encodes FOREIGN words by rank-order merge application " +
+      "(parity with an independent local replay)") {
+    val trainDocs = Seq((1L, "the theme theater low lower lowest"))
+      .toDF("doc_id", "text")
+    val t = Bpe.train(trainDocs, nMerges = 8, partitions = 1)
+    val mergePairs = t.merges.map(m => (m.left, m.right))
+    // foreign corpus: overlapping vocabulary plus entirely unseen words
+    val foreign = Seq((1L, "the theology lowly wholly 1234 thethe"))
+      .toDF("doc_id", "text")
+    val got = Bpe.mergeVocab(foreign, t.merges)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val words = Seq("the", "theology", "lowly", "wholly", "1234", "thethe")
+    assert(got.keySet === words.toSet)
+    words.foreach { w =>
+      assert(got(w) === localReplay(w, mergePairs), w)
+    }
+    // in-training-corpus words agree with the trained vocabulary
+    val trained = t.vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("the") === trained("the"))
+  }
+
+  test("encode and budgetChunks raise a typed failure on an uncovered " +
+      "word instead of silently dropping it") {
+    val trainDocs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val t = Bpe.train(trainDocs, nMerges = 2, partitions = 1)
+    val foreign = Seq((1L, "aa bb zz")).toDF("doc_id", "text")
+    val e1 = intercept[Exception] { Bpe.encode(foreign, t).collect() }
+    assert(e1.getMessage.contains("does not cover word 'zz'"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Bpe.budgetChunks(foreign, t, budget = 3).collect()
+    }
+    assert(e2.getMessage.contains("does not cover word 'zz'"), e2.getMessage)
+    // the mergeVocab path encodes the same corpus without error
+    val fixed = Bpe.Trained(t.merges, Bpe.mergeVocab(foreign, t.merges))
+    assert(Bpe.encode(foreign, fixed).count() === 1L)
+  }
+
   test("encode: counts sum per doc; wordless docs keep a zero row") {
     val docs = Seq((1L, "the theme"), (2L, "...!!!"), (3L, "the"))
       .toDF("doc_id", "text")
