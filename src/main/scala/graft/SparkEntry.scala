@@ -485,7 +485,11 @@ object SparkEntry {
     * table: fresh checkpoint, dir-hashed view name, and state-store
     * parallelism scoped to the stream (one store per shuffle partition
     * per micro-batch — 8 is plenty for the staged event streams'
-    * state, and the session value is restored even on failure). */
+    * state, and the session value is restored even on failure). The
+    * set/restore of session-global shuffle.partitions is safe ONLY
+    * because the driver runs queries serially on this session; a
+    * concurrent caller would need a cloned session (`s.newSession()`)
+    * instead. */
   private def runStreamToTable(s: SparkSession, out: DataFrame,
       prefix: String, dir: String): DataFrame = {
     val ck = java.nio.file.Files.createTempDirectory(s"graft-$prefix-ck")
@@ -544,9 +548,12 @@ object SparkEntry {
 
   /** On-disk staged mailbox tree for the DSv2 connector query — the
     * SAME synthetic messages the in-plan imap_scan stages, written once
-    * per sf dir as `{root}/{mailbox}/{uid}.eml` (distributed write:
-    * executors write their partitions; the driver writes only the
-    * per-mailbox UIDVALIDITY markers). */
+    * per sf dir as `{root}/{mailbox}/{uid}.eml`. The foreachPartition
+    * write targets a driver-local temp dir, which executor tasks can
+    * only reach because this harness runs local-mode — it is a TEST
+    * FIXTURE, not a cluster pattern; on a real cluster the staging
+    * root would live on shared storage (and a real deployment reads an
+    * actual IMAP server through the connector, staging nothing). */
   private def stagedImapRoot(s: SparkSession, dir: String): String =
     imapStagingCache.getOrElseUpdate(dir, {
       val root = tempDirCleanedOnExit("graft-imap").toString

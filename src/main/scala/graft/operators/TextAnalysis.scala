@@ -393,7 +393,16 @@ object TextAnalysis {
   def qualityClassifierFit(labeled: DataFrame, idCol: String,
                            textCol: String, labelCol: String,
                            buckets: Int = 64, iters: Int = 40,
-                           eta: Double = 64.0): QualityClassifier = {
+                           eta: Double = 64.0,
+                           maxFitDocs: Long = 100000L): QualityClassifier = {
+    // the fit collects the labeled SAMPLE on the driver (the
+    // Projection.sampleLimit idiom) — a corpus-scale frame here is a
+    // caller error that must fail loudly, not OOM the driver silently
+    val nLabeled = labeled.count()
+    require(nLabeled <= maxFitDocs,
+      s"qualityClassifierFit collects the labeled set driver-side: got " +
+        s"$nLabeled docs > maxFitDocs=$maxFitDocs — pass a labeled " +
+        s"SAMPLE (or raise maxFitDocs deliberately)")
     // LENGTH-NORMALIZED tf features (the fasttext mean-of-embeddings
     // form): raw occurrence counts make every score ≈ doc_len × mean
     // weight, so any length imbalance between the classes swamps the

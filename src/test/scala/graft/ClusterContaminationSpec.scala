@@ -361,6 +361,17 @@ class ClusterContaminationSpec extends SparkSpec {
       model.bias == model2.bias, "fit must be partitioning-invariant")
   }
 
+  test("qualityClassifierFit refuses a labeled frame above maxFitDocs " +
+      "instead of collecting it") {
+    val labeled = (0L until 30L).map(i => (i, s"doc number $i", i % 2 * 1.0))
+      .toDF("doc_id", "text", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.qualityClassifierFit(
+        labeled, "doc_id", "text", "y", maxFitDocs = 10L)
+    }
+    assert(e.getMessage.contains("maxFitDocs"), e.getMessage)
+  }
+
   test("c4Filters cleaned text is a line-level fixed point") {
     val rnd = new scala.util.Random(5)
     val pool = Vector("alpha", "beta", "gamma", "delta", "spark", "query",
