@@ -295,6 +295,65 @@ object SparkEntry {
   private def mockDotExpr(q: Array[Double]): String =
     (0 until 8).map(i => s"(r$i / nn) * (${q(i)})").mkString(" + ")
 
+  /** §3.2 multi-collection oracle (J7 + W7): per-parity-half BM25 +
+    * dense legs, RRF per collection, global top-10. `vecDims` adds the
+    * heterogeneous-dim assertion column (the per-collection expected
+    * vector width the Spark side must MEASURE from its stored
+    * vectors). */
+  private def multiCollectionOracleSql(nameEven: String, nameOdd: String,
+      vecDims: Option[(Int, Int)]): String = {
+    def halfSql(p: String, parity: Int): String =
+      s"""${bm25WeightsCtes(p, s" WHERE doc_id % 2 = $parity")},
+         |${p}qweights AS (
+         |  SELECT q.term, CAST(q.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)
+         |  JOIN ${p}idf i ON q.term = i.term WHERE i.idf > 0),
+         |${p}scores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term)) AS score
+         |  FROM ${p}weights w JOIN ${p}qweights qw ON w.term = qw.term
+         |  GROUP BY w.doc_id),
+         |${p}sparse AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY score DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM ${p}scores) WHERE r <= 10),
+         |${p}dense AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY dscore DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM dense_scored WHERE doc_id % 2 = $parity) WHERE r <= 10),
+         |${p}fused AS (
+         |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+         |    coalesce(1.0 / (60 + d.r), 0.0) +
+         |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+         |  FROM ${p}dense d FULL OUTER JOIN ${p}sparse sp
+         |    ON d.chunk_id = sp.chunk_id),
+         |${p}top AS (
+         |  SELECT chunk_id, score FROM ${p}fused
+         |  ORDER BY score DESC, chunk_id LIMIT 10)"""
+    val vecDimCol = vecDims.map { case (de, dOdd) =>
+      s",\n  CASE collection_id WHEN '$nameEven' THEN $de ELSE $dOdd END" +
+        " AS vec_dim"
+    }.getOrElse("")
+    s"""WITH $mockDocVecCtes,
+       |dense_scored AS (
+       |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM nrm),
+       |${halfSql("e_", 0)},
+       |${halfSql("o_", 1)},
+       |unioned AS (
+       |  SELECT '$nameEven' AS collection_id, chunk_id, score FROM e_top
+       |  UNION ALL
+       |  SELECT '$nameOdd', chunk_id, score FROM o_top)
+       |SELECT collection_id, chunk_id AS doc_id, chunk_id,
+       |  round(score, 6) AS score$vecDimCol
+       |FROM (SELECT * FROM unioned
+       |  ORDER BY score DESC, collection_id, chunk_id LIMIT 10)
+       |ORDER BY score DESC, collection_id, chunk_id""".stripMargin
+  }
+
   private def knnTextOracle: String =
     s"""WITH $mockDocVecCtes,
        |scored AS (
@@ -460,6 +519,26 @@ object SparkEntry {
         lit(null).cast("string").as("path_id"),
         col("text").as("content"),
         TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("vector"))
+        .localCheckpoint())
+
+  /** Parity-half snapshot re-embedded at a NON-default dimension — the
+    * heterogeneous-dim multi-collection fixture (each collection's
+    * embedding model, and so its vector width, differs; SURVEY §7.4
+    * risk 6). Content and ids match [[docsAsChunksSnapshot]]'s halves,
+    * so the standing per-half BM25 indexes are shared. */
+  private def heteroHalfSnapshot(s: SparkSession, dir: String,
+      parity: Int, dim: Int): DataFrame =
+    docsChunksCache.getOrElseUpdate(s"$dir#hetero$parity-$dim",
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id").cast("long") % 2 === parity)
+        .select(
+          col("doc_id").cast("string").as("doc_id"),
+          col("doc_id").cast("string").as("chunk_id"),
+          lit(0).as("chunk_index"), lit(1).as("total_chunks"),
+          col("doc_id").cast("string").as("path"),
+          lit(null).cast("string").as("path_id"),
+          col("text").as("content"),
+          TextFunctions.mockEmbeddingCol(col("text"), dim).as("vector"))
         .localCheckpoint())
 
   private val docsIndexCache =
@@ -1819,6 +1898,33 @@ object SparkEntry {
           indexes = idx)
         .select(col("collection_id"), col("doc_id"), col("chunk_id"),
           round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("collection_id"), col("chunk_id"))
+    }),
+
+    // ---- heterogeneous-dim multi-collection fan-out: two collections
+    //      whose embedding models differ (dim 16 vs dim 32), each
+    //      sub-plan embedding the query at ITS dimension with the
+    //      declared dim ENFORCED against the stored vectors; vec_dim
+    //      is measured from the stored column, not declared ----
+    "search_multi_hetero" -> ((s, dir) => {
+      lastDir = dir
+      val colls = Seq(
+        "narrow" -> heteroHalfSnapshot(s, dir, parity = 0, dim = 16),
+        "wide" -> heteroHalfSnapshot(s, dir, parity = 1, dim = 32))
+      val res = SearchEngine.searchMany(colls,
+        SearchEngine.SearchRequest(query = SearchQuery,
+          searchMode = "hybrid", k = 10),
+        dims = Map("narrow" -> 16, "wide" -> 32),
+        indexes = Map(
+          "narrow" -> halfSparseIndex(s, dir, 0),
+          "wide" -> halfSparseIndex(s, dir, 1)))
+      val measured = colls.map { case (cid, df) =>
+        df.select(lit(cid).as("collection_id"), col("chunk_id"),
+          size(col("vector")).as("vec_dim"))
+      }.reduce(_ unionByName _)
+      res.join(broadcast(measured), Seq("collection_id", "chunk_id"))
+        .select(col("collection_id"), col("doc_id"), col("chunk_id"),
+          col("vec_dim"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("collection_id"), col("chunk_id"))
     }),
 
@@ -3600,54 +3706,14 @@ object SparkEntry {
          |FROM top10 WHERE CAST(chunk_id AS BIGINT) % 3 = 1
          |ORDER BY score DESC, chunk_id""".stripMargin,
 
-    "search_multi_docs" -> {
-      def halfSql(p: String, parity: Int): String =
-        s"""${bm25WeightsCtes(p, s" WHERE doc_id % 2 = $parity")},
-           |${p}qweights AS (
-           |  SELECT q.term, CAST(q.q_tf AS DOUBLE) * i.idf AS q_weight
-           |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)
-           |  JOIN ${p}idf i ON q.term = i.term WHERE i.idf > 0),
-           |${p}scores AS (
-           |  SELECT w.doc_id,
-           |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term)) AS score
-           |  FROM ${p}weights w JOIN ${p}qweights qw ON w.term = qw.term
-           |  GROUP BY w.doc_id),
-           |${p}sparse AS (
-           |  SELECT chunk_id, r FROM (
-           |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
-           |      row_number() OVER (ORDER BY score DESC,
-           |        CAST(doc_id AS VARCHAR)) AS r
-           |    FROM ${p}scores) WHERE r <= 10),
-           |${p}dense AS (
-           |  SELECT chunk_id, r FROM (
-           |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
-           |      row_number() OVER (ORDER BY dscore DESC,
-           |        CAST(doc_id AS VARCHAR)) AS r
-           |    FROM dense_scored WHERE doc_id % 2 = $parity) WHERE r <= 10),
-           |${p}fused AS (
-           |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
-           |    coalesce(1.0 / (60 + d.r), 0.0) +
-           |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
-           |  FROM ${p}dense d FULL OUTER JOIN ${p}sparse sp
-           |    ON d.chunk_id = sp.chunk_id),
-           |${p}top AS (
-           |  SELECT chunk_id, score FROM ${p}fused
-           |  ORDER BY score DESC, chunk_id LIMIT 10)"""
-      s"""WITH $mockDocVecCtes,
-         |dense_scored AS (
-         |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM nrm),
-         |${halfSql("e_", 0)},
-         |${halfSql("o_", 1)},
-         |unioned AS (
-         |  SELECT 'even' AS collection_id, chunk_id, score FROM e_top
-         |  UNION ALL
-         |  SELECT 'odd', chunk_id, score FROM o_top)
-         |SELECT collection_id, chunk_id AS doc_id, chunk_id,
-         |  round(score, 6) AS score
-         |FROM (SELECT * FROM unioned
-         |  ORDER BY score DESC, collection_id, chunk_id LIMIT 10)
-         |ORDER BY score DESC, collection_id, chunk_id""".stripMargin
-    },
+    "search_multi_docs" -> multiCollectionOracleSql("even", "odd", None),
+
+    // the heterogeneous-dim twin: same fusion algebra (the mock
+    // embedding has 8 nonzero components, so its normalized dot is
+    // dimension-invariant — the dims differ, the SCORES must not),
+    // with each collection's expected vector width asserted
+    "search_multi_hetero" ->
+      multiCollectionOracleSql("narrow", "wide", Some((16, 32))),
 
     // Batch benchmark eval over the REAL chunked corpus: the recursive
     // chunker CTE (same (20,20) instantiation as search_hybrid) feeds

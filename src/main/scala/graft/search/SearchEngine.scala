@@ -288,12 +288,23 @@ object SearchEngine {
     val per = collections.map { case (cid, chunks) =>
       // heterogeneous embedding models: each collection's sub-plan
       // embeds the query at ITS dimension; vector columns never mix
-      // across models (service.py:185-207 dimension validation)
-      val perReq = dims.get(cid) match {
-        case Some(d) => req.copy(vectorDim = d)
-        case None => req
+      // across models (service.py:185-207 dimension validation). A
+      // DECLARED dimension is also ENFORCED against the stored
+      // vectors — a mismatch is the reference's 400, here a typed
+      // execution failure, never a silently-truncated dot product.
+      val (perReq, checked) = dims.get(cid) match {
+        case Some(d) =>
+          val validated =
+            if (chunks.columns.contains("vector"))
+              chunks.filter(assert_true(size(col("vector")) === d,
+                format_string(s"collection '$cid': stored vector " +
+                  s"dimension %s does not match its declared dimension $d",
+                  size(col("vector")))).isNull)
+            else chunks
+          (req.copy(vectorDim = d), validated)
+        case None => (req, chunks)
       }
-      search(chunks, perReq, sparseIndex = indexes.get(cid))
+      search(checked, perReq, sparseIndex = indexes.get(cid))
         .withColumn("collection_id", lit(cid))
     }
     val all = per.reduce(_ unionByName _)

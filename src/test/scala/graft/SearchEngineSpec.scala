@@ -244,6 +244,34 @@ class SearchEngineSpec extends SparkSpec {
     }
   }
 
+  test("heterogeneous dims: per-collection sub-plans embed at their own " +
+      "dimension; a declared/stored mismatch is a typed failure") {
+    val docs16 = Seq((20L, "tomato soup simmering on the stove"))
+      .toDF("doc_id", "text")
+    val chunks16 = Ingest.buildChunks(docs16, "c16", "doc_id", "text",
+      cfg = graft.operators.Chunking.ChunkConfig(minTokens = 1, maxTokens = 50),
+      dim = 16)
+    val req = SearchRequest(query = "tomato spark", searchMode = "hybrid",
+      k = 5, scoreThreshold = -1e9)
+    // correct declaration: both collections answer, each at its own dim
+    val got = SearchEngine.searchMany(
+      Seq("c1" -> chunks, "c16" -> chunks16), req,
+      dims = Map("c1" -> Dim, "c16" -> 16)).collect()
+    assert(got.map(_.getAs[String]("collection_id")).toSet == Set("c1", "c16"))
+    // mixed-dim misuse: declaring 16 for the dim-32 collection raises
+    // the reference's dimension-validation error as a typed failure
+    val e = intercept[Exception] {
+      SearchEngine.searchMany(
+        Seq("c1" -> chunks, "c16" -> chunks16), req,
+        dims = Map("c1" -> 16, "c16" -> 16)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("does not match its declared " +
+      "dimension 16")), messages(e).mkString(" | "))
+  }
+
   test("change-skip drops unchanged docs (P7)") {
     val incoming = Seq((1L, "same text"), (2L, "changed text v2"))
       .toDF("doc_id", "text")
