@@ -2742,6 +2742,24 @@ object SparkEntry {
         .orderBy("doc_id", "frame_index")
     }),
 
+    // ---- REAL frame sampling: animated GIFs (the one multi-frame
+    //      container the bare JDK decodes) written frame-by-frame with
+    //      40ms delays, re-read through ImageIO's multi-frame reader,
+    //      ticks placed by the STORED per-frame delays, frame hash =
+    //      exact pixel checksum the oracle replays arithmetically ----
+    "multimodal_real_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val staged = Multimodal.SyntheticImages.stageGif(
+        t(s, dir, "documents"), "doc_id",
+        w = id => (8 + id % 5).toInt, h = id => (6 + (id * 3) % 7).toInt,
+        nFrames = id => (2 + id % 4).toInt, delayMs = 40)
+      Multimodal.sampleFrames(staged, everyMs = 50L, maxFrames = 4,
+          Multimodal.JdkCodec)
+        .select(col("doc_id").cast("long").as("doc_id"), col("frame_index"),
+          col("timestamp_ms"), col("frame_hash"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -4618,6 +4636,35 @@ object SparkEntry {
         |  substr(sha256(text || 'frame:' ||
         |    CAST(frame_index * 20000 AS VARCHAR)), 1, 16) AS frame_hash
         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+
+    // real GIF timeline: nf frames of 40ms each; sample ticks every
+    // 50ms while the tick lands inside the clip (≤ 4 ticks); the tick
+    // covers frame floor(ts/40); hash = sum over the frame's pixels of
+    // gray(x,y, doc_id + 1000·frame) — the stored-palette round-trip
+    // must be bit-exact for this to hash-match
+    "multimodal_real_frames" ->
+      """WITH cfg AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(6 + (doc_id * 3) % 7 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents),
+        |ticks AS (
+        |  SELECT doc_id, w, h, unnest(range((nf * 40) // 50)) AS k
+        |  FROM cfg),
+        |tf AS (
+        |  SELECT doc_id, w, h, k, (k * 50) // 40 AS f
+        |  FROM ticks WHERE k < 4),
+        |xs AS (
+        |  SELECT doc_id, k, f, h, unnest(range(w)) AS x FROM tf),
+        |pix AS (
+        |  SELECT doc_id, k, f, x, unnest(range(h)) AS y FROM xs)
+        |SELECT doc_id, CAST(k AS INT) AS frame_index,
+        |  CAST(k * 50 AS BIGINT) AS timestamp_ms,
+        |  CAST(sum((x * 31 + y * 17 + (doc_id + 1000 * f) * 13) % 256)
+        |    AS VARCHAR) AS frame_hash
+        |FROM pix GROUP BY doc_id, k
+        |ORDER BY doc_id, frame_index""".stripMargin,
 
     "curation_pipeline" -> {
       val toks = sqlToksKeepStop("text")

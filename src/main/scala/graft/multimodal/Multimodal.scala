@@ -50,6 +50,25 @@ object Multimodal {
                h: Int): (MediaMeta, Array[Byte])
     def extractFeature(mediaType: String, bytes: Array[Byte],
                        dim: Int): Array[Float]
+    /** Frame sampling: one (frameIndex, timestampMs, frameHash) per
+      * `everyMs` tick, capped at `maxFrames`. The default derives
+      * timing from [[decode]] metadata and hashes the container bytes
+      * per tick — the stub path for formats with no in-JVM frame
+      * decoder; a codec with real multi-frame access overrides it with
+      * per-frame pixel checksums (see JdkCodec's animated-GIF path). */
+    def sampleFrames(mediaType: String, bytes: Array[Byte], everyMs: Long,
+                     maxFrames: Int): Seq[(Int, Long, String)] = {
+      val meta = decode(mediaType, bytes)
+      val n = math.min(maxFrames,
+        math.max(0L, meta.durationMs / math.max(1L, everyMs)).toInt)
+      (0 until n).map { i =>
+        val ts = i * everyMs
+        val fh = MessageDigest.getInstance("SHA-256")
+          .digest(bytes ++ s"frame:$ts".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        (i, ts, fh)
+      }
+    }
   }
 
   /** STUB codec — deterministic fake (no media libs in this build).
@@ -284,6 +303,86 @@ object Multimodal {
       case other => throw new IllegalArgumentException(
         s"JdkCodec: no feature extractor for media_type=$other")
     }
+
+    /** Animated-GIF frames with their start timestamps (from each
+      * frame's GraphicControlExtension delay, stored in centiseconds)
+      * and the total duration. ImageIO ships a real multi-frame GIF
+      * reader in the bare JDK — this is the one container where frame
+      * sampling needs no external codec. */
+    private def readGifFrames(bytes: Array[Byte])
+        : (IndexedSeq[(BufferedImage, Long)], Long) = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "JdkCodec: no GIF reader installed")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        var t = 0L
+        val out = IndexedSeq.newBuilder[(BufferedImage, Long)]
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val meta = reader.getImageMetadata(i)
+          val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+            .asInstanceOf[org.w3c.dom.Element]
+          val gces = root.getElementsByTagName("GraphicControlExtension")
+          val delayCs =
+            if (gces.getLength > 0)
+              gces.item(0).asInstanceOf[org.w3c.dom.Element]
+                .getAttribute("delayTime").toInt
+            else 0
+          out += ((img, t))
+          t += delayCs * 10L
+          i += 1
+        }
+        (out.result(), t)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** Pixel checksum of one frame: sum of the low RGB byte per pixel
+      * (R=G=B for the gray palettes these fixtures use) — integer
+      * arithmetic an oracle replays exactly. */
+    private def frameChecksum(img: BufferedImage): Long = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+
+    /** REAL frame sampling for animated GIF: decode every frame with
+      * ImageIO, place it on the timeline by its stored delay, and emit
+      * the frame covering each `everyMs` tick with its pixel checksum
+      * as the frame hash. Still images and video are typed failures —
+      * the JDK has no video decoder, and sampling a still is a caller
+      * error, not an empty result. */
+    override def sampleFrames(mediaType: String, bytes: Array[Byte],
+        everyMs: Long, maxFrames: Int): Seq[(Int, Long, String)] =
+      mediaType match {
+        case "image" if sniff(bytes) == "gif" =>
+          val (frames, totalMs) = readGifFrames(bytes)
+          val n = math.min(maxFrames.toLong,
+            totalMs / math.max(1L, everyMs)).toInt
+          (0 until n).map { k =>
+            val ts = k * everyMs
+            val fi = frames.lastIndexWhere(_._2 <= ts)
+            (k, ts, frameChecksum(frames(fi)._1).toString)
+          }
+        case "image" => throw new IllegalArgumentException(
+          s"JdkCodec: frame sampling needs a multi-frame container " +
+            s"(animated GIF); got a still ${sniff(bytes)}")
+        case other => throw new IllegalArgumentException(
+          s"JdkCodec: no JVM frame decoder for media_type=$other " +
+            "(video needs an external MediaCodec)")
+      }
   }
 
   /** Deterministic synthetic images for the real-codec driver queries:
@@ -330,6 +429,96 @@ object Multimodal {
       sum
     }
 
+    /** 256-gray indexed palette: the GIF writer keeps an
+      * IndexColorModel verbatim (256 grays = exactly one full GIF
+      * palette), so samples survive the animated-GIF round-trip
+      * bit-exact — the PNG-lossless argument, applied to GIF. */
+    private lazy val grayPalette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    private def grayIndexedFrame(seed: Long, w: Int,
+        h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, grayAt(seed, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Deterministic animated GIF: frame f's pixels are
+      * grayAt(docId + 1000·f, x, y), every frame delayed `delayMs`
+      * (must be a multiple of 10 — GIF stores centiseconds). Written
+      * with the JDK's own GIF writer via a per-frame
+      * GraphicControlExtension, so [[JdkCodec.sampleFrames]] exercises
+      * a REAL multi-frame container end to end. */
+    def encodeGif(docId: Long, w: Int, h: Int, nFrames: Int,
+        delayMs: Int): Array[Byte] = {
+      require(delayMs % 10 == 0, s"GIF delay is centisecond-grained: $delayMs")
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(writers.hasNext, "no GIF writer installed")
+      val writer = writers.next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = grayIndexedFrame(docId + 1000L * f, w, h)
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img.getColorModel,
+              img.getSampleModel), writer.getDefaultWriteParam)
+          val fmt = meta.getNativeMetadataFormatName
+          val root = meta.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = {
+            val existing = root.getElementsByTagName("GraphicControlExtension")
+            if (existing.getLength > 0)
+              existing.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            else {
+              val n = new javax.imageio.metadata.IIOMetadataNode(
+                "GraphicControlExtension")
+              root.appendChild(n)
+              n
+            }
+          }
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("transparentColorIndex", "0")
+          gce.setAttribute("delayTime", (delayMs / 10).toString)
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+            null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Stage one synthetic animated GIF per input row, ready for
+      * [[Multimodal.sampleFrames]] with [[JdkCodec]]. */
+    def stageGif(ids: DataFrame, idCol: String, w: Long => Int,
+        h: Long => Int, nFrames: Long => Int, delayMs: Int): DataFrame = {
+      val ds = ids.select(col(idCol).cast("long").as("id"))
+        .as(Encoders.scalaLong)
+      ds.map { id =>
+        MediaRow(id.toString, "image",
+          encodeGif(id, w(id), h(id), nFrames(id), delayMs))
+      }(Encoders.product[MediaRow]).toDF()
+    }
+
     /** Stage one synthetic PNG per input row: (doc_id, media_type,
       * content) with doc-dependent dimensions, ready for [[decode]] /
       * [[resize]] / [[extractFeatures]] with [[JdkCodec]]. */
@@ -374,24 +563,20 @@ object Multimodal {
     }(Encoders.product[DecodedRow]).toDF()
   }
 
-  /** Frame sampling for video: one row per sampled frame at
-    * `everyMs` intervals, capped at `maxFrames` (a bounded flatMap —
-    * the only row-multiplying operator here). */
+  /** Frame sampling: one row per sampled frame at `everyMs` intervals,
+    * capped at `maxFrames` (a bounded flatMap — the only
+    * row-multiplying operator here). Timing, frame selection, and the
+    * frame hash are the CODEC's contract: [[FakeCodec]] (and any codec
+    * without a frame decoder) derives ticks from decode metadata and
+    * hashes the container bytes; [[JdkCodec]] really decodes animated
+    * GIFs frame by frame. */
   def sampleFrames(decoded: DataFrame, everyMs: Long, maxFrames: Int,
                    codec: MediaCodec = FakeCodec): DataFrame = {
     val ds = decoded.select(col("doc_id"), col("media_type"), col("content"))
       .as(Encoders.product[MediaRow])
     ds.flatMap { r =>
-      val meta = codec.decode(r.media_type, r.content)
-      val n = math.min(maxFrames,
-        math.max(0L, meta.durationMs / math.max(1L, everyMs)).toInt)
-      (0 until n).map { i =>
-        val ts = i * everyMs
-        val fh = MessageDigest.getInstance("SHA-256")
-          .digest(r.content ++ s"frame:$ts".getBytes("UTF-8"))
-          .take(8).map("%02x".format(_)).mkString
-        FrameRow(r.doc_id, i, ts, fh)
-      }
+      codec.sampleFrames(r.media_type, r.content, everyMs, maxFrames)
+        .map { case (i, ts, fh) => FrameRow(r.doc_id, i, ts, fh) }
     }(Encoders.product[FrameRow]).toDF()
   }
 

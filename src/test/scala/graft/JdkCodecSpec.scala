@@ -95,6 +95,35 @@ class JdkCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("video"))
   }
 
+  test("animated GIF: real multi-frame decode samples the right frame " +
+      "with exact pixel checksums") {
+    val docId = 5L
+    val (w, h, nFrames, delayMs) = (9, 7, 4, 40)
+    val gif = SyntheticImages.encodeGif(docId, w, h, nFrames, delayMs)
+    // duration 160ms, sampling every 50ms -> ticks 0,50,100 (160/50=3)
+    // covering frames floor(ts/40) = 0, 1, 2
+    val got = JdkCodec.sampleFrames("image", gif, everyMs = 50L,
+      maxFrames = 10)
+    assert(got.map(t => (t._1, t._2)) === Seq((0, 0L), (1, 50L), (2, 100L)))
+    def expectedSum(frame: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield SyntheticImages.grayAt(docId + 1000L * frame, x, y).toLong).sum
+    assert(got.map(_._3) ===
+      Seq(expectedSum(0).toString, expectedSum(1).toString,
+        expectedSum(2).toString))
+    // maxFrames caps the tick count
+    assert(JdkCodec.sampleFrames("image", gif, 50L, 2).length === 2)
+    // a still PNG is a typed failure, not an empty result
+    val png = SyntheticImages.encodePng(docId, 8, 8)
+    val e = intercept[IllegalArgumentException](
+      JdkCodec.sampleFrames("image", png, 50L, 10))
+    assert(e.getMessage.contains("multi-frame"), e.getMessage)
+    // video remains a typed failure
+    val ev = intercept[IllegalArgumentException](
+      JdkCodec.sampleFrames("video", Array[Byte](1, 2, 3), 50L, 10))
+    assert(ev.getMessage.contains("video"), ev.getMessage)
+  }
+
   test("operators run end-to-end with the real codec") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
