@@ -2467,6 +2467,40 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // ---- T3 inside a REAL stream run: the same incremental BM25
+    //      stats algebra, but fed by an actual file-source stream
+    //      (3 staged parquet files, maxFilesPerTrigger=1 → 3 real
+    //      micro-batches through foreachBatch). Order-independence is
+    //      the declared semantics (SURVEY §7.4 risk 2), so the oracle
+    //      is the batch recompute over the union — identical to
+    //      t3_incremental_stats's ----
+    "t3_incremental_stats_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-t3")
+      val in = tmp.resolve("in").toString
+      val ckpt = tmp.resolve("ck").toString
+      for (b <- 0 until 3)
+        docs.filter(col("doc_id") % 3 === b)
+          .coalesce(1).write.mode("append").parquet(in)
+      var state = Sync.emptyBm25State(s)
+      Sync.fileStreamForeachBatch(s, in, docs.schema, ckpt,
+          onBatch = (batch, _) => {
+            val (ts2, g2) = Sync.mergeBm25Stats(state._1, state._2,
+              batch, "doc_id", "text")
+            // localCheckpoint: the merged stats must outlive the
+            // micro-batch DataFrame they were derived from
+            state = (ts2.localCheckpoint(), g2.localCheckpoint())
+          },
+          maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val (termStats, globals) = state
+      termStats.crossJoin(broadcast(globals))
+        .select(col("term"), col("df"),
+          round(Bm25.idfCol(col("df"), col("n_docs")), 6).as("idf"),
+          col("n_docs"))
+        .orderBy("term")
+    }),
+
     // ---- pipeline DAG execution with predicate routing (§3.3) ----
     "dag_pipeline" -> ((s, dir) => {
       import graft.pipeline.Dag
@@ -3452,6 +3486,14 @@ object SparkEntry {
 
     // incremental merge must equal the full recompute — same oracle
     "t3_incremental_stats" ->
+      s"""WITH $Bm25StatsCtes
+         |SELECT term, df, round(idf, 6) AS idf, n_docs
+         |FROM idf ORDER BY term""".stripMargin,
+
+    // the stream run must converge to the same snapshot as the batch
+    // recompute over the union — order-independent merge is the
+    // contract the real micro-batches exercise
+    "t3_incremental_stats_stream" ->
       s"""WITH $Bm25StatsCtes
          |SELECT term, df, round(idf, 6) AS idf, n_docs
          |FROM idf ORDER BY term""".stripMargin,

@@ -152,16 +152,31 @@ object Sync {
                      saveState: DataFrame => Unit,
                      checkpointDir: String,
                      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    fileStreamForeachBatch(spark, incomingDir, schema, checkpointDir,
+      onBatch = (batch, batchId) =>
+        saveState(mergeBatch(loadState(), batch, batchId)),
+      availableNow = availableNow)
+
+  /** The file-stream → foreachBatch harness shared by T1
+    * ([[continuousSync]]) and the streamed T3 (incremental BM25 stats
+    * inside a real stream run): stream parquet files from a directory
+    * and hand each micro-batch to `onBatch`. AvailableNow = one
+    * scheduled catch-up run; `maxFilesPerTrigger` sets the micro-batch
+    * granularity (1 = one file per batch, the multi-batch test
+    * shape). */
+  def fileStreamForeachBatch(spark: SparkSession, incomingDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpointDir: String,
+      onBatch: (DataFrame, Long) => Unit, availableNow: Boolean = true,
+      maxFilesPerTrigger: Int = 1000)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1000")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(incomingDir)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val merged = mergeBatch(loadState(), batch, batchId)
-        saveState(merged)
-        ()
+        onBatch(batch, batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -36,6 +36,36 @@ class StreamingStatsSpec extends SparkSpec {
     assert(incGlobal.getLong(1) == batchLens)
   }
 
+  test("T3 runs inside a REAL stream: per-micro-batch merges converge " +
+      "to the batch recompute") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry durian"), (4L, "apple")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("t3s")
+    val in = tmp.resolve("in").toString
+    for (b <- 0 until 2)
+      docs.filter(col("doc_id") % 2 === b)
+        .coalesce(1).write.mode("append").parquet(in)
+    var state = Sync.emptyBm25State(spark)
+    var batches = 0
+    Sync.fileStreamForeachBatch(spark, in, docs.schema,
+        tmp.resolve("ck").toString,
+        onBatch = (batch, _) => {
+          val (t2, g2) = Sync.mergeBm25Stats(state._1, state._2, batch,
+            "doc_id", "text")
+          state = (t2.localCheckpoint(), g2.localCheckpoint())
+          batches += 1
+        },
+        maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(batches === 2, "one micro-batch per staged file")
+    val incTerm = state._1.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchStats = Bm25.corpusStats(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incTerm === batchStats)
+    assert(state._2.head().getLong(0) === 4L)
+  }
+
   test("HyDE expander rewrites only the dense query, with fallback") {
     val req = SearchEngine.SearchRequest(query = "spark tuning")
     val expanded = SearchEngine.withHyde(req, Providers.MockHyde())
