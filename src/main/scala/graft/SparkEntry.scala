@@ -5483,7 +5483,72 @@ object SparkEntry {
          |    CAST(user_id % 4 AS INT) AS grade
          |  FROM events WHERE user_id % 3 = 0),
          |$irMetricsSqlTail""".stripMargin
-  ) ++ dataDependentOracles
+  ) ++ dataDependentOracles ++ projectionGoldenOracles
+
+  /** sha-256 over the exact 300-row sample the UMAP/t-SNE fits consume
+    * (ids + raw embedding bits) — the guard that keeps a committed
+    * projection golden from ever being compared against DIFFERENT
+    * input: after a testdata regeneration these two queries silently
+    * degrade to rows-only (golden omitted) instead of failing red. */
+  private[graft] def projectionInputFingerprint(s: SparkSession,
+      dir: String): String = {
+    val rows = Tables.load(s, dir, "embeddings")
+      .orderBy("vec_id").limit(300)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = {
+      buf.clear(); buf.putLong(l); md.update(buf.array())
+    }
+    rows.foreach { r =>
+      putLong(r.getLong(0))
+      r.getSeq[Any](1).foreach {
+        case f: Float => putLong(java.lang.Double.doubleToLongBits(f.toDouble))
+        case d: Double => putLong(java.lang.Double.doubleToLongBits(d))
+        case x => putLong(java.lang.Double.doubleToLongBits(x.toString.toDouble))
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Committed golden projections for the two driver-side sampled fits
+    * (`umap_project` / `tsne_project`) — VALUES-table oracles generated
+    * once per sf by [[GenGoldens]] and included only while the CURRENT
+    * input sample matches the recorded fingerprint. The fits themselves
+    * are host-bit-stable by construction (StrictMath transcendentals,
+    * pure-JVM Jacobi eig — no native LAPACK), which is what makes a
+    * frozen golden a legitimate cross-host oracle rather than a
+    * same-machine tautology. */
+  private def projectionGoldenOracles: Map[String, String] =
+    scala.util.Try {
+      val s = org.apache.spark.sql.SparkSession.active
+      val sf = new java.io.File(lastDir).getName
+      lazy val fp = projectionInputFingerprint(s, lastDir)
+      Seq("umap_project", "tsne_project").flatMap { q =>
+        val res = getClass.getResourceAsStream(s"/goldens/${sf}_$q.csv")
+        if (res == null) None
+        else {
+          val lines =
+            try scala.io.Source.fromInputStream(res, "UTF-8")
+              .getLines().toVector
+            finally res.close()
+          val recorded = lines.head.stripPrefix("fingerprint=")
+          if (recorded != fp) None
+          else {
+            val vals = lines.tail.map { l =>
+              val Array(id, x, y) = l.split(",")
+              s"($id, $x, $y)"
+            }.mkString(",\n    ")
+            Some(q ->
+              s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 |  CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+                 |FROM (VALUES
+                 |    $vals) AS g(vec_id, x, y)
+                 |ORDER BY vec_id""".stripMargin)
+          }
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Oracles whose SQL embeds literals fitted from the data (IVF
     * centroids, PCA components). Built defensively: a fit failure

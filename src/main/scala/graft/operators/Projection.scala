@@ -108,6 +108,122 @@ object Projection {
       VectorFunctions.dot(centered, array(pc2.toIndexedSeq.map(lit): _*)).as("y"))
   }
 
+  /** Deterministic top-2 eigenvectors of a symmetric matrix via cyclic
+    * Jacobi rotations in pure JVM arithmetic — no native BLAS/LAPACK,
+    * so the result is BIT-stable across hosts (Java FP is strict since
+    * JDK 17; sqrt is IEEE-exact), which the golden-pinned UMAP/t-SNE
+    * driver queries require of their PCA init. Each returned
+    * eigenvector is sign-pinned: largest-|coordinate| positive. */
+  private[operators] def jacobiTop2(cov: Array[Array[Double]])
+      : (Array[Double], Array[Double]) = {
+    val d = cov.length
+    val a = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    val scale = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { s = math.max(s, math.abs(a(i)(i))); i += 1 }
+      math.max(s, 1e-300)
+    }
+    var sweep = 0
+    while (sweep < 64 && offNorm > 1e-24 * scale * scale) {
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              (if (theta >= 0) 1.0 else -1.0) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // top-2 by (eigenvalue desc, column index asc) — the index
+    // tiebreak keeps degenerate spectra deterministic
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    def pin(colIdx: Int): Array[Double] = {
+      val w = Array.tabulate(d)(r => v(r)(colIdx))
+      val mi = w.indices.maxBy(idx => math.abs(w(idx)))
+      if (w(mi) < 0) w.map(-_) else w
+    }
+    (pin(order(0)), pin(order(1)))
+  }
+
+  /** Shared PCA-of-the-sample 2-D init for [[umap2d]] / [[tsne2d]]:
+    * mean-center, d×d covariance, top-2 components via [[jacobiTop2]],
+    * project the sample. Scaling is the caller's (±10 for UMAP,
+    * stddev 1e-4 for t-SNE). */
+  private def pcaInitProjections(x: Array[Array[Double]],
+      dim: Int): Array[Array[Double]] = {
+    val n = x.length
+    val mean = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      var d = 0
+      while (d < dim) { mean(d) += x(i)(d) / n; d += 1 }
+      i += 1
+    }
+    val cov = Array.ofDim[Double](dim, dim)
+    i = 0
+    while (i < n) {
+      var a = 0
+      while (a < dim) {
+        var b = 0
+        while (b < dim) {
+          cov(a)(b) += (x(i)(a) - mean(a)) * (x(i)(b) - mean(b)) / n
+          b += 1
+        }
+        a += 1
+      }
+      i += 1
+    }
+    val (p1, p2) = jacobiTop2(cov)
+    Array.tabulate(n) { r =>
+      var (sx, sy) = (0.0, 0.0)
+      var d = 0
+      while (d < dim) {
+        sx += (x(r)(d) - mean(d)) * p1(d); sy += (x(r)(d) - mean(d)) * p2(d)
+        d += 1
+      }
+      Array(sx, sy)
+    }
+  }
+
   /** Fit on a sample, project the full table (the projection_build
     * operation, ref models.py:97-146 op type `projection_build`). */
   def pca2d(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -178,7 +294,7 @@ object Projection {
     // --- fuzzy simplicial set: ρ_i = nearest distance; σ_i solved so
     // Σ_j exp(-(max(0, d_ij - ρ_i))/σ_i) = log₂(k)  (the UMAP paper's
     // smooth-kNN calibration), then probabilistic-union symmetrization
-    val target = math.log(k.toDouble) / math.log(2.0)
+    val target = StrictMath.log(k.toDouble) / StrictMath.log(2.0)
     val edgeW = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), Double]
     i = 0
     while (i < n) {
@@ -188,14 +304,14 @@ object Projection {
       while (it < 64) {
         val mid = (lo + hi) / 2
         var s = 0.0; var j = 0
-        while (j < k) { s += math.exp(-math.max(0.0, nbrD(i)(j) - rho) / mid); j += 1 }
+        while (j < k) { s += StrictMath.exp(-math.max(0.0, nbrD(i)(j) - rho) / mid); j += 1 }
         if (s > target) hi = mid else lo = mid
         it += 1
       }
       val sigma = (lo + hi) / 2
       var j = 0
       while (j < k) {
-        val w = math.exp(-math.max(0.0, nbrD(i)(j) - rho) / sigma)
+        val w = StrictMath.exp(-math.max(0.0, nbrD(i)(j) - rho) / sigma)
         val key = if (i < nbr(i)(j)) (i, nbr(i)(j)) else (nbr(i)(j), i)
         val prev = edgeW.getOrElse(key, 0.0)
         edgeW(key) = prev + w - prev * w // fuzzy union
@@ -210,8 +326,8 @@ object Projection {
     // ψ(d) = 1 for d ≤ min_dist, exp(-(d - min_dist)) beyond
     val grid = (0 until 300).map(t => minDist * 3.0 * (t + 1) / 300.0)
     def sse(a: Double, b: Double): Double = grid.map { d =>
-      val psi = if (d <= minDist) 1.0 else math.exp(-(d - minDist))
-      val f = 1.0 / (1.0 + a * math.pow(d, 2 * b))
+      val psi = if (d <= minDist) 1.0 else StrictMath.exp(-(d - minDist))
+      val f = 1.0 / (1.0 + a * StrictMath.pow(d, 2 * b))
       (psi - f) * (psi - f)
     }.sum
     var (bestA, bestB) = (1.0, 1.0)
@@ -239,35 +355,7 @@ object Projection {
     val (pa, pb) = (bestA, bestB)
 
     // --- init: PCA of the sample (driver-side d×d eig), scaled to ±10
-    val mean = new Array[Double](dim)
-    i = 0
-    while (i < n) { var d = 0; while (d < dim) { mean(d) += x(i)(d) / n; d += 1 }; i += 1 }
-    val cov = new DenseMatrix[Double](dim, dim)
-    i = 0
-    while (i < n) {
-      var a = 0
-      while (a < dim) {
-        var b = 0
-        while (b < dim) { cov(a, b) += (x(i)(a) - mean(a)) * (x(i)(b) - mean(b)) / n; b += 1 }
-        a += 1
-      }
-      i += 1
-    }
-    val eig = eigSym(cov)
-    def pc(kth: Int): Array[Double] = {
-      val v = eig.eigenvectors(::, dim - 1 - kth).toArray
-      val mi = v.indices.maxBy(idx => math.abs(v(idx)))
-      if (v(mi) < 0) v.map(-_) else v
-    }
-    val (p1, p2) = (pc(0), pc(1))
-    val y = Array.tabulate(n) { r =>
-      var (sx, sy) = (0.0, 0.0); var d = 0
-      while (d < dim) {
-        sx += (x(r)(d) - mean(d)) * p1(d); sy += (x(r)(d) - mean(d)) * p2(d)
-        d += 1
-      }
-      Array(sx, sy)
-    }
+    val y = pcaInitProjections(x, dim)
     val maxAbs = math.max(1e-12, y.map(p => math.max(math.abs(p(0)), math.abs(p(1)))).max)
     y.foreach { p => p(0) = p(0) / maxAbs * 10; p(1) = p(1) / maxAbs * 10 }
 
@@ -287,8 +375,8 @@ object Projection {
           dx * dx + dy * dy
         }
         if (d2 > 0.0) {
-          val gc = -2.0 * pa * pb * math.pow(d2, pb - 1) /
-            (1.0 + pa * math.pow(d2, pb))
+          val gc = -2.0 * pa * pb * StrictMath.pow(d2, pb - 1) /
+            (1.0 + pa * StrictMath.pow(d2, pb))
           var c = 0
           while (c < 2) {
             val g = clip(gc * (y(a)(c) - y(b)(c))) * w * alpha
@@ -304,7 +392,7 @@ object Projection {
               val dx = y(a)(0) - y(r)(0); val dy = y(a)(1) - y(r)(1)
               dx * dx + dy * dy
             }
-            val gc = 2.0 * pb / ((0.001 + d2n) * (1.0 + pa * math.pow(d2n, pb)))
+            val gc = 2.0 * pb / ((0.001 + d2n) * (1.0 + pa * StrictMath.pow(d2n, pb)))
             var c = 0
             while (c < 2) {
               y(a)(c) += clip(gc * (y(a)(c) - y(r)(c))) * w * alpha
@@ -376,7 +464,7 @@ object Projection {
     // --- conditional affinities: binary-search beta_i = 1/(2σ²) so the
     // entropy of P_{·|i} hits log(perplexity) (50 halvings ≈ machine
     // precision); the effective perplexity is clamped to n−1 neighbors
-    val logU = math.log(math.min(perplexity, (n - 1).toDouble))
+    val logU = StrictMath.log(math.min(perplexity, (n - 1).toDouble))
     val p = Array.ofDim[Double](n, n)
     i = 0
     while (i < n) {
@@ -388,13 +476,13 @@ object Projection {
         var j = 0
         while (j < n) {
           if (j != i) {
-            val e = math.exp(-d2(i)(j) * beta)
+            val e = StrictMath.exp(-d2(i)(j) * beta)
             sumP += e; sumDP += d2(i)(j) * e
           }
           j += 1
         }
         val sp = math.max(sumP, 1e-300)
-        val h = math.log(sp) + beta * sumDP / sp // Shannon entropy
+        val h = StrictMath.log(sp) + beta * sumDP / sp // Shannon entropy
         if (h > logU) {
           betaMin = beta
           beta = if (betaMax.isInfinite) beta * 2 else (beta + betaMax) / 2
@@ -407,7 +495,7 @@ object Projection {
       var sumP = 0.0
       var j = 0
       while (j < n) {
-        if (j != i) { p(i)(j) = math.exp(-d2(i)(j) * beta); sumP += p(i)(j) }
+        if (j != i) { p(i)(j) = StrictMath.exp(-d2(i)(j) * beta); sumP += p(i)(j) }
         j += 1
       }
       val sp = math.max(sumP, 1e-300)
@@ -428,36 +516,8 @@ object Projection {
     }
 
     // --- init: PCA coordinates scaled to stddev 1e-4 (the init=pca
-    // contract; deterministic via the sign-fixed eigSym used everywhere)
-    val mean = new Array[Double](dim)
-    i = 0
-    while (i < n) { var d = 0; while (d < dim) { mean(d) += x(i)(d) / n; d += 1 }; i += 1 }
-    val cov = new DenseMatrix[Double](dim, dim)
-    i = 0
-    while (i < n) {
-      var a = 0
-      while (a < dim) {
-        var b = 0
-        while (b < dim) { cov(a, b) += (x(i)(a) - mean(a)) * (x(i)(b) - mean(b)) / n; b += 1 }
-        a += 1
-      }
-      i += 1
-    }
-    val eig = eigSym(cov)
-    def pc(kth: Int): Array[Double] = {
-      val v = eig.eigenvectors(::, dim - 1 - kth).toArray
-      val mi = v.indices.maxBy(idx => math.abs(v(idx)))
-      if (v(mi) < 0) v.map(-_) else v
-    }
-    val (p1, p2) = (pc(0), pc(1))
-    val y = Array.tabulate(n) { r =>
-      var (sx, sy) = (0.0, 0.0); var d = 0
-      while (d < dim) {
-        sx += (x(r)(d) - mean(d)) * p1(d); sy += (x(r)(d) - mean(d)) * p2(d)
-        d += 1
-      }
-      Array(sx, sy)
-    }
+    // contract; deterministic via the sign-fixed pure-JVM eig)
+    val y = pcaInitProjections(x, dim)
     var std = 0.0
     i = 0
     while (i < n) { std += y(i)(0) * y(i)(0) + y(i)(1) * y(i)(1); i += 1 }
