@@ -61,17 +61,31 @@ object Bench {
     // LAST (it survives the window) and a compact line follows.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}"""
     println(full)
-    // Compact final line, guaranteed inside the tail window: headline
-    // queries only (>=0.1s — below that, scheduler jitter dominates
-    // the signal), 2-decimal values, short sf. A tail-window parser
-    // finds this complete object; full per-query data stays above.
+    // Compact final line, guaranteed inside the tail window. r6 proved
+    // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
+    // and the "compact" line itself blew the 2000-char window, so the
+    // driver's parsed field stayed null. Bound it by CONSTRUCTION
+    // instead: slowest queries first, stop when the serialized line
+    // would exceed ~1400 chars (window minus the trailing sbt banner,
+    // with slack), and say how many were elided. Full per-query data
+    // is the line above + BENCH_LOCAL.json.
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val headline = results.filter { case (_, v) => v >= 0.1 }
-      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$headline,"sf":"$sfName","calibration_sha2m_sec":${f2(calibration)}}""")
+    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"""
+    val budget = 1400 - prefix.length - 60 // 60: closing + omitted field
+    val sortedDesc = results.sortBy { case (_, v) => -v }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    sortedDesc.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + f2(v)
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val omitted = results.size - kept.size
+    // field stays named "queries" (the driver contract's key); the
+    // subset is the slowest-first prefix, with the elision counted
+    println(prefix +
+      s""""queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted}""")
     // Also persist the full-precision record to a file in the repo so
     // nothing ever has to recover it from a truncated stdout tail
     // (sbt's "[success]" banner trails the compact line, so even a

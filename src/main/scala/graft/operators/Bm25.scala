@@ -104,20 +104,49 @@ object Bm25 {
   /** Assemble (id, indices, values) sparse vectors. Term ids are the
     * rank of the term in the sorted vocabulary (snapshot semantics; the
     * reference uses insertion order, which is inherently sequential).
-    * Rank assignment is a DISTRIBUTED sort (range-partitioned sortBy)
-    * + zipWithIndex — per-partition offsets are the only thing that
-    * touches the driver — so the vocabulary never has to fit one
-    * partition's sort buffer, unlike a global row_number window. */
+    *
+    * Rank assignment is a two-phase DISTRIBUTED sort kept entirely on
+    * the DataFrame layer: range-partition the vocabulary, rank locally
+    * per partition (`row_number` over `spark_partition_id` — each
+    * window partition is one range partition, never the whole
+    * vocabulary), then add broadcast per-partition prefix offsets (a
+    * P-row driver collect). A global un-partitioned window would pull
+    * the whole vocabulary into one sort buffer; the previous RDD
+    * `sortBy+zipWithIndex` form scaled the same way but severed
+    * exchange reuse with the weights subplan and paid sortBy's extra
+    * sampling job per call.
+    *
+    * The vocabulary itself derives from the STATS relation
+    * (`idf > 0` — exactly the terms whose weights survive
+    * [[buildIndex]]'s positive-weight guard, since weight > 0 ⇔
+    * idf > 0), which is vocabulary-sized, not corpus-sized. */
   def sparseVectors(corpus: DataFrame, idCol: String, textCol: String,
                     p: Params = Default): DataFrame = {
-    val weights = docTermWeights(corpus, idCol, textCol, p)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val vocab = weights.select("term").distinct().as[String].rdd
-      .sortBy(identity)
-      .zipWithIndex()
-      .map { case (t, i) => (t, i.toInt) }
-      .toDF("term", "term_id")
+    val idx = buildIndex(corpus, idCol, textCol, p)
+    val weights = idx.docWeights
+    val rankParts = math.max(1, math.min(32,
+      corpus.sparkSession.sessionState.conf.numShufflePartitions))
+    // local rank = monotonically_increasing_id over the range-sorted
+    // partitions (pid in the high 31 bits, the within-partition row
+    // offset in the low 33) — the relational zipWithIndex, with no
+    // window exchange at all
+    val ranged = idx.stats.filter(col("idf") > 0.0).select("term")
+      .repartitionByRange(rankParts, col("term"))
+      .sortWithinPartitions("term")
+      .withColumn("mid", monotonically_increasing_id())
+      .select(col("term"), shiftright(col("mid"), 33).cast("int").as("pid"),
+        (col("mid").bitwiseAND(lit((1L << 33) - 1))).as("lr"))
+    // per-partition prefix offsets: the un-partitioned window runs
+    // over the P-row COUNTS relation (P = rankParts, never the
+    // vocabulary), so its single-partition sort is bounded by the
+    // partition count at any corpus scale
+    val offs = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        coalesce(sum("c").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val vocab = ranged.join(broadcast(offs), "pid")
+      .select(col("term"), (col("lr") + col("off")).cast("int").as("term_id"))
     weights.join(vocab, "term")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("term_id"), col("weight"))))

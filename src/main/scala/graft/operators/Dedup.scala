@@ -38,6 +38,17 @@ object Dedup {
       .select("id", "content_hash", "dup_count", "keep_id", "is_kept")
   }
 
+  /** Exact dedup that KEEPS the surviving rows (all columns) directly —
+    * the pipeline-composition form of [[exact]]: one hash-window
+    * shuffle over the input, no (id, is_kept) relation to join back.
+    * Keep rule identical to [[exact]]: min-id per content hash. */
+  def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol)))
+    df.withColumn("__keep_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** Distinct token n-gram shingles per doc: (id, shingle).
     * The token array is projected FIRST so the gram lambda references a
     * materialized attribute — inlining the tokenizer expression into the
@@ -571,6 +582,23 @@ object Dedup {
       .join(hits, Seq("id"), "left")
       .na.fill(0L, Seq("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** Decontamination that KEEPS the clean rows directly — the
+    * pipeline-composition form of [[contamination]]: contaminated ids
+    * (any shared n-gram with the broadcast eval shingles) are
+    * anti-joined away in ONE join, instead of a contaminated-flag
+    * relation plus a join-back. Surviving set is identical to
+    * `contamination(...).filter(!contaminated)` re-joined to train. */
+  def decontaminateRows(train: DataFrame, trainId: String, trainText: String,
+                        evalDf: DataFrame, evalId: String, evalText: String,
+                        n: Int = 3): DataFrame = {
+    val evalSh = shingles(evalDf, evalId, evalText, n)
+      .select("shingle").distinct()
+    val contaminatedIds = shingles(train, trainId, trainText, n)
+      .join(broadcast(evalSh), "shingle")
+      .select(col("id").as(trainId)).distinct()
+    train.join(contaminatedIds, Seq(trainId), "left_anti")
   }
 
   /** Plane count that keeps expected LSH bucket occupancy near

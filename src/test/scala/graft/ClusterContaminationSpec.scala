@@ -361,6 +361,30 @@ class ClusterContaminationSpec extends SparkSpec {
       model.bias == model2.bias, "fit must be partitioning-invariant")
   }
 
+  test("rows-variant dedup/decontamination keep EXACTLY the survivors " +
+      "of the flag-relation forms") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200).select("doc_id", "text")
+    val keptRows = Dedup.exactRows(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val keptFlag = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("is_kept")).select(col("id").cast("long"))
+      .as[Long].collect().toSet
+    assert(keptRows === keptFlag)
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val cleanRows = Dedup.decontaminateRows(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val cleanFlag = Dedup.contamination(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5)
+      .filter(!col("contaminated")).select(col("id").cast("long"))
+      .as[Long].collect().toSet
+    assert(cleanRows === cleanFlag)
+    assert(cleanRows.nonEmpty && cleanRows.size < 200)
+  }
+
   test("qualityClassifierFit refuses a labeled frame above maxFitDocs " +
       "instead of collecting it") {
     val labeled = (0L until 30L).map(i => (i, s"doc number $i", i % 2 * 1.0))

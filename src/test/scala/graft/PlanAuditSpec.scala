@@ -234,6 +234,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("bpe_encode_foreign: replay-derived vocabulary still probes as " +
+      "broadcast; the corpus is never shuffle-joined") {
+    val p = plan("bpe_encode_foreign")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("search_multi_hetero: per-collection dense legs stay " +
+      "TakeOrderedAndProject; the dim guard adds no join or shuffle") {
+    val p = plan("search_multi_hetero")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("gopher_quality is map-only and splits each array once per row") {
     val p = plan("gopher_quality")
     // the final .orderBy is the dump's determinism sort; nothing before
