@@ -1135,6 +1135,54 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- as-of join (click→purchase attribution): every purchase
+    //      attaches the user's most recent at-or-before click, via the
+    //      union-window form (ONE key shuffle, no inequality-join pair
+    //      explosion — AsOf.scala); the oracle is DuckDB's REAL
+    //      ASOF LEFT JOIN, so the window formulation is checked
+    //      against a native as-of implementation ----
+    "asof_join" -> ((s, dir) => {
+      import graft.operators.AsOf
+      val ev = eventsWithTsUtc(s, dir)
+      // the as-of contract: right side unique per (key, ts)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_utc")
+        .agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts_utc").as("click_ts"),
+          col("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_utc")
+      AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts_utc",
+          "click_ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          (unix_micros(col("ts_utc")) -
+            unix_micros(col("asof_click_ts"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---- bucketed range join (outage attribution): each view event
+    //      matched to the 10-minute windows opened by the user's error
+    //      events, via timeline-bucketed equi-join (RangeJoin.scala —
+    //      candidates bounded by interval density per bucket, never by
+    //      key popularity); oracle = the plain inequality join ----
+    "range_join_bucketed" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = eventsWithTsUtc(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("ts_us"))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("start_us"),
+          (unix_micros(col("ts_utc")) + lit(600L * 1000000L)).as("end_us"))
+      RangeJoin.pointInInterval(views, windows, Seq("user_id"),
+          "ts_us", "start_us", "end_us", bucketWidth = 600L * 1000000L)
+        .groupBy("event_id", "user_id")
+        .agg(count(lit(1)).as("n_windows"), min("error_id").as("first_error_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- event-time tumbling window aggregation (streaming-capable
     //      shape). ts arrives either as TIMESTAMP(NANOS) — which
     //      Tables.load surfaces as a nanos-since-epoch long — or as a
@@ -2796,6 +2844,10 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id",
           w = id => (8 + id % 5).toInt, h = id => (6 + (id * 3) % 7).toInt,
           nFrames = id => (2 + id % 4).toInt, delayMs = 40)
+          // per-row decode parallelism: the parquet scan arrives in 1-2
+          // partitions at this size, which would serialize the ImageIO
+          // work on a 32-core host
+          .repartition(32)
           .localCheckpoint())
       Multimodal.sampleFrames(staged, everyMs = 50L, maxFrames = 4,
           Multimodal.JdkCodec)
@@ -3454,6 +3506,36 @@ object SparkEntry {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union-window
+    // as-of formulation; right side pre-deduped to unique (key, ts)
+    "asof_join" ->
+      """WITH clk AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |pur AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.click_ts) AS lag_us
+        |FROM pur p ASOF LEFT JOIN clk c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the bucketed equi-join must equal the plain inequality join
+    "range_join_bucketed" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 600000000 AS e_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT v.event_id, v.user_id, count(*) AS n_windows,
+        |  min(w.error_id) AS first_error_id
+        |FROM v JOIN w ON v.user_id = w.user_id
+        |  AND v.ts_us >= w.s_us AND v.ts_us < w.e_us
+        |GROUP BY 1, 2 ORDER BY v.event_id""".stripMargin,
 
     "q11_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
