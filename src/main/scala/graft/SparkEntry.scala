@@ -2435,6 +2435,21 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- SLIDING-window streaming twin: 2-hour windows every hour
+    //      (each event lands in two windows, state = 2× windows in
+    //      flight × keys, still bounded); same real stream + append
+    //      finalization machinery as streaming_window_agg ----
+    "streaming_sliding_agg" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val stream = s.readStream.schema("ts_utc TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = Sync.windowedEventAgg(stream, "ts_utc", "event_type",
+        windowLen = "2 hours", delay = "10 minutes", slide = Some("1 hour"))
+      runStreamToTable(s, out, "sliding", dir)
+        .select(col("window_start"), col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- streaming sessionization with custom per-user state
     //      (flatMapGroupsWithState), REALLY streamed over the same
     //      ts-ordered micro-batches: a session closes — and is emitted
@@ -5474,6 +5489,25 @@ object SparkEntry {
         |  event_type, count(*) AS n_events
         |FROM events, wm
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // sliding windows: each event belongs to the two 2-hour windows
+    // starting at floor(ts, 1h) and floor(ts, 1h) − 1h; emitted =
+    // windows finalized by the FINAL watermark (same predicate as the
+    // tumbling twin, window length 2h)
+    "streaming_sliding_agg" ->
+      """WITH wm AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |ws AS (
+        |  SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP)
+        |    AS window_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n_events
+        |FROM ws, wm
+        |WHERE window_start + INTERVAL 2 HOUR < wm.w
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 

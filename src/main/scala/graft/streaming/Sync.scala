@@ -193,10 +193,12 @@ object Sync {
     * cluster scale. `tsCol` must be a timestamp column. */
   def windowedEventAgg(events: DataFrame, tsCol: String, keyCol: String,
                        windowLen: String = "1 hour",
-                       delay: String = "10 minutes"): DataFrame =
+                       delay: String = "10 minutes",
+                       slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .groupBy(window(col(tsCol), windowLen, slide.getOrElse(windowLen)),
+        col(keyCol))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"))
