@@ -1339,6 +1339,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- edit-distance-verified near-dup: MinHash-banded candidates
+    //      (same banding as dedup_minhash), Levenshtein similarity
+    //      over a 256-char prefix as the verify metric ----
+    "dedup_editdist" -> ((s, dir) => {
+      Dedup.editDistanceNearDups(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 8, threshold = 0.3,
+          prefixLen = 256, hashFamily = Dedup.shaHashFamily)
+        .select(col("id_a"), col("id_b"), col("dist"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- int8 scalar quantization: 4× smaller vectors, approximate
     //      dot scoring with dequantization folded into the query ----
     "ann_int8" -> ((s, dir) => {
@@ -4130,6 +4142,23 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM dup_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // same banded candidates as dedup_minhash, Levenshtein verify over
+    // the 256-char prefix
+    "dedup_editdist" ->
+      s"""WITH $minhashPairCtes,
+         |txt AS (
+         |  SELECT doc_id AS id, substr(text, 1, 256) AS t FROM documents)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(a.t, b.t) AS INT) AS dist,
+         |  round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+         |    greatest(length(a.t), length(b.t), 1), 6) AS sim
+         |FROM cands c
+         |JOIN txt a ON a.id = c.id_a
+         |JOIN txt b ON b.id = c.id_b
+         |WHERE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+         |  greatest(length(a.t), length(b.t), 1) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairCtes,

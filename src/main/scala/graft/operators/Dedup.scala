@@ -299,6 +299,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance-verified near-dup: the MinHash-banded candidate
+    * pairs (never all-pairs) verified by Levenshtein similarity
+    * `1 − dist / max(len)` over a bounded text PREFIX. Levenshtein is
+    * O(len_a · len_b) per pair, so unbounded documents would make
+    * verification the bottleneck — both sides clip to `prefixLen`
+    * chars (a documented approximation: candidates are already
+    * shingle-recall-bounded; clipping only affects the verify score).
+    * Uses Spark's codegen'd `levenshtein`, identical DP values to the
+    * oracle engine's. */
+  def editDistanceNearDups(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.5, prefixLen: Int = 256,
+                           hashFamily: (Int, Column) => Column =
+                             xxHashFamily): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sigs = minhashSignaturesFrom(sh, numHashes, hashFamily)
+    val cands = pinPairs(minhashCandidates(sigs, numHashes, bands))
+    val txt = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("t"))
+    cands
+      .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("sim", lit(1.0) - col("dist").cast("double") /
+        greatest(length(col("t_a")), length(col("t_b")), lit(1)).cast("double"))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "dist", "sim")
+  }
+
   /** SimHash over tokens (Charikar): bit b of the fingerprint is the
     * sign of Σ_terms tf · (bit b of hash(term) ? +1 : −1). Computed as
     * `bits` conditional sums in one aggregation — single shuffle on id,

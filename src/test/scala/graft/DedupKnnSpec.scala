@@ -43,6 +43,30 @@ class DedupKnnSpec extends SparkSpec {
     assert(!dups.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("edit-distance verify flags the near-dup pair with the exact " +
+      "Levenshtein distance, and not the unrelated one") {
+    val got = Dedup.editDistanceNearDups(docs, "doc_id", "text",
+      n = 2, numHashes = 16, bands = 8, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.contains((1L, 2L)))
+    // the candidate texts differ by a bounded edit — check the exact
+    // distance against an independent local DP
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case ((a, b), dist) =>
+      assert(dist === lev(texts(a).take(256), texts(b).take(256)), (a, b))
+    }
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("minhash signature of identical docs is identical") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
