@@ -1606,6 +1606,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- JSON-lines source round-trip: documents staged once per dir
+    //      as JSONL (Spark's writer handles escaping), read back with
+    //      an explicit schema incl. a nested struct; the oracle derives
+    //      the same values from the parquet ORIGINALS, so any encode/
+    //      decode infidelity (escaping, unicode, nesting) hash-fails ----
+    "jsonl_scan" -> ((s, dir) => {
+      val in = stagedEventsCache.getOrElseUpdate(s"$dir#jsonl", {
+        val d = tempDirCleanedOnExit("graft-jsonl").resolve("in").toString
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            struct(lit("en").as("lang"), length(col("text")).as("n"))
+              .as("meta"))
+          .coalesce(1).write.json(d)
+        d
+      })
+      s.read.schema("doc_id LONG, text STRING, " +
+          "meta STRUCT<lang: STRING, n: INT>").json(in)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          col("meta.n").as("meta_n"), col("meta.lang").as("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus summary statistics: EXACT percentiles (Spark's sort-
+    //      based percentile aggregate, not approx_percentile) and
+    //      moment-exact stddev — the integer sums Σn and Σn² are exact
+    //      in BIGINT, so the float math happens once on two scalars in
+    //      the final projection, identically on both engines ----
+    "corpus_summary" -> ((s, dir) => {
+      val counts = TextAnalysis.tokenCounts(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("ws_tokens").cast("long").as("n"))
+      val mean = col("total_tokens").cast("double") / col("n_docs")
+      counts.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n").as("total_tokens"),
+          min("n").as("min_tokens"),
+          max("n").as("max_tokens"),
+          sum(col("n") * col("n")).as("_ss"),
+          percentile(col("n"), lit(0.25)).as("_p25"),
+          percentile(col("n"), lit(0.5)).as("_p50"),
+          percentile(col("n"), lit(0.75)).as("_p75"),
+          percentile(col("n"), lit(0.9)).as("_p90"))
+        .select(col("n_docs"), col("total_tokens"), col("min_tokens"),
+          col("max_tokens"),
+          round(col("_p25"), 6).as("p25"), round(col("_p50"), 6).as("p50"),
+          round(col("_p75"), 6).as("p75"), round(col("_p90"), 6).as("p90"),
+          round(mean, 6).as("mean_tokens"),
+          round(sqrt(col("_ss").cast("double") / col("n_docs") -
+            mean * mean), 6).as("std_tokens"))
+    }),
+
     // ---- sequence packing: concatenate-and-chunk bin layout under a
     //      fixed token budget (distributed prefix sum) ----
     "pack_sequences" -> ((s, dir) => {
@@ -4628,6 +4679,31 @@ object SparkEntry {
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
         |    AS char_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the JSONL round-trip must reproduce the parquet originals
+    "jsonl_scan" ->
+      """SELECT doc_id, length(text) AS text_len,
+        |  CAST(length(text) AS INT) AS meta_n, 'en' AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact percentiles (quantile_cont ≡ Spark's percentile: linear
+    // interpolation at p·(n−1)) and moment-derived stddev
+    "corpus_summary" ->
+      """WITH c AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+        |  min(n)::BIGINT AS min_tokens, max(n)::BIGINT AS max_tokens,
+        |  round(quantile_cont(n, 0.25), 6) AS p25,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.75), 6) AS p75,
+        |  round(quantile_cont(n, 0.9), 6) AS p90,
+        |  round(sum(n)::DOUBLE / count(*), 6) AS mean_tokens,
+        |  round(sqrt(sum(n * n)::DOUBLE / count(*) -
+        |    (sum(n)::DOUBLE / count(*)) * (sum(n)::DOUBLE / count(*))), 6)
+        |    AS std_tokens
+        |FROM c""".stripMargin,
 
     "fingerprint" ->
       """SELECT doc_id,
