@@ -383,6 +383,18 @@ object SparkEntry {
       Knn.ivfFit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         64, k = 8, iters = 2))
 
+  /** Coarse quantizer fit ONLY on the standing base (vec_id % 5 ≠ 0) —
+    * the ann_ivf_upsert fixture: new arrivals are ingested by
+    * ASSIGNMENT into this frozen quantizer, never by refit (the S6
+    * vector-upsert semantics: the reference's Qdrant upsert adds
+    * points to an existing index). */
+  private def ivfBaseCentroidsFor(s: SparkSession,
+      dir: String): Seq[Array[Double]] =
+    ivfFitCache.getOrElseUpdate(dir + "#base",
+      Knn.ivfFit(Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", 64, k = 8, iters = 2))
+
   private val pqFitCache =
     scala.collection.concurrent.TrieMap.empty[String, Pq.Codebook]
 
@@ -1481,6 +1493,24 @@ object SparkEntry {
       Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
           nprobe = 3)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- IVF index MAINTENANCE: the quantizer is frozen on the
+    //      standing base; the vec_id%5==0 "new arrivals" are upserted
+    //      by assignment only (no refit), and the probe search runs
+    //      over the union — hits from both generations prove the
+    //      ingestion path ----
+    "ann_ivf_upsert" -> ((s, dir) => {
+      lastDir = dir
+      val e = t(s, dir, "embeddings")
+      val qv = queryVecFor(s, dir)
+      val centroids = ivfBaseCentroidsFor(s, dir)
+      Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
+          nprobe = 3)
+        .select(col("vec_id"),
+          (col("vec_id") % 5 === 0).as("is_new"),
+          round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
@@ -5788,6 +5818,45 @@ object SparkEntry {
   private def dataDependentOracles: Map[String, String] =
     scala.util.Try {
       Map(
+        // base-fit centroids (the frozen quantizer), arrivals assigned
+        // in — same probe algebra as ann_ivf over the union
+        "ann_ivf_upsert" -> {
+          val cents = ivfFitCache.getOrElse(lastDir + "#base",
+            ivfBaseCentroidsFor(
+              org.apache.spark.sql.SparkSession.active, lastDir))
+          val cvals = cents.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          val qv = IvfOracleQueryVec
+          val probes = cents.zipWithIndex
+            .map { case (c, i) => (VectorFunctions.dotS(qv, c), i) }
+            .sortBy { case (sc, i) => (-sc, i) }.take(3).map(_._2)
+            .mkString(", ")
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid) AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             |  WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT a.vec_id,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv)
+             |      AS raw
+             |  FROM assigned a, q WHERE a.cid IN ($probes))
+             |SELECT vec_id, vec_id % 5 = 0 AS is_new,
+             |  round(raw, 6) AS score FROM (
+             |  SELECT vec_id, raw FROM scored
+             |  ORDER BY raw DESC, vec_id LIMIT 10)
+             |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
         "ann_ivf" -> {
           val cvals = IvfOracleCentroids.zipWithIndex
             .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
