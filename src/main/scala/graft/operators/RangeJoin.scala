@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval (range) join: left points `(key, ts)` matched to
@@ -38,15 +38,32 @@ object RangeJoin {
                       endCol: String, bucketWidth: Long): DataFrame = {
     require(keys.nonEmpty, "range join needs at least one key column")
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val p = points.withColumn("__bucket",
-      floor(col(tsCol) / bucketWidth).cast("long"))
+    // exact integer floor-division: floor(x/w) as (x − pmod(x, w)) div w
+    // — pmod keeps it floor (not trunc) for negative ticks, and the
+    // integral `div` keeps the whole computation in LONG arithmetic.
+    // `floor(col / w)` would round through DOUBLE division, which
+    // loses precision past 2^53 (nanosecond-scale ticks) and can put a
+    // point and its covering interval in DIFFERENT buckets near a
+    // boundary, silently dropping the match.
+    val w = bucketWidth
+    def floorDivCols(df: org.apache.spark.sql.DataFrame,
+        in: Map[String, Column]): org.apache.spark.sql.DataFrame = {
+      val withNums = in.foldLeft(df) { case (d, (name, c)) =>
+        d.withColumn(s"__n_$name", c.cast("long") - pmod(c.cast("long"), lit(w)))
+      }
+      val withBuckets = in.keys.foldLeft(withNums) { (d, name) =>
+        d.withColumn(name, expr(s"__n_$name div ${w}L"))
+      }
+      in.keys.foldLeft(withBuckets)((d, name) => d.drop(s"__n_$name"))
+    }
+    val p = floorDivCols(points, Map("__bucket" -> col(tsCol)))
     // [start, end): the last covered bucket is floor((end-1)/width);
     // empty intervals (end <= start) cover no bucket and match nothing
-    val iv = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("__bucket", explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    val iv = floorDivCols(
+        intervals.filter(col(endCol) > col(startCol)),
+        Map("__b0" -> col(startCol), "__b1" -> (col(endCol) - 1)))
+      .withColumn("__bucket", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1")
     p.join(iv, keys :+ "__bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
