@@ -321,12 +321,33 @@ object Multimodal {
         val n = reader.getNumImages(true)
         var t = 0L
         val out = IndexedSeq.newBuilder[(BufferedImage, Long)]
+        var w0 = -1
+        var h0 = -1
         var i = 0
         while (i < n) {
           val img = reader.read(i)
+          if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
           val meta = reader.getImageMetadata(i)
           val root = meta.getAsTree(meta.getNativeMetadataFormatName)
             .asInstanceOf[org.w3c.dom.Element]
+          // `reader.read(i)` returns the STORED frame, which for a
+          // differencing-optimized GIF is only the changed
+          // sub-rectangle — checksumming that would silently describe
+          // a patch, not the displayed frame. Full-frame GIFs only;
+          // partial frames are a typed failure, not a wrong answer.
+          val descs = root.getElementsByTagName("ImageDescriptor")
+          val fullFrame = img.getWidth == w0 && img.getHeight == h0 &&
+            (descs.getLength == 0 || {
+              val dEl = descs.item(0).asInstanceOf[org.w3c.dom.Element]
+              def attr0(a: String) = {
+                val v = dEl.getAttribute(a); v.isEmpty || v == "0"
+              }
+              attr0("imageLeftPosition") && attr0("imageTopPosition")
+            })
+          require(fullFrame,
+            s"JdkCodec: frame $i is a partial (differencing-optimized) " +
+              "GIF frame; only full-frame GIFs are supported without a " +
+              "compositing decoder")
           val gces = root.getElementsByTagName("GraphicControlExtension")
           val delayCs =
             if (gces.getLength > 0)

@@ -136,6 +136,12 @@ object Bm25 {
       .withColumn("mid", monotonically_increasing_id())
       .select(col("term"), shiftright(col("mid"), 33).cast("int").as("pid"),
         (col("mid").bitwiseAND(lit((1L << 33) - 1))).as("lr"))
+      // MATERIALIZED once: two consumers (offs + the id join) must read
+      // the SAME physical range partitioning — uncached, each copy
+      // would run its own RangePartitioner, whose sampled boundaries
+      // can diverge between executions, silently corrupting the
+      // offset/rank pairing. The relation is vocabulary-sized.
+      .localCheckpoint()
     // per-partition prefix offsets: the un-partitioned window runs
     // over the P-row COUNTS relation (P = rankParts, never the
     // vocabulary), so its single-partition sort is bounded by the

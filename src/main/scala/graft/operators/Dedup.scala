@@ -313,7 +313,10 @@ object Dedup {
                            threshold: Double = 0.5, prefixLen: Int = 256,
                            hashFamily: (Int, Column) => Column =
                              xxHashFamily): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // unlike minhashNearDups, the shingle relation has exactly ONE
+    // consumer here (the signatures) — caching it would pin a
+    // corpus-sized relation for the JVM lifetime for nothing
+    val sh = shingles(df, idCol, textCol, n)
     val sigs = minhashSignaturesFrom(sh, numHashes, hashFamily)
     val cands = pinPairs(minhashCandidates(sigs, numHashes, bands))
     val txt = df.select(col(idCol).as("id"),

@@ -397,11 +397,13 @@ object TextAnalysis {
                            maxFitDocs: Long = 100000L): QualityClassifier = {
     // the fit collects the labeled SAMPLE on the driver (the
     // Projection.sampleLimit idiom) — a corpus-scale frame here is a
-    // caller error that must fail loudly, not OOM the driver silently
-    val nLabeled = labeled.count()
-    require(nLabeled <= maxFitDocs,
+    // caller error that must fail loudly, not OOM the driver silently.
+    // limit+1 bounds the guard's own work: the check never scans more
+    // than maxFitDocs+1 rows, even when handed a corpus-scale frame
+    val probed = labeled.limit((maxFitDocs + 1).toInt).count()
+    require(probed <= maxFitDocs,
       s"qualityClassifierFit collects the labeled set driver-side: got " +
-        s"$nLabeled docs > maxFitDocs=$maxFitDocs — pass a labeled " +
+        s"more than maxFitDocs=$maxFitDocs docs — pass a labeled " +
         s"SAMPLE (or raise maxFitDocs deliberately)")
     // LENGTH-NORMALIZED tf features (the fasttext mean-of-embeddings
     // form): raw occurrence counts make every score ≈ doc_len × mean

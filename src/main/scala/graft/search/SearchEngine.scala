@@ -296,10 +296,13 @@ object SearchEngine {
         case Some(d) =>
           val validated =
             if (chunks.columns.contains("vector"))
+              // cid goes in as a %s ARGUMENT — interpolating it into
+              // the printf pattern would let a '%' in a collection
+              // name corrupt the format and mask the typed error
               chunks.filter(assert_true(size(col("vector")) === d,
-                format_string(s"collection '$cid': stored vector " +
-                  s"dimension %s does not match its declared dimension $d",
-                  size(col("vector")))).isNull)
+                format_string("collection '%s': stored vector " +
+                  "dimension %s does not match its declared dimension %s",
+                  lit(cid), size(col("vector")), lit(d))).isNull)
             else chunks
           (req.copy(vectorDim = d), validated)
         case None => (req, chunks)
