@@ -2543,6 +2543,25 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- BUILT-IN session windows, REALLY streamed: the same 4-hour
+    //      gap as the custom-state sessionizer but through Spark's
+    //      session_window aggregation (merging windows + watermark
+    //      finalization handled by the engine); emitted = sessions
+    //      whose end (last event + gap) precedes the FINAL watermark ----
+    "streaming_session_window" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val stream = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = stream.withWatermark("ts_utc", "10 minutes")
+        .groupBy(session_window(col("ts_utc"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"))
+      runStreamToTable(s, out, "sesswin", dir)
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- streaming sessionization with custom per-user state
     //      (flatMapGroupsWithState), REALLY streamed over the same
     //      ts-ordered micro-batches: a session closes — and is emitted
@@ -5645,6 +5664,32 @@ object SparkEntry {
         |WHERE window_start + INTERVAL 2 HOUR < wm.w
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // engine-managed session windows finalize when the FINAL watermark
+    // passes last_ts + gap — unlike the custom sessionizer below,
+    // whose close rule is successor-arrival
+    "streaming_session_window" ->
+      """WITH wm AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER win IS NULL
+        |         OR ts - lag(ts) OVER win > INTERVAL 4 HOUR THEN 1
+        |    ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS last_ts, count(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT CAST(session_start AS TIMESTAMP) AS session_start, user_id,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM agg, wm WHERE last_ts + INTERVAL 4 HOUR < wm.w
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // emitted = all sessions but each user's last (a session closes
     // only when its successor event arrives; 4-hour gap)

@@ -321,13 +321,21 @@ object Dedup {
     val cands = pinPairs(minhashCandidates(sigs, numHashes, bands))
     val txt = df.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("t"))
+    // banded DP: any dist that could still pass the filter satisfies
+    // dist <= (1-threshold)·maxLen <= (1-threshold)·prefixLen, so the
+    // bounded variant is OUTPUT-IDENTICAL (its above-band sentinel −1
+    // is rejected explicitly below) and skips the full O(len²) table
+    // for far-apart candidates
+    val bound = math.max(1, math.ceil((1.0 - threshold) * prefixLen).toInt)
     cands
       .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), bound))
       .withColumn("sim", lit(1.0) - col("dist").cast("double") /
         greatest(length(col("t_a")), length(col("t_b")), lit(1)).cast("double"))
-      .filter(col("sim") >= threshold)
+      // dist >= 0 first: the bounded levenshtein returns −1 above the
+      // band, which would otherwise INFLATE sim past 1
+      .filter(col("dist") >= 0 && col("sim") >= threshold)
       .select("id_a", "id_b", "dist", "sim")
   }
 
