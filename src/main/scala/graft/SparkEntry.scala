@@ -1658,6 +1658,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- small-file compaction through the T6 blue/green swap: a
+    //      fragmented generation (16 files) is rewritten into a
+    //      compacted one (2 files) with an atomic pointer flip; file
+    //      counts are MEASURED from the on-disk layout via
+    //      input_file_name(), rows re-counted from the swapped reads —
+    //      the routine 100 TB maintenance pass (compact-then-swap),
+    //      driver-checked against declared layout arithmetic ----
+    "compact_generations" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-compact").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("collection_id", lit("docs"))
+      Ingest.reindexSwap(s, docs.repartition(16), root)
+      val frag = Ingest.readCurrent(s, root)
+      val fragFiles = frag.select(input_file_name()).distinct().count()
+      val fragRows = frag.count()
+      Ingest.reindexSwap(s, frag.repartition(2), root)
+      val comp = Ingest.readCurrent(s, root)
+      val compFiles = comp.select(input_file_name()).distinct().count()
+      val compRows = comp.count()
+      import s.implicits._
+      Seq(("compacted", compFiles, compRows),
+        ("fragmented", fragFiles, fragRows))
+        .toDF("generation", "n_files", "n_rows")
+        .orderBy("generation")
+    }),
+
     // ---- corpus summary statistics: EXACT percentiles (Spark's sort-
     //      based percentile aggregate, not approx_percentile) and
     //      moment-exact stddev — the integer sums Σn and Σn² are exact
@@ -4728,6 +4755,16 @@ object SparkEntry {
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
         |    AS char_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the measured on-disk layout must match the declared repartition
+    // arithmetic, and no row may be lost across either swap
+    "compact_generations" ->
+      """SELECT 'compacted' AS generation, CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT count(*) FROM documents) AS n_rows
+        |UNION ALL
+        |SELECT 'fragmented', CAST(16 AS BIGINT),
+        |  (SELECT count(*) FROM documents)
+        |ORDER BY generation""".stripMargin,
 
     // the JSONL round-trip must reproduce the parquet originals
     "jsonl_scan" ->
