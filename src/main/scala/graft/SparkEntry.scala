@@ -1685,6 +1685,33 @@ object SparkEntry {
         .orderBy("generation")
     }),
 
+    // ---- schema evolution across generations: an old partition
+    //      written WITHOUT a column coexists with a new one that has
+    //      it; mergeSchema unifies the read and the missing column
+    //      surfaces as NULL — the drift case every long-lived 100 TB
+    //      table hits. Oracle derives the same split arithmetic from
+    //      the originals ----
+    "schema_evolution" -> ((s, dir) => {
+      val root = stagedEventsCache.getOrElseUpdate(s"$dir#evo", {
+        val d = tempDirCleanedOnExit("graft-evo").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+          .write.parquet(s"$d/batch=old")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("text_len"))
+          .write.parquet(s"$d/batch=new")
+        d
+      })
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("text_len").isNull.cast("long")).as("n_null_len"),
+          coalesce(sum("text_len"), lit(0L)).as("total_len"))
+        .orderBy("batch")
+    }),
+
     // ---- corpus summary statistics: EXACT percentiles (Spark's sort-
     //      based percentile aggregate, not approx_percentile) and
     //      moment-exact stddev — the integer sums Σn and Σn² are exact
@@ -4755,6 +4782,18 @@ object SparkEntry {
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
         |    AS char_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // old generation has no text_len -> all NULL; new generation sums
+    // real lengths
+    "schema_evolution" ->
+      """SELECT 'new' AS batch, count(*)::BIGINT AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_null_len,
+        |  sum(length(text))::BIGINT AS total_len
+        |FROM documents WHERE doc_id % 2 <> 0
+        |UNION ALL
+        |SELECT 'old', count(*)::BIGINT, count(*)::BIGINT, CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY batch""".stripMargin,
 
     // the measured on-disk layout must match the declared repartition
     // arithmetic, and no row may be lost across either swap
