@@ -20,6 +20,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing targets BYTES (parallelismFirst still floors at
+      // minPartitionSize=1m), but several pipelines do CPU-heavy work
+      // AFTER a shuffle whose payload is small — e.g. the shingle
+      // explode downstream of curation_pipeline's dedup window — and a
+      // few-MB shuffle coalesced to 1-3 partitions serializes that work
+      // on a 32-core host. 64k keeps small-shuffle stages parallel; at
+      // production scale partitions dwarf both floors and the setting
+      // is inert (it only LOWERS the merge floor, never splits).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

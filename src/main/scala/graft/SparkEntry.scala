@@ -1254,7 +1254,8 @@ object SparkEntry {
 
     // ---- BM25 corpus stats (A1) ----
     "bm25_stats" -> ((s, dir) => {
-      Bm25.corpusStats(t(s, dir, "documents"), "doc_id", "text")
+      Bm25.corpusStats(t(s, dir, "documents"), "doc_id", "text",
+          pinStats = true)
         .select(col("term"), col("df"), round(col("idf"), 6).as("idf"),
           col("n_docs"))
         .orderBy("term")
@@ -1262,7 +1263,8 @@ object SparkEntry {
 
     // ---- BM25 document vectors (A2) ----
     "bm25_docvec" -> ((s, dir) => {
-      Bm25.docTermWeights(t(s, dir, "documents"), "doc_id", "text")
+      Bm25.docTermWeights(t(s, dir, "documents"), "doc_id", "text",
+          pinStats = true)
         .filter(col("id") < 50)
         .select(col("id").as("doc_id"), col("term"), col("tf"),
           round(col("weight"), 6).as("weight"))
@@ -1275,7 +1277,8 @@ object SparkEntry {
     // is a distributed sortBy+zipWithIndex, and this query pins its
     // equivalence to SQL dense_rank over the sorted distinct vocab.
     "bm25_sparsevec" -> ((s, dir) => {
-      Bm25.sparseVectors(t(s, dir, "documents"), "doc_id", "text")
+      Bm25.sparseVectors(t(s, dir, "documents"), "doc_id", "text",
+          pinStats = true)
         .filter(col("id") < 50)
         .select(col("id").as("doc_id"),
           explode(arrays_zip(col("indices"), col("values"))).as("pair"))
@@ -2906,7 +2909,7 @@ object SparkEntry {
     "multimodal_real_decode" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val staged = Multimodal.SyntheticImages.stage(
-        t(s, dir, "documents"), "doc_id",
+        t(s, dir, "documents").select("doc_id").repartition(32), "doc_id",
         w = id => 16 + (id % 17).toInt, h = id => 16 + ((id * 7) % 23).toInt)
       Multimodal.decode(staged, Multimodal.JdkCodec)
         .select(col("doc_id").cast("long").as("doc_id"), col("width"),
@@ -2919,7 +2922,7 @@ object SparkEntry {
     "multimodal_real_resize" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val staged = Multimodal.SyntheticImages.stage(
-        t(s, dir, "documents"), "doc_id",
+        t(s, dir, "documents").select("doc_id").repartition(32), "doc_id",
         w = id => 16 + (id % 17).toInt, h = id => 16 + ((id * 7) % 23).toInt)
       val resized = Multimodal.resize(staged, 8, 8, Multimodal.JdkCodec)
       val sumUdf = udf((b: Array[Byte]) => Multimodal.SyntheticImages.graySum(b))
@@ -2933,7 +2936,7 @@ object SparkEntry {
     "multimodal_real_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val staged = Multimodal.SyntheticImages.stage(
-        t(s, dir, "documents"), "doc_id", w = _ => 32, h = _ => 32)
+        t(s, dir, "documents").select("doc_id").repartition(32), "doc_id", w = _ => 32, h = _ => 32)
       Multimodal.extractFeatures(staged, dim = 16, Multimodal.JdkCodec)
         .select(col("doc_id").cast("long").as("doc_id"),
           posexplode(col("feature")))
@@ -3022,13 +3025,16 @@ object SparkEntry {
       // DECODE + sampling, which runs fresh per call
       val staged = docsChunksCache.getOrElseUpdate(s"$dir#gifs",
         Multimodal.SyntheticImages.stageGif(
-          t(s, dir, "documents"), "doc_id",
+          // repartition the ID INPUT, not the staged output: the
+          // parquet scan arrives in 1-2 partitions at this size, and a
+          // repartition placed after stageGif redistributes only the
+          // already-encoded bytes — the ImageIO ENCODE itself would
+          // still run serialized inside the scan partition (measured:
+          // an 11.8 s single-task stage vs ~0.6 s across 32)
+          t(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id",
           w = id => (8 + id % 5).toInt, h = id => (6 + (id * 3) % 7).toInt,
           nFrames = id => (2 + id % 4).toInt, delayMs = 40)
-          // per-row decode parallelism: the parquet scan arrives in 1-2
-          // partitions at this size, which would serialize the ImageIO
-          // work on a 32-core host
-          .repartition(32)
           .localCheckpoint())
       Multimodal.sampleFrames(staged, everyMs = 50L, maxFrames = 4,
           Multimodal.JdkCodec)

@@ -130,23 +130,47 @@ object Multimodal {
       else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
       else "bin"
 
+    // Reader/writer service providers resolved from the IIORegistry
+    // ONCE per format per JVM: `ImageIO.read`/`ImageIO.write` walk the
+    // provider registry (calling canDecodeInput on each candidate) for
+    // EVERY image, which is pure per-row overhead inside a hot Spark
+    // task loop — the format is already known from the magic bytes.
+    private val readerSpis =
+      new java.util.concurrent.ConcurrentHashMap[String, javax.imageio.spi.ImageReaderSpi]()
+    private def readerSpiFor(fmt: String): javax.imageio.spi.ImageReaderSpi =
+      readerSpis.computeIfAbsent(fmt, f => {
+        val it = ImageIO.getImageReadersByFormatName(f)
+        require(it.hasNext, s"JdkCodec: no ImageIO reader for format $f")
+        it.next().getOriginatingProvider
+      })
+    private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+      val it = ImageIO.getImageWritersByFormatName("png")
+      require(it.hasNext, "JdkCodec: no ImageIO PNG writer installed")
+      it.next().getOriginatingProvider
+    }
+
     // explicit memory-cache streams: ImageIO's default useCache=true
     // would create+delete a temp FILE per read/write — per-row disk
     // I/O inside Spark tasks for a pure in-memory byte round-trip
     private def readImage(bytes: Array[Byte]): BufferedImage = {
+      val fmt = sniff(bytes)
+      require(fmt != "bin",
+        "JdkCodec: no ImageIO decoder for these bytes (sniffed bin)")
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(bytes))
-      // ImageIO.read(ImageInputStream) closes the stream itself
-      val img = ImageIO.read(iis)
-      require(img != null,
-        s"JdkCodec: no ImageIO decoder for these bytes (sniffed ${sniff(bytes)})")
-      img
+      val reader = readerSpiFor(fmt).createReaderInstance()
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally { reader.dispose(); iis.close() }
     }
 
     private def writePng(img: BufferedImage): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-      try { ImageIO.write(img, "png", ios); ios.flush() } finally ios.close()
+      val writer = pngWriterSpi.createWriterInstance()
+      try { writer.setOutput(ios); writer.write(img); ios.flush() }
+      finally { writer.dispose(); ios.close() }
       out.toByteArray
     }
 
@@ -304,6 +328,68 @@ object Multimodal {
         s"JdkCodec: no feature extractor for media_type=$other")
     }
 
+    /** The GIF reader service provider, resolved from the IIORegistry
+      * ONCE per JVM: `ImageIO.getImageReadersByFormatName` walks the
+      * provider registry on every call, which is per-ROW overhead when
+      * frame sampling runs inside a hot `flatMap`. */
+    private def gifReaderSpi: javax.imageio.spi.ImageReaderSpi =
+      readerSpiFor("gif")
+
+    /** One frame's container-level metadata: the ImageDescriptor
+      * geometry and the preceding GraphicControlExtension delay
+      * (centiseconds). */
+    private final case class GifFrameMeta(
+        left: Int, top: Int, w: Int, h: Int, delayCs: Int)
+
+    /** Frame metadata via a direct walk of the GIF block structure
+      * (header → logical screen descriptor → extension / image-
+      * descriptor blocks). Replaces per-frame
+      * `reader.getImageMetadata(i).getAsTree` — building and querying
+      * a DOM tree per FRAME dominated the decode loop — with a scan
+      * that only skips length-prefixed sub-blocks. Pixel data still
+      * comes from ImageIO ([[readGifFrames]]); this reads nothing but
+      * block geometry and delays. */
+    private def scanGifMeta(bytes: Array[Byte]): IndexedSeq[GifFrameMeta] = {
+      def u8(i: Int) = bytes(i) & 0xff
+      def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      require(bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F', "JdkCodec: not a GIF container")
+      var p = 13 // 6-byte header + 7-byte logical screen descriptor
+      val lsdPacked = u8(10)
+      if ((lsdPacked & 0x80) != 0) p += 3 * (1 << ((lsdPacked & 7) + 1))
+      def skipSubBlocks(): Unit = {
+        while (u8(p) != 0) p += 1 + u8(p)
+        p += 1
+      }
+      var pendingDelay = 0
+      val out = IndexedSeq.newBuilder[GifFrameMeta]
+      var done = false
+      while (!done && p < bytes.length) {
+        u8(p) match {
+          case 0x3B => done = true // trailer
+          case 0x21 => // extension: label byte, then sub-blocks
+            val label = u8(p + 1)
+            p += 2
+            // GCE payload: size(>=4), packed, delay lo, delay hi, ...
+            if (label == 0xF9 && u8(p) >= 3) pendingDelay = u16(p + 2)
+            skipSubBlocks()
+          case 0x2C => // image descriptor
+            val m = GifFrameMeta(u16(p + 1), u16(p + 3), u16(p + 5),
+              u16(p + 7), pendingDelay)
+            val idPacked = u8(p + 9)
+            p += 10
+            if ((idPacked & 0x80) != 0) p += 3 * (1 << ((idPacked & 7) + 1))
+            p += 1 // LZW minimum code size
+            skipSubBlocks()
+            out += m
+            pendingDelay = 0
+          case other => throw new IllegalArgumentException(
+            f"JdkCodec: unexpected GIF block 0x$other%02x at offset $p")
+        }
+      }
+      out.result()
+    }
+
     /** Animated-GIF frames with their start timestamps (from each
       * frame's GraphicControlExtension delay, stored in centiseconds)
       * and the total duration. ImageIO ships a real multi-frame GIF
@@ -311,51 +397,29 @@ object Multimodal {
       * sampling needs no external codec. */
     private def readGifFrames(bytes: Array[Byte])
         : (IndexedSeq[(BufferedImage, Long)], Long) = {
+      val metas = scanGifMeta(bytes)
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(bytes))
-      val readers = ImageIO.getImageReadersByFormatName("gif")
-      require(readers.hasNext, "JdkCodec: no GIF reader installed")
-      val reader = readers.next()
+      val reader = gifReaderSpi.createReaderInstance()
       try {
         reader.setInput(iis, false)
-        val n = reader.getNumImages(true)
         var t = 0L
         val out = IndexedSeq.newBuilder[(BufferedImage, Long)]
-        var w0 = -1
-        var h0 = -1
         var i = 0
-        while (i < n) {
-          val img = reader.read(i)
-          if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
-          val meta = reader.getImageMetadata(i)
-          val root = meta.getAsTree(meta.getNativeMetadataFormatName)
-            .asInstanceOf[org.w3c.dom.Element]
+        while (i < metas.length) {
+          val m = metas(i)
           // `reader.read(i)` returns the STORED frame, which for a
           // differencing-optimized GIF is only the changed
           // sub-rectangle — checksumming that would silently describe
           // a patch, not the displayed frame. Full-frame GIFs only;
           // partial frames are a typed failure, not a wrong answer.
-          val descs = root.getElementsByTagName("ImageDescriptor")
-          val fullFrame = img.getWidth == w0 && img.getHeight == h0 &&
-            (descs.getLength == 0 || {
-              val dEl = descs.item(0).asInstanceOf[org.w3c.dom.Element]
-              def attr0(a: String) = {
-                val v = dEl.getAttribute(a); v.isEmpty || v == "0"
-              }
-              attr0("imageLeftPosition") && attr0("imageTopPosition")
-            })
-          require(fullFrame,
+          require(m.left == 0 && m.top == 0 && m.w == metas(0).w &&
+            m.h == metas(0).h,
             s"JdkCodec: frame $i is a partial (differencing-optimized) " +
               "GIF frame; only full-frame GIFs are supported without a " +
               "compositing decoder")
-          val gces = root.getElementsByTagName("GraphicControlExtension")
-          val delayCs =
-            if (gces.getLength > 0)
-              gces.item(0).asInstanceOf[org.w3c.dom.Element]
-                .getAttribute("delayTime").toInt
-            else 0
-          out += ((img, t))
-          t += delayCs * 10L
+          out += ((reader.read(i), t))
+          t += m.delayCs * 10L
           i += 1
         }
         (out.result(), t)
@@ -428,14 +492,22 @@ object Multimodal {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      // memory-cache stream: ImageIO.write(_, _, OutputStream) would
+      // otherwise spool through a temp FILE per row (useCache default)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { javax.imageio.ImageIO.write(img, "png", ios); ios.flush() }
+      finally ios.close()
       out.toByteArray
     }
 
     /** Sum of gray samples — the readback checksum of a decoded PNG. */
     def graySum(bytes: Array[Byte]): Long = {
-      val img = javax.imageio.ImageIO.read(
+      // memory-cache stream (not the InputStream overload): this runs
+      // per ROW inside a UDF, and the default path spools a temp file
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself
+      val img = javax.imageio.ImageIO.read(iis)
       require(img != null, "graySum: undecodable bytes")
       var sum = 0L
       var y = 0

@@ -90,16 +90,17 @@ object Bm25 {
   /** Full corpus statistics in one relation: (term, df, idf, n_docs,
     * avg_doc_len). This is operator A1's queryable surface — the same
     * single-scan stats relation [[buildIndex]] assembles. */
-  def corpusStats(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    buildIndex(corpus, idCol, textCol).stats
+  def corpusStats(corpus: DataFrame, idCol: String, textCol: String,
+                  pinStats: Boolean = false): DataFrame =
+    buildIndex(corpus, idCol, textCol, pinStats = pinStats).stats
       .select("term", "df", "n_docs", "avg_doc_len", "idf")
 
   /** Per-(doc, term) BM25 weights — operator A2 in relational form.
     * Zero/negative-weight terms are dropped (idf clamp), mirroring the
     * reference's `if weight > 0` guard. */
   def docTermWeights(corpus: DataFrame, idCol: String, textCol: String,
-                     p: Params = Default): DataFrame =
-    buildIndex(corpus, idCol, textCol, p).docWeights
+                     p: Params = Default, pinStats: Boolean = false): DataFrame =
+    buildIndex(corpus, idCol, textCol, p, pinStats = pinStats).docWeights
 
   /** Assemble (id, indices, values) sparse vectors. Term ids are the
     * rank of the term in the sorted vocabulary (snapshot semantics; the
@@ -121,8 +122,8 @@ object Bm25 {
     * [[buildIndex]]'s positive-weight guard, since weight > 0 ⇔
     * idf > 0), which is vocabulary-sized, not corpus-sized. */
   def sparseVectors(corpus: DataFrame, idCol: String, textCol: String,
-                    p: Params = Default): DataFrame = {
-    val idx = buildIndex(corpus, idCol, textCol, p)
+                    p: Params = Default, pinStats: Boolean = false): DataFrame = {
+    val idx = buildIndex(corpus, idCol, textCol, p, pinStats = pinStats)
     val weights = idx.docWeights
     val rankParts = math.max(1, math.min(32,
       corpus.sparkSession.sessionState.conf.numShufflePartitions))
@@ -190,7 +191,13 @@ object Bm25 {
     *   manager's canonical-plan dedup, and (b) the docWeights join
     *   probes the InMemoryRelation instead of re-deriving the whole
     *   stats DAG (tf shuffle + globals) a second time inside its own
-    *   subplan. */
+    *   subplan. Without the pin, AQE's runtime stage cache misses the
+    *   canonically-identical tf exchanges that sit under the globals
+    *   BroadcastExchange (non-AQE ReuseExchange dedupes them; measured
+    *   on bm25_sparsevec: 3 full tokenize passes with AQE on vs 1 with
+    *   it off), so every stats consumer re-tokenizes the corpus. The
+    *   pin is the scale-right fix: the cached relation is
+    *   vocabulary-sized, never corpus-sized. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
                  p: Params = Default, pinStats: Boolean = false): Index = {
     // ONE tokenizing scan of the corpus: doc_len rides the explode as a
