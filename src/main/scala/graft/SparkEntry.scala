@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, TextAnalysis}
+import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, TextAnalysis}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -510,6 +510,40 @@ object SparkEntry {
       stage(sel.filter(col("ts_utc") < t1))
       stage(sel.filter(col("ts_utc") >= t1 && col("ts_utc") < t2))
       stage(sel.filter(col("ts_utc") >= t2))
+      in
+    })
+
+  private val stagedDocsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Three id-ordered document micro-batch files for the streaming
+    * dedup query — the [[stagedEventBatches]] discipline (explicit
+    * strictly-increasing mtimes) applied to the documents table, split
+    * on doc_id thirds so duplicates land both within and across
+    * batches. */
+  private def stagedDocBatches(s: SparkSession, dir: String): String =
+    stagedDocsCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val in = tempDirCleanedOnExit("graft-sdedup").resolve("in").toString
+      var stamp = 1600000000000L
+      val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      def stage(part: DataFrame): Unit = {
+        part.coalesce(1).write.mode("append").parquet(in)
+        stamp += 60000
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+        try ls.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.endsWith(".parquet") &&
+              !stamped.contains(p)) {
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(stamp))
+            stamped += p
+          }
+        } finally ls.close()
+      }
+      stage(docs.filter(col("doc_id") < n / 3))
+      stage(docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
+      stage(docs.filter(col("doc_id") >= 2 * n / 3))
       in
     })
 
@@ -2976,6 +3010,94 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // ---- EXACT per-stratum counts via the two-phase distributed
+    //      rank — no whole-stratum window (a web-scale stratum is
+    //      most of the corpus); the kept set is the k_s smallest full
+    //      md5 keys per stratum, which the oracle replays with
+    //      row_number ----
+    "sample_stratified_exact" -> ((s, dir) => {
+      Sampling.stratifiedSampleExact(t(s, dir, "documents"), "lang",
+          "doc_id", Map("en" -> 30L, "de" -> 15L, "zh" -> 10L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact distributed quantiles: one range-sort shuffle +
+    //      bounded per-partition counts; value at rank ⌊q·(N−1)⌋ ----
+    "quantiles_exact" -> ((s, dir) =>
+      Sampling.exactQuantiles(t(s, dir, "documents"), "n_chars",
+        Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
+
+    // ---- Bloom-prefiltered decontamination: same RESULT as the
+    //      exact broadcast form (the bloom admits false positives
+    //      only; every candidate is re-verified by the exact shingle
+    //      join) — the scale path when the eval shingle set outgrows
+    //      a broadcast hash relation but its sketch still fits ----
+    "contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.decontaminateBloom(train, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 5)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming exact dedup, REALLY streamed over id-ordered doc
+    //      micro-batches: every non-first arrival of a content hash is
+    //      emitted as (doc_id, first_doc_id); in-batch duplicates are
+    //      resolved by an explicit sort, cross-batch ones by keyed
+    //      state, so the emitted set is batching-independent and the
+    //      batch oracle replays it with a min window ----
+    "streaming_dedup" -> ((s, dir) => {
+      val in = stagedDocBatches(s, dir)
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = Sync.streamingDupReports(stream, "doc_id", "text")
+      runStreamToTable(s, out, "sdedup", dir)
+        .orderBy("doc_id")
+    }),
+
+    // ---- hard-negative mining for contrastive training: per bench
+    //      query, the top BM25-scored docs that are NOT qrels
+    //      positives. One relational plan: query-term weights joined
+    //      to the pinned doc-weight relation, an anti-join against the
+    //      positives, then TopK.perGroup's two-phase bounded cut — no
+    //      per-query rank window ever shuffles the full scored set.
+    //      Scores are rounded BEFORE the cut so the rank order is
+    //      bit-replayable cross-engine (sum order differs; 6 dp
+    //      absorbs it). ----
+    "hard_negatives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Bm25.buildIndex(docs, "doc_id", "text", pinStats = true)
+      val spark = s
+      import spark.implicits._
+      val qterms = BenchQueries.flatMap { case (qid, qt) =>
+        TextFunctions.tokenize(qt).groupBy(identity).view.mapValues(_.size)
+          .toSeq.map { case (term, n) => (qid, term, n) }
+      }.toDF("query_id", "term", "q_tf")
+      val qw = qterms.join(idx.stats.select("term", "idf"), "term")
+        .filter(col("idf") > 0)
+        .select(col("query_id"), col("term"),
+          (col("q_tf").cast("double") * col("idf")).as("q_weight"))
+      val scored = idx.docWeights.join(broadcast(qw), "term")
+        .groupBy("query_id", "id")
+        .agg(round(sum(col("weight") * col("q_weight")), 6).as("score"))
+      val positives = docs
+        .select(((col("doc_id") % 3) + 1).cast("int").as("query_id"),
+          col("doc_id").as("id"))
+        .filter(col("doc_id") % 4 > 0)
+      val negs = scored.join(positives, Seq("query_id", "id"), "left_anti")
+      graft.operators.TopK.perGroup(
+          negs.select(col("query_id"),
+            col("id").cast("string").as("doc_id"),
+            col("id").cast("string").as("chunk_id"), col("score")),
+          "query_id", 10)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"), col("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- repetition quality signals (Gopher-style filters) ----
     "repetition" -> ((s, dir) => {
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
@@ -4358,6 +4480,92 @@ object SparkEntry {
          |FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
          |WHERE d.doc_id % 10 <> 0
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "sample_stratified_exact" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS rn
+        |  FROM documents WHERE lang IN ('en', 'de', 'zh'))
+        |WHERE rn <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 15
+        |  WHEN 'zh' THEN 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "quantiles_exact" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) - 1 AS r
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS c FROM s),
+        |qs AS (SELECT CAST(unnest(
+        |  [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS DOUBLE) AS q)
+        |SELECT q, v AS value FROM s, n, qs
+        |WHERE r = CAST(floor(q * (c - 1)) AS BIGINT)
+        |ORDER BY q""".stripMargin,
+
+    // identical surviving set to the exact decontamination — the bloom
+    // is a prefilter, never the decision
+    "contamination_bloom" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 5 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 4),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2],
+         |        $toks[i+3], $toks[i+4]))
+         |    END) AS shingle
+         |  FROM documents),
+         |evalsh AS (SELECT DISTINCT shingle FROM sh WHERE id % 10 = 0),
+         |contam AS (
+         |  SELECT DISTINCT s.id FROM sh s JOIN evalsh e USING (shingle)
+         |  WHERE s.id % 10 <> 0)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id % 10 <> 0
+         |  AND d.doc_id NOT IN (SELECT id FROM contam)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the emitted duplicate reports are batching-independent: every
+    // doc whose text was already seen, mapped to the corpus-min id
+    "streaming_dedup" ->
+      """SELECT doc_id, first_doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
+        |    AS first_doc_id
+        |  FROM documents)
+        |WHERE doc_id <> first_doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "hard_negatives" -> {
+      val qtermVals = BenchQueries.flatMap { case (qid, qtext) =>
+        TextFunctions.tokenize(qtext).groupBy(identity).view.mapValues(_.size)
+          .toSeq.sortBy(_._1).map { case (t, n) => s"($qid, '$t', $n)" }
+      }.mkString(", ")
+      s"""WITH $Bm25WeightsCtes,
+         |bqterms AS (
+         |  SELECT * FROM (VALUES $qtermVals) AS t(query_id, term, q_tf)),
+         |bqw AS (
+         |  SELECT bqterms.query_id, bqterms.term,
+         |    CAST(bqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+         |  FROM bqterms JOIN idf ON bqterms.term = idf.term
+         |  WHERE idf.idf > 0),
+         |sscore AS (
+         |  SELECT bqw.query_id, w.doc_id,
+         |    round(list_sum(list(w.weight * bqw.q_weight ORDER BY w.term)),
+         |      6) AS score
+         |  FROM weights w JOIN bqw ON w.term = bqw.term
+         |  GROUP BY bqw.query_id, w.doc_id),
+         |negs AS (
+         |  SELECT query_id, doc_id, score FROM sscore
+         |  WHERE NOT (doc_id % 3 + 1 = query_id AND doc_id % 4 > 0)),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rank
+         |  FROM negs)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     "dedup_simhash" -> {

@@ -641,6 +641,55 @@ object Dedup {
     train.join(contaminatedIds, Seq(trainId), "left_anti")
   }
 
+  /** [[decontaminateRows]] with a Bloom-filter prefilter — the scale
+    * path when the distinct eval-shingle relation is too large to
+    * BROADCAST as an exact hash relation (a few hundred MB of hash
+    * table) but its Bloom sketch still fits comfortably (~1.2 GB for
+    * 10⁹ shingles at 1% fpp; ~12 MB for 10⁷). The result is EXACTLY
+    * [[decontaminateRows]]': the bloom admits false positives only,
+    * and every surviving candidate is re-verified by the exact
+    * shingle join — a false positive costs shuffle bytes, never
+    * correctness, and the bloom has no false negatives by
+    * construction.
+    *
+    * Plan shape: the train-side shingle stream is prefiltered MAP-SIDE
+    * by a codegen'd [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * probe against the broadcast-serialized sketch (a literal; no UDF,
+    * no closure capture), so the exact verify join shuffles only the
+    * ~fpp-sized candidate slice of the corpus instead of every
+    * shingle. The sketch itself is built by a treeAggregate over the
+    * xxhash64'd eval shingles — the same hash the probe expression
+    * applies — with partial bitmaps OR-merged up the tree. */
+  def decontaminateBloom(train: DataFrame, trainId: String,
+      trainText: String, evalDf: DataFrame, evalId: String,
+      evalText: String, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = train.sparkSession
+    import spark.implicits._
+    // cached: three consumers (count for sketch sizing, sketch build,
+    // exact verify join); the relation is bounded by the eval set
+    val evalSh = shingles(evalDf, evalId, evalText, n)
+      .select("shingle").distinct().cache()
+    val nEval = math.max(1L, evalSh.count())
+    val bf = evalSh.select(xxhash64(col("shingle")).as("h")).as[Long]
+      .rdd.treeAggregate(BloomFilter.create(nEval, fpp))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(out.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(col("shingle"))))))
+    val contaminatedIds = shingles(train, trainId, trainText, n)
+      .filter(mightContain)
+      .join(evalSh, "shingle")
+      .select(col("id").as(trainId)).distinct()
+    train.join(contaminatedIds, Seq(trainId), "left_anti")
+  }
+
   /** Plane count that keeps expected LSH bucket occupancy near
     * `targetBucket` vectors: ceil(log2(n / targetBucket)), clamped to
     * [1, 24]. Use when the corpus size is known; pass the result as

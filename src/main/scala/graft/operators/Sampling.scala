@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Deterministic corpus sampling for training-data mixture
+  * construction: EXACT per-stratum counts (distributed rank) and exact
+  * distributed quantiles (rank selection without a global
+  * single-partition sort). The FRACTION form of stratified sampling —
+  * map-only Bernoulli keep-rates per stratum — already lives in
+  * [[TextAnalysis.stratifiedSample]] (query `mixture_sample`); this
+  * object adds the shapes a rate filter cannot express.
+  *
+  * Reference anchor: the reference samples benchmark datasets and
+  * splits by fraction driver-side (pandas `.sample`); at corpus scale
+  * sampling must be a distributed, RESTARTABLE decision — the same row
+  * always lands on the same side of the cut — so every operator here
+  * derives its randomness from a cross-engine-replayable hash, never
+  * from an RNG stream whose draw order depends on partitioning.
+  *
+  * The order key is md5 over `"<id>:<seed>"` (lowercase hex in both
+  * Spark and DuckDB), compared lexicographically — string order equals
+  * numeric order for fixed-width lowercase hex, so a DuckDB oracle
+  * replays the exact surviving set with no bigint conversion.
+  */
+object Sampling {
+
+  /** The deterministic per-row order key: md5("<id>:<seed>"),
+    * lowercase hex — FULL 128-bit digest, because the exact sampler
+    * sorts by it and a truncated-prefix tie would make the rank-k cut
+    * engine-dependent. md5 (not sha2) keeps the oracle replay a
+    * one-call builtin on both engines. */
+  private def hashHex(idCol: String, seed: Long) =
+    md5(concat(col(idCol).cast("string"), lit(":" + seed)).cast("binary"))
+
+  /** EXACT per-stratum sample counts via the two-phase distributed
+    * rank (the [[Bm25.sparseVectors]] idiom, per stratum): range-
+    * partition by (stratum, hash-key), count each (partition, stratum)
+    * slice — a bounded P×|strata| relation collected to the driver —
+    * then take each partition's prefix of every stratum locally. No
+    * whole-stratum window: a `row_number() OVER (PARTITION BY
+    * stratum)` would pull each stratum into ONE task, which is exactly
+    * the skew this shape avoids (a web-scale stratum is most of the
+    * corpus). The output is the k_s smallest hash keys per stratum —
+    * a deterministic, engine-independent set.
+    *
+    * Strata absent from `counts` are dropped; a stratum with fewer
+    * rows than requested yields all of them. */
+  def stratifiedSampleExact(df: DataFrame, strataCol: String,
+      idCol: String, counts: Map[String, Long],
+      seed: Long = 42L): DataFrame = {
+    require(counts.nonEmpty, "empty count spec")
+    val spark = df.sparkSession
+    val parts = math.max(1, math.min(32,
+      spark.sessionState.conf.numShufflePartitions))
+    val wanted = counts.keySet
+    // localCheckpoint: TWO consumers (slice counts + the final take)
+    // must see the SAME sampled range boundaries — see the
+    // repartitionByRange gotcha pinned in Bm25.sparseVectors
+    val ranged = df
+      .filter(col(strataCol).isin(wanted.toSeq: _*))
+      .withColumn("_okey", hashHex(idCol, seed))
+      .repartitionByRange(parts, col(strataCol), col("_okey"))
+      .sortWithinPartitions(col(strataCol), col("_okey"))
+      .localCheckpoint()
+    val slice = ranged
+      .groupBy(spark_partition_id().as("pid"), col(strataCol).as("s"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: partitions × |strata|, never corpus rows
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    // take(pid, s) = clamp(k_s − rows of s in earlier partitions)
+    val takeMap = scala.collection.mutable.Map.empty[(Int, String), Long]
+    var curS = ""
+    var before = 0L
+    slice.foreach { case (pid, s, c) =>
+      if (s != curS) { curS = s; before = 0L }
+      val k = counts.getOrElse(s, 0L)
+      val t = math.max(0L, math.min(c, k - before))
+      if (t > 0) takeMap((pid, s)) = t
+      before += c
+    }
+    val takeB = spark.sparkContext.broadcast(takeMap.toMap)
+    val strataIdx = ranged.schema.fieldIndex(strataCol)
+    val taken = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // rows arrive sorted by (stratum, _okey), so "first t of the
+      // stratum in encounter order" IS the rank prefix
+      val remaining = scala.collection.mutable.Map.empty[String, Long]
+      it.filter { row =>
+        val s = row.getString(strataIdx)
+        val left = remaining.getOrElseUpdate(s,
+          takeB.value.getOrElse((pid, s), 0L))
+        if (left > 0) { remaining(s) = left - 1; true } else false
+      }
+    }
+    spark.createDataFrame(taken, ranged.schema).drop("_okey")
+  }
+
+  /** Exact quantiles by distributed rank selection: ONE range-
+    * partitioned sort shuffle, a bounded per-partition count collect,
+    * then each target rank is read off as a local index inside its
+    * partition — no global single-partition sort, no approximation.
+    * Rank semantics: value at zero-based rank ⌊q·(N−1)⌋ of the sorted
+    * column ("lower" discretization — an element of the data, exactly
+    * replayable by `row_number`-based SQL). Output: (q, value),
+    * ordered by q. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "no quantiles requested")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q"))
+    val spark = df.sparkSession
+    val parts = math.max(1, math.min(32,
+      spark.sessionState.conf.numShufflePartitions))
+    val ranged = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(parts, col("v"))
+      .sortWithinPartitions("v")
+      .localCheckpoint() // two consumers; same gotcha as above
+    val cnt = ranged.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cnt.values.sum
+    require(total > 0, s"exactQuantiles over an empty '$valueCol'")
+    val offsets = (0 until parts)
+      .scanLeft(0L)((acc, pid) => acc + cnt.getOrElse(pid, 0L))
+    // rank → (owning partition, local index), grouped per partition
+    val targets: Map[Int, Seq[(Double, Long)]] = qs.map { q =>
+      val r = math.floor(q * (total - 1)).toLong
+      val pid = offsets.lastIndexWhere(_ <= r,
+        offsets.length - 2) // last pid whose offset ≤ r (end offset excluded)
+      (pid, (q, r - offsets(pid)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val targetsB = spark.sparkContext.broadcast(targets)
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val want = targetsB.value.getOrElse(pid, Nil).sortBy(_._2)
+      if (want.isEmpty) Iterator.empty
+      else {
+        val out = Seq.newBuilder[Row]
+        var i = 0L
+        var w = 0
+        while (w < want.length && it.hasNext) {
+          val v = it.next().getDouble(0)
+          while (w < want.length && want(w)._2 == i) {
+            out += Row(want(w)._1, v)
+            w += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("q", DoubleType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+      .orderBy("q")
+  }
+}

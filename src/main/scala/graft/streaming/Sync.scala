@@ -98,6 +98,67 @@ object Sync {
   final case class SessionRow(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long)
 
+  final case class DupRow(doc_id: Long, first_doc_id: Long)
+
+  /** Streaming duplicate REPORTS — the complement of
+    * [[streamingDedup]] (which emits each hash's kept row): the first
+    * arrival of a hash is RETAINED silently (it becomes the key's
+    * state); every later arrival is emitted as a duplicate report
+    * `(doc_id, first_doc_id)` mapping it to its NUMERIC-min original.
+    * The kept set is then `corpus ANTI JOIN emitted` — the streaming
+    * twin of [[graft.operators.Dedup.exact]], and the relation an
+    * incremental index maintenance pass consumes (drop these, keep
+    * the rest).
+    *
+    * Determinism contract (the [[sessionize]] discipline): batches
+    * arrive id-ordered (the staged micro-batch fixtures' strictly-
+    * increasing-mtime contract), and each batch's rows are sorted
+    * inside the function — Spark hands the group iterator in arbitrary
+    * order — so "first" is always the globally smallest id and a batch
+    * SQL oracle replays the emitted set exactly, for ANY batch
+    * boundary placement. In-batch duplicates are handled by the sort;
+    * cross-batch duplicates by the state probe.
+    *
+    * State is one long per distinct hash — the unbounded-history cost
+    * of exact streaming dedup. Production runs bound it with
+    * `dropDuplicatesWithinWatermark`-style state TTL (dedup only
+    * within the lateness horizon) or periodic state snapshots; this
+    * operator keeps full history because its contract IS whole-corpus
+    * exactness. */
+  def streamingDupReports(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = docs.select(
+        sha2(col(textCol).cast("binary"), 256).as("h"),
+        col(idCol).cast("long").as("id"))
+      .as(E.tuple(E.STRING, E.scalaLong))
+    typed.groupByKey(_._1)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toArray.sorted
+          val out = Seq.newBuilder[DupRow]
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          ids.foreach { id =>
+            if (id < first) {
+              // ordered staging makes this the first-ever arrival; a
+              // disordered feed would surface here as a smaller id
+              // arriving late, which we adopt as the new canonical
+              // representative WITHOUT retro-reporting the old one —
+              // the ordered-batch contract is what keeps the oracle
+              // exact, so the fixtures must honor it
+              first = id
+            } else if (id > first) {
+              out += DupRow(id, first)
+            } // id == first: the same row replayed; emit nothing
+          }
+          if (first != Long.MaxValue) state.update(first)
+          out.result().iterator
+      }(E.scalaLong, E.product[DupRow])
+      .toDF()
+  }
+
   /** Streaming sessionization with custom per-key state
     * (`flatMapGroupsWithState`): events grouped by user; a session is a
     * maximal run of events with inter-event gaps ≤ `gapUs`. A closed

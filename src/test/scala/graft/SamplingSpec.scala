@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+import graft.streaming.Sync
+
+/** Exact-count stratified sampling, exact quantiles, bloom
+  * decontamination, and streaming duplicate reports. (The fraction
+  * form of stratified sampling is TextAnalysis.stratifiedSample,
+  * covered by PipelineOpsSpec / the mixture_sample oracle.) */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(n).select(col("id").as("doc_id"),
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("id") % 3 + 1).cast("int")).as("stratum"))
+
+  test("exact sample takes exactly k per stratum, clamped to size") {
+    val df = corpus(3000) // ~1000 per stratum
+    val got = Sampling.stratifiedSampleExact(df, "stratum", "doc_id",
+      Map("a" -> 10L, "b" -> 2000L))
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 1000L), s"$counts")
+    // the kept set is the k smallest full-md5 keys per stratum — the
+    // window-rank reference (fine at test scale; the operator exists
+    // so production never runs this window)
+    val ref = df.withColumn("k",
+        md5(concat(col("doc_id").cast("string"), lit(":42")).cast("binary")))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("stratum").orderBy("k")))
+      .filter(col("rn") <= when(col("stratum") === "a", 10).otherwise(2000))
+      .filter(col("stratum") =!= "c")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == ref)
+  }
+
+  test("exact quantiles equal sorted-array selection") {
+    val vals = Seq(5.0, 1.0, 9.0, 1.0, 7.0, 3.0, 3.0, 8.0, 2.0, 6.0, 4.0)
+    val df = vals.toDF("v")
+    val qs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = Sampling.exactQuantiles(df, "v", qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    val want = qs.map(q =>
+      q -> sorted(math.floor(q * (sorted.size - 1)).toInt)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("exact quantiles: duplicate-heavy column and single row") {
+    val df = (Seq.fill(50)(2.0) ++ Seq.fill(50)(7.0)).toDF("v")
+    val got = Sampling.exactQuantiles(df, "v", Seq(0.25, 0.75)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0.25 -> 2.0, 0.75 -> 7.0))
+    val one = Sampling.exactQuantiles(Seq(3.5).toDF("v"), "v",
+      Seq(0.0, 0.5, 1.0)).collect().map(_.getDouble(1)).toSeq
+    assert(one == Seq(3.5, 3.5, 3.5))
+  }
+
+  test("bloom decontamination equals the exact broadcast form") {
+    // a 5-gram can only match across docs via the %7 shared phrase:
+    // every other doc is 8 tokens with its unique id at position 4,
+    // so EVERY 5-token window of a unique doc contains the id
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      when(col("id") % 7 === 0,
+        lit("the shared phrase of five tokens appears verbatim here"))
+        .otherwise(concat(lit("one two three d"), col("id"),
+          lit(" four five six seven"))).as("text"))
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val exact = Dedup.decontaminateRows(train, "doc_id", "text",
+      evalSet, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(train, "doc_id", "text",
+      evalSet, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty && exact.size < 180,
+      s"fixture must have both kept and dropped docs: ${exact.size}")
+  }
+
+  test("streaming dup reports: in-batch and cross-batch duplicates " +
+      "resolve to the numeric-min original") {
+    val dir = java.nio.file.Files.createTempDirectory("sdup").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("sdupck").toString + "/ck"
+    // batch 1: ids 1-4 with an IN-batch dup pair (2,4); batch 2: ids
+    // 5-7 where 5 and 7 duplicate batch-1 content (cross-batch)
+    val b1 = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "bb"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((5L, "aa"), (6L, "dd"), (7L, "bb")).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(dir)
+    // mtime ordering: the second file must sort after the first
+    val first = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try first.forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L)))
+    finally first.close()
+    b2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Sync.streamingDupReports(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dupreports").option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, first_doc_id FROM dupreports")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == Set(4L -> 2L, 5L -> 1L, 7L -> 2L), s"$got")
+    // bounded (one-pass) mode emits the same set
+    val batch = Sync.streamingDupReports(b1.unionByName(b2),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(batch == got)
+  }
+}
