@@ -3058,6 +3058,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- stream-stream event-time INTERVAL join, REALLY streamed:
+    //      clicks attributed to purchases within the following hour.
+    //      Both legs are watermarked file streams over the same
+    //      ts-ordered micro-batches; Spark derives state retention
+    //      from the time-range condition (a click's buffer lives
+    //      until the watermark passes click_ts + 1 h), and an inner
+    //      join emits eagerly on match, so the emitted SET is
+    //      batching-independent and a plain batch join replays it. ----
+    "streaming_join" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      def leg() = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val clicks = leg().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_utc").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = leg().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_utc").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      runStreamToTable(s,
+          joined.select(col("user_id"), col("click_ts"), col("purchase_ts")),
+          "sjoin", dir)
+        .orderBy("user_id", "click_ts", "purchase_ts")
+    }),
+
+    // ---- stream-stream LEFT OUTER interval join: same attribution
+    //      shape, but unmatched clicks surface as null-purchase rows —
+    //      and only once the engine PROVES no match can arrive, i.e.
+    //      after the watermark passes click_ts + 1 h. The trailing
+    //      no-data batch advances the watermark to max(ts) − delay, so
+    //      the emitted null set is exactly "unmatched clicks older
+    //      than final_watermark − 1 h" — the append-mode finalization
+    //      rule (see streaming_window_agg), applied to outer-join
+    //      state expiry. The oracle replays both the matches and that
+    //      expiry predicate. ----
+    "streaming_join_outer" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      def leg() = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val clicks = leg().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_utc").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = leg().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_utc").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      runStreamToTable(s,
+          joined.select(col("user_id"), col("click_ts"),
+            col("purchase_ts"), col("purchase_ts").isNull.as("unmatched")),
+          "sjoinout", dir)
+        .orderBy("user_id", "click_ts", "purchase_ts")
+    }),
+
     // ---- hard-negative mining for contrastive training: per bench
     //      query, the top BM25-scored docs that are NOT qrels
     //      positives. One relational plan: query-term weights joined
@@ -3096,6 +3158,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank"),
           col("doc_id").cast("long").as("doc_id"), col("score"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- flagship training-mixture build: exact dedup → drop the
+    //      eval split → BLOOM-prefiltered decontamination → quality
+    //      floor → EXACT per-language sample counts → per-language
+    //      corpus stats. The r7 composite: every stage is the scale
+    //      path (hash window, sketch-prefiltered verify join,
+    //      two-phase stratified rank), end to end. ----
+    "training_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = Dedup.exactRows(docs, "doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      val train = kept.filter(col("doc_id") % 10 =!= 0)
+      val clean = Dedup.decontaminateBloom(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 5)
+      val quality = clean
+        .withColumn("n_tokens",
+          TextFunctions.tokenCountCol(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val sampled = Sampling.stratifiedSampleExact(quality, "lang",
+        "doc_id", Map("en" -> 60L, "de" -> 25L, "es" -> 25L,
+          "fr" -> 20L, "zh" -> 25L))
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
     }),
 
     // ---- repetition quality signals (Gopher-style filters) ----
@@ -4528,6 +4615,49 @@ object SparkEntry {
 
     // the emitted duplicate reports are batching-independent: every
     // doc whose text was already seen, mapped to the corpus-min id
+    "streaming_join" ->
+      """SELECT c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_ts, purchase_ts""".stripMargin,
+
+    // matches emit eagerly; a null row emits only for clicks whose
+    // 1-hour match window closed under the FINAL watermark. The global
+    // watermark is the MIN across the two watermark operators, each
+    // tracking the max event time its own FILTERED leg has seen — so
+    // the final value is min(max click ts, max purchase ts) − 10 min
+    // (measured: using the unfiltered max over-emits by exactly the
+    // clicks in that gap), and a click's nulls flush once
+    // click_ts + 1 h < that watermark
+    "streaming_join_outer" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |      (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |      (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 10 MINUTE AS final_wm),
+        |matches AS (
+        |  SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |  FROM events c JOIN events p ON c.user_id = p.user_id
+        |    AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |unmatched AS (
+        |  SELECT c.user_id, c.ts AS click_ts,
+        |    CAST(NULL AS TIMESTAMP) AS purchase_ts
+        |  FROM events c, wm
+        |  WHERE c.event_type = 'click'
+        |    AND c.ts + INTERVAL 1 HOUR < wm.final_wm
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events p WHERE p.user_id = c.user_id
+        |        AND p.event_type = 'purchase'
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR))
+        |SELECT user_id, CAST(click_ts AS TIMESTAMP) AS click_ts,
+        |  CAST(purchase_ts AS TIMESTAMP) AS purchase_ts,
+        |  purchase_ts IS NULL AS unmatched
+        |FROM (SELECT * FROM matches UNION ALL SELECT * FROM unmatched)
+        |ORDER BY user_id, click_ts, purchase_ts""".stripMargin,
+
     "streaming_dedup" ->
       """SELECT doc_id, first_doc_id FROM (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
@@ -4566,6 +4696,56 @@ object SparkEntry {
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
          |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "training_mixture" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH keep AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      min(doc_id) OVER (PARTITION BY sha256(text)) AS k
+         |    FROM documents) WHERE doc_id = k),
+         |train AS (SELECT doc_id, text, lang FROM keep WHERE doc_id % 10 <> 0),
+         |trsh AS (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 5 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 4),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2],
+         |        $toks[i+3], $toks[i+4]))
+         |    END) AS shingle
+         |  FROM train),
+         |evsh AS (
+         |  SELECT DISTINCT unnest(
+         |    CASE WHEN len($toks) < 5 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 4),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2],
+         |        $toks[i+3], $toks[i+4]))
+         |    END) AS shingle
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |cont AS (SELECT DISTINCT s.id FROM trsh s JOIN evsh e USING (shingle)),
+         |clean AS (
+         |  SELECT t.doc_id, t.text, t.lang FROM train t
+         |  LEFT JOIN cont c ON c.id = t.doc_id WHERE c.id IS NULL),
+         |quality AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM clean),
+         |qf AS (SELECT * FROM quality WHERE n_tokens >= 20),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS rn
+         |  FROM qf),
+         |sampled AS (
+         |  SELECT lang, n_tokens FROM ranked
+         |  WHERE rn <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25
+         |    WHEN 'es' THEN 25 WHEN 'fr' THEN 20 WHEN 'zh' THEN 25
+         |    ELSE 0 END)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM sampled GROUP BY lang
+         |ORDER BY lang""".stripMargin
     },
 
     "dedup_simhash" -> {

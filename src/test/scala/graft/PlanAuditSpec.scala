@@ -306,4 +306,46 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("collection_id"), p)
     assert(read.count() == 1)
   }
+
+  test("sample_stratified_exact never windows a whole stratum") {
+    val p = plan("sample_stratified_exact")
+    assert(!p.contains("Window"),
+      s"whole-stratum window in the exact sampler plan:\n$p")
+  }
+
+  test("quantiles_exact has no single-partition global sort") {
+    val p = plan("quantiles_exact")
+    // the ONLY acceptable sort machinery is the range-partitioned
+    // local sort; a partitionless Window (row_number over the whole
+    // column) would be the single-task scale-killer
+    assert(!p.contains("Window"), s"rank window in quantiles plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in quantiles plan:\n$p")
+  }
+
+  test("hard_negatives cuts with the bounded TopK aggregate, " +
+      "not a per-query rank window") {
+    val p = plan("hard_negatives")
+    assert(!p.contains("Window"), s"rank window in hard_negatives:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopK aggregator missing from hard_negatives plan:\n$p")
+  }
+
+  test("contamination_bloom probes the sketch as a codegen'd " +
+      "expression, before the verify join") {
+    val p = plan("contamination_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from plan:\n$p")
+    // the probe must sit on the train-shingle side BELOW the shingle
+    // join: the first might_contain line appears deeper (more indented)
+    // than the first shingle-join line
+    val lines = p.linesIterator.toSeq
+    val joinDepth = lines.find(l => l.contains("Join") &&
+      l.contains("shingle")).map(_.indexOf("+-")).getOrElse(-1)
+    val probeDepth = lines.find(_.contains("might_contain"))
+      .map(_.indexOf("+-")).getOrElse(-1)
+    assert(joinDepth >= 0 && probeDepth > joinDepth,
+      s"bloom probe not below the verify join (join@$joinDepth, " +
+        s"probe@$probeDepth):\n$p")
+  }
 }
