@@ -490,28 +490,39 @@ object SparkEntry {
       val ev = eventsWithTsUtc(s, dir)
       val t1 = lit("2024-01-11").cast("timestamp")
       val t2 = lit("2024-01-21").cast("timestamp")
-      val in = tempDirCleanedOnExit("graft-swin").resolve("in").toString
       val sel = ev.select(col("ts_utc"), col("event_type"), col("user_id"))
-      var stamp = 1600000000000L
-      val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
-      def stage(part: DataFrame): Unit = {
-        part.coalesce(1).write.mode("append").parquet(in)
-        stamp += 60000
-        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(in))
-        try ls.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.endsWith(".parquet") &&
-              !stamped.contains(p)) {
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime.fromMillis(stamp))
-            stamped += p
-          }
-        } finally ls.close()
-      }
-      stage(sel.filter(col("ts_utc") < t1))
-      stage(sel.filter(col("ts_utc") >= t1 && col("ts_utc") < t2))
-      stage(sel.filter(col("ts_utc") >= t2))
-      in
+      stageOrderedBatches("graft-swin", Seq(
+        sel.filter(col("ts_utc") < t1),
+        sel.filter(col("ts_utc") >= t1 && col("ts_utc") < t2),
+        sel.filter(col("ts_utc") >= t2)))
     })
+
+  /** Write each part as ONE parquet file under `<tmp>/in` with
+    * explicit strictly-increasing mtimes, so the file stream source's
+    * mod-time ordering replays the parts as deterministic micro-
+    * batches (wall-clock mtimes can coalesce under coarse filesystem
+    * timestamps — the StreamingStatsSpec discipline). Shared by every
+    * staged micro-batch fixture. */
+  private def stageOrderedBatches(prefix: String,
+      parts: Seq[DataFrame]): String = {
+    val in = tempDirCleanedOnExit(prefix).resolve("in").toString
+    var stamp = 1600000000000L
+    val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    parts.foreach { part =>
+      part.coalesce(1).write.mode("append").parquet(in)
+      stamp += 60000
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+      try ls.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            !stamped.contains(p)) {
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(stamp))
+          stamped += p
+        }
+      } finally ls.close()
+    }
+    in
+  }
 
   private val stagedDocsCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -525,26 +536,10 @@ object SparkEntry {
     stagedDocsCache.getOrElseUpdate(dir, {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val n = docs.agg(max("doc_id")).collect()(0).getLong(0)
-      val in = tempDirCleanedOnExit("graft-sdedup").resolve("in").toString
-      var stamp = 1600000000000L
-      val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
-      def stage(part: DataFrame): Unit = {
-        part.coalesce(1).write.mode("append").parquet(in)
-        stamp += 60000
-        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(in))
-        try ls.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.endsWith(".parquet") &&
-              !stamped.contains(p)) {
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime.fromMillis(stamp))
-            stamped += p
-          }
-        } finally ls.close()
-      }
-      stage(docs.filter(col("doc_id") < n / 3))
-      stage(docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3))
-      stage(docs.filter(col("doc_id") >= 2 * n / 3))
-      in
+      stageOrderedBatches("graft-sdedup", Seq(
+        docs.filter(col("doc_id") < n / 3),
+        docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3),
+        docs.filter(col("doc_id") >= 2 * n / 3)))
     })
 
   private val docsChunksCache =
@@ -4613,8 +4608,8 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
     },
 
-    // the emitted duplicate reports are batching-independent: every
-    // doc whose text was already seen, mapped to the corpus-min id
+    // matched pairs emit eagerly on arrival — the inner-join emitted
+    // set is batching-independent, so a plain batch join replays it
     "streaming_join" ->
       """SELECT c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
         |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
@@ -4658,6 +4653,8 @@ object SparkEntry {
         |FROM (SELECT * FROM matches UNION ALL SELECT * FROM unmatched)
         |ORDER BY user_id, click_ts, purchase_ts""".stripMargin,
 
+    // the emitted duplicate reports are batching-independent: every
+    // doc whose text was already seen, mapped to the corpus-min id
     "streaming_dedup" ->
       """SELECT doc_id, first_doc_id FROM (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)

@@ -350,7 +350,14 @@ object Multimodal {
       * comes from ImageIO ([[readGifFrames]]); this reads nothing but
       * block geometry and delays. */
     private def scanGifMeta(bytes: Array[Byte]): IndexedSeq[GifFrameMeta] = {
-      def u8(i: Int) = bytes(i) & 0xff
+      // bounds-checked reads: a truncated container must surface as
+      // the codec's TYPED failure, not an ArrayIndexOutOfBounds from
+      // a sub-block length chain running past the buffer
+      def u8(i: Int) = {
+        require(i >= 0 && i < bytes.length,
+          s"JdkCodec: truncated GIF (read at $i of ${bytes.length} bytes)")
+        bytes(i) & 0xff
+      }
       def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
       require(bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
         bytes(2) == 'F', "JdkCodec: not a GIF container")

@@ -142,12 +142,16 @@ object Sync {
           var first = state.getOption.getOrElse(Long.MaxValue)
           ids.foreach { id =>
             if (id < first) {
-              // ordered staging makes this the first-ever arrival; a
-              // disordered feed would surface here as a smaller id
-              // arriving late, which we adopt as the new canonical
-              // representative WITHOUT retro-reporting the old one —
-              // the ordered-batch contract is what keeps the oracle
-              // exact, so the fixtures must honor it
+              // a smaller id than the retained canonical: under the
+              // ordered-batch staging contract this only happens on
+              // the hash's first-ever arrival (state empty). If a
+              // disordered feed ever violates that, the displaced
+              // canonical is RETRO-REPORTED as a duplicate of the new
+              // min, so the emitted dup SET stays exact under any
+              // order — only the first_doc_id of rows reported before
+              // the displacement still names the then-current (not
+              // final) canonical.
+              if (first != Long.MaxValue) out += DupRow(first, id)
               first = id
             } else if (id > first) {
               out += DupRow(id, first)

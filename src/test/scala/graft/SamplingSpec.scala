@@ -60,6 +60,29 @@ class SamplingSpec extends SparkSpec {
     assert(one == Seq(3.5, 3.5, 3.5))
   }
 
+  test("exact sampler at 300k rows: exact counts, run-to-run identical") {
+    val df = corpus(300000)
+    val spec = Map("a" -> 1000L, "b" -> 1000L)
+    val r1 = Sampling.stratifiedSampleExact(df, "stratum", "doc_id", spec)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1.size == 2000)
+    val r2 = Sampling.stratifiedSampleExact(df.repartition(13), "stratum",
+      "doc_id", spec).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2, "exact sample must not depend on input partitioning")
+  }
+
+  test("exact quantiles at 200k rows match the sorted array") {
+    val df = spark.range(200000)
+      .select(((col("id") * 2654435761L) % 1000003).cast("double").as("v"))
+    val qs = Seq(0.001, 0.25, 0.5, 0.75, 0.999)
+    val got = Sampling.exactQuantiles(df, "v", qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    val want = qs.map(q =>
+      q -> sorted(math.floor(q * (sorted.length - 1)).toInt)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("bloom decontamination equals the exact broadcast form") {
     // a 5-gram can only match across docs via the %7 shared phrase:
     // every other doc is 8 tokens with its unique id at position 4,
@@ -113,5 +136,32 @@ class SamplingSpec extends SparkSpec {
         "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(batch == got)
+  }
+
+  test("dup reports under a DISORDERED feed retro-report the " +
+      "displaced canonical — the dup set stays exact") {
+    // id 1 arrives AFTER id 5 with the same content: 5 was retained,
+    // so the displacement must emit (5 -> 1) rather than silently
+    // forgetting 5 ever existed
+    val dir = java.nio.file.Files.createTempDirectory("sdupo").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("sdupock").toString + "/ck"
+    val b1 = Seq((5L, "aa"), (6L, "bb")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "aa")).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(dir)
+    val first = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try first.forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L)))
+    finally first.close()
+    b2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Sync.streamingDupReports(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dupdisord").option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, first_doc_id FROM dupdisord")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == Set(5L -> 1L), s"$got")
   }
 }

@@ -220,4 +220,75 @@ class StreamingStatsSpec extends SparkSpec {
     // the batch-2 event closed the batch-1 session held in state
     assert(emitted === Set((1L, 0L, 60L * us, 2L)))
   }
+
+  test("restart from checkpoint resumes keyed state without " +
+      "re-emitting (exactly-once across a stop/start)") {
+    val root = java.nio.file.Files.createTempDirectory("ckres")
+    val in = root.resolve("in").toString
+    val ck = root.resolve("ck").toString
+    val outDir = root.resolve("out").toString
+    def stamp(ms: Long): Unit = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+      try ls.forEach { p =>
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis > ms)
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(ms))
+      } finally ls.close()
+    }
+    val b1 = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "aa"), (4L, "bb"), (5L, "cc")).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(in)
+    stamp(1600000000000L)
+    def start() = Sync.streamingDupReports(
+        spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batch.coalesce(1).write.mode("append").parquet(outDir)
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // batch 1 alone has no duplicates — nothing emitted yet, but the
+    // state (aa->1, bb->2) must survive the restart
+    b2.coalesce(1).write.mode("append").parquet(in)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // 3 and 4 are dups of PRE-RESTART state entries; 5 is new. No
+    // duplicate emissions from replaying batch 1.
+    assert(got == Set(3L -> 1L, 4L -> 2L), s"$got")
+  }
+
+  test("keyed state runs on the RocksDB state store provider " +
+      "(the bounded-heap store a production stream would use)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("rocks")
+      val in = root.resolve("in").toString
+      val ck = root.resolve("ck").toString
+      val b1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+      b1.coalesce(1).write.parquet(in)
+      val q = Sync.streamingDupReports(
+          spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          "doc_id", "text")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocksdup").option("checkpointLocation", ck).start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.sql("SELECT doc_id, first_doc_id FROM rocksdup")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got == Set(3L -> 1L), s"$got")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
