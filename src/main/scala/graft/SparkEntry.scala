@@ -1376,7 +1376,8 @@ object SparkEntry {
     //      shingle→signature→band→verify pipeline is oracle-checked;
     //      xxhash64 stays the scale default in the API) ----
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDups(graft.operators.Par.floor(t(s, dir, "documents")),
+          "doc_id", "text",
           n = 3, numHashes = 16, bands = 8, threshold = 0.2,
           hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -1387,7 +1388,8 @@ object SparkEntry {
     //      (same banding as dedup_minhash), Levenshtein similarity
     //      over a 256-char prefix as the verify metric ----
     "dedup_editdist" -> ((s, dir) => {
-      Dedup.editDistanceNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.editDistanceNearDups(graft.operators.Par.floor(
+          t(s, dir, "documents")), "doc_id", "text",
           n = 3, numHashes = 16, bands = 8, threshold = 0.3,
           prefixLen = 256, hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), col("dist"),
@@ -1456,7 +1458,8 @@ object SparkEntry {
     //      oracle replays the same relation — the scale path swaps in
     //      xxhash64 keys, asserted equivalent in DedupKnnSpec) ----
     "substring_dedup" -> ((s, dir) => {
-      Dedup.duplicatedSubstrings(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.duplicatedSubstrings(graft.operators.Par.floor(
+          t(s, dir, "documents")), "doc_id", "text",
           k = 8, hashKey = false)
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
           col("n_windows"))
@@ -1466,7 +1469,8 @@ object SparkEntry {
     // ---- benchmark decontamination: train docs sharing any 3-gram
     //      shingle with the (deterministic) eval split ----
     "contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // floor: the 3-gram shingle explode fuses into the scan stage
+      val docs = graft.operators.Par.floor(t(s, dir, "documents"))
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
       Dedup.contamination(train, "doc_id", "text",
@@ -1478,7 +1482,8 @@ object SparkEntry {
 
     // ---- SimHash near-dup (32-bit sha family, oracle-checked) ----
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashNearDups(graft.operators.Par.floor(
+          t(s, dir, "documents")), "doc_id", "text",
           maxDist = 3, bits = 32, hashFamily = Dedup.shaHashFamily)
         .orderBy("id_a", "id_b")
     }),
@@ -3029,7 +3034,9 @@ object SparkEntry {
     //      join) — the scale path when the eval shingle set outgrows
     //      a broadcast hash relation but its sketch still fits ----
     "contamination_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // floor: the 5-gram shingle explode + bloom probe fuse into the
+      // scan stage (the floor is what spreads the sketch probe)
+      val docs = graft.operators.Par.floor(t(s, dir, "documents"))
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
       Dedup.decontaminateBloom(train, "doc_id", "text",
