@@ -3039,6 +3039,14 @@ object SparkEntry {
       Sampling.exactQuantiles(t(s, dir, "documents"), "n_chars",
         Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))),
 
+    // ---- per-GROUP exact quantiles (doc-length percentiles per
+    //      language — the budget-tuning view): same two-phase rank
+    //      machinery, never a whole-group window ----
+    "quantiles_by_lang" -> ((s, dir) =>
+      Sampling.groupedQuantiles(t(s, dir, "documents"), "lang", "n_chars",
+          Seq(0.1, 0.5, 0.9))
+        .select(col("group").as("lang"), col("q"), col("value"))),
+
     // ---- Bloom-prefiltered decontamination: same RESULT as the
     //      exact broadcast form (the bloom admits false positives
     //      only; every candidate is re-verified by the exact shingle
@@ -4603,6 +4611,18 @@ object SparkEntry {
         |SELECT q, v AS value FROM s, n, qs
         |WHERE r = CAST(floor(q * (c - 1)) AS BIGINT)
         |ORDER BY q""".stripMargin,
+
+    "quantiles_by_lang" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE)) - 1 AS r
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |n AS (SELECT lang, count(*) AS c FROM s GROUP BY lang),
+        |qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT s.lang, q, v AS value FROM s JOIN n USING (lang), qs
+        |WHERE s.r = CAST(floor(q * (n.c - 1)) AS BIGINT)
+        |ORDER BY lang, q""".stripMargin,
 
     // identical surviving set to the exact decontamination — the bloom
     // is a prefilter, never the decision

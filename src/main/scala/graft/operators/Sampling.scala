@@ -97,6 +97,91 @@ object Sampling {
     spark.createDataFrame(taken, ranged.schema).drop("_okey")
   }
 
+  /** Per-GROUP exact quantiles — [[exactQuantiles]] generalized with
+    * the [[stratifiedSampleExact]] machinery: one range-partitioned
+    * sort on (group, value), a bounded P×|groups| count collect, and
+    * each group's target ranks read off as local indexes. No
+    * whole-group window: a `row_number() OVER (PARTITION BY group)`
+    * would pull each group into one task, and a web-scale group is
+    * most of the corpus. Output: (group, q, value) ordered by
+    * (group, q); rank semantics identical to [[exactQuantiles]]
+    * (value at ⌊q·(N_g−1)⌋ of the group's sorted column). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "no quantiles requested")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q"))
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.StringType
+    val parts = math.max(1, math.min(32,
+      spark.sessionState.conf.numShufflePartitions))
+    val ranged = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .repartitionByRange(parts, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .localCheckpoint() // two consumers — the repartitionByRange gotcha
+    val slice = ranged
+      .groupBy(spark_partition_id().as("pid"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: partitions × |groups|
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    // per group: total count and each partition's start offset, then
+    // route every (group, q) target rank to its (pid, local index)
+    val targets = scala.collection.mutable
+      .Map.empty[Int, List[(String, Double, Long)]].withDefaultValue(Nil)
+    slice.groupBy(_._2).foreach { case (g, rows) =>
+      val total = rows.map(_._3).sum
+      qs.foreach { q =>
+        val r = math.floor(q * (total - 1)).toLong
+        var before = 0L
+        // rows are (pid, g, c) sorted by pid; find the owning pid
+        val it = rows.iterator
+        var placed = false
+        while (!placed && it.hasNext) {
+          val (pid, _, c) = it.next()
+          if (r < before + c) {
+            targets(pid) = (g, q, r - before) :: targets(pid)
+            placed = true
+          }
+          before += c
+        }
+      }
+    }
+    val targetsB = spark.sparkContext.broadcast(
+      targets.view.mapValues(_.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._2)).toMap).toMap)
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      targetsB.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(byGroup) =>
+          val out = Seq.newBuilder[Row]
+          var curG: String = null
+          var i = 0L
+          var want: Seq[(Double, Long)] = Nil
+          var w = 0
+          it.foreach { row =>
+            val g = row.getString(0)
+            if (g != curG) {
+              curG = g; i = 0L; w = 0
+              want = byGroup.getOrElse(g, Nil)
+            }
+            while (w < want.length && want(w)._2 == i) {
+              out += Row(g, want(w)._1, row.getDouble(1))
+              w += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("group", StringType, nullable = false),
+        StructField("q", DoubleType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+      .orderBy("group", "q")
+  }
+
   /** Exact quantiles by distributed rank selection: ONE range-
     * partitioned sort shuffle, a bounded per-partition count collect,
     * then each target rank is read off as a local index inside its

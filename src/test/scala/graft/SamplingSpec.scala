@@ -83,6 +83,40 @@ class SamplingSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("grouped quantiles equal per-group sorted-array selection") {
+    val data = Seq(("a", 5.0), ("a", 1.0), ("a", 9.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0), ("b", 50.0),
+      ("c", 7.0))
+    val df = data.toDF("g", "v")
+    val qs = Seq(0.0, 0.5, 1.0)
+    val got = Sampling.groupedQuantiles(df, "g", "v", qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      qs.map(q => (g, q) ->
+        sorted(math.floor(q * (sorted.size - 1)).toInt))
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("grouped quantiles at 150k rows, 3 groups, straddling " +
+      "partition boundaries") {
+    val df = spark.range(150000).select(
+      element_at(array(lit("x"), lit("y"), lit("z")),
+        (col("id") % 3 + 1).cast("int")).as("g"),
+      ((col("id") * 48271L) % 99991L).cast("double").as("v"))
+    val qs = Seq(0.25, 0.75)
+    val got = Sampling.groupedQuantiles(df, "g", "v", qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        qs.map(q => (g, q) ->
+          sorted(math.floor(q * (sorted.length - 1)).toInt))
+      }
+    assert(got == want)
+  }
+
   test("bloom decontamination equals the exact broadcast form") {
     // a 5-gram can only match across docs via the %7 shared phrase:
     // every other doc is 8 tokens with its unique id at position 4,
