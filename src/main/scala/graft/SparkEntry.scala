@@ -3047,6 +3047,20 @@ object SparkEntry {
           Seq(0.1, 0.5, 0.9))
         .select(col("group").as("lang"), col("q"), col("value"))),
 
+    // ---- sequence packing under an EXACT subword budget: Bpe.encode's
+    //      per-doc counts (trained merge table, compositional over
+    //      words) feed the distributed prefix-sum packer — the
+    //      context-window builder a pre-training pipeline actually
+    //      runs, with token accounting the budget can trust ----
+    "pack_bpe_budget" -> ((s, dir) => {
+      val counts = Bpe.encode(t(s, dir, "documents"), bpeModelFor(s, dir))
+        .select(col("doc_id").as("id"), col("bpe_tokens").as("n_tokens"))
+      TextAnalysis.packCounts(counts, budget = 128)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("bin"),
+          col("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Bloom-prefiltered decontamination: same RESULT as the
     //      exact broadcast form (the bloom admits false positives
     //      only; every candidate is re-verified by the exact shingle
@@ -4623,6 +4637,33 @@ object SparkEntry {
         |SELECT s.lang, q, v AS value FROM s JOIN n USING (lang), qs
         |WHERE s.r = CAST(floor(q * (n.c - 1)) AS BIGINT)
         |ORDER BY lang, q""".stripMargin,
+
+    "pack_bpe_budget" -> {
+      bpeTrainCtes(BpeMergeCount) +
+        s""",
+           |bv AS (
+           |  SELECT word, count(*)::BIGINT AS n_syms
+           |  FROM s$BpeMergeCount GROUP BY 1),
+           |bdw AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text,
+           |    '${graft.operators.Bpe.WordPattern}')) AS word
+           |  FROM documents),
+           |bcnt AS (
+           |  SELECT d.doc_id, coalesce(x.bpe_tokens, 0)::BIGINT AS n_tokens
+           |  FROM documents d LEFT JOIN (
+           |    SELECT bdw.doc_id, sum(bv.n_syms)::BIGINT AS bpe_tokens
+           |    FROM bdw JOIN bv USING (word) GROUP BY 1) x USING (doc_id)),
+           |pc AS (
+           |  SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_before
+           |  FROM bcnt)
+           |SELECT doc_id, n_tokens,
+           |  CAST(floor(cum_before / 128.0) AS BIGINT) AS bin,
+           |  CAST(cum_before % 128 AS BIGINT) AS bin_offset
+           |FROM pc ORDER BY doc_id""".stripMargin
+    },
 
     // identical surviving set to the exact decontamination — the bloom
     // is a prefilter, never the decision

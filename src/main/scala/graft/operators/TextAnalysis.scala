@@ -179,12 +179,24 @@ object TextAnalysis {
     * partitioned relation is localCheckpoint'ed so the partition ids
     * seen by the totals job and the window job are identical. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Int, partitions: Int = 0): DataFrame = {
+                    budget: Int, partitions: Int = 0): DataFrame =
+    packCounts(df.select(col(idCol).as("id"),
+        TextFunctions.tokenCountCol(col(textCol)).cast("long")
+          .as("n_tokens")),
+      budget, partitions)
+
+  /** [[packSequences]] over a precomputed (id, n_tokens) relation —
+    * the entry point for packing under EXACT subword counts (feed it
+    * [[Bpe.encode]]'s output) or any other externally-derived token
+    * accounting. Same distributed prefix-sum shape: range partition by
+    * id, per-partition sums collected (bounded by partition count),
+    * per-partition window adds the broadcast prefix. */
+  def packCounts(counts: DataFrame, budget: Int,
+                 partitions: Int = 0): DataFrame = {
     require(budget > 0)
     val nPart = if (partitions > 0) partitions
-      else df.sparkSession.sparkContext.defaultParallelism
-    val toks = df.select(col(idCol).as("id"),
-      TextFunctions.tokenCountCol(col(textCol)).cast("long").as("n_tokens"))
+      else counts.sparkSession.sparkContext.defaultParallelism
+    val toks = counts.select(col("id"), col("n_tokens"))
     val parted = toks.repartitionByRange(nPart, col("id"))
       .withColumn("_p", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint()
