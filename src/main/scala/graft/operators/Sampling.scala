@@ -156,11 +156,16 @@ object Sampling {
         case None => Iterator.empty
         case Some(byGroup) =>
           val out = Seq.newBuilder[Row]
+          // stop scanning once every target routed to this partition
+          // has been emitted — targets cluster at low local indexes
+          // for small q, and the partition may hold millions of rows
+          var remaining = byGroup.valuesIterator.map(_.size).sum
           var curG: String = null
           var i = 0L
           var want: Seq[(Double, Long)] = Nil
           var w = 0
-          it.foreach { row =>
+          while (remaining > 0 && it.hasNext) {
+            val row = it.next()
             val g = row.getString(0)
             if (g != curG) {
               curG = g; i = 0L; w = 0
@@ -169,6 +174,7 @@ object Sampling {
             while (w < want.length && want(w)._2 == i) {
               out += Row(g, want(w)._1, row.getDouble(1))
               w += 1
+              remaining -= 1
             }
             i += 1
           }
@@ -182,61 +188,24 @@ object Sampling {
       .orderBy("group", "q")
   }
 
-  /** Exact quantiles by distributed rank selection: ONE range-
-    * partitioned sort shuffle, a bounded per-partition count collect,
-    * then each target rank is read off as a local index inside its
-    * partition — no global single-partition sort, no approximation.
-    * Rank semantics: value at zero-based rank ⌊q·(N−1)⌋ of the sorted
-    * column ("lower" discretization — an element of the data, exactly
-    * replayable by `row_number`-based SQL). Output: (q, value),
-    * ordered by q. */
+  /** Exact quantiles by distributed rank selection — the single-group
+    * degenerate case of [[groupedQuantiles]] (ONE range-partitioned
+    * sort shuffle, bounded per-partition counts, target ranks read off
+    * as local indexes; no global single-partition sort, no
+    * approximation). Rank semantics: value at zero-based rank
+    * ⌊q·(N−1)⌋ of the sorted column ("lower" discretization — an
+    * element of the data, exactly replayable by `row_number`-based
+    * SQL). Output: (q, value), ordered by q. Unlike the grouped form
+    * — where an absent group is a legitimate empty answer — an empty
+    * value column here is a caller error and fails loudly. */
   def exactQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty, "no quantiles requested")
-    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q"))
-    val spark = df.sparkSession
-    val parts = math.max(1, math.min(32,
-      spark.sessionState.conf.numShufflePartitions))
-    val ranged = df.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .repartitionByRange(parts, col("v"))
-      .sortWithinPartitions("v")
-      .localCheckpoint() // two consumers; same gotcha as above
-    val cnt = ranged.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = cnt.values.sum
-    require(total > 0, s"exactQuantiles over an empty '$valueCol'")
-    val offsets = (0 until parts)
-      .scanLeft(0L)((acc, pid) => acc + cnt.getOrElse(pid, 0L))
-    // rank → (owning partition, local index), grouped per partition
-    val targets: Map[Int, Seq[(Double, Long)]] = qs.map { q =>
-      val r = math.floor(q * (total - 1)).toLong
-      val pid = offsets.lastIndexWhere(_ <= r,
-        offsets.length - 2) // last pid whose offset ≤ r (end offset excluded)
-      (pid, (q, r - offsets(pid)))
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val targetsB = spark.sparkContext.broadcast(targets)
-    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val want = targetsB.value.getOrElse(pid, Nil).sortBy(_._2)
-      if (want.isEmpty) Iterator.empty
-      else {
-        val out = Seq.newBuilder[Row]
-        var i = 0L
-        var w = 0
-        while (w < want.length && it.hasNext) {
-          val v = it.next().getDouble(0)
-          while (w < want.length && want(w)._2 == i) {
-            out += Row(want(w)._1, v)
-            w += 1
-          }
-          i += 1
-        }
-        out.result().iterator
-      }
-    }
-    spark.createDataFrame(rows, StructType(Seq(
-        StructField("q", DoubleType, nullable = false),
-        StructField("value", DoubleType, nullable = false))))
+    val nonNull = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    require(!nonNull.isEmpty, s"exactQuantiles over an empty '$valueCol'")
+    groupedQuantiles(nonNull.select(lit("all").as("_g"), col("_v")),
+        "_g", "_v", qs)
+      .select(col("q"), col("value"))
       .orderBy("q")
   }
 }
