@@ -3155,6 +3155,38 @@ object SparkEntry {
         .orderBy("user_id", "click_ts", "purchase_ts")
     }),
 
+    // ---- stream-STATIC enrichment join, REALLY streamed: each event
+    //      micro-batch broadcast-joins the static customer dimension
+    //      (the canonical "enrich the stream with a dim table" plan —
+    //      stateless, so emission is trivially batching-independent).
+    //      Per-segment event counts keep the output bounded. ----
+    "streaming_enrich" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val stream = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = stream.join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      // complete output mode: a global (un-windowed) streaming agg
+      // re-emits the full result each batch; the memory table holds
+      // the final snapshot
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-senrich-ck").resolve("ck").toString
+      val name = "senrich_" + Integer.toHexString(dir.hashCode)
+      s.catalog.dropTempView(name)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = out.writeStream.outputMode("complete").format("memory")
+          .queryName(name).option("checkpointLocation", ck).start()
+        q.processAllAvailable(); q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).orderBy("c_mktsegment", "event_type")
+    }),
+
     // ---- hard-negative mining for contrastive training: per bench
     //      query, the top BM25-scored docs that are NOT qrels
     //      positives. One relational plan: query-term weights joined
@@ -4731,6 +4763,14 @@ object SparkEntry {
         |  purchase_ts IS NULL AS unmatched
         |FROM (SELECT * FROM matches UNION ALL SELECT * FROM unmatched)
         |ORDER BY user_id, click_ts, purchase_ts""".stripMargin,
+
+    // stateless enrichment + complete-mode agg = the plain batch join
+    "streaming_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type,
+        |  count(*)::BIGINT AS n_events
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // the emitted duplicate reports are batching-independent: every
     // doc whose text was already seen, mapped to the corpus-min id
