@@ -622,15 +622,15 @@ object SparkEntry {
     * concurrent caller would need a cloned session (`s.newSession()`)
     * instead. */
   private def runStreamToTable(s: SparkSession, out: DataFrame,
-      prefix: String, dir: String): DataFrame = {
-    val ck = java.nio.file.Files.createTempDirectory(s"graft-$prefix-ck")
-      .resolve("ck").toString
+      prefix: String, dir: String,
+      outputMode: String = "append"): DataFrame = {
+    val ck = tempDirCleanedOnExit(s"graft-$prefix-ck").resolve("ck").toString
     val name = prefix + "_" + Integer.toHexString(dir.hashCode)
     s.catalog.dropTempView(name)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = out.writeStream.outputMode("append").format("memory")
+      val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(name).option("checkpointLocation", ck).start()
       q.processAllAvailable(); q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -1206,6 +1206,30 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_utc")
       AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts_utc",
           "click_ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          (unix_micros(col("ts_utc")) -
+            unix_micros(col("asof_click_ts"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---- the SAME attribution through the time-BUCKETED as-of form
+    //      (hot-key posture: row-level work partitions by (key,
+    //      1h-bucket), cross-bucket state carried on a bucket-bounded
+    //      relation — AsOf.joinAsOfBucketed). Output-identical to
+    //      asof_join by construction; same native ASOF oracle. ----
+    "asof_join_bucketed" -> ((s, dir) => {
+      import graft.operators.AsOf
+      val ev = eventsWithTsUtc(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_utc")
+        .agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts_utc").as("click_ts"),
+          col("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_utc")
+      AsOf.joinAsOfBucketed(purchases, clicks, Seq("user_id"), "ts_utc",
+          "click_ts", Seq("click_id"), bucketWidth = 3600L * 1000000L)
         .select(col("event_id"), col("user_id"),
           col("asof_click_id").as("click_id"),
           (unix_micros(col("ts_utc")) -
@@ -3173,18 +3197,8 @@ object SparkEntry {
       // complete output mode: a global (un-windowed) streaming agg
       // re-emits the full result each batch; the memory table holds
       // the final snapshot
-      val ck = java.nio.file.Files
-        .createTempDirectory("graft-senrich-ck").resolve("ck").toString
-      val name = "senrich_" + Integer.toHexString(dir.hashCode)
-      s.catalog.dropTempView(name)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = out.writeStream.outputMode("complete").format("memory")
-          .queryName(name).option("checkpointLocation", ck).start()
-        q.processAllAvailable(); q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name).orderBy("c_mktsegment", "event_type")
+      runStreamToTable(s, out, "senrich", dir, outputMode = "complete")
+        .orderBy("c_mktsegment", "event_type")
     }),
 
     // ---- hard-negative mining for contrastive training: per bench
@@ -3973,6 +3987,20 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-window
     // as-of formulation; right side pre-deduped to unique (key, ts)
     "asof_join" ->
+      """WITH clk AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |pur AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.click_ts) AS lag_us
+        |FROM pur p ASOF LEFT JOIN clk c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // bucketed as-of must equal the plain as-of — same native oracle
+    "asof_join_bucketed" ->
       """WITH clk AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),

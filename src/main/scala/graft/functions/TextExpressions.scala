@@ -69,6 +69,55 @@ case class Tokenize(child: Expression, removeStopwords: Boolean = true)
     copy(child = newChild)
 }
 
+/** The deterministic mock embedding as ONE Catalyst expression:
+  * sha256(utf8 bytes) → eight big-endian uint32 → scale to [-1,1) →
+  * L2-normalize → zero-pad to `dim` (bit-exact with
+  * [[TextFunctions.mockEmbeddingDouble]] — both call the same
+  * [[TextFunctions.mockEmbeddingFromUtf8]]).
+  *
+  * Why an Expression rather than composed builtins: the declarative
+  * form (`sha2` + 8 hex slices + norm) inlines the sha2 subtree into
+  * each of the 8 components AND the norm — an O(dim×8) expression tree
+  * with no codegen-time CSE — and janino rejects the generated method,
+  * silently dropping every embed-bearing stage (search legs,
+  * chunk→embed build, knn_text) to interpreted execution. This form is
+  * one sha256 and one tight JVM loop per row, invoked from whole-stage
+  * codegen via a bound reference, so the surrounding stage keeps its
+  * generated pipeline.
+  *
+  * Ref semantics: packages/vecpipe/search/dense_search.py:19-44. */
+case class MockEmbed(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  // MessageDigest is stateful and this expression instance is shared
+  // across the executor's task threads via the codegen reference
+  // array — one digest per thread, reset per row
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
+  def embed(text: UTF8String): ArrayData = {
+    val md = digests.get()
+    md.reset()
+    val vals = TextFunctions.mockEmbeddingFromUtf8Digest(md, text.getBytes, dim)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(vals)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    embed(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mockEmbed", this, classOf[MockEmbed].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.embed($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MockEmbed =
+    copy(child = newChild)
+}
+
 /** Parse 8 hex chars of a digest string at a fixed offset as an
   * unsigned 32-bit value — bit-identical to
   * `conv(substring(hex, off+1, 8), 16, 10).cast("long")` but without

@@ -74,9 +74,21 @@ object TextFunctions {
   // -------------------------------------------------------------------
   val DefaultDim = 1024
 
-  def mockEmbeddingDouble(text: String, dim: Int = DefaultDim): Array[Double] = {
-    val hash = MessageDigest.getInstance("SHA-256")
-      .digest(text.getBytes("UTF-8"))
+  def mockEmbeddingDouble(text: String, dim: Int = DefaultDim): Array[Double] =
+    mockEmbeddingFromUtf8(text.getBytes("UTF-8"), dim)
+
+  /** The single definition of the mock-embedding arithmetic, shared by
+    * the String form above and the [[MockEmbed]] Catalyst expression
+    * (which hands over UTF8String's raw bytes without a String
+    * round-trip) — one place, bit-exact by construction. */
+  def mockEmbeddingFromUtf8(utf8: Array[Byte], dim: Int): Array[Double] =
+    mockEmbeddingFromUtf8Digest(MessageDigest.getInstance("SHA-256"), utf8, dim)
+
+  /** Digest-supplied variant for per-thread digest reuse in the hot
+    * [[MockEmbed]] path (the caller owns reset()). */
+  def mockEmbeddingFromUtf8Digest(md: MessageDigest, utf8: Array[Byte],
+      dim: Int): Array[Double] = {
+    val hash = md.digest(utf8)
     val vals = new Array[Double](dim)
     var i = 0
     var n = 0
@@ -99,27 +111,25 @@ object TextFunctions {
   def mockEmbedding(text: String, dim: Int = DefaultDim): Array[Float] =
     mockEmbeddingDouble(text, dim).map(_.toFloat)
 
-  /** Column form of the mock embedding, built entirely from codegen'd
-    * SQL functions (sha2 hex → 8 uint32 via conv → scale → normalize):
-    * no UDF in the embed path, and the same arithmetic is expressible in
-    * the DuckDB oracle. Only the first 8 dims are nonzero (32 hash
-    * bytes / 4), matching the reference's zero-pad. */
+  /** Column form of the mock embedding — the single [[MockEmbed]]
+    * Catalyst expression: ONE sha256 per row, the whole vector
+    * produced in one call, tiny generated code that keeps the
+    * surrounding stage inside whole-stage codegen. The same arithmetic
+    * stays expressible in the DuckDB oracle (sha2 hex → 8 uint32 →
+    * scale → normalize). Only the first 8 dims are nonzero (32 hash
+    * bytes / 4), matching the reference's zero-pad.
+    *
+    * (History: the previous formulation composed sha2 + 8
+    * HexSliceToLong slices + norm from SQL builtins — correct, but the
+    * expression tree inlined the full sha2 subtree into each of the 8
+    * components AND the norm with no codegen-time CSE; janino refused
+    * the generated method and every embed-bearing stage silently fell
+    * back to interpreted execution.) */
   def mockEmbeddingCol(text: Column, dim: Int = DefaultDim): Column = {
     require(dim >= 8, "mock embedding needs dim >= 8")
-    val hex = sha2(text.cast("binary"), 256)
-    // HexSliceToLong ≡ conv(substring(hex, i*8+1, 8), 16, 10)::long —
-    // same unsigned 32-bit value, minus conv's radix string machinery
-    // (8 parses per embedded row; this sits under every chunk embed)
-    val raw = (0 until 8).map { i =>
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.HexSliceToLong(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(hex),
-          i * 8)).cast("double") /
-        lit(4294967296.0) * 2.0 - 1.0
-    }
-    val norm = sqrt(raw.map(r => r * r).reduce(_ + _))
-    val vals = raw.map(_ / norm) ++ Seq.fill(dim - 8)(lit(0.0))
-    array(vals: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      MockEmbed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), dim))
   }
 
   // -------------------------------------------------------------------

@@ -46,13 +46,25 @@ object Sampling {
     * a deterministic, engine-independent set.
     *
     * Strata absent from `counts` are dropped; a stratum with fewer
-    * rows than requested yields all of them. */
+    * rows than requested yields all of them.
+    *
+    * `rangeParts` widths the ONE corpus-wide range sort; the default
+    * follows the session's shuffle parallelism (so a 2000-partition
+    * cluster session range-sorts through 2000 tasks, not a fixed
+    * local-harness cap). The driver-side slice collect stays bounded
+    * by parts×|strata| either way — at 2000 partitions × 100 strata
+    * that is 200k tiny rows, still driver-trivial. */
   def stratifiedSampleExact(df: DataFrame, strataCol: String,
       idCol: String, counts: Map[String, Long],
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, rangeParts: Option[Int] = None): DataFrame = {
     require(counts.nonEmpty, "empty count spec")
     val spark = df.sparkSession
-    val parts = math.max(1, math.min(32,
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"stratum column '$strataCol' must be StringType (got " +
+        s"${df.schema(strataCol).dataType.simpleString}); cast it — the " +
+        "count spec keys and the per-partition take compare on strings")
+    val parts = math.max(1, rangeParts.getOrElse(
       spark.sessionState.conf.numShufflePartitions))
     val wanted = counts.keySet
     // localCheckpoint: TWO consumers (slice counts + the final take)
@@ -107,12 +119,14 @@ object Sampling {
     * (group, q); rank semantics identical to [[exactQuantiles]]
     * (value at ⌊q·(N_g−1)⌋ of the group's sorted column). */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double]): DataFrame = {
+      qs: Seq[Double], rangeParts: Option[Int] = None): DataFrame = {
     require(qs.nonEmpty, "no quantiles requested")
     qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q"))
     val spark = df.sparkSession
     import org.apache.spark.sql.types.StringType
-    val parts = math.max(1, math.min(32,
+    // default follows session parallelism — see stratifiedSampleExact;
+    // the targets collect is bounded by parts×|groups| regardless
+    val parts = math.max(1, rangeParts.getOrElse(
       spark.sessionState.conf.numShufflePartitions))
     val ranged = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))

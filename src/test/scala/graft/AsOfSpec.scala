@@ -56,6 +56,57 @@ class AsOfSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(v === brute(id), s"event $id") }
   }
 
+  test("bucketed form is output-identical under one dominant key, and " +
+      "its row-level window partitions by (key, bucket)") {
+    val rnd = new scala.util.Random(11)
+    // 90% of rows on ONE key — the shape that serializes joinAsOf
+    val left = (1L to 400L).map { i =>
+      val k = if (rnd.nextInt(10) == 0) s"u${rnd.nextInt(5)}" else "hot"
+      (i, k, ts(rnd.nextInt(5000).toLong))
+    }.toDF("event_id", "k", "lts")
+    val right = (1L to 300L).map { i =>
+        val k = if (rnd.nextInt(10) == 0) s"u${rnd.nextInt(5)}" else "hot"
+        (k, ts(rnd.nextInt(5000).toLong), i)
+      }.toDF("k", "rts", "pl")
+      .groupBy("k", "rts").agg(max("pl").as("pl"))
+    def collectMatches(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_pl", "asof_rts").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    val plain = collectMatches(
+      AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts", Seq("pl")))
+    // widths straddling the data span: 100 buckets, few-bucket, and a
+    // width so wide everything lands in one bucket (degenerates to
+    // joinAsOf exactly)
+    for (width <- Seq(50L * 1000000L, 1700L * 1000000L, 10000L * 1000000L)) {
+      val bucketed = AsOf.joinAsOfBucketed(left, right, Seq("k"),
+        "lts", "rts", Seq("pl"), width)
+      assert(collectMatches(bucketed) === plain, s"width=$width")
+    }
+    // plan shape: the row-level union-window partitions by
+    // (key, __bucket), so a hot key's timeline spreads across buckets
+    val p = AsOf.joinAsOfBucketed(left, right, Seq("k"), "lts", "rts",
+      Seq("pl"), 50L * 1000000L).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(windowLines.exists(l => l.contains("__bucket") &&
+        l.contains("windowspecdefinition(k")),
+      s"no (key, bucket)-partitioned window in:\n$p")
+  }
+
+  test("bucketed form handles integral tick columns and negative ticks") {
+    val left = Seq((1L, "k", -5L), (2L, "k", 3L), (3L, "k", 250L))
+      .toDF("event_id", "k", "lts")
+    val right = Seq(("k", -7L, 70L), ("k", 2L, 20L), ("k", 100L, 10L))
+      .toDF("k", "rts", "pl")
+    val got = AsOf.joinAsOfBucketed(left, right, Seq("k"), "lts", "rts",
+        Seq("pl"), 10L)
+      .select("event_id", "asof_pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(70L), 2L -> Some(20L), 3L -> Some(10L)))
+  }
+
   test("plan: one key shuffle + window — no nested-loop or cartesian join") {
     val left = Seq((1L, "u1", ts(10))).toDF("event_id", "k", "lts")
     val right = Seq(("u1", ts(5), 1L)).toDF("k", "rts", "payload")

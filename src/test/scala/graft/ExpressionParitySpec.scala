@@ -68,6 +68,43 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("MockEmbed == pure-Scala mockEmbeddingDouble, bit-exact, and " +
+      "== the composed sha2+HexSliceToLong formulation it replaced") {
+    val dim = 16
+    // the declarative arithmetic the DuckDB oracle CTEs mirror — kept
+    // here as the parity witness after the Column fast path moved to
+    // the single MockEmbed expression
+    def declarative(text: org.apache.spark.sql.Column) = {
+      val hex = sha2(text.cast("binary"), 256)
+      val raw = (0 until 8).map { i =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.HexSliceToLong(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(hex),
+            i * 8)).cast("double") / lit(4294967296.0) * 2.0 - 1.0
+      }
+      val norm = sqrt(raw.map(r => r * r).reduce(_ + _))
+      array(raw.map(_ / norm) ++ Seq.fill(dim - 8)(lit(0.0)): _*)
+    }
+    val inputs = adversarial.filter(_.nonEmpty) ++
+      (0 until 50).map(i => s"probe-$i")
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.mockEmbeddingCol(col("text"), dim).as("v"),
+        declarative(col("text")).as("slow"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    got.foreach { case (i, fast, slow) =>
+      val want = TextFunctions.mockEmbeddingDouble(inputs(i.toInt), dim).toSeq
+      assert(fast == want, s"vs Scala on input #$i")   // BIT-exact
+      assert(fast == slow, s"vs declarative on input #$i")
+    }
+    // null text → null vector (the expression's null propagation)
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.mockEmbeddingCol(col("text"), dim))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("HexSliceToLong rejects inputs shorter than offset + 8") {
     val ex = intercept[Exception] {
       Seq("abcd").toDF("h").select(

@@ -38,6 +38,38 @@ class SamplingSpec extends SparkSpec {
     assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == ref)
   }
 
+  test("range sort width follows session parallelism, not a fixed cap") {
+    val df = corpus(3000)
+    // explicit width wins
+    val wide = Sampling.stratifiedSampleExact(df, "stratum", "doc_id",
+      Map("a" -> 10L), rangeParts = Some(48))
+    assert(wide.rdd.getNumPartitions == 48)
+    // default follows spark.sql.shuffle.partitions — a cluster session
+    // at 2000 gets a 2000-task range sort, not the old min(32, …) cap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "41")
+      val d = Sampling.stratifiedSampleExact(df, "stratum", "doc_id",
+        Map("a" -> 10L))
+      assert(d.rdd.getNumPartitions == 41, s"${d.rdd.getNumPartitions}")
+      val q = Sampling.groupedQuantiles(
+        df.select(col("stratum"), col("doc_id").cast("double").as("v")),
+        "stratum", "v", Seq(0.5))
+      // grouped quantiles' output rows come from the ranged relation's
+      // partitions; assert on the pre-orderBy width via a fresh call
+      assert(q.collect().length == 3)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("stratified sampler rejects a non-string stratum column up front") {
+    val df = spark.range(10).select(col("id").as("doc_id"),
+      (col("id") % 3).as("stratum")) // LongType stratum
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleExact(df, "stratum", "doc_id", Map("0" -> 2L))
+    }
+    assert(ex.getMessage.contains("must be StringType"))
+  }
+
   test("exact quantiles equal sorted-array selection") {
     val vals = Seq(5.0, 1.0, 9.0, 1.0, 7.0, 3.0, 3.0, 8.0, 2.0, 6.0, 4.0)
     val df = vals.toDF("v")
