@@ -3117,6 +3117,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming dedup with a TTL horizon — the state-BOUNDED
+    //      production posture: a copy within 50 s (event time; ts ∝
+    //      doc_id) of its hash's current canonical is reported as a
+    //      duplicate; beyond the horizon it silently becomes the new
+    //      canonical, and state evicts once the watermark passes
+    //      canonical_ts + horizon. The emitted set is a pure function
+    //      of event times (per-hash chain rule), which the oracle
+    //      replays with a recursive CTE. ----
+    "streaming_dedup_ttl" -> ((s, dir) => {
+      val in = stagedDocBatches(s, dir)
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withColumn("ts_utc", timestamp_micros(
+          lit(1600000000000000L) + col("doc_id") * 1000000L))
+        .withWatermark("ts_utc", "10 seconds")
+      val out = Sync.streamingDupReportsTtl(stream, "doc_id", "text",
+        "ts_utc", horizonUs = 50L * 1000000L)
+      runStreamToTable(s, out, "sdedupttl", dir)
+        .orderBy("doc_id")
+    }),
+
     // ---- stream-stream event-time INTERVAL join, REALLY streamed:
     //      clicks attributed to purchases within the following hour.
     //      Both legs are watermarked file streams over the same
@@ -4813,6 +4834,36 @@ object SparkEntry {
         |        ELSE text END AS t
         |    FROM documents))
         |WHERE doc_id <> first_doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // TTL-horizon dedup: replay the per-hash CHAIN rule (first copy is
+    // canonical; a copy ≤ 50 s after the CURRENT canonical is a dup,
+    // else it becomes the new canonical) with a recursive CTE stepping
+    // one rank per iteration. ts = doc_id seconds, so the 50 s horizon
+    // is a doc_id gap of 50. copies is re-referenced per iteration →
+    // AS MATERIALIZED (the CTE-inlining exponential-plan gotcha).
+    "streaming_dedup_ttl" ->
+      """WITH RECURSIVE docs2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'duplicated corpus text ' || CAST(doc_id % 3 AS VARCHAR)
+        |      ELSE text END AS t
+        |  FROM documents),
+        |copies AS MATERIALIZED (
+        |  SELECT t, doc_id,
+        |    row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+        |  FROM docs2
+        |  WHERE t IN (SELECT t FROM docs2 GROUP BY t HAVING count(*) > 1)),
+        |chain AS (
+        |  SELECT t, rn, doc_id, doc_id AS canon_id, FALSE AS is_dup
+        |  FROM copies WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.t, c.rn, c.doc_id,
+        |    CASE WHEN c.doc_id - ch.canon_id <= 50
+        |      THEN ch.canon_id ELSE c.doc_id END,
+        |    c.doc_id - ch.canon_id <= 50
+        |  FROM copies c JOIN chain ch ON c.t = ch.t AND c.rn = ch.rn + 1)
+        |SELECT doc_id, canon_id AS first_doc_id FROM chain WHERE is_dup
         |ORDER BY doc_id""".stripMargin,
 
     "hard_negatives" -> {

@@ -154,15 +154,31 @@ object Multimodal {
     // I/O inside Spark tasks for a pure in-memory byte round-trip
     private def readImage(bytes: Array[Byte]): BufferedImage = {
       val fmt = sniff(bytes)
-      require(fmt != "bin",
-        "JdkCodec: no ImageIO decoder for these bytes (sniffed bin)")
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new ByteArrayInputStream(bytes))
-      val reader = readerSpiFor(fmt).createReaderInstance()
-      try {
-        reader.setInput(iis, true, true)
-        reader.read(0)
-      } finally { reader.dispose(); iis.close() }
+      if (fmt == "bin") {
+        // not one of the 4 magic-byte fast paths — fall back to the
+        // registry walk (ImageIO.read probes every installed reader's
+        // canDecodeInput), so bytes a TIFF/WEBP plugin could decode
+        // still decode instead of failing on the sniff alone. The SPI
+        // fast path below stays the hot loop; this walk is the
+        // unknown-format slow path. Hand ImageIO an explicit
+        // memory-cache stream (no temp file, no global useCache
+        // toggle — that flag is a static shared across task threads);
+        // ImageIO.read(ImageInputStream) closes the stream itself.
+        val img = ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(bytes)))
+        require(img != null,
+          "JdkCodec: no installed ImageIO reader decodes these bytes")
+        img
+      } else {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        val reader = readerSpiFor(fmt).createReaderInstance()
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      }
     }
 
     private def writePng(img: BufferedImage): Array[Byte] = {

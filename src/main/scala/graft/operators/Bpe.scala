@@ -177,23 +177,42 @@ object Bpe {
     * (partial pair-count maps merged in a tree) plus one narrow
     * checkpoint materialization; the driver holds only the merged
     * distinct-pair counts, bounded by the vocabulary's adjacent-pair
-    * set, never corpus-sized. (A vocabulary too large for that map —
-    * past ~10^8 distinct pairs — would flip the argmax to a relational
-    * groupBy + TakeOrdered(1); the corpus never re-enters the loop
-    * either way.)
+    * set, never corpus-sized.
+    *
+    * A vocabulary too large for that driver map flips the argmax to
+    * the RELATIONAL path: one `reduceByKey` over (pair, weight) plus a
+    * distributed `takeOrdered(1)` per iteration — same argmax, same
+    * tie-break, the driver holds one pair instead of the pair map.
+    * The flip is decided by ONE distinct-pair probe before the loop
+    * against `maxDriverPairs` (default 10^8 — tens of GB of driver
+    * map is the practical ceiling; merges afterwards add at most
+    * O(|words|) new pairs per iteration, so the initial probe is the
+    * right scale signal). The corpus never re-enters the loop on
+    * either path.
     *
     * `partitions` sizes the iterated relation: small for a bounded
     * vocabulary (cuts per-iteration task overhead), larger on a real
     * cluster where the distinct-word table is wide.
     */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
-      partitions: Int = 8): Trained = {
+      partitions: Int = 8,
+      maxDriverPairs: Long = 100000000L): Trained = {
     val spark = docs.sparkSession
     import spark.implicits._
     var cur = wordCounts(docs, textCol).as[(String, Long)].rdd
       .map { case (w, c) => WordState(w, c, w.map(_.toString).toArray) }
       .coalesce(partitions)
     cur.localCheckpoint()
+    val pairOrd =
+      Ordering.by[((String, String), Long), (Long, String, String)] {
+        case ((pl, pr), pc) => (-pc, pl, pr)
+      }
+    // the probe is ALSO the action that materializes the first
+    // checkpoint generation (the treeAggregate did that before)
+    val relationalArgmax = cur.flatMap { ws =>
+      (0 until ws.syms.length - 1).iterator
+        .map(i => (ws.syms(i), ws.syms(i + 1)))
+    }.distinct().count() > maxDriverPairs
     // The previous generation's checkpoint blocks stay pinned until the
     // CURRENT one is materialized (its truncated lineage needs them);
     // each generation is freed one iteration late, after the aggregate
@@ -207,32 +226,45 @@ object Bpe {
       // included), weighted by the word's corpus frequency. This
       // aggregate is ALSO the action that materializes cur's
       // checkpoint — one job per iteration, not two.
-      val counts = cur.treeAggregate(
-          scala.collection.mutable.HashMap.empty[(String, String), Long])(
-        seqOp = { (acc, ws) =>
-          var i = 0
-          while (i < ws.syms.length - 1) {
-            val k = (ws.syms(i), ws.syms(i + 1))
-            acc.update(k, acc.getOrElse(k, 0L) + ws.cnt)
-            i += 1
-          }
-          acc
-        },
-        combOp = { (a, b) =>
-          b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
-          a
-        })
+      val best: Option[((String, String), Long)] =
+        if (relationalArgmax) {
+          // scale path: distributed pair sum + top-1 — the driver
+          // never holds the pair map
+          cur.flatMap { ws =>
+            (0 until ws.syms.length - 1).iterator
+              .map(i => ((ws.syms(i), ws.syms(i + 1)), ws.cnt))
+          }.reduceByKey(_ + _)
+            .takeOrdered(1)(pairOrd)
+            .headOption
+        } else {
+          val counts = cur.treeAggregate(
+              scala.collection.mutable.HashMap.empty[(String, String), Long])(
+            seqOp = { (acc, ws) =>
+              var i = 0
+              while (i < ws.syms.length - 1) {
+                val k = (ws.syms(i), ws.syms(i + 1))
+                acc.update(k, acc.getOrElse(k, 0L) + ws.cnt)
+                i += 1
+              }
+              acc
+            },
+            combOp = { (a, b) =>
+              b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+              a
+            })
+          if (counts.isEmpty) None else Some(counts.min(pairOrd))
+        }
       toFree.foreach(_.unpersist(blocking = false))
       toFree = None
-      if (counts.isEmpty) exhausted = true
-      else {
-        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
-        merges += Merge(rank, l, r, c)
-        toFree = Some(cur)
-        cur = cur.map(ws =>
-          ws.copy(syms = applyMergeLocal(ws.syms, l, r)))
-        cur.localCheckpoint()
-        rank += 1
+      best match {
+        case None => exhausted = true
+        case Some(((l, r), c)) =>
+          merges += Merge(rank, l, r, c)
+          toFree = Some(cur)
+          cur = cur.map(ws =>
+            ws.copy(syms = applyMergeLocal(ws.syms, l, r)))
+          cur.localCheckpoint()
+          rank += 1
       }
     }
     cur.count() // materialize the final generation, then free its parent

@@ -669,24 +669,57 @@ object Dedup {
     val spark = train.sparkSession
     import spark.implicits._
     // cached: three consumers (count for sketch sizing, sketch build,
-    // exact verify join); the relation is bounded by the eval set
+    // exact verify join); the relation is bounded by the eval set, and
+    // the cache is RELEASED below once the contaminated-id relation is
+    // pinned — repeated calls in a long-lived session must not
+    // accumulate eval-shingle blocks
     val evalSh = shingles(evalDf, evalId, evalText, n)
       .select("shingle").distinct().cache()
     val nEval = math.max(1L, evalSh.count())
-    val bf = evalSh.select(xxhash64(col("shingle")).as("h")).as[Long]
-      .rdd.treeAggregate(BloomFilter.create(nEval, fpp))(
-        (f, h) => { f.putLong(h); f },
-        (a, b) => { a.mergeInPlace(b); a })
+    // per-partition partial filters tree-merged: treeAggregate would
+    // ship a FULL-SIZE empty filter as every task's zeroValue (at the
+    // ~1.2 GB / 10⁹-shingle scale, per task); here a partial exists
+    // only where eval data does, and merges ride the tree
+    val hashes = evalSh.select(xxhash64(col("shingle")).as("h")).as[Long].rdd
+    val partials = hashes.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val f = BloomFilter.create(nEval, fpp)
+        it.foreach(f.putLong)
+        Iterator.single(f)
+      }
+    }
+    // null zeroValue (bytes, not a full-size filter) + null-absorbing
+    // merge: one job, and an empty eval set degrades to a fresh filter
+    val bf = Option(partials.treeAggregate(null: BloomFilter)(
+        (a, b) => if (a == null) b else { a.mergeInPlace(b); a },
+        (a, b) =>
+          if (a == null) b
+          else if (b == null) a
+          else { a.mergeInPlace(b); a }))
+      .getOrElse(BloomFilter.create(nEval, fpp))
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
+    // the serialized sketch rides the plan as a LITERAL — simple and
+    // codegen'd, but it ships with the task binary of EVERY stage that
+    // contains the probe (once per stage per executor). At sketch
+    // sizes where that shipping cost bites (≫100 MB), route it the way
+    // Spark's own runtime filters do: a broadcast variable probed via
+    // a scalar subquery, trading plan-literal simplicity for one-time
+    // broadcast distribution.
     val mightContain = ColumnBridge.column(new BloomFilterMightContain(
       Literal.create(out.toByteArray,
         org.apache.spark.sql.types.BinaryType),
       new XxHash64(Seq(ColumnBridge.expression(col("shingle"))))))
+    // eager localCheckpoint: materializes the (bounded) contaminated-id
+    // relation NOW, so the eval-shingle cache can be dropped before
+    // returning — the caller's anti-join re-reads only the pinned ids
     val contaminatedIds = shingles(train, trainId, trainText, n)
       .filter(mightContain)
       .join(evalSh, "shingle")
       .select(col("id").as(trainId)).distinct()
+      .localCheckpoint()
+    evalSh.unpersist(blocking = false)
     train.join(contaminatedIds, Seq(trainId), "left_anti")
   }
 

@@ -69,7 +69,11 @@ object Sampling {
     val wanted = counts.keySet
     // localCheckpoint: TWO consumers (slice counts + the final take)
     // must see the SAME sampled range boundaries — see the
-    // repartitionByRange gotcha pinned in Bm25.sparseVectors
+    // repartitionByRange gotcha pinned in Bm25.sparseVectors.
+    // Lifetime: the returned relation READS these checkpoint blocks,
+    // so they cannot be released here; the caller owns cache lifetime
+    // (materialize the result, then let the relation go out of scope —
+    // blocks free with the RDD's GC-driven cleanup)
     val ranged = df
       .filter(col(strataCol).isin(wanted.toSeq: _*))
       .withColumn("_okey", hashHex(idCol, seed))

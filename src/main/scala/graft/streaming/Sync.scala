@@ -163,6 +163,82 @@ object Sync {
       .toDF()
   }
 
+  /** Per-hash TTL state for [[streamingDupReportsTtl]]: the current
+    * canonical row's id and event-time (micros). */
+  final case class TtlCanon(canonId: Long, canonTsUs: Long)
+
+  /** [[streamingDupReports]] with a LATENESS-HORIZON state bound — the
+    * production posture the full-history operator defers to
+    * (`dropDuplicatesWithinWatermark` semantics, made exact): a row is
+    * reported as a duplicate only if it arrives within `horizonUs` of
+    * the hash's CURRENT canonical row's event time; a row beyond that
+    * horizon silently becomes the new canonical instead. Per-hash
+    * state is one (id, ts) pair, and it is EVICTED once the watermark
+    * passes canonical_ts + horizon (EventTimeTimeout), so total state
+    * is bounded by the distinct hashes seen within one horizon — not
+    * by corpus history.
+    *
+    * Eviction never changes the answer: a post-eviction arrival has
+    * event time beyond watermark − delay > canonical_ts + horizon
+    * (rows later than the watermark delay are out of contract, the
+    * standard streaming lateness bound), and the chain rule would
+    * have made it the new canonical anyway. So the emitted set is a
+    * pure function of event times — the per-hash CHAIN rule: scan
+    * copies in (ts, id) order; first is canonical; each next copy is
+    * a dup if `ts − canonical_ts <= horizonUs`, else it becomes the
+    * new canonical. A batch oracle replays exactly that recurrence
+    * (recursive CTE), for ANY batch boundary placement, because batch
+    * order is ts order under the staged fixtures' contract and each
+    * batch's group rows are sorted here.
+    *
+    * `tsCol` must be a TIMESTAMP column already carrying the stream's
+    * `withWatermark` (EventTimeTimeout requires one; the caller owns
+    * the delay choice). */
+  def streamingDupReportsTtl(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, horizonUs: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(horizonUs > 0, s"horizon must be positive: $horizonUs")
+    // the watermarked TIMESTAMP attribute must SURVIVE the projection
+    // (EventTimeTimeout's analyzer check looks for it in the child's
+    // output), so it rides along as the unused 4th field
+    val typed = docs.select(
+        sha2(col(textCol).cast("binary"), 256).as("h"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("ts"),
+        col(tsCol).as("wm"))
+      .as(E.tuple(E.STRING, E.scalaLong, E.scalaLong, E.TIMESTAMP))
+    typed.groupByKey(_._1)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[TtlCanon]) =>
+          if (state.hasTimedOut) {
+            // watermark passed canonical_ts + horizon: no in-horizon
+            // arrival can follow — drop the key's state entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.map(r => (r._3, r._2)).toArray.sorted
+            val out = Seq.newBuilder[DupRow]
+            var canon = state.getOption.orNull
+            sorted.foreach { case (ts, id) =>
+              if (canon == null || ts - canon.canonTsUs > horizonUs)
+                canon = TtlCanon(id, ts)
+              else if (id != canon.canonId)
+                out += DupRow(id, canon.canonId)
+            }
+            state.update(canon)
+            // timeout is event-time MILLIS; ceil so the micros horizon
+            // is never shortened by truncation
+            state.setTimeoutTimestamp(
+              (canon.canonTsUs + horizonUs + 999L) / 1000L)
+            out.result().iterator
+          }
+      }(E.product[TtlCanon], E.product[DupRow])
+      .toDF()
+  }
+
   /** Streaming sessionization with custom per-key state
     * (`flatMapGroupsWithState`): events grouped by user; a session is a
     * maximal run of events with inter-event gaps ≤ `gapUs`. A closed

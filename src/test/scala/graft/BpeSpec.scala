@@ -108,6 +108,26 @@ class BpeSpec extends SparkSpec {
     assert(big.map(_.pairCount) === base.map(_.pairCount * 10))
   }
 
+  test("relational argmax path (forced via maxDriverPairs=0) trains the " +
+      "identical merge table and vocabulary") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the the the theme theater theory",
+      "aaa aaaa aaaaa abababab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val driver = Bpe.train(docs, nMerges = 10, partitions = 2)
+    val relational = Bpe.train(docs, nMerges = 10, partitions = 2,
+      maxDriverPairs = 0L) // every corpus exceeds 0 → relational path
+    assert(relational.merges.map(m => (m.left, m.right, m.pairCount)) ===
+      driver.merges.map(m => (m.left, m.right, m.pairCount)))
+    val dv = driver.vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    val rv = relational.vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(rv === dv)
+  }
+
   test("train stops early when no pairs remain") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val t = Bpe.train(docs, nMerges = 5, partitions = 1)

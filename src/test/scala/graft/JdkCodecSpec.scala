@@ -79,6 +79,24 @@ class JdkCodecSpec extends SparkSpec {
       f.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("format OUTSIDE the magic-byte sniff (TIFF) decodes via the " +
+      "registry-walk fallback instead of failing") {
+    // the JDK ships a TIFF plugin (since 9) that the 4-entry sniff
+    // doesn't know — these bytes must still decode, just off the SPI
+    // fast path; sniff keeps reporting "bin" (the codec field states
+    // what the FAST PATH knew, decode succeeds regardless)
+    val src = SyntheticImages.encodePng(5L, 24, 18)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(src))
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", out))
+    val m = JdkCodec.decode("image", out.toByteArray)
+    assert((m.width, m.height, m.codec) === ((24, 18, "bin")))
+    // genuinely undecodable bytes still fail with the typed message
+    val ex = intercept[IllegalArgumentException](
+      JdkCodec.decode("image", Array[Byte](9, 9, 9, 9)))
+    assert(ex.getMessage.contains("no installed ImageIO reader"))
+  }
+
   test("audio: WAV metadata and RMS features are real") {
     val wav = wavBytes(8000, 1, 440.0)
     val m = JdkCodec.decode("audio", wav)

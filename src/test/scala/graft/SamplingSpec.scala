@@ -204,6 +204,57 @@ class SamplingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("TTL dup reports: chain rule over event time, and state EVICTS " +
+      "once the watermark passes canonical_ts + horizon") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("sdupt").toString + "/in"
+    val ck = java.nio.file.Files.createTempDirectory("sduptck").toString + "/ck"
+    // 'aa' copies at t=10, 30 (gap 20 ≤ 50 → dup of 1), 100 (gap 90
+    // from canonical 1 → NEW canonical, no report), 120 (gap 20 from
+    // canonical 8 → dup of 8); five one-off texts whose state must
+    // not outlive the horizon
+    val b1 = Seq((1L, "aa", ts(10)), (2L, "bb", ts(11)), (3L, "cc", ts(12)),
+      (4L, "dd", ts(13)), (5L, "ee", ts(14))).toDF("doc_id", "text", "ets")
+    val b2 = Seq((6L, "aa", ts(30)), (7L, "ff", ts(35)))
+      .toDF("doc_id", "text", "ets")
+    val b3 = Seq((8L, "aa", ts(100)), (9L, "aa", ts(120)),
+      (10L, "gg", ts(1000))).toDF("doc_id", "text", "ets")
+    var stamp = 1600000000000L
+    val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    Seq(b1, b2, b3).foreach { b =>
+      b.coalesce(1).write.mode("append").parquet(dir)
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try ls.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            !stamped.contains(p)) {
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(stamp))
+          stamped += p
+        }
+      } finally ls.close()
+      stamp += 60000
+    }
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ets", "5 seconds")
+    val q = Sync.streamingDupReportsTtl(stream, "doc_id", "text", "ets",
+        horizonUs = 50L * 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dupttl").option("checkpointLocation", ck).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, first_doc_id FROM dupttl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == Set(6L -> 1L, 9L -> 8L), s"$got")
+    // eviction: the final watermark (1000 − 5 = 995 s) is past every
+    // canonical's ts + 50 s except gg's — exactly ONE state row may
+    // survive, not the 7 distinct hashes seen
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+    assert(lastState.numRowsTotal == 1L,
+      s"state rows: ${lastState.numRowsTotal}")
+  }
+
   test("dup reports under a DISORDERED feed retro-report the " +
       "displaced canonical — the dup set stays exact") {
     // id 1 arrives AFTER id 5 with the same content: 5 was retained,
