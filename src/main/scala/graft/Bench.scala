@@ -43,7 +43,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional comma-separated filter for fast local A/B iteration —
+    // the driver never sets it, so driver runs always time the full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val passes = Seq(names, names.reverse, names)
       .map(order => order.map(n => n -> once(n)).toMap)
     val results = names.map { n =>

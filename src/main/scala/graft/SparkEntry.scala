@@ -1411,7 +1411,7 @@ object SparkEntry {
     //      shingle→signature→band→verify pipeline is oracle-checked;
     //      xxhash64 stays the scale default in the API) ----
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDups(graft.operators.Par.floor(t(s, dir, "documents")),
+      Dedup.minhashNearDups(t(s, dir, "documents"),
           "doc_id", "text",
           n = 3, numHashes = 16, bands = 8, threshold = 0.2,
           hashFamily = Dedup.shaHashFamily)
@@ -1504,8 +1504,7 @@ object SparkEntry {
     // ---- benchmark decontamination: train docs sharing any 3-gram
     //      shingle with the (deterministic) eval split ----
     "contamination" -> ((s, dir) => {
-      // floor: the 3-gram shingle explode fuses into the scan stage
-      val docs = graft.operators.Par.floor(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
       Dedup.contamination(train, "doc_id", "text",
@@ -1517,8 +1516,8 @@ object SparkEntry {
 
     // ---- SimHash near-dup (32-bit sha family, oracle-checked) ----
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDups(graft.operators.Par.floor(
-          t(s, dir, "documents")), "doc_id", "text",
+      Dedup.simhashNearDups(
+          t(s, dir, "documents"), "doc_id", "text",
           maxDist = 3, bits = 32, hashFamily = Dedup.shaHashFamily)
         .orderBy("id_a", "id_b")
     }),
@@ -3091,9 +3090,7 @@ object SparkEntry {
     //      join) — the scale path when the eval shingle set outgrows
     //      a broadcast hash relation but its sketch still fits ----
     "contamination_bloom" -> ((s, dir) => {
-      // floor: the 5-gram shingle explode + bloom probe fuse into the
-      // scan stage (the floor is what spreads the sketch probe)
-      val docs = graft.operators.Par.floor(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
       Dedup.decontaminateBloom(train, "doc_id", "text",
