@@ -967,6 +967,37 @@ object SparkEntry {
        |    (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2)""".stripMargin
   }
 
+  /** One side of the cross-corpus fuzzy-decontamination oracle:
+    * shingles → 16 sha-seeded minhash signatures → 8 banded bucket
+    * keys, suffixed `_$sfx`, reading (id, text) from CTE `$src`.
+    * Mirrors [[graft.operators.Dedup.minhashBandKeys]] with the sha
+    * hash family. */
+  private def minhashSideCtes(src: String, sfx: String): String = {
+    val toks = sqlToksKeepStop("text")
+    def shaH(seed: Int) =
+      s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
+        s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
+    val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ',' || " +
+        s"CAST(m${2 * b + 1} AS VARCHAR) AS band_val FROM sig_$sfx"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sh_$sfx AS (
+       |  SELECT DISTINCT id, unnest(
+       |    CASE WHEN len($toks) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len($toks) - 2),
+       |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+       |    END) AS shingle
+       |  FROM $src),
+       |sig_$sfx AS (
+       |  SELECT id,
+       |    $hashCols
+       |  FROM sh_$sfx GROUP BY id),
+       |banded_$sfx AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   // =====================================================================
   // Queries
   // =====================================================================
@@ -1484,6 +1515,24 @@ object SparkEntry {
             lit("\nAll rights reserved.")).otherwise(lit(""))).as("text"))
       Dedup.dedupSpans(staged, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- boilerplate-line stripping (jusText/C4-flavored): a line in
+    //      >= 3 distinct docs is removed from EVERY doc — the
+    //      complement of span_dedup's keep-first rule; same staged
+    //      nav/footer fixture ----
+    "boilerplate_strip" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("Subscribe to our newsletter today!\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nAll rights reserved.")).otherwise(lit(""))).as("text"))
+      Dedup.stripBoilerplate(staged, "doc_id", "text", minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
           col("text"))
         .orderBy("doc_id")
     }),
@@ -3099,6 +3148,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram-LM perplexity (CCNet-style quality signal), LM
+    //      trained in-engine on the corpus itself: add-k conditional
+    //      probabilities from Zipf-bounded count relations, two
+    //      equi-joins on the bigram stream, one per-doc agg ----
+    "lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmPerplexity(docs, "doc_id", "text", docs, "text")
+        .select(col("id").cast("long").as("doc_id"), col("n_bigrams"),
+          round(col("bits_per_bigram"), 6).as("bits_per_bigram"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- FUZZY decontamination: drop train docs NEAR-duplicating any
+    //      eval doc — MinHash band-bucket join BETWEEN the corpora
+    //      (never all-pairs; the benchmark side broadcasts at scale)
+    //      with exact cross-corpus Jaccard verify. sha hash family so
+    //      the oracle replays identical signatures. ----
+    "contamination_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.decontaminateFuzzy(train, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+          threshold = 0.2, hashFamily = Dedup.shaHashFamily)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming exact dedup, REALLY streamed over id-ordered doc
     //      micro-batches: every non-first arrival of a content hash is
     //      emitted as (doc_id, first_doc_id); in-batch duplicates are
@@ -4620,6 +4698,40 @@ object SparkEntry {
         |FROM marked GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // boilerplate = normalized line present in >= 3 distinct docs,
+    // dropped everywhere; blank lines always survive
+    "boilerplate_strip" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0
+        |       THEN 'Subscribe to our newsletter today!' || chr(10)
+        |       ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |       THEN chr(10) || 'All rights reserved.'
+        |       ELSE '' END) AS text
+        |  FROM documents),
+        |lns AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(parts))) AS idx,
+        |    unnest(parts) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        |        FROM staged)),
+        |boiler AS (
+        |  SELECT norm FROM (
+        |    SELECT DISTINCT doc_id, lower(trim(line)) AS norm FROM lns
+        |    WHERE trim(line) <> '')
+        |  GROUP BY norm HAVING count(*) >= 3)
+        |SELECT l.doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN b.norm IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN b.norm IS NULL THEN l.line END,
+        |    chr(10) ORDER BY l.idx), '') AS text
+        |FROM lns l LEFT JOIN boiler b ON lower(trim(l.line)) = b.norm
+        |GROUP BY l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
@@ -4764,6 +4876,69 @@ object SparkEntry {
          |  AND d.doc_id NOT IN (SELECT id FROM contam)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // bigram LM replay: parallel unnests zip positionally in DuckDB,
+    // so (w1, w2) streams come straight off the token-list slices
+    "lm_perplexity" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT doc_id AS id, $toks AS t FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT id,
+         |    unnest(t[1:len(t)-1]) AS w1,
+         |    unnest(t[2:len(t)]) AS w2
+         |  FROM toked WHERE len(t) >= 2),
+         |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+         |pc AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v_size
+         |  FROM (SELECT unnest(t) AS tok FROM toked)),
+         |scored AS (
+         |  SELECT b.id, count(*) AS n_bigrams,
+         |    -sum(log2((c_bg + 0.5) / (c_w1 + 0.5 * v_size))) / count(*)
+         |      AS bits
+         |  FROM bg b
+         |  JOIN bgc USING (w1, w2)
+         |  JOIN pc USING (w1)
+         |  CROSS JOIN v
+         |  GROUP BY b.id)
+         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+         |  round(s.bits, 6) AS bits_per_bigram,
+         |  round(pow(2.0, s.bits), 4) AS perplexity
+         |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // cross-corpus minhash: band join between the train and eval
+    // signature relations, exact Jaccard verify, anti-join survivors
+    "contamination_fuzzy" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
+         |ev AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
+         |${minhashSideCtes("tr", "t")},
+         |${minhashSideCtes("ev", "e")},
+         |cands AS (
+         |  SELECT DISTINCT t.id AS id_a, e.id AS id_b
+         |  FROM banded_t t JOIN banded_e e
+         |    ON t.band = e.band AND t.band_val = e.band_val),
+         |sizes_t AS (SELECT id, count(*) AS n FROM sh_t GROUP BY id),
+         |sizes_e AS (SELECT id, count(*) AS n FROM sh_e GROUP BY id),
+         |inters AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN sh_t a ON a.id = c.id_a
+         |  JOIN sh_e b ON b.id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |contaminated AS (
+         |  SELECT DISTINCT c.id_a FROM cands c
+         |  LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes_t sa ON sa.id = c.id_a
+         |  JOIN sizes_e sb ON sb.id = c.id_b
+         |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |    (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2)
+         |SELECT id AS doc_id FROM tr
+         |WHERE id NOT IN (SELECT id_a FROM contaminated)
+         |ORDER BY doc_id""".stripMargin,
 
     // matched pairs emit eagerly on arrival — the inner-join emitted
     // set is batching-independent, so a plain batch join replays it

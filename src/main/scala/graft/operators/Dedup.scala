@@ -152,6 +152,44 @@ object Dedup {
         sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Boilerplate-line stripping — the jusText/C4-flavored cleanup pass
+    * that [[dedupSpans]] is NOT: a normalized line occurring in at
+    * least `minDocs` DISTINCT documents is boilerplate (nav bars,
+    * cookie banners, footers) and is removed from EVERY document —
+    * dedupSpans instead keeps the first occurrence. Whitespace-only
+    * lines are document structure and always survive.
+    *
+    * Scale: one distinct-(doc, line) aggregation keyed on the
+    * normalized line to find boilerplate (map-side combinable; blank
+    * lines bypass it entirely, so the corpus's empty lines never
+    * concentrate on one key), then the line stream re-joins the
+    * boilerplate relation — which is "lines in ≥ minDocs docs"-sized,
+    * broadcastable in practice — and documents reassemble with one
+    * per-doc aggregation. Output: (id, text, n_lines, n_removed). */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long = 3, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("idx", "line")))
+      .withColumn("_norm", lower(trim(col("line"))))
+    val boiler = lines.filter(col("_norm") =!= "")
+      .select("id", "_norm").distinct()
+      .groupBy("_norm").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("_norm"), lit(true).as("_boiler"))
+    lines.join(boiler, Seq("_norm"), "left")
+      .withColumn("_keep", col("_boiler").isNull)
+      .groupBy("id")
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("idx"), col("line"))))),
+          x => x.getField("line"))).as("text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Exact duplicated-substring detection at token-window granularity —
     * the distributed shape of Lee et al. 2021 ("Deduplicating Training
     * Data Makes Language Models Better", the suffix-array ExactSubstr
@@ -256,21 +294,29 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
   }
 
+  /** Banded LSH bucket keys for a signature relation: (id, band,
+    * band_hash) — one row per band. The joined string IS the bucket
+    * key (hashing it again only fixed the width; the string form is
+    * also oracle-expressible). Shared by the in-corpus candidate
+    * self-join and the cross-corpus decontamination join. */
+  def minhashBandKeys(signatures: DataFrame, numHashes: Int,
+                      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
+    val rows = numHashes / bands
+    signatures.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(slice(col("signature"), b * rows + 1, lit(rows)),
+          x => x.cast("string")), ","))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
   /** LSH banding: split the signature into `bands` bands and emit one
     * (band, band_hash) bucket key per band. Docs colliding in ANY band
     * become candidate pairs (id_a < id_b). The self-join runs inside
     * bucket groups only. */
   def minhashCandidates(signatures: DataFrame, numHashes: Int,
                         bands: Int): DataFrame = {
-    require(numHashes % bands == 0, s"numHashes $numHashes not divisible by $bands")
-    val rows = numHashes / bands
-    // the joined string IS the bucket key (hashing it again only fixed
-    // the width; the string form is also oracle-expressible)
-    val banded = signatures.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_join(transform(slice(col("signature"), b * rows + 1, lit(rows)),
-          x => x.cast("string")), ","))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = minhashBandKeys(signatures, numHashes, bands)
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_hash"))
@@ -720,6 +766,67 @@ object Dedup {
       .select(col("id").as(trainId)).distinct()
       .localCheckpoint()
     evalSh.unpersist(blocking = false)
+    train.join(contaminatedIds, Seq(trainId), "left_anti")
+  }
+
+  /** FUZZY decontamination — the MinHash twin of [[decontaminateRows]]
+    * (which requires an EXACT shared n-gram): drop training docs that
+    * NEAR-duplicate any eval/benchmark doc, the cross-corpus analogue
+    * of [[minhashNearDups]]. Candidate (train, eval) pairs meet on an
+    * LSH band-bucket equi-join BETWEEN the two corpora's signature
+    * relations — never all-pairs, and the eval side's banded keys are
+    * benchmark-sized, so at scale they ride a broadcast while the
+    * train side streams map-side. Every candidate is then verified by
+    * exact cross-corpus n-gram Jaccard ≥ `threshold` (separate shingle
+    * relations per side: the two id spaces may overlap), so a bucket
+    * collision alone never drops a doc.
+    *
+    * The verify joins are bounded by the candidate set (semi-filter
+    * before shuffle, the [[ngramJaccardFrom]] discipline). The
+    * contaminated-id relation is pinned eagerly and all four cached
+    * intermediates are released before returning (the
+    * [[decontaminateBloom]] cache-lifetime discipline). */
+  def decontaminateFuzzy(train: DataFrame, trainId: String,
+      trainText: String, evalDf: DataFrame, evalId: String,
+      evalText: String, n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.2,
+      hashFamily: (Int, Column) => Column = xxHashFamily): DataFrame = {
+    // each side's shingles feed its signatures AND the verify join
+    val trainSh = shingles(train, trainId, trainText, n).cache()
+    val evalSh = shingles(evalDf, evalId, evalText, n).cache()
+    val tBand = minhashBandKeys(
+      minhashSignaturesFrom(trainSh, numHashes, hashFamily), numHashes, bands)
+    val eBand = minhashBandKeys(
+      minhashSignaturesFrom(evalSh, numHashes, hashFamily), numHashes, bands)
+    val cands = pinPairs(
+      tBand.select(col("band"), col("band_hash"), col("id").as("id_a"))
+        .join(eBand.select(col("band"), col("band_hash"), col("id").as("id_b")),
+          Seq("band", "band_hash"))
+        .select("id_a", "id_b").distinct())
+    val aIds = cands.select(col("id_a").as("id")).distinct()
+    val bIds = cands.select(col("id_b").as("id")).distinct()
+    val shA = trainSh.join(aIds, Seq("id"), "left_semi").cache()
+    val shB = evalSh.join(bIds, Seq("id"), "left_semi").cache()
+    val sizesA = shA.groupBy("id").agg(count("*").as("n_a"))
+    val sizesB = shB.groupBy("id").agg(count("*").as("n_b"))
+    val inters = cands
+      .join(shA.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
+    val contaminatedIds = cands
+      .join(inters, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizesA.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sizesB.withColumnRenamed("id", "id_b"), "id_b")
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_inter") === 0, lit(0.0))
+          .otherwise(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(trainId)).distinct()
+      .localCheckpoint() // eager: bounded; lets the caches release now
+    Seq(trainSh, evalSh, shA, shB).foreach(_.unpersist(blocking = false))
     train.join(contaminatedIds, Seq(trainId), "left_anti")
   }
 

@@ -280,6 +280,66 @@ object TextAnalysis {
         avg(-log2(col("p"))).as("bits_per_token"))
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet-style quality signal
+    * ("Wikipedia-like" text scores low, gibberish high), with the LM
+    * TRAINED IN-ENGINE on `lmCorpus` (typically a trusted/high-quality
+    * slice; self-scoring when it is the scored corpus itself) instead
+    * of an external KenLM binary. Add-k-smoothed conditional:
+    * p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), where c(w1) counts w1
+    * as a bigram PREFIX (so Σ_w2 p(w2|w1) = 1) and V is the LM
+    * corpus's distinct-token count. Per scored doc:
+    * bits_per_bigram = −Σ log2 p / n_bigrams, perplexity =
+    * 2^bits_per_bigram. Docs with <2 tokens carry n_bigrams = 0 and
+    * NULL scores (no evidence ≠ good text).
+    *
+    * Scale: counts relations are vocabulary-/bigram-type-bounded
+    * (Zipf-bounded, never corpus-row-bounded); scoring is two
+    * equi-joins on the bigram stream plus one per-doc aggregation —
+    * all map-side-combinable. Unseen prefixes score with c = 0 (the
+    * smoothing floor), so scoring a corpus disjoint from the LM slice
+    * stays total. */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+                   lmCorpus: DataFrame, lmTextCol: String,
+                   addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"add-k smoothing needs k > 0: $addK")
+    def bigrams(src: DataFrame, idC: Option[String], textC: String) = {
+      val toked = src.select(
+        (idC.map(c => col(c).as("id")).toSeq :+
+          TextFunctions.tokensCol(col(textC),
+            removeStopwords = false).as("_t")): _*)
+      val keep = idC.map(_ => col("id")).toSeq
+      toked.filter(size(col("_t")) >= 2)
+        .select((keep :+
+          explode(sequence(lit(1), size(col("_t")) - 1)).as("_i") :+
+          col("_t")): _*)
+        .select((keep :+ element_at(col("_t"), col("_i")).as("w1") :+
+          element_at(col("_t"), col("_i") + 1).as("w2")): _*)
+    }
+    val lmBg = bigrams(lmCorpus, None, lmTextCol)
+    val bgCounts = lmBg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val prefixCounts = lmBg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = broadcast(lmCorpus.select(
+        explode(TextFunctions.tokensCol(col(lmTextCol),
+          removeStopwords = false)).as("t"))
+      .agg(countDistinct("t").as("v_size")))
+    val scored = bigrams(df, Some(idCol), textCol)
+      .join(bgCounts, Seq("w1", "w2"), "left")
+      .join(prefixCounts, Seq("w1"), "left")
+      .na.fill(0L, Seq("c_bg", "c_w1"))
+      .crossJoin(vocab)
+      .withColumn("logp", log2(
+        (col("c_bg").cast("double") + lit(addK)) /
+          (col("c_w1").cast("double") + lit(addK) * col("v_size"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum("logp") / count(lit(1))).as("bits_per_bigram"))
+    // short docs (<2 tokens) re-enter with NULL scores
+    df.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .withColumn("perplexity", pow(lit(2.0), col("bits_per_bigram")))
+  }
+
   /** Deterministic stratified sampling — the domain-mixture weighting
     * step of a training-data pipeline (e.g. upweight code, downsample
     * crawl): keep a row iff its sha-derived uniform u(id) < rate of

@@ -214,6 +214,52 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got(3L) == ("unique only", 1L, 0L))
   }
 
+  test("stripBoilerplate removes >=minDocs lines from EVERY doc, keeps " +
+      "rarer lines and blanks") {
+    val docs = Seq(
+      (1L, "Cookie banner\nalpha beta\n\nrare pair"),
+      (2L, "COOKIE BANNER  \ngamma delta\nrare pair"), // normalized dup
+      (3L, "cookie banner\nunique content here"),
+      (4L, "nothing shared at all")).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the banner (3 docs) vanishes everywhere — including doc 1, which
+    // dedupSpans would have let keep it; "rare pair" (2 docs) survives
+    assert(got(1L) == ("alpha beta\n\nrare pair", 4L, 1L), got(1L))
+    assert(got(2L) == ("gamma delta\nrare pair", 3L, 1L), got(2L))
+    assert(got(3L) == ("unique content here", 2L, 1L), got(3L))
+    assert(got(4L) == ("nothing shared at all", 1L, 0L), got(4L))
+  }
+
+  test("lmPerplexity matches the hand-computed add-k bigram model") {
+    import graft.operators.TextAnalysis
+    // LM corpus: bigrams (aa,bb)x2 (bb,aa)x1 (bb,cc)x1; prefixes:
+    // aa->2, bb->2; V=3
+    val lm = Seq((1L, "aa bb aa bb cc")).toDF("doc_id", "text")
+    val score = Seq((10L, "aa bb cc"), (11L, "zz aa"), (12L, "solo"))
+      .toDF("doc_id", "text")
+    val k = 0.5
+    val got = TextAnalysis.lmPerplexity(score, "doc_id", "text",
+        lm, "text", addK = k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    // doc 10: p(bb|aa)=(2+k)/(2+3k), p(cc|bb)=(1+k)/(2+3k)
+    val bits10 = -(lg2((2 + k) / (2 + 3 * k)) +
+      lg2((1 + k) / (2 + 3 * k))) / 2
+    assert(got(10L)._1 == 2)
+    assert(math.abs(got(10L)._2.get - bits10) < 1e-9)
+    assert(math.abs(got(10L)._3.get - math.pow(2, bits10)) < 1e-9)
+    // doc 11: unseen prefix zz -> smoothing floor p = k/(0 + 3k) = 1/3
+    val bits11 = -lg2(1.0 / 3.0)
+    assert(got(11L)._1 == 1)
+    assert(math.abs(got(11L)._2.get - bits11) < 1e-9)
+    // doc 12: one token, no bigram evidence -> NULL scores
+    assert(got(12L) == ((0L, None, None)), got(12L))
+  }
+
   test("contamination flags docs sharing shingles with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs today"),

@@ -333,19 +333,46 @@ class PlanAuditSpec extends SparkSpec {
 
   test("contamination_bloom probes the sketch as a codegen'd " +
       "expression, before the verify join") {
-    val p = plan("contamination_bloom")
-    assert(p.contains("might_contain"),
-      s"bloom probe missing from plan:\n$p")
-    // the probe must sit on the train-shingle side BELOW the shingle
-    // join: the first might_contain line appears deeper (more indented)
-    // than the first shingle-join line
-    val lines = p.linesIterator.toSeq
-    val joinDepth = lines.find(l => l.contains("Join") &&
-      l.contains("shingle")).map(_.indexOf("+-")).getOrElse(-1)
-    val probeDepth = lines.find(_.contains("might_contain"))
-      .map(_.indexOf("+-")).getOrElse(-1)
-    assert(joinDepth >= 0 && probeDepth > joinDepth,
-      s"bloom probe not below the verify join (join@$joinDepth, " +
-        s"probe@$probeDepth):\n$p")
+    // the contaminated-id relation is PINNED inside decontaminateBloom
+    // (eager localCheckpoint, so the eval-shingle cache can release),
+    // which means the returned plan shows only a Scan ExistingRDD —
+    // the probe-bearing plan executes DURING the call. Capture every
+    // execution with a listener and audit the one carrying the probe.
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("contamination_bloom")(spark, dir).count()
+      // listener delivery is async; poll briefly for the probe plan
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def probes() = captured.synchronized {
+        captured.filter(_.contains("might_contain")).toSeq }
+      while (probes().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val probePlans = probes()
+      assert(probePlans.nonEmpty,
+        s"no executed plan carried the bloom probe (${captured.size} plans)")
+      // the probe must sit on the train-shingle side BELOW the shingle
+      // join: the first might_contain line appears deeper (more
+      // indented) than the first shingle-join line
+      val ok = probePlans.exists { p =>
+        val lines = p.linesIterator.toSeq
+        val joinDepth = lines.find(l => l.contains("Join") &&
+          l.contains("shingle")).map(_.indexOf("+-")).getOrElse(-1)
+        val probeDepth = lines.find(_.contains("might_contain"))
+          .map(_.indexOf("+-")).getOrElse(-1)
+        joinDepth >= 0 && probeDepth > joinDepth
+      }
+      assert(ok, s"bloom probe not below the verify join in any " +
+        s"executed plan:\n${probePlans.mkString("\n====\n")}")
+    } finally spark.listenerManager.unregister(listener)
   }
 }

@@ -171,6 +171,37 @@ class SamplingSpec extends SparkSpec {
       s"fixture must have both kept and dropped docs: ${exact.size}")
   }
 
+  test("fuzzy decontamination drops near-dups of eval docs and ONLY " +
+      "those; bucket collision alone never drops") {
+    // three text families: (a) near-identical long docs differing in
+    // one token — near-dups across the train/eval split; (b) unique
+    // docs sharing no shingles with anything; eval holds one (a) doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (10L, base + " end0"),          // eval (10 % 10 == 0)
+      (11L, base + " end1"),          // train near-dup of 10 -> dropped
+      (12L, base + " end2"),          // train near-dup of 10 -> dropped
+      (13L, "totally different words about completely other things " +
+        "written in another register with no overlap whatsoever"),
+      (20L, "second eval doc that matches nothing in the train side")
+    ).toDF("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val kept = Dedup.decontaminateFuzzy(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(13L), s"$kept")
+    // a sky-high threshold keeps everything: banding may collide, but
+    // the Jaccard verify gates the drop
+    val keptAll = Dedup.decontaminateFuzzy(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.999)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll === Set(11L, 12L, 13L), s"$keptAll")
+  }
+
   test("streaming dup reports: in-batch and cross-batch duplicates " +
       "resolve to the numeric-min original") {
     val dir = java.nio.file.Files.createTempDirectory("sdup").toString + "/in"
