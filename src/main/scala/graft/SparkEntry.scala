@@ -779,6 +779,20 @@ object SparkEntry {
       Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray)
 
+  /** Arbitrary-id variant of [[queryVecFor]] (the ann_recall panel
+    * probes several query vectors); id 0 shares the original cache
+    * entry. */
+  private def queryVecNFor(s: SparkSession, dir: String,
+      qid: Long): Array[Double] =
+    if (qid == 0L) queryVecFor(s, dir)
+    else queryVecCache.getOrElseUpdate(s"$dir#q$qid",
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** The ann_recall query-vector panel — one definition for the Spark
+    * side and the oracle literals. */
+  private val AnnRecallQids: Seq[Long] = Seq(0L, 1L, 2L)
+
   private val int8FitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -806,6 +820,16 @@ object SparkEntry {
   /** Probe set mirroring Knn.ivfTopK(nprobe = 3). */
   private def IvfOracleProbes: Seq[Int] = {
     val qv = IvfOracleQueryVec
+    IvfOracleCentroids.zipWithIndex
+      .map { case (c, i) => (VectorFunctions.dotS(qv, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2)
+  }
+
+  /** Per-query probe sets for the ann_recall panel — same rule as
+    * [[IvfOracleProbes]], parameterized by query id. */
+  private def annRecallOracleProbes(qid: Long): Seq[Int] = {
+    val qv = queryVecNFor(org.apache.spark.sql.SparkSession.active,
+      lastDir, qid)
     IvfOracleCentroids.zipWithIndex
       .map { case (c, i) => (VectorFunctions.dotS(qv, c), i) }
       .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2)
@@ -1614,6 +1638,28 @@ object SparkEntry {
           nprobe = 3)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- ANN quality harness: recall@10 of the IVF(nprobe=3) path
+    //      against the exact scan, over a 3-query panel — the
+    //      evaluation loop a production ANN deployment runs when
+    //      tuning nprobe/nlist; both sides replayed by the oracle from
+    //      the same fitted centroid literals ----
+    "ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = ivfCentroidsFor(s, dir)
+      AnnRecallQids.map { qid =>
+        val qv = queryVecNFor(s, dir, qid)
+        val exact = Knn.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+          .select(col("vec_id"))
+        val approx = Knn.ivfTopK(e, "vec_id", "embedding", qv, 10,
+            centroids, nprobe = 3)
+          .select(col("vec_id").as("a_id"))
+        exact.join(approx, col("vec_id") === col("a_id"), "left")
+          .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+          .select(lit(qid).as("query_id"), col("k"), col("n_hits"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionByName _).orderBy("query_id")
     }),
 
     // ---- IVF index MAINTENANCE: the quantizer is frozen on the
@@ -6771,6 +6817,53 @@ object SparkEntry {
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
              |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        "ann_recall" -> {
+          val cvals = IvfOracleCentroids.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          val perQ = AnnRecallQids.map { qid =>
+            val probes = annRecallOracleProbes(qid).mkString(", ")
+            s"""q$qid AS (
+               |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               |  WHERE vec_id = $qid),
+               |exact$qid AS (
+               |  SELECT vec_id FROM (
+               |    SELECT e.vec_id, list_cosine_similarity(
+               |      CAST(e.embedding AS DOUBLE[]), q.qv) AS raw
+               |    FROM embeddings e, q$qid q
+               |    ORDER BY raw DESC, vec_id LIMIT 10)),
+               |approx$qid AS (
+               |  SELECT vec_id FROM (
+               |    SELECT a.vec_id, list_cosine_similarity(
+               |      CAST(a.embedding AS DOUBLE[]), q.qv) AS raw
+               |    FROM assigned a, q$qid q WHERE a.cid IN ($probes)
+               |    ORDER BY raw DESC, vec_id LIMIT 10)),
+               |rec$qid AS (
+               |  SELECT $qid AS query_id, count(*) AS k,
+               |    CAST(sum(CASE WHEN x.vec_id IN
+               |      (SELECT vec_id FROM approx$qid) THEN 1 ELSE 0 END)
+               |      AS BIGINT) AS n_hits
+               |  FROM exact$qid x)""".stripMargin
+          }.mkString(",\n")
+          val recUnion = AnnRecallQids
+            .map(q => s"SELECT * FROM rec$q").mkString("\n  UNION ALL\n  ")
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid) AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |$perQ
+             |SELECT query_id, k, n_hits,
+             |  CAST(n_hits AS DOUBLE) / k AS recall FROM (
+             |  $recUnion)
+             |ORDER BY query_id""".stripMargin
         },
 
         "dedup_semantic" -> {

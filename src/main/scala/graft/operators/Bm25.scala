@@ -125,8 +125,11 @@ object Bm25 {
                     p: Params = Default, pinStats: Boolean = false): DataFrame = {
     val idx = buildIndex(corpus, idCol, textCol, p, pinStats = pinStats)
     val weights = idx.docWeights
-    val rankParts = math.max(1, math.min(32,
-      corpus.sparkSession.sessionState.conf.numShufflePartitions))
+    // follows session parallelism (the Sampling.rangeParts discipline —
+    // no fixed local-harness cap): the per-partition offsets collect is
+    // bounded by the partition count either way
+    val rankParts = math.max(1,
+      corpus.sparkSession.sessionState.conf.numShufflePartitions)
     // local rank = monotonically_increasing_id over the range-sorted
     // partitions (pid in the high 31 bits, the within-partition row
     // offset in the low 33) — the relational zipWithIndex, with no
