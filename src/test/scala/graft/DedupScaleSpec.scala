@@ -130,4 +130,47 @@ class DedupScaleSpec extends SparkSpec {
       threshold = 0.99, nPlanes = 0)
     got.count() // must execute; 50 vectors -> 1 plane (clamped)
   }
+
+  test("fuzzy decontamination: no cartesian/nested-loop anywhere, and " +
+      "the verify joins are candidate-bounded equi-joins") {
+    // capture every executed plan — the contaminated-id relation is
+    // pinned eagerly inside the operator (PlanAuditSpec discipline)
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.decontaminateFuzzy(train, "doc_id", "text",
+        evalSet, "doc_id", "text").count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def plans() = captured.synchronized { captured.toSeq }
+      while (plans().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val all = plans()
+      assert(all.nonEmpty)
+      all.foreach { p =>
+        assert(!p.contains("CartesianProduct"), p)
+        assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("stripBoilerplate's boilerplate relation rides a broadcast join") {
+    val staged = docs.select(col("doc_id"),
+      concat(lit("shared banner line\n"), col("text")).as("text"))
+    val p = Dedup.stripBoilerplate(staged, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
