@@ -3151,6 +3151,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- exact WEIGHTED sampling without replacement (Efraimidis–
+    //      Spirakis reservoir keys −ln(u)/w on the two-phase rank
+    //      machinery): per-language draws proportional to token count,
+    //      restartable and engine-replayable ----
+    "sample_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("w",
+        TextFunctions.tokenCountCol(col("text")).cast("double"))
+      Sampling.weightedSampleExact(docs, "lang", "doc_id", "w",
+          Map("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 10L,
+            "zh" -> 15L))
+        .select(col("doc_id"), col("lang"),
+          col("w").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact distributed quantiles: one range-sort shuffle +
     //      bounded per-partition counts; value at rank ⌊q·(N−1)⌋ ----
     "quantiles_exact" -> ((s, dir) =>
@@ -4848,6 +4863,30 @@ object SparkEntry {
         |  FROM documents WHERE lang IN ('en', 'de', 'zh'))
         |WHERE rn <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 15
         |  WHEN 'zh' THEN 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Efraimidis–Spirakis replay: key = −ln(u)/w ascending, u from the
+    // md5 prefix (DuckDB ln = natural log; its log() is log10)
+    "sample_weighted" ->
+      """WITH wdocs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS DOUBLE) AS w
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, lang, w,
+        |    -ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |      1, 8))::UBIGINT / 4294967296.0) / w AS k
+        |  FROM wdocs WHERE w > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang, w, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY k ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens FROM ranked
+        |WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15
+        |  WHEN 'es' THEN 15 WHEN 'fr' THEN 10 WHEN 'zh' THEN 15
+        |  ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
 
     "quantiles_exact" ->

@@ -66,6 +66,19 @@ object Sampling {
         "count spec keys and the per-partition take compare on strings")
     val parts = math.max(1, rangeParts.getOrElse(
       spark.sessionState.conf.numShufflePartitions))
+    rankPrefixTake(
+      df.withColumn("_okey", hashHex(idCol, seed)),
+      strataCol, counts, parts)
+  }
+
+  /** Shared two-phase rank-prefix core: for a relation already carrying
+    * an `_okey` order column, take each stratum's k_s SMALLEST keys —
+    * one range sort on (stratum, _okey), a bounded P×|strata| slice
+    * collect, per-partition prefix take. Used by the hash-keyed
+    * uniform sampler and the Efraimidis–Spirakis weighted sampler. */
+  private def rankPrefixTake(withKey: DataFrame, strataCol: String,
+      counts: Map[String, Long], parts: Int): DataFrame = {
+    val spark = withKey.sparkSession
     val wanted = counts.keySet
     // localCheckpoint: TWO consumers (slice counts + the final take)
     // must see the SAME sampled range boundaries — see the
@@ -74,9 +87,8 @@ object Sampling {
     // so they cannot be released here; the caller owns cache lifetime
     // (materialize the result, then let the relation go out of scope —
     // blocks free with the RDD's GC-driven cleanup)
-    val ranged = df
+    val ranged = withKey
       .filter(col(strataCol).isin(wanted.toSeq: _*))
-      .withColumn("_okey", hashHex(idCol, seed))
       .repartitionByRange(parts, col(strataCol), col("_okey"))
       .sortWithinPartitions(col(strataCol), col("_okey"))
       .localCheckpoint()
@@ -112,6 +124,54 @@ object Sampling {
     }
     spark.createDataFrame(taken, ranged.schema).drop("_okey")
   }
+
+  /** EXACT weighted sampling WITHOUT replacement, per stratum —
+    * Efraimidis–Spirakis A-Res (2006) on the [[rankPrefixTake]]
+    * machinery: each row draws a deterministic uniform u from
+    * md5("<id>:<seed>") (first 8 hex chars as uint32 / 2³²) and is
+    * ranked by the reservoir key −ln(u)/w ASCENDING (equivalent to
+    * u^(1/w) descending) — the k_s smallest keys per stratum are
+    * EXACTLY a weight-proportional without-replacement draw. Same
+    * scale shape as [[stratifiedSampleExact]]: one range sort, a
+    * bounded slice collect, no whole-stratum window; restartable (the
+    * same row always draws the same u) and replayable cross-engine
+    * (the key is two libm calls on identically-constructed doubles —
+    * order flips need keys within ~1 ulp, vanishing for hash-derived
+    * uniforms; id breaks exact ties in the sort key).
+    *
+    * Rows with weight <= 0 or NULL never sample (dropped up front,
+    * the A-Res domain contract). u = 0 (probability 2⁻³² per row)
+    * yields key = +∞: legal, sorts last. */
+  def weightedSampleExact(df: DataFrame, strataCol: String,
+      idCol: String, weightCol: String, counts: Map[String, Long],
+      seed: Long = 42L, rangeParts: Option[Int] = None): DataFrame = {
+    require(counts.nonEmpty, "empty count spec")
+    val spark = df.sparkSession
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"stratum column '$strataCol' must be StringType (got " +
+        s"${df.schema(strataCol).dataType.simpleString}); cast it")
+    val parts = math.max(1, rangeParts.getOrElse(
+      spark.sessionState.conf.numShufflePartitions))
+    // the id rides inside the (orderable) struct key so a boundary-rank
+    // md5-prefix collision still selects the same row on every engine
+    rankPrefixTake(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .withColumn("_okey", struct(
+          (-log(uniformFromId(idCol, seed)) /
+            col(weightCol).cast("double")).as("k"),
+          col(idCol).cast("string").as("i"))),
+      strataCol, counts, parts)
+  }
+
+  /** Deterministic uniform in [0, 1): first 8 hex chars of
+    * md5("<id>:<seed>") as uint32 / 2³² — one codegen'd parse, same
+    * construction the oracle replays with `::UBIGINT`. */
+  private def uniformFromId(idCol: String, seed: Long) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          hashHex(idCol, seed)), 0)).cast("double") / lit(4294967296.0)
 
   /** Per-GROUP exact quantiles — [[exactQuantiles]] generalized with
     * the [[stratifiedSampleExact]] machinery: one range-partitioned

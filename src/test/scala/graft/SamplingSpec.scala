@@ -171,6 +171,39 @@ class SamplingSpec extends SparkSpec {
       s"fixture must have both kept and dropped docs: ${exact.size}")
   }
 
+  test("weighted sampler equals the window reference, honors counts, " +
+      "and draws proportional to weight") {
+    // two strata; in 'a', doc_ids < 50 carry weight 50, the rest 1
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "a").otherwise("b").as("stratum"),
+      when(col("id") < 50, 50.0).otherwise(1.0).as("w"))
+    val got = Sampling.weightedSampleExact(df, "stratum", "doc_id", "w",
+      Map("a" -> 20L, "b" -> 10L))
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 20L, "b" -> 10L), s"$counts")
+    // window reference with the identical key arithmetic
+    val key = -log(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":42")).cast("binary")),
+        1, 8), 16, 10).cast("double") / lit(4294967296.0)) / col("w")
+    val ref = df.withColumn("rn", row_number().over(
+        W.partitionBy("stratum")
+          .orderBy(key, col("doc_id").cast("string"))))
+      .filter(col("rn") <= when(col("stratum") === "a", 20).otherwise(10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == ref)
+    // weight-proportionality: the 25 weight-50 rows in 'a' hold ~66% of
+    // stratum mass — they must dominate the 20-row draw
+    val heavy = got.filter(col("stratum") === "a" && col("doc_id") < 50)
+      .count()
+    assert(heavy >= 10, s"only $heavy heavy rows drawn")
+    // zero/negative weights never sample
+    val z = Sampling.weightedSampleExact(
+      df.withColumn("w", when(col("doc_id") < 990, 0.0).otherwise(-1.0)),
+      "stratum", "doc_id", "w", Map("a" -> 5L))
+    assert(z.count() == 0)
+  }
+
   test("fuzzy decontamination drops near-dups of eval docs and ONLY " +
       "those; bucket collision alone never drops") {
     // three text families: (a) near-identical long docs differing in
