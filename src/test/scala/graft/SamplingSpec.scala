@@ -103,6 +103,31 @@ class SamplingSpec extends SparkSpec {
     assert(r1 == r2, "exact sample must not depend on input partitioning")
   }
 
+  test("weighted sampler at 200k rows: exact counts, partitioning-" +
+      "independent, matches the window reference") {
+    val df = spark.range(200000).select(col("id").as("doc_id"),
+      element_at(array(lit("a"), lit("b")),
+        (col("id") % 2 + 1).cast("int")).as("stratum"),
+      ((col("id") % 97) + 1).cast("double").as("w"))
+    val spec = Map("a" -> 500L, "b" -> 500L)
+    val r1 = Sampling.weightedSampleExact(df, "stratum", "doc_id", "w",
+      spec).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1.size == 1000)
+    val r2 = Sampling.weightedSampleExact(df.repartition(13), "stratum",
+      "doc_id", "w", spec)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2, "weighted sample must not depend on partitioning")
+    val key = -log(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":42")).cast("binary")),
+        1, 8), 16, 10).cast("double") / lit(4294967296.0)) / col("w")
+    val ref = df.withColumn("rn", row_number().over(
+        W.partitionBy("stratum")
+          .orderBy(key, col("doc_id").cast("string"))))
+      .filter(col("rn") <= 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == ref)
+  }
+
   test("exact quantiles at 200k rows match the sorted array") {
     val df = spark.range(200000)
       .select(((col("id") * 2654435761L) % 1000003).cast("double").as("v"))
