@@ -1242,6 +1242,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- sequence-dataset construction: per-user "history → next
+    //      event" training examples (bounded ROWS frame, one key
+    //      shuffle — the sequential-recommender dataset builder) ----
+    "event_sequences" -> ((s, dir) => {
+      import graft.operators.Sequences
+      Sequences.nextEventExamples(eventsWithTsUtc(s, dir), "user_id",
+          "ts_utc", "event_id", "event_type", contextLen = 3)
+        .select(col("user_id"), col("target_id"), col("context"),
+          col("n_context"), col("target"))
+        .orderBy("user_id", "target_id")
+    }),
+
     // ---- as-of join (click→purchase attribution): every purchase
     //      attaches the user's most recent at-or-before click, via the
     //      union-window form (ONE key shuffle, no inequality-join pair
@@ -4140,6 +4152,19 @@ object SparkEntry {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // bounded-frame window replay; list() keeps frame order in DuckDB
+    "event_sequences" ->
+      """SELECT user_id, event_id AS target_id, context,
+        |  len(context) AS n_context, event_type AS target
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    list(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+        |  FROM events)
+        |WHERE len(context) >= 1
+        |ORDER BY user_id, target_id""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-window
     // as-of formulation; right side pre-deduped to unique (key, ts)
