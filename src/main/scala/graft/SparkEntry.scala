@@ -1535,6 +1535,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-aware cluster keep rule: within each near-dup
+    //      cluster keep the LONGEST member (ties to lowest id) — the
+    //      post-detection keep policy real curation applies; argmax is
+    //      a map-side struct max, never a per-cluster rank window ----
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.2,
+        hashFamily = Dedup.shaHashFamily)
+      Dedup.keepBestOfCluster(docs, "doc_id", "n_chars", pairs)
+        .select(col("id").as("doc_id"), col("cluster_rep"),
+          col("cluster_size"), col("quality").cast("long").as("n_chars"),
+          col("is_kept"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus-level span (line) dedup — the C4/RefinedWeb
     //      boilerplate-removal pass. The synthetic corpus has no
     //      natural span duplication, so the query stages the classic
@@ -4856,6 +4872,32 @@ object SparkEntry {
          |SELECT c.id AS doc_id, c.rep AS cluster_rep,
          |  s.cluster_size, c.id = c.rep AS is_kept
          |FROM comp c JOIN csize s ON s.rep = c.rep
+         |ORDER BY doc_id""".stripMargin,
+
+    // same component replay; keep = per-cluster argmax(n_chars, min id)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+         |  UNION SELECT id_b, id_a FROM dup_pairs),
+         |walk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst),
+         |comp AS (SELECT id, min(r) AS rep FROM walk GROUP BY id),
+         |csize AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep),
+         |bestq AS (
+         |  SELECT c.rep, d.doc_id AS best_id, row_number() OVER (
+         |    PARTITION BY c.rep
+         |    ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id)
+         |SELECT c.id AS doc_id, c.rep AS cluster_rep, s.cluster_size,
+         |  d.n_chars, c.id = b.best_id AS is_kept
+         |FROM comp c
+         |JOIN csize s ON s.rep = c.rep
+         |JOIN documents d ON d.doc_id = c.id
+         |JOIN (SELECT rep, best_id FROM bestq WHERE rn = 1) b
+         |  ON b.rep = c.rep
          |ORDER BY doc_id""".stripMargin,
 
     "contamination" -> {

@@ -650,6 +650,33 @@ object Dedup {
       .select("id", "cluster_rep", "cluster_size", "is_kept")
   }
 
+  /** Quality-aware cluster keep rule — the practical complement of
+    * [[resolveClusters]]'s min-id convention: within every near-dup
+    * cluster keep the HIGHEST-quality member (ties to the lowest id),
+    * the "keep the longest / best-scored copy" policy real curation
+    * pipelines apply after near-dup detection.
+    *
+    * Scale: one map-side-combinable argmax aggregation per cluster
+    * (a lexicographic struct max — no per-cluster rank window) plus
+    * one keyed join back; everything else is [[resolveClusters]]'
+    * shape. `idCol` must cast to LONG (the tie-break negates it inside
+    * the comparison struct).
+    * Output: (id, cluster_rep, cluster_size, quality, is_kept). */
+  def keepBestOfCluster(all: DataFrame, idCol: String, qualityCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val clusters = resolveClusters(all, idCol, pairs)
+      .drop("is_kept") // min-id rule replaced by the quality argmax
+    val q = all.select(col(idCol).cast("long").as("id"),
+      col(qualityCol).cast("double").as("quality"))
+    val withQ = clusters.join(q, "id")
+    val best = withQ.groupBy("cluster_rep")
+      .agg(max(struct(col("quality"), (-col("id")).as("negid"))).as("m"))
+      .select(col("cluster_rep"), (-col("m.negid")).as("best_id"))
+    withQ.join(best, "cluster_rep")
+      .withColumn("is_kept", col("id") === col("best_id"))
+      .select("id", "cluster_rep", "cluster_size", "quality", "is_kept")
+  }
+
   /** Benchmark-contamination check: flag training docs sharing any
     * token n-gram shingle with an eval/benchmark corpus — the standard
     * decontamination pass of a training-data pipeline. The eval side is

@@ -214,6 +214,23 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got(3L) == ("unique only", 1L, 0L))
   }
 
+  test("keepBestOfCluster keeps the highest-quality member per cluster, " +
+      "ties to the lowest id; singletons keep themselves") {
+    val docs = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 5.0),
+      (9L, 1.0)).toDF("doc_id", "q")
+    // cluster {1,2,3} via pairs; 4 and 9 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBestOfCluster(docs, "doc_id", "q", pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // 2 and 3 tie at q=30 -> 2 (lower id) is kept; rep stays min-id 1
+    assert(got(1L) == ((1L, 3L, false)))
+    assert(got(2L) == ((1L, 3L, true)))
+    assert(got(3L) == ((1L, 3L, false)))
+    assert(got(4L) == ((4L, 1L, true)))
+    assert(got(9L) == ((9L, 1L, true)))
+  }
+
   test("stripBoilerplate removes >=minDocs lines from EVERY doc, keeps " +
       "rarer lines and blanks") {
     val docs = Seq(
