@@ -3237,6 +3237,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Unicode NFC canonicalization (codegen'd NfcNormalize): the
+    //      pre-hash pass that makes composed and decomposed spellings
+    //      dedup-identical; staged with both forms injected so the
+    //      normalization is actually exercised ----
+    "unicode_normalize" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" cafe\u0301 mu\u0308ller")) // decomposed: base + combiner
+            .when(col("doc_id") % 3 === 1,
+              lit(" caf\u00e9 m\u00fcller")) // precomposed code points
+            .otherwise(lit(""))).as("text"))
+      staged.select(col("doc_id"),
+          TextFunctions.nfcNormalizeCol(col("text")).as("norm_text"),
+          (TextFunctions.nfcNormalizeCol(col("text")) =!= col("text"))
+            .as("changed"),
+          length(col("text")).as("n_before"),
+          length(TextFunctions.nfcNormalizeCol(col("text")))
+            .as("n_after"))
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram-LM perplexity (CCNet-style quality signal), LM
     //      trained in-engine on the corpus itself: add-k conditional
     //      probabilities from Zipf-bounded count relations, two
@@ -5030,6 +5052,23 @@ object SparkEntry {
          |  AND d.doc_id NOT IN (SELECT id FROM contam)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // utf8proc NFC == java.text.Normalizer NFC (same Unicode standard
+    // algorithm); chr() injects the decomposed/composed fixtures
+    "unicode_normalize" ->
+      """WITH staged AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' cafe' || chr(769) || ' mu' || chr(776) || 'ller'
+        |    WHEN doc_id % 3 = 1
+        |      THEN ' caf' || chr(233) || ' m' || chr(252) || 'ller'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) <> text AS changed,
+        |  length(text) AS n_before,
+        |  length(nfc_normalize(text)) AS n_after
+        |FROM staged ORDER BY doc_id""".stripMargin,
 
     // bigram LM replay: parallel unnests zip positionally in DuckDB,
     // so (w1, w2) streams come straight off the token-list slices

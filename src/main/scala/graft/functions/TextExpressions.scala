@@ -118,6 +118,40 @@ case class MockEmbed(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a codegen'd expression — the
+  * canonicalization pass a multilingual pipeline runs before hashing /
+  * dedup (decomposed "e"+COMBINING ACUTE and composed "é" must hash
+  * identically, or the same text dodges every dedup operator). Spark
+  * ships no normalize builtin; java.text.Normalizer is the JVM
+  * implementation of the same Unicode standard algorithm DuckDB's
+  * `nfc_normalize` (utf8proc) implements, which is what makes the
+  * oracle replay exact. The `isNormalized` fast path skips the
+  * allocation entirely for already-NFC (e.g. pure-ASCII) rows — the
+  * overwhelmingly common case in a web corpus. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.normalize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Parse 8 hex chars of a digest string at a fixed offset as an
   * unsigned 32-bit value — bit-identical to
   * `conv(substring(hex, off+1, 8), 16, 10).cast("long")` but without

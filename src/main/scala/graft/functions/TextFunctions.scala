@@ -185,6 +185,15 @@ object TextFunctions {
       .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
   }
 
+  /** Unicode NFC canonicalization — see [[NfcNormalize]]. Run BEFORE
+    * content hashing / shingling in multilingual pipelines, or
+    * composed and decomposed spellings of the same text defeat every
+    * dedup operator. */
+  def nfcNormalizeCol(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Whitespace token count (declared token-count semantics; the
     * reference's tiktoken cl100k_base has no JVM twin in this build —
     * SURVEY.md §7.4 risk 3 pins word-count semantics instead). */

@@ -105,6 +105,31 @@ class ExpressionParitySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("NfcNormalize == java.text.Normalizer NFC; ASCII is identity; " +
+      "null propagates") {
+    val inputs = Seq(
+      "plain ascii only",
+      "cafe\u0301 decomposed", "caf\u00e9 composed",
+      "mu\u0308ller and m\u00fcller",
+      "A\u030a ring = \u00c5",
+      "mixed cafe\u0301 caf\u00e9 together", "")
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.nfcNormalizeCol(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    inputs.zipWithIndex.foreach { case (t, i) =>
+      val want = java.text.Normalizer.normalize(t,
+        java.text.Normalizer.Form.NFC)
+      assert(got(i.toLong) == want, s"input #$i")
+    }
+    // decomposed and composed spellings converge (the dedup property)
+    assert(got(1L).startsWith("café") && got(2L).startsWith("café"))
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.nfcNormalizeCol(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("HexSliceToLong rejects inputs shorter than offset + 8") {
     val ex = intercept[Exception] {
       Seq("abcd").toDF("h").select(
