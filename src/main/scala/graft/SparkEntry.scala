@@ -3194,6 +3194,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic GLOBAL training-order shuffle: every row
+    //      gets a stable position 0..N−1 in a permutation keyed by
+    //      md5(id:seed); two seeds = two independent epoch orders.
+    //      Distributed rank (range sort + broadcast prefix offsets),
+    //      never a single-partition window ----
+    "shuffle_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val e1 = Sampling.deterministicShuffle(docs, "doc_id", seed = 1L)
+        .select(col("doc_id"), col("position").as("pos_epoch1"))
+      val e2 = Sampling.deterministicShuffle(docs, "doc_id", seed = 2L)
+        .select(col("doc_id"), col("position").as("pos_epoch2"))
+      e1.join(e2, "doc_id").orderBy("doc_id")
+    }),
+
     // ---- exact distributed quantiles: one range-sort shuffle +
     //      bounded per-partition counts; value at rank ⌊q·(N−1)⌋ ----
     "quantiles_exact" -> ((s, dir) =>
@@ -4978,6 +4992,17 @@ object SparkEntry {
         |WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15
         |  WHEN 'es' THEN 15 WHEN 'fr' THEN 10 WHEN 'zh' THEN 15
         |  ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "shuffle_epochs" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1')) - 1
+        |    AS pos_epoch1,
+        |  row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':2')) - 1
+        |    AS pos_epoch2
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "quantiles_exact" ->

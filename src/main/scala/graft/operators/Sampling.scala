@@ -173,6 +173,83 @@ object Sampling {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(
           hashHex(idCol, seed)), 0)).cast("double") / lit(4294967296.0)
 
+  /** Deterministic GLOBAL training-order shuffle: every row gets a
+    * stable position 0..N−1 in a pseudo-random permutation keyed by
+    * md5("<id>:<seed>") — reshuffling a 100 TB corpus for each epoch
+    * (different seed → independent order) with bit-reproducible
+    * results across runs, partitionings, and engines.
+    *
+    * Position assignment is the relational zipWithIndex
+    * ([[graft.operators.Bm25.sparseVectors]] idiom): range-partition
+    * by the hash key, take each row's within-partition offset from
+    * `monotonically_increasing_id` (pid in the high bits — each
+    * partition ranks locally, never the corpus), then add broadcast
+    * per-partition prefix offsets (the prefix-sum window runs over the
+    * P-row COUNTS relation — P = range partitions, never corpus rows).
+    * NO corpus-sized single-partition window. The full 128-bit key makes
+    * cross-engine order ties impossible in practice; the range sort
+    * width follows session parallelism. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: Long = 42L, rangeParts: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(1, rangeParts.getOrElse(
+      spark.sessionState.conf.numShufflePartitions))
+    // localCheckpoint: offsets + the position join must read the SAME
+    // sampled range boundaries (the repartitionByRange gotcha)
+    val ranged = df
+      .withColumn("_okey", hashHex(idCol, seed))
+      .repartitionByRange(parts, col("_okey"))
+      .sortWithinPartitions("_okey")
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_lr", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint()
+    val offs = ranged.groupBy("_pid").agg(count(lit(1)).as("c"))
+      .withColumn("_off",
+        coalesce(sum("c").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn("position", col("_lr") + col("_off"))
+      .drop("_okey", "_mid", "_pid", "_lr")
+  }
+
+  /** Temperature-flattened mixture resampling — the multilingual
+    * rebalancing rule of mT5/XLM-R (sample languages ∝ p_l^α, α<1
+    * upweights the tail) materialized as EXACT per-stratum counts on
+    * [[stratifiedSampleExact]]. α is fixed at 0.5 and the share
+    * computation is INTEGER-exact by construction: s_l =
+    * ⌊√n_l⌋ (IEEE sqrt is correctly rounded, so the floor is
+    * engine-deterministic), k_l = min(n_l, ⌊total·s_l/Σs⌋) in integer
+    * arithmetic (BigInt product — total·s_l overflows a long at
+    * total ≈ 10¹² × s_l ≈ 10⁶) — no float share ever crosses an
+    * engine boundary, so a DuckDB oracle replays k_l bit-exactly.
+    *
+    * Scale shape: one bounded |strata|-row count collect to derive
+    * k_l, then the [[stratifiedSampleExact]] two-phase rank (one
+    * range sort, bounded slice collect, no whole-stratum window). */
+  def temperatureResample(df: DataFrame, strataCol: String,
+      idCol: String, total: Long, seed: Long = 42L,
+      rangeParts: Option[Int] = None): DataFrame = {
+    require(total >= 1L, s"total must be positive: $total")
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"stratum column '$strataCol' must be StringType (got " +
+        s"${df.schema(strataCol).dataType.simpleString}); cast it")
+    val counts = df.groupBy(strataCol).count()
+      .collect() // bounded by |strata|
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val roots = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sumRoots = roots.values.map(BigInt(_)).sum
+    val targets = counts.map { case (s, n) =>
+      s -> (BigInt(total) * roots(s) / sumRoots).toLong.min(n) }
+      .filter(_._2 > 0)
+    stratifiedSampleExact(df, strataCol, idCol, targets, seed, rangeParts)
+  }
+
   /** Per-GROUP exact quantiles — [[exactQuantiles]] generalized with
     * the [[stratifiedSampleExact]] machinery: one range-partitioned
     * sort on (group, value), a bounded P×|groups| count collect, and

@@ -70,6 +70,36 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("must be StringType"))
   }
 
+  test("deterministic shuffle: positions are a permutation equal to " +
+      "the rank reference, partitioning-independent, seed-independent") {
+    val df = corpus(50000)
+    val got = Sampling.deterministicShuffle(df, "doc_id", seed = 7L)
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bijection onto 0..N−1
+    assert(got.size == 50000 && got.values.toSet == (0L until 50000L).toSet)
+    // equals the global window-rank reference (fine at test scale;
+    // the operator exists so production never runs this window)
+    val ref = df.withColumn("k",
+        md5(concat(col("doc_id").cast("string"), lit(":7")).cast("binary")))
+      .withColumn("position", row_number().over(W.orderBy("k")) - 1)
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong)).toMap
+    assert(got == ref)
+    // partitioning-independent: a skewed repartition yields the same map
+    val skewed = Sampling.deterministicShuffle(
+        df.repartition(3, col("stratum")), "doc_id", seed = 7L)
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skewed == got)
+    // a different seed is a genuinely different permutation
+    val other = Sampling.deterministicShuffle(df, "doc_id", seed = 8L)
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other.values.toSet == (0L until 50000L).toSet)
+    assert(other != got)
+  }
+
   test("exact quantiles equal sorted-array selection") {
     val vals = Seq(5.0, 1.0, 9.0, 1.0, 7.0, 3.0, 3.0, 8.0, 2.0, 6.0, 4.0)
     val df = vals.toDF("v")
