@@ -3208,6 +3208,17 @@ object SparkEntry {
       e1.join(e2, "doc_id").orderBy("doc_id")
     }),
 
+    // ---- temperature-flattened language mixture (mT5/XLM-R p^α,
+    //      α=0.5): INTEGER-exact targets k_l = min(n_l,
+    //      ⌊total·⌊√n_l⌋/Σ⌊√n⌋⌋) — no float share crosses the engine
+    //      boundary — then the exact two-phase per-stratum rank take ----
+    "mixture_temperature" -> ((s, dir) => {
+      Sampling.temperatureResample(t(s, dir, "documents"), "lang",
+          "doc_id", total = 300L, seed = 7L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact distributed quantiles: one range-sort shuffle +
     //      bounded per-partition counts; value at rank ⌊q·(N−1)⌋ ----
     "quantiles_exact" -> ((s, dir) =>
@@ -3285,6 +3296,15 @@ object SparkEntry {
           round(col("perplexity"), 4).as("perplexity"))
         .orderBy("doc_id")
     }),
+
+    // ---- PMI collocations over the adjacent-bigram stream: three
+    //      map-side-combinable counts on ONE tokenize pass,
+    //      Zipf-bounded marginal joins, minCount pruning BEFORE the
+    //      joins, TakeOrdered top-k cut on the 6-dp-rounded score ----
+    "collocations_pmi" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+          minCount = 5L, topK = 50)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
     // ---- FUZZY decontamination: drop train docs NEAR-duplicating any
     //      eval doc — MinHash band-bucket join BETWEEN the corpora
@@ -3462,6 +3482,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank"),
           col("doc_id").cast("long").as("doc_id"), col("score"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- per-source document cap — web-curation's "no domain
+    //      dominates the mixture": keep the K best docs per source
+    //      (n_chars desc, padded-id tiebreak so string order = numeric
+    //      order) on the bounded map-side TopK aggregator — never a
+    //      whole-source rank window (a web-scale source is a huge
+    //      group) ----
+    "source_cap" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("source"),
+        col("doc_id").cast("string").as("doc_id"),
+        lpad(col("doc_id").cast("string"), 12, "0").as("chunk_id"),
+        col("n_chars").cast("double").as("score"))
+      graft.operators.TopK.perGroup(scored, "source", 10)
+        .select(col("source"), col("rank"),
+          col("chunk_id").cast("long").as("doc_id"),
+          col("score").cast("long").as("n_chars"))
+        .orderBy("source", "rank")
     }),
 
     // ---- flagship training-mixture build: exact dedup → drop the
@@ -5005,6 +5043,24 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // integer-exact target replay: s_l = floor(sqrt(n_l)) is
+    // engine-deterministic (IEEE sqrt is correctly rounded), then
+    // k_l = min(n_l, total*s_l // sum(s_l)) in integer arithmetic
+    "mixture_temperature" ->
+      """WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |sh AS (SELECT lang, n_l,
+        |  CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS s_l FROM n),
+        |tgt AS (SELECT lang,
+        |  least(n_l, 300 * s_l // (SELECT sum(s_l) FROM sh)) AS k_l
+        |  FROM sh),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7')) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang)
+        |WHERE rn <= k_l
+        |ORDER BY doc_id""".stripMargin,
+
     "quantiles_exact" ->
       """WITH s AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS v,
@@ -5124,6 +5180,29 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same bigram stream as lm_perplexity; PMI marginals are the
+    // bigram-POSITION counts (c_left/c_right), all from one stream
+    "collocations_pmi" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT $toks AS t FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT unnest(t[1:len(t)-1]) AS w1,
+         |    unnest(t[2:len(t)]) AS w2
+         |  FROM toked WHERE len(t) >= 2),
+         |pairs AS (SELECT w1, w2, count(*) AS c_bg FROM bg
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |lm AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1),
+         |rm AS (SELECT w2, count(*) AS c_w2 FROM bg GROUP BY 1),
+         |nb AS (SELECT count(*) AS n_bg FROM bg)
+         |SELECT w1, w2, c_bg,
+         |  round(log2(CAST(c_bg AS DOUBLE) * n_bg /
+         |    (CAST(c_w1 AS DOUBLE) * c_w2)), 6) AS pmi
+         |FROM pairs JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN nb
+         |ORDER BY pmi DESC, w1, w2
+         |LIMIT 50""".stripMargin
     },
 
     // cross-corpus minhash: band join between the train and eval
@@ -5287,6 +5366,17 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "source_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC,
+        |        lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
 
     "training_mixture" -> {
       val toks = sqlToksKeepStop("text")

@@ -340,6 +340,49 @@ object TextAnalysis {
       .withColumn("perplexity", pow(lit(2.0), col("bits_per_bigram")))
   }
 
+  /** Corpus-level collocation mining by pointwise mutual information —
+    * the classic "which word pairs co-occur far more than chance"
+    * signal (Church & Hanks 1990), used to surface multi-word
+    * expressions worth protecting from tokenization splits and as a
+    * cheap corpus-drift fingerprint. Over the adjacent-bigram stream:
+    * PMI(w1,w2) = log2(c_bg · N / (c_left(w1) · c_right(w2))) with
+    * c_left/c_right the bigram-position marginals (both derived from
+    * the SAME stream as c_bg, so the three counts live on one
+    * tokenize pass and the identity sum(c_left) = sum(c_right) = N
+    * holds by construction).
+    *
+    * Scale shape: three map-side-combinable aggregations over the
+    * bigram stream; the marginal relations are vocabulary-sized
+    * (Zipf-bounded) equi-joins; `minCount` prunes the tail BEFORE the
+    * joins; the final top-k is a TakeOrdered limit, never a global
+    * single-partition sort. PMI is rounded to 6 dp at the final
+    * projection and ties break on (w1, w2), so the top-k cut is
+    * engine-replayable. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L && topK >= 1, s"bad spec: $minCount/$topK")
+    val toked = df.select(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = false).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val bg = toked
+      .select(explode(sequence(lit(1), size(col("_t")) - 1)).as("_i"),
+        col("_t"))
+      .select(element_at(col("_t"), col("_i")).as("w1"),
+        element_at(col("_t"), col("_i") + 1).as("w2"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .filter(col("c_bg") >= minCount)
+    val leftM = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val rightM = bg.groupBy("w2").agg(count(lit(1)).as("c_w2"))
+    val totals = broadcast(bg.agg(count(lit(1)).as("n_bg")))
+    pairs.join(leftM, "w1").join(rightM, "w2")
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_bg"),
+        round(log2(col("c_bg").cast("double") * col("n_bg") /
+          (col("c_w1").cast("double") * col("c_w2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Deterministic stratified sampling — the domain-mixture weighting
     * step of a training-data pipeline (e.g. upweight code, downsample
     * crawl): keep a row iff its sha-derived uniform u(id) < rate of

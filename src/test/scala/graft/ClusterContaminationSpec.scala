@@ -277,6 +277,31 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(got(12L) == ((0L, None, None)), got(12L))
   }
 
+  test("collocations match hand-computed PMI with deterministic ties") {
+    import graft.operators.TextAnalysis
+    // bigram stream: doc1 -> (aa,bb)x2 (bb,aa)x1; doc2 -> (aa,bb) (bb,cc)
+    // N=5; c_bg: (aa,bb)=3 (bb,aa)=1 (bb,cc)=1
+    // c_left: aa=3 bb=2; c_right: bb=3 aa=1 cc=1
+    val docs = Seq((1L, "aa bb aa bb"), (2L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text",
+        minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    def pmi(cbg: Long, cl: Long, cr: Long) = BigDecimal(
+      math.log(cbg.toDouble * 5 / (cl.toDouble * cr)) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (bb,aa) and (bb,cc) tie at log2(5/2); tie breaks on (w1, w2)
+    assert(got.toSeq == Seq(
+      ("bb", "aa", 1L, pmi(1, 2, 1)),
+      ("bb", "cc", 1L, pmi(1, 2, 1)),
+      ("aa", "bb", 3L, pmi(3, 3, 3))), got.toSeq)
+    // minCount prunes before the joins: only (aa,bb) survives >= 2
+    val pruned = TextAnalysis.collocations(docs, "text",
+        minCount = 2L, topK = 10).collect()
+    assert(pruned.length == 1 && pruned.head.getString(0) == "aa")
+  }
+
   test("contamination flags docs sharing shingles with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs today"),

@@ -331,6 +331,21 @@ class PlanAuditSpec extends SparkSpec {
       s"TopK aggregator missing from hard_negatives plan:\n$p")
   }
 
+  test("source_cap cuts with the bounded TopK aggregate, " +
+      "not a per-source rank window") {
+    val p = plan("source_cap")
+    assert(!p.contains("Window"), s"rank window in source_cap:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopK aggregator missing from source_cap plan:\n$p")
+  }
+
+  test("collocations_pmi cuts top-k with TakeOrdered, never a global " +
+      "single-partition sort over the pair relation") {
+    val p = plan("collocations_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"TakeOrdered missing from collocations plan:\n$p")
+  }
+
   test("contamination_bloom probes the sketch as a codegen'd " +
       "expression, before the verify join") {
     // the contaminated-id relation is PINNED inside decontaminateBloom

@@ -100,6 +100,35 @@ class SamplingSpec extends SparkSpec {
     assert(other != got)
   }
 
+  test("temperature resample flattens by integer-exact sqrt shares " +
+      "and clamps to stratum size") {
+    // strata sizes 1000/100/10 -> s = 31/10/3, S = 44
+    val df = spark.range(1110).select(col("id").as("doc_id"),
+      when(col("id") < 1000, "a").when(col("id") < 1100, "b")
+        .otherwise("c").as("stratum"))
+    val counts = Sampling.temperatureResample(df, "stratum", "doc_id",
+        total = 100L, seed = 7L)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k = floor(100 * s / 44): a 70, b 22, c 6 — the tail is upweighted
+    // (raw shares 90/9/1 percent -> 70/22/6)
+    assert(counts == Map("a" -> 70L, "b" -> 22L, "c" -> 6L), s"$counts")
+    // a huge budget clamps every stratum to its size
+    val all = Sampling.temperatureResample(df, "stratum", "doc_id",
+        total = 100000L, seed = 7L)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("a" -> 1000L, "b" -> 100L, "c" -> 10L), s"$all")
+    // the kept set IS the exact-sampler set for the derived targets
+    val viaExact = Sampling.stratifiedSampleExact(df, "stratum",
+        "doc_id", Map("a" -> 70L, "b" -> 22L, "c" -> 6L), seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaTemp = Sampling.temperatureResample(df, "stratum", "doc_id",
+        total = 100L, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaTemp == viaExact)
+  }
+
   test("exact quantiles equal sorted-array selection") {
     val vals = Seq(5.0, 1.0, 9.0, 1.0, 7.0, 3.0, 3.0, 8.0, 2.0, 6.0, 4.0)
     val df = vals.toDF("v")
