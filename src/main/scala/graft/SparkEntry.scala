@@ -2036,6 +2036,22 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // ---- tokenizer FERTILITY per language (subword tokens per word —
+    //      the standard multilingual-tokenizer efficiency metric; a
+    //      lang far above the corpus mean is being over-segmented):
+    //      one lang join over the encode relation, |langs| output rows ----
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.encode(docs, bpeModelFor(s, dir))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"),
+          sum("bpe_tokens").as("bpe_tokens"))
+        .withColumn("fertility", round(
+          col("bpe_tokens").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
+    }),
+
     // ---- chunking under an EXACT subword-token budget (the
     //      reference's tiktoken-capped chunking, with the trained
     //      merge table standing in for cl100k; the oracle replays the
@@ -3321,6 +3337,20 @@ object SparkEntry {
           evalSet, "doc_id", "text", n = 3, numHashes = 16, bands = 8,
           threshold = 0.2, hashFamily = Dedup.shaHashFamily)
         .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- n-gram coverage: per-eval-doc fraction of distinct 3-grams
+    //      present anywhere in train (the memorization metric);
+    //      shingle-keyed shuffle equi-join — the train side never
+    //      broadcasts ----
+    "ngram_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramCoverage(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_seen"),
+          col("coverage"))
         .orderBy("doc_id")
     }),
 
@@ -5237,6 +5267,37 @@ object SparkEntry {
          |WHERE id NOT IN (SELECT id_a FROM contaminated)
          |ORDER BY doc_id""".stripMargin,
 
+    // distinct eval shingles LEFT JOIN the distinct train shingle set;
+    // count(t.shingle) counts the matches (non-null join hits)
+    "ngram_coverage" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH tr AS (
+         |  SELECT text FROM documents WHERE doc_id % 10 <> 0),
+         |ev AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
+         |sh_tr AS (
+         |  SELECT DISTINCT unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM tr),
+         |sh_ev AS (
+         |  SELECT DISTINCT id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM ev)
+         |SELECT e.id AS doc_id, count(*) AS n_grams,
+         |  count(t.shingle) AS n_seen,
+         |  round(CAST(count(t.shingle) AS DOUBLE) / count(*), 6)
+         |    AS coverage
+         |FROM sh_ev e LEFT JOIN sh_tr t USING (shingle)
+         |GROUP BY 1
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // matched pairs emit eagerly on arrival — the inner-join emitted
     // set is batching-independent, so a plain batch join replays it
     "streaming_join" ->
@@ -5968,6 +6029,32 @@ object SparkEntry {
            |SELECT sym AS token, sum(cnt)::BIGINT AS freq
            |FROM s$BpeMergeCount GROUP BY 1
            |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin
+    },
+
+    // the bpe_encode per-doc counts rolled up by language; docs with
+    // no words contribute zeros through the coalesce
+    "bpe_fertility" -> {
+      bpeTrainCtes(BpeMergeCount) +
+        s""",
+           |fv AS (
+           |  SELECT word, count(*)::BIGINT AS n_syms
+           |  FROM s$BpeMergeCount GROUP BY 1),
+           |fdw AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text,
+           |    '${Bpe.WordPattern}')) AS word
+           |  FROM documents),
+           |fper AS (
+           |  SELECT fdw.doc_id, count(*)::BIGINT AS n_words,
+           |         sum(fv.n_syms)::BIGINT AS bpe_tokens
+           |  FROM fdw JOIN fv USING (word) GROUP BY 1)
+           |SELECT d.lang,
+           |  sum(coalesce(p.n_words, 0))::BIGINT AS n_words,
+           |  sum(coalesce(p.bpe_tokens, 0))::BIGINT AS bpe_tokens,
+           |  round(CAST(sum(coalesce(p.bpe_tokens, 0)) AS DOUBLE) /
+           |    sum(coalesce(p.n_words, 0)), 6) AS fertility
+           |FROM documents d LEFT JOIN fper p USING (doc_id)
+           |GROUP BY 1
+           |ORDER BY lang""".stripMargin
     },
 
     // greedy word-atomic packing as a recursive walk: the cut rule

@@ -677,6 +677,35 @@ object Dedup {
       .select("id", "cluster_rep", "cluster_size", "quality", "is_kept")
   }
 
+  /** N-gram coverage — the memorization/novelty METRIC dual of
+    * [[contamination]] (Lee et al. 2022 §5 measure "how much of the
+    * eval set is n-gram-covered by train"): for each eval doc, the
+    * fraction of its DISTINCT n-grams that occur anywhere in the train
+    * corpus. Direction is reversed vs decontamination (per-EVAL-doc
+    * scores against the big train side), so the train shingle relation
+    * cannot broadcast: distinct train shingles meet the eval shingles
+    * on a shingle-keyed shuffle equi-join — partition-parallel at any
+    * corpus size, with map-side-combinable aggregations on both sides
+    * (a bloom prefilter on the eval shingle set would cut the shuffle
+    * further, the [[decontaminateBloom]] discipline, at the cost of a
+    * sketch pass; the exact join is already the scale-safe shape).
+    * Docs with < n tokens have no shingles and are absent from the
+    * output (coverage of nothing is undefined, not 0).
+    * Output: (id, n_grams, n_seen, coverage ∈ [0,1]). */
+  def ngramCoverage(train: DataFrame, trainId: String, trainText: String,
+                    evalDf: DataFrame, evalId: String, evalText: String,
+                    n: Int = 3): DataFrame = {
+    val trainSh = shingles(train, trainId, trainText, n)
+      .select("shingle").distinct()
+      .withColumn("_seen", lit(1))
+    shingles(evalDf, evalId, evalText, n)
+      .join(trainSh, Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_seen")).as("n_seen"))
+      .withColumn("coverage", round(
+        col("n_seen").cast("double") / col("n_grams"), 6))
+  }
+
   /** Benchmark-contamination check: flag training docs sharing any
     * token n-gram shingle with an eval/benchmark corpus — the standard
     * decontamination pass of a training-data pipeline. The eval side is

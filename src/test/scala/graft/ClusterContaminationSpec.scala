@@ -302,6 +302,23 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(pruned.length == 1 && pruned.head.getString(0) == "aa")
   }
 
+  test("ngramCoverage scores each eval doc's seen-in-train fraction") {
+    val train = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    // train distinct 3-grams: {aa bb cc, bb cc dd}
+    val evalSet = Seq(
+      (10L, "aa bb cc xx"), // {aa bb cc, bb cc xx} -> 1/2
+      (11L, "bb cc dd ee aa bb cc"), // {bb cc dd, cc dd ee, dd ee aa, ee aa bb, aa bb cc} -> 2/5
+      (12L, "zz yy")) // no 3-grams -> absent
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramCoverage(train, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      10L -> ((2L, 1L, 0.5)),
+      11L -> ((5L, 2L, 0.4))), s"$got")
+  }
+
   test("contamination flags docs sharing shingles with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs today"),
