@@ -1989,6 +1989,17 @@ object SparkEntry {
         .orderBy("bucket_lo")
     }),
 
+    // ---- distribution drift between two snapshots: PSI over
+    //      fixed-width n_chars buckets (two map-side counts, a
+    //      bucket-keyed outer join, tiny totals cross join) ----
+    "drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.driftPsi(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "n_chars",
+          bucketWidth = 50.0)
+        .orderBy("bucket")
+    }),
+
     "hash_split" -> ((s, dir) => {
       TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -5895,6 +5906,30 @@ object SparkEntry {
         |    AS DOUBLE) / 10) AS BIGINT) AS bucket
         |  FROM documents)
         |GROUP BY bucket ORDER BY bucket_lo""".stripMargin,
+
+    // Laplace-smoothed shares; term order mirrors the Spark plan:
+    // (q - p) * ln(q / p) with p/q built as count/total + eps
+    "drift_psi" ->
+      """WITH base AS (
+        |  SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50) AS BIGINT)
+        |    AS bucket, count(*) AS n_base
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cur AS (
+        |  SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50) AS BIGINT)
+        |    AS bucket, count(*) AS n_cur
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT bucket, coalesce(n_base, 0) AS n_base,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM base FULL OUTER JOIN cur USING (bucket)),
+        |tot AS (SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur FROM j)
+        |SELECT bucket, n_base, n_cur,
+        |  round((CAST(n_cur AS DOUBLE) / t_cur + 1e-6 -
+        |      (CAST(n_base AS DOUBLE) / t_base + 1e-6)) *
+        |    ln((CAST(n_cur AS DOUBLE) / t_cur + 1e-6) /
+        |      (CAST(n_base AS DOUBLE) / t_base + 1e-6)), 6) AS psi_term
+        |FROM j CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin,
 
     "hash_split" ->
       """SELECT doc_id,

@@ -422,6 +422,44 @@ object TextAnalysis {
         ((col("bucket") + 1) * bucketWidth).as("bucket_hi"),
         col("n_docs"))
 
+  /** Distribution-drift monitor between two corpus snapshots —
+    * population stability index over a bucketed numeric signal (the
+    * standard "did my crawl's length/quality profile shift" alarm;
+    * PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 action). Buckets are
+    * FIXED-width (engine-replayable; quantile buckets would make the
+    * metric depend on a reference sort), shares are Laplace-smoothed
+    * by `eps` so a bucket empty on one side stays finite.
+    *
+    * Scale shape: two map-side-combinable bucket counts (each one
+    * aggregation over its snapshot), a bucket-keyed outer join on a
+    * bucket-count-sized relation, one scalar fold. Output: per-bucket
+    * contributions plus the bucket ordering for inspection; the PSI
+    * total is `sum(psi_term)` over the result. */
+  def driftPsi(base: DataFrame, current: DataFrame, valueCol: String,
+               bucketWidth: Double, eps: Double = 1e-6): DataFrame = {
+    require(bucketWidth > 0 && eps > 0, s"bad spec: $bucketWidth/$eps")
+    def bucketed(df: DataFrame, cnt: String) = df
+      .select(floor(col(valueCol).cast("double") / bucketWidth)
+        .cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as(cnt))
+    val b = bucketed(base, "n_base")
+    val c = bucketed(current, "n_cur")
+    val joined = b.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    // totals ride a tiny cross join (bucket-count-sized relation)
+    val totals = broadcast(joined.agg(
+      sum("n_base").as("t_base"), sum("n_cur").as("t_cur")))
+    joined.crossJoin(totals)
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        (col("n_base").cast("double") / col("t_base") + eps).as("p"),
+        (col("n_cur").cast("double") / col("t_cur") + eps).as("q"))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
+  }
+
   /** Deterministic hash split (train/val/test): bucket = sha-derived
     * uniform value in [0, 1); split i covers the cumulative weight
     * interval. Pure column arithmetic — reproducible across runs,

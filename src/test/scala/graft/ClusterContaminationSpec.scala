@@ -302,6 +302,29 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(pruned.length == 1 && pruned.head.getString(0) == "aa")
   }
 
+  test("driftPsi matches the hand-computed smoothed PSI, finite on " +
+      "one-sided buckets") {
+    import graft.operators.TextAnalysis
+    val base = Seq(10.0, 20.0, 60.0, 70.0).toDF("v") // buckets 0x2, 1x2
+    val cur = Seq(10.0, 60.0, 60.0, 120.0).toDF("v") // 0x1, 1x2, 2x1
+    val got = TextAnalysis.driftPsi(base, cur, "v", bucketWidth = 50.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val eps = 1e-6
+    def term(p: Double, q: Double) = BigDecimal(
+      (q + eps - (p + eps)) * math.log((q + eps) / (p + eps)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      0L -> ((2L, 1L, term(0.5, 0.25))),
+      1L -> ((2L, 2L, term(0.5, 0.5))),
+      // bucket 2 exists only in cur: smoothing keeps the term finite
+      2L -> ((0L, 1L, term(0.0, 0.25)))), s"$got")
+    // identical snapshots drift 0
+    val zero = TextAnalysis.driftPsi(base, base, "v", 50.0)
+      .agg(sum("psi_term")).collect().head.getDouble(0)
+    assert(zero == 0.0)
+  }
+
   test("ngramCoverage scores each eval doc's seen-in-train fraction") {
     val train = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
     // train distinct 3-grams: {aa bb cc, bb cc dd}
