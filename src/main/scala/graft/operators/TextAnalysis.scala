@@ -351,9 +351,12 @@ object TextAnalysis {
     * tokenize pass and the identity sum(c_left) = sum(c_right) = N
     * holds by construction).
     *
-    * Scale shape: three map-side-combinable aggregations over the
-    * bigram stream; the marginal relations are vocabulary-sized
-    * (Zipf-bounded) equi-joins; `minCount` prunes the tail BEFORE the
+    * Scale shape: the corpus-sized bigram stream is exploded and
+    * shuffled ONCE — into the distinct-pair count relation `bgc` —
+    * and the marginals (c_left, c_right) and the total all DERIVE
+    * from `bgc` by re-aggregation (sum of c_bg grouped by w1 / w2 ≡
+    * counting the stream, but over the Zipf-bounded pair relation
+    * instead of corpus rows); `minCount` prunes the tail BEFORE the
     * joins; the final top-k is a TakeOrdered limit, never a global
     * single-partition sort. PMI is rounded to 6 dp at the final
     * projection and ties break on (w1, w2), so the top-k cut is
@@ -369,11 +372,16 @@ object TextAnalysis {
         col("_t"))
       .select(element_at(col("_t"), col("_i")).as("w1"),
         element_at(col("_t"), col("_i") + 1).as("w2"))
-    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-      .filter(col("c_bg") >= minCount)
-    val leftM = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    val rightM = bg.groupBy("w2").agg(count(lit(1)).as("c_w2"))
-    val totals = broadcast(bg.agg(count(lit(1)).as("n_bg")))
+    // the ONE corpus-rows aggregation; everything below re-aggregates
+    // this bounded relation (localCheckpoint pins it for its four
+    // consumers — AQE's stage cache can miss canonically-identical
+    // exchanges, the Bm25 buildIndex(pinStats) lesson)
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint()
+    val pairs = bgc.filter(col("c_bg") >= minCount)
+    val leftM = bgc.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+    val rightM = bgc.groupBy("w2").agg(sum("c_bg").as("c_w2"))
+    val totals = broadcast(bgc.agg(sum("c_bg").as("n_bg")))
     pairs.join(leftM, "w1").join(rightM, "w2")
       .crossJoin(totals)
       .select(col("w1"), col("w2"), col("c_bg"),
