@@ -3246,6 +3246,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- stride-interleaved TRAINING SCHEDULE: a global order where
+    //      every prefix approximately honors the temperature shares
+    //      (integer ⌊√n_l⌋ weights — the data-loader dual of
+    //      mixture_temperature). Per-language rank via the two-phase
+    //      groupedRank (no whole-language window), stride key
+    //      (rank+1)/s_l, global position via the relational
+    //      zipWithIndex — both ranks distributed ----
+    "mixture_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val spark = s
+      import spark.implicits._
+      val shares = docs.groupBy("lang").count()
+        .collect() // bounded by |langs|
+        .map(r => (r.getString(0),
+          math.floor(math.sqrt(r.getLong(1).toDouble)).toLong)).toSeq
+      val ranked = Sampling.groupedRank(
+        docs.withColumn("_okey", Sampling.orderKey("doc_id", 7L)),
+        "lang", "_okey", "lang_rank")
+      val strided = ranked
+        .join(broadcast(shares.toDF("lang", "s_l")), "lang")
+        .withColumn("stride",
+          (col("lang_rank") + 1).cast("double") / col("s_l"))
+      Sampling.globalRank(strided,
+          Seq("stride", "lang", "doc_id"), "position")
+        .select(col("doc_id"), col("lang"), col("lang_rank"),
+          col("position"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact distributed quantiles: one range-sort shuffle +
     //      bounded per-partition counts; value at rank ⌊q·(N−1)⌋ ----
     "quantiles_exact" -> ((s, dir) =>
@@ -5100,6 +5129,27 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang)
         |WHERE rn <= k_l
+        |ORDER BY doc_id""".stripMargin,
+
+    // stride scheduling replay: per-lang rank, key (rank+1)/s_l (an
+    // IEEE-identical integer division on both engines), ties broken
+    // (lang, doc_id)
+    "mixture_schedule" ->
+      """WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |sh AS (SELECT lang,
+        |  CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS s_l FROM n),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7')) - 1
+        |    AS lang_rank
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, lang_rank,
+        |    CAST(lang_rank + 1 AS DOUBLE) / s_l AS stride
+        |  FROM r JOIN sh USING (lang))
+        |SELECT doc_id, lang, lang_rank,
+        |  row_number() OVER (ORDER BY stride, lang, doc_id) - 1
+        |    AS position
+        |FROM k
         |ORDER BY doc_id""".stripMargin,
 
     "quantiles_exact" ->

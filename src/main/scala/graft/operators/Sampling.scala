@@ -190,17 +190,41 @@ object Sampling {
     * cross-engine order ties impossible in practice; the range sort
     * width follows session parallelism. */
   def deterministicShuffle(df: DataFrame, idCol: String,
-      seed: Long = 42L, rangeParts: Option[Int] = None): DataFrame = {
+      seed: Long = 42L, rangeParts: Option[Int] = None): DataFrame =
+    globalRank(df.withColumn("_okey", hashHex(idCol, seed)),
+        Seq("_okey"), rangeParts = rangeParts)
+      .drop("_okey")
+
+  /** The deterministic order key as a public column, for callers
+    * composing their own rank/schedule shapes (md5("<id>:<seed>"),
+    * lowercase hex — the construction every oracle replays). */
+  def orderKey(idCol: String, seed: Long): org.apache.spark.sql.Column =
+    hashHex(idCol, seed)
+
+  /** GLOBAL dense rank 0..N−1 over an arbitrary sort key — the
+    * relational zipWithIndex core of [[deterministicShuffle]],
+    * generalized to multi-column keys: range-partition by `keys`,
+    * take each row's within-partition offset from
+    * `monotonically_increasing_id` (pid in the high bits — each
+    * partition ranks locally, never the corpus), then add broadcast
+    * per-partition prefix offsets (the prefix-sum window runs over
+    * the P-row COUNTS relation, never corpus rows). Caller owns key
+    * uniqueness: ties across rows make the rank partitioning-
+    * dependent, so include a unique tie-break column. */
+  def globalRank(df: DataFrame, keys: Seq[String],
+      outCol: String = "position",
+      rangeParts: Option[Int] = None): DataFrame = {
+    require(keys.nonEmpty, "globalRank needs at least one key column")
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     val parts = math.max(1, rangeParts.getOrElse(
       spark.sessionState.conf.numShufflePartitions))
+    val kcols = keys.map(col)
     // localCheckpoint: offsets + the position join must read the SAME
     // sampled range boundaries (the repartitionByRange gotcha)
     val ranged = df
-      .withColumn("_okey", hashHex(idCol, seed))
-      .repartitionByRange(parts, col("_okey"))
-      .sortWithinPartitions("_okey")
+      .repartitionByRange(parts, kcols: _*)
+      .sortWithinPartitions(kcols: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       .withColumn("_lr", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
@@ -211,8 +235,71 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_off")
     ranged.join(broadcast(offs), "_pid")
-      .withColumn("position", col("_lr") + col("_off"))
-      .drop("_okey", "_mid", "_pid", "_lr")
+      .withColumn(outCol, col("_lr") + col("_off"))
+      .drop("_mid", "_pid", "_lr")
+  }
+
+  /** PER-GROUP dense rank 0..N_g−1 — the scale-safe replacement for
+    * `row_number() OVER (PARTITION BY group ORDER BY key)`, which
+    * pulls every group into ONE task (a web-scale group is most of
+    * the corpus). Same two-phase discipline as [[rankPrefixTake]]:
+    * one range sort on (group, key), a bounded P×|groups| slice-count
+    * collect, then each partition assigns `offset + running index`
+    * per group in encounter order (rows arrive sorted by (group,
+    * key), so the running index IS the within-partition rank).
+    * Caller owns key uniqueness within a group (include a tie-break
+    * column, else the rank is partitioning-dependent). `groupCol`
+    * must be StringType, like the samplers. */
+  def groupedRank(df: DataFrame, groupCol: String, keyCol: String,
+      outCol: String = "group_rank",
+      rangeParts: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"group column '$groupCol' must be StringType (got " +
+        s"${df.schema(groupCol).dataType.simpleString}); cast it")
+    val parts = math.max(1, rangeParts.getOrElse(
+      spark.sessionState.conf.numShufflePartitions))
+    val ranged = df
+      .repartitionByRange(parts, col(groupCol), col(keyCol))
+      .sortWithinPartitions(groupCol, keyCol)
+      .localCheckpoint() // two consumers — the repartitionByRange gotcha
+    val slice = ranged
+      .groupBy(spark_partition_id().as("pid"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: partitions × |groups|
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    // offset(pid, g) = rows of g in earlier partitions
+    val offMap = scala.collection.mutable.Map.empty[(Int, String), Long]
+    var curG = ""
+    var before = 0L
+    slice.foreach { case (pid, g, c) =>
+      if (g != curG) { curG = g; before = 0L }
+      if (before > 0) offMap((pid, g)) = before
+      before += c
+    }
+    val offB = spark.sparkContext.broadcast(offMap.toMap)
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    val outRows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curG: String = null
+      var off = 0L
+      var i = 0L
+      it.map { row =>
+        val g = row.getString(gIdx)
+        if (g != curG) {
+          curG = g
+          off = offB.value.getOrElse((pid, g), 0L)
+          i = 0L
+        }
+        val r = Row.fromSeq(row.toSeq :+ (off + i))
+        i += 1
+        r
+      }
+    }
+    spark.createDataFrame(outRows, org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** Temperature-flattened mixture resampling — the multilingual

@@ -100,6 +100,26 @@ class SamplingSpec extends SparkSpec {
     assert(other != got)
   }
 
+  test("groupedRank equals the per-group window rank, " +
+      "partitioning-independent") {
+    val df = corpus(30000).withColumn("k",
+      md5(concat(col("doc_id").cast("string"), lit(":g")).cast("binary")))
+    val got = Sampling.groupedRank(df, "stratum", "k", "rnk")
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.withColumn("rnk",
+        row_number().over(W.partitionBy("stratum").orderBy("k")) - 1)
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == ref)
+    // a skewed input partitioning yields the same ranks
+    val skewed = Sampling.groupedRank(
+        df.repartition(3, col("stratum")), "stratum", "k", "rnk")
+      .select("doc_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skewed == got)
+  }
+
   test("temperature resample flattens by integer-exact sqrt shares " +
       "and clamps to stratum size") {
     // strata sizes 1000/100/10 -> s = 31/10/3, S = 44
