@@ -2803,6 +2803,38 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- STREAMING drift monitor: per-day event-mix PSI of the
+    //      watermark-finalized windowed counts (the real stream run)
+    //      against the static whole-corpus baseline mix — the
+    //      "did today's crawl shift" alarm as a streaming composite.
+    //      Only observed (window, type) rows are scored; the batch
+    //      PSI form with smoothed one-sided buckets is drift_psi ----
+    "streaming_drift" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val stream = s.readStream.schema("ts_utc TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val out = Sync.windowedEventAgg(stream, "ts_utc", "event_type",
+        windowLen = "1 day", delay = "10 minutes")
+      val win = runStreamToTable(s, out, "sdrift", dir)
+      val ev = eventsWithTsUtc(s, dir)
+      val base = ev.groupBy("event_type").agg(count(lit(1)).as("n_base"))
+      val tBase = broadcast(base.agg(sum("n_base").as("t_base")))
+      val eps = 1e-6
+      def q = col("n_events").cast("double") / col("t_win") + eps
+      def p = col("n_base").cast("double") / col("t_base") + eps
+      // t_win via a per-window partition window: the finalized relation
+      // is BOUNDED (windows × event types), and a self-join against the
+      // memory-sink view trips conflicting-attribute resolution
+      win.withColumn("t_win", sum("n_events").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("window_start")))
+        .join(base, "event_type")
+        .crossJoin(tBase)
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          round((q - p) * log(q / p), 6).as("psi_term"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- SLIDING-window streaming twin: 2-hour windows every hour
     //      (each event lands in two windows, state = 2× windows in
     //      flight × keys, still bounded); same real stream + append
@@ -6966,6 +6998,33 @@ object SparkEntry {
         |FROM events, wm
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
         |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // the windowed-count replay (same finalization predicate, day
+    // windows) scored against the whole-corpus baseline mix
+    "streaming_drift" ->
+      """WITH wm AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |win AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events, wm
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY < wm.w
+        |  GROUP BY 1, 2),
+        |base AS (SELECT event_type, count(*) AS n_base
+        |  FROM events GROUP BY 1),
+        |tb AS (SELECT sum(n_base) AS t_base FROM base),
+        |tw AS (SELECT window_start, sum(n_events) AS t_win
+        |  FROM win GROUP BY 1)
+        |SELECT w.window_start, w.event_type, w.n_events,
+        |  round((CAST(w.n_events AS DOUBLE) / t_win + 1e-6 -
+        |      (CAST(b.n_base AS DOUBLE) / t_base + 1e-6)) *
+        |    ln((CAST(w.n_events AS DOUBLE) / t_win + 1e-6) /
+        |      (CAST(b.n_base AS DOUBLE) / t_base + 1e-6)), 6) AS psi_term
+        |FROM win w
+        |JOIN base b USING (event_type)
+        |JOIN tw USING (window_start)
+        |CROSS JOIN tb
         |ORDER BY window_start, event_type""".stripMargin,
 
     // sliding windows: each event belongs to the two 2-hour windows
