@@ -3394,6 +3394,15 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- distinctive vocabulary per source: PMI of token|source vs
+    //      the corpus, minCount floor, bounded TopK cut per source
+    //      (one tokenize pass; marginals derive from the count
+    //      relation — the collocations discipline) ----
+    "source_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"), "source",
+          "text", minCount = 5L, topK = 5)
+        .orderBy("group", "rank")),
+
     // ---- FUZZY decontamination: drop train docs NEAR-duplicating any
     //      eval doc — MinHash band-bucket join BETWEEN the corpora
     //      (never all-pairs; the benchmark side broadcasts at scale)
@@ -5359,6 +5368,34 @@ object SparkEntry {
          |SELECT id AS doc_id FROM tr
          |WHERE id NOT IN (SELECT id_a FROM contaminated)
          |ORDER BY doc_id""".stripMargin,
+
+    // PMI(token|source / token) with the same derived-marginal counts;
+    // the cut replays as a per-source rank on (score desc, token)
+    "source_terms" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH gt AS MATERIALIZED (
+         |  SELECT source AS grp, unnest($toks) AS tok FROM documents),
+         |cnt AS MATERIALIZED (
+         |  SELECT grp, tok, count(*) AS n FROM gt GROUP BY 1, 2),
+         |tokm AS (SELECT tok, sum(n) AS c_tok FROM cnt GROUP BY 1),
+         |grpm AS (SELECT grp, sum(n) AS t_grp FROM cnt GROUP BY 1),
+         |tot AS (SELECT sum(n) AS t_all FROM cnt),
+         |scored AS (
+         |  SELECT grp, tok, n,
+         |    round(log2(CAST(n AS DOUBLE) * t_all /
+         |      (CAST(t_grp AS DOUBLE) * c_tok)), 6) AS score
+         |  FROM cnt JOIN tokm USING (tok) JOIN grpm USING (grp)
+         |  CROSS JOIN tot
+         |  WHERE n >= 5),
+         |ranked AS (
+         |  SELECT grp, tok, n, score, row_number() OVER (
+         |    PARTITION BY grp ORDER BY score DESC, tok) AS rank
+         |  FROM scored)
+         |SELECT grp AS "group", CAST(rank AS INT) AS rank,
+         |  tok AS token, n, score
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY "group", rank""".stripMargin
+    },
 
     // distinct eval shingles LEFT JOIN the distinct train shingle set;
     // count(t.shingle) counts the matches (non-null join hits)

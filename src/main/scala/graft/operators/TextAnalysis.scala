@@ -391,6 +391,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Distinctive vocabulary per group — for each (group, token), the
+    * pointwise mutual information log2(p(token|group) / p(token)):
+    * which terms characterize a source/domain against the corpus (the
+    * corpus-analysis dual of [[collocations]], with the same count
+    * discipline). `minCount` floors the per-group token count (rare
+    * terms have unstable PMI); the per-group top-k cut rides the
+    * bounded map-side [[TopK]] aggregator — never a whole-group rank
+    * window. Scale shape: ONE tokenize pass shuffled into the
+    * (group, token) count relation; both marginals derive from it by
+    * re-aggregation; score rounded to 6 dp before the cut with token
+    * ties ascending, so the cut is engine-replayable.
+    * Output: (group, rank, token, n, score). */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+                       minCount: Long = 5L, topK: Int = 10): DataFrame = {
+    require(minCount >= 1L && topK >= 1, s"bad spec: $minCount/$topK")
+    val gt = df.select(col(groupCol).as("g"),
+        explode(TextFunctions.tokensCol(col(textCol),
+          removeStopwords = false)).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // four consumers — the collocations pin
+    val tokM = gt.groupBy("tok").agg(sum("n").as("c_tok"))
+    val grpM = gt.groupBy("g").agg(sum("n").as("t_grp"))
+    val totals = broadcast(gt.agg(sum("n").as("t_all")))
+    val scored = gt.filter(col("n") >= minCount)
+      .join(tokM, "tok").join(grpM, "g")
+      .crossJoin(totals)
+      .select(col("g"), col("tok"), col("n"),
+        round(log2(col("n").cast("double") * col("t_all") /
+          (col("t_grp").cast("double") * col("c_tok"))), 6).as("score"))
+    val cut = TopK.perGroup(
+        scored.select(col("g"), col("tok").as("doc_id"),
+          col("tok").as("chunk_id"), col("score")),
+        "g", topK)
+      .select(col("g").as("group"), col("rank"),
+        col("doc_id").as("token"), col("score"))
+    // recover the count by joining the BOUNDED cut (groups × k) back
+    // as the broadcast side
+    gt.select(col("g").as("group"), col("tok").as("token"), col("n"))
+      .join(broadcast(cut), Seq("group", "token"))
+      .select("group", "rank", "token", "n", "score")
+  }
+
   /** Deterministic stratified sampling — the domain-mixture weighting
     * step of a training-data pipeline (e.g. upweight code, downsample
     * crawl): keep a row iff its sha-derived uniform u(id) < rate of

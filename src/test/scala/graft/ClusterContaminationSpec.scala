@@ -325,6 +325,26 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(zero == 0.0)
   }
 
+  test("distinctiveTerms ranks hand-computed per-source PMI") {
+    import graft.operators.TextAnalysis
+    // counts: A {aa:2, bb:1} tA=3; B {bb:1, cc:1} tB=2; c_aa=2 c_bb=2
+    // c_cc=1; T=5
+    val docs = Seq(("A", "aa aa bb"), ("B", "bb cc"))
+      .toDF("source", "text")
+    val got = TextAnalysis.distinctiveTerms(docs, "source", "text",
+        minCount = 1L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    def s(n: Long, tg: Long, ct: Long) = BigDecimal(
+      math.log(n.toDouble * 5 / (tg.toDouble * ct)) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(
+      ("A", 1, "aa", 2L, s(2, 3, 2)),
+      ("A", 2, "bb", 1L, s(1, 3, 2)),
+      ("B", 1, "cc", 1L, s(1, 2, 1)),
+      ("B", 2, "bb", 1L, s(1, 2, 2))), s"$got")
+  }
+
   test("ngramCoverage scores each eval doc's seen-in-train fraction") {
     val train = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
     // train distinct 3-grams: {aa bb cc, bb cc dd}

@@ -346,6 +346,16 @@ class PlanAuditSpec extends SparkSpec {
       s"TakeOrdered missing from collocations plan:\n$p")
   }
 
+  test("source_terms cuts with the bounded TopK aggregate and joins " +
+      "the cut back as the broadcast side") {
+    val p = plan("source_terms")
+    assert(!p.contains("Window"), s"rank window in source_terms:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopK aggregator missing from source_terms plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cut join-back is not broadcast:\n$p")
+  }
+
   test("contamination_bloom probes the sketch as a codegen'd " +
       "expression, before the verify join") {
     // the contaminated-id relation is PINNED inside decontaminateBloom
