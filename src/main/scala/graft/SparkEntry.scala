@@ -1353,6 +1353,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- weekly cohort retention: cohort = the user's first-event
+    //      week; retention(c, o) = distinct users of cohort c active
+    //      in week c+o over the cohort size. Two aggregations + one
+    //      equi-join on user_id — no window; offsets are multiples of
+    //      7 days between week-truncated stamps (exact division) ----
+    "q13_cohort" -> ((s, dir) => {
+      val ev = eventsWithTsUtc(s, dir)
+      val firsts = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts_utc"))).as("cohort_week"))
+      val sizes = firsts.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_n"))
+      val active = ev.select(col("user_id"),
+          date_trunc("week", col("ts_utc")).as("week")).distinct()
+      active.join(firsts, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .join(sizes, "cohort_week")
+        .withColumn("retention", round(
+          col("n_users").cast("double") / col("cohort_n"), 6))
+        .select("cohort_week", "week_offset", "n_users", "cohort_n",
+          "retention")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // ---- predicate language (P1) compiled to Columns ----
     "p1_predicates" -> ((s, dir) => {
       val pred = Predicates.compile(Map(
@@ -4427,6 +4453,31 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // week-truncated stamps differ by exact multiples of 7 days, so
+    // the offset division is exact on both engines
+    "q13_cohort" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort_week, count(*) AS cohort_n FROM firsts GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |ret AS (
+        |  SELECT f.cohort_week,
+        |    CAST(datediff('day', f.cohort_week, a.week) / 7 AS INT)
+        |      AS week_offset,
+        |    count(DISTINCT a.user_id) AS n_users
+        |  FROM active a JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_week, r.week_offset, r.n_users, s.cohort_n,
+        |  round(CAST(r.n_users AS DOUBLE) / s.cohort_n, 6) AS retention
+        |FROM ret r JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "p1_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
