@@ -1326,6 +1326,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- per-day funnel conversion (click → purchase within 1 h,
+    //      same user): clicks become [ts, ts+1h) intervals, purchases
+    //      points, matched by the BUCKETED range join (time-local
+    //      shuffle key — no per-user pair explosion), converted
+    //      clicks collapse through a distinct + semi-join ----
+    "funnel_conversion" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = eventsWithTsUtc(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_timestamp(col("ts_utc")).as("c_start"),
+          (unix_timestamp(col("ts_utc")) + 3600L).as("c_end"),
+          date_trunc("day", col("ts_utc")).as("day"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts_utc")).as("p_ts"))
+      val converted = RangeJoin.pointInInterval(purchases, clicks,
+          Seq("user_id"), "p_ts", "c_start", "c_end", bucketWidth = 3600L)
+        .select("click_id").distinct()
+      val conv = clicks.join(converted, Seq("click_id"), "left_semi")
+        .groupBy("day").agg(count(lit(1)).as("n_converted"))
+      clicks.groupBy("day").agg(count(lit(1)).as("n_clicks"))
+        .join(conv, Seq("day"), "left")
+        .na.fill(0L, Seq("n_converted"))
+        .withColumn("rate", round(
+          col("n_converted").cast("double") / col("n_clicks"), 6))
+        .select("day", "n_clicks", "n_converted", "rate")
+        .orderBy("day")
+    }),
+
     // ---- event-time tumbling window aggregation (streaming-capable
     //      shape). ts arrives either as TIMESTAMP(NANOS) — which
     //      Tables.load surfaces as a nanos-since-epoch long — or as a
@@ -1377,6 +1406,34 @@ object SparkEntry {
         .select("cohort_week", "week_offset", "n_users", "cohort_n",
           "retention")
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // ---- EMBEDDING drift: per-label centroid cosine between two
+    //      snapshot halves — "did the representation of this class
+    //      move". posexplode → (label, side, dim) map-side-combinable
+    //      means; the centroid relation is |labels|×2×dim rows, so
+    //      everything past the one explode-agg is driver-trivial ----
+    "embedding_drift" -> ((s, dir) => {
+      val em = t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("side"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("label"), col("side"), col("i"),
+          col("v").cast("double").as("v"))
+      val cent = em.groupBy("label", "side", "i").agg(avg("v").as("m"))
+      val a = cent.filter(col("side") === 0)
+        .select(col("label"), col("i"), col("m").as("ma"))
+      val b = cent.filter(col("side") === 1)
+        .select(col("label"), col("i"), col("m").as("mb"))
+      a.join(b, Seq("label", "i"))
+        .groupBy("label")
+        .agg(sum(col("ma") * col("mb")).as("dot"),
+          sqrt(sum(col("ma") * col("ma"))).as("na"),
+          sqrt(sum(col("mb") * col("mb"))).as("nb"))
+        .select(col("label"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"),
+          round(lit(1) - col("dot") / (col("na") * col("nb")), 6)
+            .as("drift"))
+        .orderBy("label")
     }),
 
     // ---- predicate language (P1) compiled to Columns ----
@@ -4439,6 +4496,29 @@ object SparkEntry {
         |  AND v.ts_us >= w.s_us AND v.ts_us < w.e_us
         |GROUP BY 1, 2 ORDER BY v.event_id""".stripMargin,
 
+    // inclusive-start exclusive-end attribution window, seconds ticks
+    "funnel_conversion" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch(ts)::BIGINT AS c_start,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, epoch(ts)::BIGINT AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT DISTINCT c.click_id, c.day
+        |  FROM clicks c JOIN purch p ON p.user_id = c.user_id
+        |    AND p.p_ts >= c.c_start AND p.p_ts < c.c_start + 3600),
+        |tot AS (SELECT day, count(*) AS n_clicks FROM clicks GROUP BY 1),
+        |cv AS (SELECT day, count(*) AS n_converted FROM conv GROUP BY 1)
+        |SELECT tot.day, tot.n_clicks,
+        |  coalesce(cv.n_converted, 0) AS n_converted,
+        |  round(CAST(coalesce(cv.n_converted, 0) AS DOUBLE) /
+        |    tot.n_clicks, 6) AS rate
+        |FROM tot LEFT JOIN cv USING (day)
+        |ORDER BY day""".stripMargin,
+
     "q11_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n_events,
@@ -4478,6 +4558,28 @@ object SparkEntry {
         |  round(CAST(r.n_users AS DOUBLE) / s.cohort_n, 6) AS retention
         |FROM ret r JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // centroids per (label, half); positional zip of unnest with
+    // generate_subscripts; index bases differ (0 vs 1) but never
+    // cross engines — i is only a within-engine join key
+    "embedding_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS side,
+        |    unnest(embedding)::DOUBLE AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, side, i, avg(v) AS m FROM e GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.m AS ma, b.m AS mb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+        |    AND a.side = 0 AND b.side = 1),
+        |agg AS (
+        |  SELECT label, sum(ma * mb) AS dot,
+        |    sqrt(sum(ma * ma)) AS na, sqrt(sum(mb * mb)) AS nb
+        |  FROM j GROUP BY 1)
+        |SELECT label, round(dot / (na * nb), 6) AS cosine,
+        |  round(1 - dot / (na * nb), 6) AS drift
+        |FROM agg ORDER BY label""".stripMargin,
 
     "p1_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
