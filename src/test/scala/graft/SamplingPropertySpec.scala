@@ -49,6 +49,61 @@ class SamplingPropertySpec extends SparkSpec {
     }
   }
 
+  test("temperature targets: sum within [total - |strata|, total] " +
+      "before clamping, never exceed stratum sizes, deterministic") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val nStrata = 2 + rnd.nextInt(4)
+      val strata = (0 until nStrata).map(i => s"s$i")
+      val rows = (0 until 1500 + rnd.nextInt(2500)).map { i =>
+        (i.toLong, strata(rnd.nextInt(nStrata)))
+      }
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = 50L + rnd.nextInt(800)
+      val df = rows.toDF("doc_id", "g").repartition(1 + rnd.nextInt(8))
+      val got = Sampling.temperatureResample(df, "g", "doc_id", total)
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-stratum: k_s <= n_s and k_s equals the integer-share rule
+      val roots = sizes.view.mapValues(n =>
+        math.floor(math.sqrt(n.toDouble)).toLong).toMap
+      val sumR = roots.values.sum
+      strata.foreach { s =>
+        val expect = math.min(sizes(s), total * roots(s) / sumR)
+        assert(got.getOrElse(s, 0L) == expect,
+          s"seed=$seed s=$s got=${got.get(s)} expect=$expect")
+      }
+      // unclamped floor-share sum loses at most one unit per stratum
+      val unclamped = strata.map(s => total * roots(s) / sumR).sum
+      assert(unclamped <= total && unclamped >= total - nStrata)
+      // same seed twice -> identical kept set
+      val again = Sampling.temperatureResample(df, "g", "doc_id", total)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val first = Sampling.temperatureResample(
+          rows.toDF("doc_id", "g"), "g", "doc_id", total)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == first, s"seed=$seed")
+    }
+  }
+
+  test("globalRank over a multi-column key is a bijection equal to " +
+      "the sort order, for any partitioning") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(200 + seed)
+      val rows = (0 until 3000 + rnd.nextInt(3000)).map { i =>
+        (i.toLong, rnd.nextInt(50).toDouble, s"g${rnd.nextInt(3)}")
+      }
+      val df = rows.toDF("doc_id", "v", "g")
+        .repartition(1 + rnd.nextInt(8))
+      val got = Sampling.globalRank(df, Seq("v", "g", "doc_id"), "pos")
+        .select("doc_id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = rows.sortBy { case (id, v, g) => (v, g, id) }
+        .zipWithIndex.map { case ((id, _, _), i) => id -> i.toLong }.toMap
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("quantile selection equals the sorted array on random inputs") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
