@@ -356,6 +356,20 @@ class PlanAuditSpec extends SparkSpec {
       s"cut join-back is not broadcast:\n$p")
   }
 
+  test("r8 monitor/funnel composites carry no cartesian, nested-loop, " +
+      "single-partition exchange, or window") {
+    for (n <- Seq("funnel_conversion", "q13_cohort", "embedding_drift",
+        "mixture_temperature", "ngram_coverage")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $n:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested loop in $n:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"single-partition exchange in $n:\n$p")
+      assert(!p.contains("Window"), s"window in $n:\n$p")
+    }
+  }
+
   test("contamination_bloom probes the sketch as a codegen'd " +
       "expression, before the verify join") {
     // the contaminated-id relation is PINNED inside decontaminateBloom
