@@ -1280,6 +1280,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- the SAME as-of contract through the CUSTOM physical node
+    //      (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): declared
+    //      ClusteredDistribution + (key, ts) child ordering, one
+    //      co-partitioning exchange per side, per-partition sorted
+    //      merge with O(1) state — no union, no window machinery ----
+    "asof_join_exec" -> ((s, dir) => {
+      import graft.plans.AsOfExec
+      val ev = eventsWithTsUtc(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_utc")
+        .agg(max("event_id").as("click_id"))
+        .select(col("user_id"),
+          unix_micros(col("ts_utc")).as("ts_us"),
+          col("click_id"),
+          unix_micros(col("ts_utc")).as("click_ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("ts_us"))
+      AsOfExec.joinAsOfExec(purchases, clicks, "user_id", "ts_us",
+          Seq("click_id", "click_ts_us"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("ts_us") - col("click_ts_us")).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- the SAME attribution through the time-BUCKETED as-of form
     //      (hot-key posture: row-level work partitions by (key,
     //      1h-bucket), cross-bucket state carried on a bucket-bounded
@@ -4455,6 +4480,21 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union-window
     // as-of formulation; right side pre-deduped to unique (key, ts)
     "asof_join" ->
+      """WITH clk AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |pur AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.click_ts) AS lag_us
+        |FROM pur p ASOF LEFT JOIN clk c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the custom physical node must equal the plain as-of contract —
+    // same native ASOF oracle
+    "asof_join_exec" ->
       """WITH clk AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),

@@ -101,5 +101,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectOptimizerRule(session => AnnLshRewrite(session))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -56,6 +56,66 @@ class AsOfSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(v === brute(id), s"event $id") }
   }
 
+  test("custom AsOfJoinExec node: output-identical to the window form " +
+      "on random frames, plans as the custom operator, golden edges") {
+    import graft.plans.AsOfExec
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 400L).map(i =>
+      (i, s"u${rnd.nextInt(7)}", rnd.nextInt(1000).toLong))
+      .toDF("event_id", "k", "t")
+    val right = (1L to 250L).map(i =>
+        (s"u${rnd.nextInt(9)}", rnd.nextInt(1000).toLong, i))
+      .toDF("k", "t", "pl")
+      .groupBy("k", "t").agg(max("pl").as("pl")) // unique (k, t)
+    val exec = AsOfExec.joinAsOfExec(left, right, "k", "t", Seq("pl"))
+    // the physical plan IS the custom node (strategy registered;
+    // SparkPlan.nodeName strips the Exec suffix)
+    val p = exec.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"custom node missing:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    val got = exec.select("event_id", "pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val ref = AsOf.joinAsOf(
+        left.withColumn("lts", timestamp_micros(col("t"))),
+        right.withColumn("rts", timestamp_micros(col("t"))),
+        Seq("k"), "lts", "rts", Seq("pl"))
+      .select("event_id", "asof_pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == ref)
+    // golden edges: inclusive equal-ts, NULL before first, key isolation
+    val gl = Seq((1L, "a", 100L), (2L, "a", 99L), (3L, "b", 500L))
+      .toDF("event_id", "k", "t")
+    val gr = Seq(("a", 100L, 7L), ("c", 1L, 9L)).toDF("k", "t", "pl")
+    val g = AsOfExec.joinAsOfExec(gl, gr, "k", "t", Seq("pl"))
+      .select("event_id", "pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(g == Map(1L -> Some(7L), 2L -> None, 3L -> None), s"$g")
+    // empty right: all NULLs, no crash
+    val e = AsOfExec.joinAsOfExec(gl, gr.filter(lit(false)), "k", "t",
+        Seq("pl"))
+      .select("pl").collect().map(r => Option(r.get(0)))
+    assert(e.length == 3 && e.forall(_.isEmpty))
+    // typed guard: non-long ts refuses
+    val ex = intercept[IllegalArgumentException] {
+      AsOfExec.joinAsOfExec(
+        gl.withColumn("t", timestamp_micros(col("t"))), gr, "k", "t",
+        Seq("pl"))
+    }
+    assert(ex.getMessage.contains("LocalType".replace("Local", "Long")))
+    // both sides from the SAME base relation (shared exprIds): the
+    // wrapper's fresh-id alias projection keeps references resolvable
+    val base = Seq((1L, "a", 10L, 5L), (2L, "a", 20L, 6L),
+        (3L, "b", 30L, 7L)).toDF("event_id", "k", "t", "w")
+    val same = AsOfExec.joinAsOfExec(
+        base.select("event_id", "k", "t"),
+        base.select(col("k"), col("t"), col("w").as("pl")),
+        "k", "t", Seq("pl"))
+      .select("event_id", "pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(same == Map(1L -> Some(5L), 2L -> Some(6L), 3L -> Some(7L)),
+      s"$same")
+  }
+
   test("bucketed form is output-identical under one dominant key, and " +
       "its row-level window partitions by (key, bucket)") {
     val rnd = new scala.util.Random(11)
