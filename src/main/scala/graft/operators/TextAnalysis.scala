@@ -500,10 +500,16 @@ object TextAnalysis {
     // totals ride a tiny cross join (bucket-count-sized relation)
     val totals = broadcast(joined.agg(
       sum("n_base").as("t_base"), sum("n_cur").as("t_cur")))
+    // an EMPTY snapshot has total 0 — its every share is the eps
+    // floor (finite PSI, maximal drift) instead of an ANSI
+    // divide-by-zero
+    def share(n: String, t: String) =
+      when(col(t) === 0L, lit(0.0))
+        .otherwise(col(n).cast("double") / col(t)) + eps
     joined.crossJoin(totals)
       .select(col("bucket"), col("n_base"), col("n_cur"),
-        (col("n_base").cast("double") / col("t_base") + eps).as("p"),
-        (col("n_cur").cast("double") / col("t_cur") + eps).as("q"))
+        share("n_base", "t_base").as("p"),
+        share("n_cur", "t_cur").as("q"))
       .select(col("bucket"), col("n_base"), col("n_cur"),
         round((col("q") - col("p")) * log(col("q") / col("p")), 6)
           .as("psi_term"))

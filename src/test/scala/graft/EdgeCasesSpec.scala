@@ -64,6 +64,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(g1.head().getLong(0) == 0L)
   }
 
+  test("r8 text/sampling operators over empty and degenerate inputs") {
+    // collocations: empty corpus and a corpus with no bigrams
+    assert(TextAnalysis.collocations(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.collocations(
+      Seq((1L, "word")).toDF("doc_id", "text"), "text").count() == 0)
+    // distinctiveTerms: empty corpus
+    assert(TextAnalysis.distinctiveTerms(
+      Seq.empty[(String, String)].toDF("source", "text"),
+      "source", "text").count() == 0)
+    // driftPsi: one side empty — every share is eps-only, terms finite
+    val vals = Seq(10.0, 60.0).toDF("v")
+    val empt = Seq.empty[Double].toDF("v")
+    val oneSided = TextAnalysis.driftPsi(vals, empt, "v", 50.0).collect()
+    assert(oneSided.forall(r => !r.getDouble(3).isNaN &&
+      !r.getDouble(3).isInfinity))
+    // ngramCoverage: eval docs too short for any shingle -> empty
+    assert(Dedup.ngramCoverage(oneDoc, "doc_id", "text",
+      Seq((9L, "aa bb")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+    // deterministicShuffle / groupedRank over empty input
+    assert(Sampling.deterministicShuffle(emptyDocs, "doc_id").count() == 0)
+    assert(Sampling.groupedRank(
+      Seq.empty[(Long, String)].toDF("doc_id", "g")
+        .withColumn("k", col("doc_id").cast("string")),
+      "g", "k").count() == 0)
+    // temperatureResample refuses an empty corpus loudly
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureResample(
+        emptyDocs.withColumn("g", lit("a")), "g", "doc_id", 10L)
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+
   test("kNN over empty vectors; k larger than corpus") {
     val e = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     assert(Knn.bruteForceTopK(e, "id", "vec", Array(1.0, 0.0), 5).count() == 0)
