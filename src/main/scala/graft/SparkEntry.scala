@@ -1825,6 +1825,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- mixed-language detection: per-LINE langId votes, doc
+    //      majority + disagreeing fraction (map-only line scoring,
+    //      two bounded aggregations). The synthetic corpus is
+    //      single-language per doc, so the signal is EXERCISED by
+    //      splicing a fixed zh tail onto every en doc in-plan — the
+    //      fractions must come out nonzero and exactly replayed ----
+    "mixed_language" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val zhTail = broadcast(docs.filter(col("lang") === "zh")
+        .orderBy("doc_id").limit(1).select(col("text").as("zh_text")))
+      val spliced = docs.filter(col("lang") === "en")
+        .crossJoin(zhTail)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("zh_text")).as("text"))
+      TextAnalysis.mixedLanguage(spliced, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"),
+          col("majority_lang"), col("n_majority"), col("mixed_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- quality scoring ----
     "quality" -> ((s, dir) => {
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "doc_id", "text")
@@ -5864,6 +5884,54 @@ object SparkEntry {
          |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang,
          |  round(score, 6) AS lang_score
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // per-line langId replay (same score-desc-lang-desc argmax as
+    // lang_id), then majority by (count desc, lang asc)
+    "mixed_language" -> {
+      val toks = sqlToksKeepStop("line")
+      val langRows = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map {
+        case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"SELECT doc_id, ln, '$lang' AS lang, " +
+            s"CAST(len(list_filter(t, x -> x IN ($lst))) AS DOUBLE) / " +
+            s"greatest(len(t), 1) AS score FROM ne"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH ztail AS (
+         |  SELECT text AS zh_text FROM documents WHERE lang = 'zh'
+         |  ORDER BY doc_id LIMIT 1),
+         |spliced AS (
+         |  SELECT doc_id, text || chr(10) || zh_text AS text
+         |  FROM documents CROSS JOIN ztail WHERE lang = 'en'),
+         |lines AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |    generate_subscripts(string_split(text, chr(10)), 1) AS ln
+         |  FROM spliced),
+         |toked AS MATERIALIZED (
+         |  SELECT doc_id, ln, $toks AS t FROM lines),
+         |ne AS (SELECT * FROM toked WHERE len(t) > 0),
+         |scored AS (
+         |  $langRows),
+         |best AS (
+         |  SELECT doc_id, ln,
+         |    CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang,
+         |    row_number() OVER (PARTITION BY doc_id, ln
+         |      ORDER BY score DESC, lang DESC) AS rn
+         |  FROM scored),
+         |cnt AS (
+         |  SELECT doc_id, lang, count(*) AS c FROM best
+         |  WHERE rn = 1 GROUP BY 1, 2),
+         |mj AS (
+         |  SELECT doc_id, lang, c, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn
+         |  FROM cnt),
+         |tot AS (SELECT doc_id, sum(c)::BIGINT AS n_lines
+         |  FROM cnt GROUP BY 1)
+         |SELECT t.doc_id, t.n_lines, m.lang AS majority_lang,
+         |  m.c AS n_majority,
+         |  round(1.0 - CAST(m.c AS DOUBLE) / t.n_lines, 6) AS mixed_frac
+         |FROM tot t JOIN mj m ON m.doc_id = t.doc_id AND m.rn = 1
+         |ORDER BY t.doc_id""".stripMargin
     },
 
     "quality" -> {

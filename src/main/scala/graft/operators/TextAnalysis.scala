@@ -46,6 +46,35 @@ object TextAnalysis {
     (lang, best.getField("score"))
   }
 
+  /** Mixed-language detection — the curation signal [[langId]] alone
+    * misses: a document whose LINES disagree about their language
+    * (boilerplate + translated body, code-switched forums). Per
+    * non-empty line: the [[langId]] vote; per doc: the majority
+    * language (count desc, lang asc on ties) and the fraction of
+    * lines voting elsewhere. Map-only line scoring + two bounded
+    * aggregations (≤ |langs|+1 rows per doc after the first); docs
+    * with no tokenizable line are absent (a vote of nothing is
+    * undefined, not unmixed). Output: (id, n_lines, majority_lang,
+    * n_majority, mixed_frac). */
+  def mixedLanguage(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(size(TextFunctions.tokensCol(col("line"),
+        removeStopwords = false)) > 0)
+    val (lang, _) = langId(col("line"))
+    val counts = lines.select(col("id"), lang.as("lang"))
+      .groupBy("id", "lang").agg(count(lit(1)).as("c"))
+    // majority via struct min on (−count, lang): count desc, lang asc
+    counts.groupBy("id")
+      .agg(sum("c").as("n_lines"),
+        min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("m"))
+      .select(col("id"), col("n_lines"),
+        col("m.l").as("majority_lang"), (-col("m.nc")).as("n_majority"))
+      .withColumn("mixed_frac", round(
+        lit(1.0) - col("n_majority").cast("double") / col("n_lines"), 6))
+  }
+
   /** Heuristic quality signals + composite score ∈ [0,1]:
     *  - n_chars, n_tokens, mean token length
     *  - alpha_ratio: fraction of chars that are letters

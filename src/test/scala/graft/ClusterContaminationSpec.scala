@@ -325,6 +325,25 @@ class ClusterContaminationSpec extends SparkSpec {
     assert(zero == 0.0)
   }
 
+  test("mixedLanguage votes per line and reports the minority fraction") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 2 en lines + 1 de line -> majority en, 1/3 mixed
+      (1L, "the quick fox and the dog\nwith some more words of this\nder und die das ist nicht"),
+      // single-language doc -> 0 mixed
+      (2L, "the cat sat on the mat\nand the dog sat too"),
+      // marker-free lines vote 'und'; und majority with one en line
+      (3L, "zzz qqq xxx\nvvv www yyy\nthe of and")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mixedLanguage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == ((3L, "en", 2L, 0.333333)), got(1L))
+    assert(got(2L) == ((2L, "en", 2L, 0.0)), got(2L))
+    assert(got(3L) == ((3L, "und", 2L, 0.333333)), got(3L))
+  }
+
   test("distinctiveTerms ranks hand-computed per-source PMI") {
     import graft.operators.TextAnalysis
     // counts: A {aa:2, bb:1} tA=3; B {bb:1, cc:1} tB=2; c_aa=2 c_bb=2
