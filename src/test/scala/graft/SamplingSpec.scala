@@ -120,6 +120,30 @@ class SamplingSpec extends SparkSpec {
     assert(skewed == got)
   }
 
+  test("groupedRank spreads a dominant group across range partitions " +
+      "(the shape a partition-by window cannot have) and stays exact") {
+    // 95% of rows in one group — the whole-group-window killer
+    val df = spark.range(40000).select(col("id").as("doc_id"),
+        when(col("id") % 20 =!= 0, "hot").otherwise(
+          concat(lit("cold"), (col("id") % 5).cast("string"))).as("g"))
+      .withColumn("k", md5(col("doc_id").cast("string").cast("binary")))
+    val ranked = Sampling.groupedRank(df, "g", "k", "rnk",
+      rangeParts = Some(16))
+    // exactness under dominance
+    val hot = ranked.filter(col("g") === "hot")
+    val n = hot.count()
+    assert(n == 38000)
+    val ranks = hot.select("rnk").collect().map(_.getLong(0)).toSet
+    assert(ranks == (0L until n).toSet)
+    // the hot group's rows really occupy MANY partitions of the
+    // range-partitioned relation (replay the same partitioning)
+    val spread = df.repartitionByRange(16, col("g"), col("k"))
+      .filter(col("g") === "hot")
+      .select(spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(spread > 8, s"hot group occupies only $spread partitions")
+  }
+
   test("temperature resample flattens by integer-exact sqrt shares " +
       "and clamps to stratum size") {
     // strata sizes 1000/100/10 -> s = 31/10/3, S = 44
