@@ -3578,6 +3578,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic sampling IS streaming-safe by construction:
+    //      the sha-uniform keep rule is a pure column predicate (no
+    //      state, no watermark), so the streamed kept-set equals the
+    //      batch kept-set REGARDLESS of batching — demonstrated over
+    //      real micro-batches and replayed by the batch oracle ----
+    "streaming_sample" -> ((s, dir) => {
+      val in = stagedDocBatches(s, dir)
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val kept = TextAnalysis.hashSplit(stream, "doc_id",
+          Seq("keep" -> 0.2, "rest" -> 0.8), salt = "ssample")
+        .filter(col("split") === "keep")
+        .select("doc_id", "split")
+      runStreamToTable(s, kept, "ssample", dir)
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming dedup with a TTL horizon — the state-BOUNDED
     //      production posture: a copy within 50 s (event time; ts ∝
     //      doc_id) of its hash's current canonical is reported as a
@@ -6321,6 +6338,17 @@ object SparkEntry {
         |    ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
         |      ::UBIGINT / 4294967296.0 AS u
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // stateless streamed filter == the batch filter; same sha-uniform
+    "streaming_sample" ->
+      """SELECT doc_id, 'keep' AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(sha256('ssample:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::UBIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |WHERE u < 0.2
         |ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
