@@ -1582,6 +1582,68 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- MinHash ESTIMATOR CALIBRATION — the numHashes tuning loop
+    //      (the dedup twin of ann_recall): over a deterministic LINEAR
+    //      pair sample (neighbors at offsets 1..3 — never an all-pairs
+    //      enumeration), exact Jaccard vs the 16-component signature
+    //      agreement, binned by true similarity. Both engines compute
+    //      identical doubles from identical integer counts, so the
+    //      floor-binning is engine-exact ----
+    "dedup_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // the raw corpus has no near-dups, so neighbor pairs alone
+      // calibrate only the j≈0 bucket; SWEEP the range by pairing
+      // every en doc with a prefix-dropped mutation of itself
+      // (doc_id%10 tenths of the characters removed → jaccard spans
+      // ~1.0 down to ~0.1, deterministically, ASCII-only so both
+      // engines count the same characters)
+      val en = docs.filter(col("lang") === "en").select("doc_id", "text")
+      val start = (floor(length(col("text")) *
+        ((col("doc_id") % 10).cast("double") / 10.0)) + 1).cast("int")
+      val mutated = en.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text").substr(start, length(col("text"))).as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(mutated)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .withColumn("id_b", col("id_a") + col("d"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+        .select("id_a", "id_b")
+        .unionByName(en.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(1000000L)).as("id_b")))
+      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesFrom(sh, 16, Dedup.shaHashFamily)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val inters = pairs
+        .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      val scored = pairs
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+        .join(inters, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("ni"))
+        .join(sig.select(col("id").as("id_a"), col("signature").as("sa")),
+          "id_a")
+        .join(sig.select(col("id").as("id_b"), col("signature").as("sb")),
+          "id_b")
+        .withColumn("j", col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")))
+        .withColumn("est", size(filter(
+          zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("double") / lit(16.0))
+      scored
+        .withColumn("bucket",
+          least(floor(col("j") * 10), lit(9.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("j"), 6).as("avg_jaccard"),
+          round(avg("est"), 6).as("avg_est"),
+          round(avg(abs(col("est") - col("j"))), 6).as("mae"))
+        .orderBy("bucket")
+    }),
+
     // ---- MinHash LSH near-dup (sha hash family: the whole
     //      shingle→signature→band→verify pipeline is oracle-checked;
     //      xxhash64 stays the scale default in the API) ----
@@ -5255,6 +5317,71 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM dup_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // signature-agreement estimate vs exact Jaccard over the linear
+    // neighbor-pair sample; identical integer counts make the doubles
+    // and the floor binning engine-exact
+    "dedup_calibration" -> {
+      val toks = sqlToksKeepStop("text")
+      def shaH(seed: Int) =
+        s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
+          s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
+      val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
+        .mkString(",\n    ")
+      val estTerms = (0 until 16)
+        .map(i => s"CASE WHEN A.m$i = B.m$i THEN 1 ELSE 0 END")
+        .mkString(" +\n      ")
+      s"""WITH ccorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text,
+         |    CAST(floor(length(text) * ((doc_id % 10) / 10.0)) AS INT)
+         |      + 1) AS text
+         |  FROM documents WHERE lang = 'en'),
+         |csh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM ccorpus),
+         |csig AS MATERIALIZED (
+         |  SELECT id,
+         |    $hashCols
+         |  FROM csh GROUP BY id),
+         |cids AS (SELECT doc_id FROM documents),
+         |cpairs AS (
+         |  SELECT a.doc_id AS id_a, a.doc_id + d AS id_b
+         |  FROM cids a CROSS JOIN (SELECT unnest([1, 2, 3]) AS d)
+         |  WHERE a.doc_id + d IN (SELECT doc_id FROM cids)
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 1000000 FROM documents
+         |  WHERE lang = 'en'),
+         |csizes AS (SELECT id, count(*) AS n FROM csh GROUP BY 1),
+         |cinters AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS ni
+         |  FROM cpairs p
+         |  JOIN csh a ON a.id = p.id_a
+         |  JOIN csh b ON b.id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |cscored AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(coalesce(i.ni, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - coalesce(i.ni, 0)) AS j,
+         |    ($estTerms) / 16.0 AS est
+         |  FROM cpairs p
+         |  JOIN csizes sa ON sa.id = p.id_a
+         |  JOIN csizes sb ON sb.id = p.id_b
+         |  LEFT JOIN cinters i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |  JOIN csig A ON A.id = p.id_a
+         |  JOIN csig B ON B.id = p.id_b)
+         |SELECT CAST(least(floor(j * 10), 9.0) AS BIGINT) AS bucket,
+         |  count(*) AS n_pairs,
+         |  round(avg(j), 6) AS avg_jaccard,
+         |  round(avg(est), 6) AS avg_est,
+         |  round(avg(abs(est - j)), 6) AS mae
+         |FROM cscored GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     // same banded candidates as dedup_minhash, Levenshtein verify over
     // the 256-char prefix
