@@ -1280,6 +1280,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- FORWARD as-of (next purchase at or after each click) —
+    //      backward-as-of delegated on negated micros; oracle is
+    //      DuckDB's native ASOF with the <= inequality ----
+    "asof_join_forward" -> ((s, dir) => {
+      import graft.operators.AsOf
+      val ev = eventsWithTsUtc(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_utc")
+        .agg(max("event_id").as("purchase_id"))
+        .select(col("user_id"),
+          unix_micros(col("ts_utc")).as("p_ts_us"), col("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("ts_us"))
+      AsOf.joinAsOfForward(clicks, purchases, Seq("user_id"),
+          "ts_us", "p_ts_us", Seq("purchase_id", "p_ts_us"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_purchase_id").as("purchase_id"),
+          (col("asof_p_ts_us") - col("ts_us")).as("lead_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- the SAME as-of contract through the CUSTOM physical node
     //      (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): declared
     //      ClusteredDistribution + (key, ts) child ordering, one
@@ -4590,6 +4612,20 @@ object SparkEntry {
         |FROM pur p ASOF LEFT JOIN clk c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // forward direction: DuckDB ASOF with <= (first at-or-after)
+    "asof_join_forward" ->
+      """WITH pur AS (
+        |  SELECT user_id, ts AS p_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |clk AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.purchase_id,
+        |  epoch_us(p.p_ts) - epoch_us(c.ts) AS lead_us
+        |FROM clk c ASOF LEFT JOIN pur p
+        |  ON c.user_id = p.user_id AND c.ts <= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
 
     // the custom physical node must equal the plain as-of contract —
     // same native ASOF oracle

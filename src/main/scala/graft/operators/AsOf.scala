@@ -67,6 +67,31 @@ object AsOf {
         payloadCols.map(c => col("__match." + c).as(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of: for every left row, the FIRST right row with
+    * `right.ts >= left.ts` (equal ts inclusive) of the same key — the
+    * next-event attribution dual of [[joinAsOf]] (time-to-conversion,
+    * next-fill lookups). Implemented by DELEGATION: backward-as-of on
+    * negated ticks is exactly forward-as-of on the originals, so the
+    * plan, skew posture, and uniqueness contract are [[joinAsOf]]'s
+    * verbatim. The negation trick needs integral tick columns (a
+    * Catalyst timestamp negate is undefined; cast timestamps to
+    * `unix_micros` first — the [[graft.plans.AsOfExec]] contract). */
+  def joinAsOfForward(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def integral(df: DataFrame, c: String): Boolean =
+      df.schema(c).dataType == LongType || df.schema(c).dataType == IntegerType
+    require(integral(left, leftTs) && integral(right, rightTs),
+      s"forward as-of needs integral tick columns ('$leftTs'/'$rightTs');" +
+        " cast timestamps to unix_micros")
+    joinAsOf(
+        left.withColumn("__neg_ts", -col(leftTs)),
+        right.withColumn("__neg_ts", -col(rightTs)),
+        keys, "__neg_ts", "__neg_ts", rightPayload)
+      .drop("__neg_ts", "asof___neg_ts")
+  }
+
   /** [[joinAsOf]] with a time-bucketed hot-key posture — OUTPUT-
     * IDENTICAL, but the row-level work partitions by (key, bucket)
     * instead of key alone, so a dominant key's timeline spreads over

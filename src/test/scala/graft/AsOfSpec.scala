@@ -56,6 +56,29 @@ class AsOfSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(v === brute(id), s"event $id") }
   }
 
+  test("forward as-of: first right at or AFTER, per key, via negation") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 205L), (3L, "u1", 300L),
+        (4L, "u2", 150L)).toDF("event_id", "k", "t")
+    val right = Seq(("u1", 100L, 10L), ("u1", 250L, 20L),
+        ("u2", 140L, 30L)).toDF("k", "t", "pl")
+    val got = AsOf.joinAsOfForward(left, right, Seq("k"), "t", "t",
+        Seq("pl"))
+      .select("event_id", "asof_pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(1L) === Some(10L), "equal timestamps match (inclusive)")
+    assert(got(2L) === Some(20L), "earliest at-or-after wins")
+    assert(got(3L) === None, "no later right row -> NULL")
+    assert(got(4L) === None, "keys never cross (u2's purchase is earlier)")
+    // typed guard on non-integral ticks
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinAsOfForward(
+        left.withColumn("t", timestamp_micros(col("t"))), right,
+        Seq("k"), "t", "t", Seq("pl"))
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("custom AsOfJoinExec node: output-identical to the window form " +
       "on random frames, plans as the custom operator, golden edges") {
     import graft.plans.AsOfExec
