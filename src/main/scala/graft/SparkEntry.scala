@@ -1633,7 +1633,11 @@ object SparkEntry {
         .select("id_a", "id_b")
         .unionByName(en.select(col("doc_id").as("id_a"),
           (col("doc_id") + lit(1000000L)).as("id_b")))
+      // FOUR consumers of the shingle relation (signatures, sizes,
+      // both inter-join sides) — pin it once; an eval harness runs on
+      // a sample at scale, so the pin is sample-bounded
       val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+        .localCheckpoint()
       val sig = Dedup.minhashSignaturesFrom(sh, 16, Dedup.shaHashFamily)
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
       val inters = pairs
