@@ -46,6 +46,11 @@ object AsOf {
                leftTs: String, rightTs: String,
                rightPayload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    // equality-join NULL semantics: a NULL key never matches (the
+    // window partition would otherwise group left and right NULLs
+    // together and match them); right NULL-key rows are unmatchable,
+    // left NULL-key rows keep NULL payload through the same window
+    val rightNN = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     val payloadCols = (rightTs +: rightPayload).distinct
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val pStruct = struct(payloadCols.map(col): _*)
@@ -54,7 +59,7 @@ object AsOf {
     val lu = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
         lStruct.as("__l"), lit(null).cast(pType).as("__p")): _*)
-    val ru = right.select(
+    val ru = rightNN.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), pStruct.as("__p")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -146,7 +151,9 @@ object AsOf {
         lit(1).as("__side"), lStruct.as("__l"),
         lit(null).cast(pType).as("__p")): _*)
       .withColumn("__bucket", bucketOf(col("__ts")))
-    val ru = right.select(
+    // NULL keys never match (the joinAsOf equality-join discipline)
+    val rightNN = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    val ru = rightNN.select(
       keys.map(col) ++ Seq(tick(right, rightTs).as("__ts"),
         lit(0).as("__side"), lit(null).cast(lType).as("__l"),
         pStruct.as("__p")): _*)
@@ -177,12 +184,21 @@ object AsOf {
     val wIn = Window.partitionBy((keys.map(col) :+ col("__bucket")): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.unionByName(ru)
+    // NULL-SAFE key join back to the carry: a plain equi-join would
+    // silently DROP left rows whose key is NULL (null never equals
+    // null), even though the probe side carries their (key, bucket)
+    // row; <=> keeps them and their carry is NULL by construction
+    // (right NULL keys were filtered). Still a hash-joinable key.
+    val inb = lu.unionByName(ru)
       .withColumn("__inb", last("__p", ignoreNulls = true).over(wIn))
       .filter(col("__side") === 1)
-      .join(priorCarry, keys :+ "__bucket")
-      .withColumn("__match", coalesce(col("__inb"), col("__prior")))
-      .select(left.columns.toIndexedSeq.map(c => col("__l." + c).as(c)) ++
+      .alias("L")
+    val pc = priorCarry.alias("C")
+    val cond = (keys.map(k => col(s"L.$k") <=> col(s"C.$k")) :+
+      (col("L.__bucket") === col("C.__bucket"))).reduce(_ && _)
+    inb.join(pc, cond)
+      .withColumn("__match", coalesce(col("L.__inb"), col("C.__prior")))
+      .select(left.columns.toIndexedSeq.map(c => col("L.__l." + c).as(c)) ++
         payloadCols.map(c => col("__match." + c).as(s"asof_$c")): _*)
   }
 }

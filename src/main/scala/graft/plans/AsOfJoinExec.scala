@@ -190,7 +190,10 @@ object AsOfExec {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val l = left.filter(col(tsCol).isNotNull)
-    val r = right.filter(col(tsCol).isNotNull)
+    // NULL right keys never match (equality-join semantics); NULL
+    // LEFT keys flow through and keep NULL payload — the merge can
+    // never buffer a null right key to pair them with
+    val r = right.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select((keyCol +: tsCol +: payloadCols).distinct.map(col): _*)
     val lPlan = l.queryExecution.analyzed
     val rPlan0 = r.queryExecution.analyzed

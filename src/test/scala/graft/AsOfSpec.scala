@@ -56,6 +56,30 @@ class AsOfSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(v === brute(id), s"event $id") }
   }
 
+  test("NULL keys never match, on all three as-of forms " +
+      "(equality-join semantics, not null-groups-together)") {
+    val left = Seq((1L, Option("a"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((Option("a"), 50L, 7L), (Option.empty[String], 50L, 9L))
+      .toDF("k", "t", "pl")
+    def check(m: Map[Long, Option[Any]], form: String): Unit = {
+      assert(m(1L) === Some(7L), s"$form: keyed row matches")
+      assert(m(2L) === None, s"$form: NULL-key left row must NOT " +
+        "match the NULL-key right row")
+    }
+    check(AsOf.joinAsOf(left, right, Seq("k"), "t", "t", Seq("pl"))
+      .select("event_id", "asof_pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap, "window")
+    check(AsOf.joinAsOfBucketed(left, right, Seq("k"), "t", "t",
+        Seq("pl"), bucketWidth = 10L)
+      .select("event_id", "asof_pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap, "bucketed")
+    check(graft.plans.AsOfExec.joinAsOfExec(left, right, "k", "t",
+        Seq("pl"))
+      .select("event_id", "pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap, "exec")
+  }
+
   test("forward as-of: first right at or AFTER, per key, via negation") {
     val left = Seq((1L, "u1", 100L), (2L, "u1", 205L), (3L, "u1", 300L),
         (4L, "u2", 150L)).toDF("event_id", "k", "t")
