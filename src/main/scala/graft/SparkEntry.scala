@@ -1373,6 +1373,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- interval OVERLAP join (error windows × view windows per
+    //      user): bucketed timeline candidates with the OWNER-BUCKET
+    //      rule — each overlapping pair emits from exactly one bucket
+    //      (the first common one), so no distinct/dedup shuffle ----
+    "interval_overlap" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = eventsWithTsUtc(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("e_start"),
+          (unix_micros(col("ts_utc")) + lit(600L * 1000000L)).as("e_end"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("v_start"),
+          (unix_micros(col("ts_utc")) + lit(300L * 1000000L)).as("v_end"))
+      RangeJoin.intervalOverlap(errors, views, Seq("user_id"),
+          "e_start", "e_end", "v_start", "v_end",
+          bucketWidth = 600L * 1000000L)
+        .select(col("user_id"), col("error_id"), col("view_id"),
+          (least(col("e_end"), col("v_end")) -
+            greatest(col("e_start"), col("v_start"))).as("overlap_us"))
+        .orderBy("user_id", "error_id", "view_id")
+    }),
+
     // ---- per-day funnel conversion (click → purchase within 1 h,
     //      same user): clicks become [ts, ts+1h) intervals, purchases
     //      points, matched by the BUCKETED range join (time-local
@@ -4674,6 +4698,23 @@ object SparkEntry {
         |FROM v JOIN w ON v.user_id = w.user_id
         |  AND v.ts_us >= w.s_us AND v.ts_us < w.e_us
         |GROUP BY 1, 2 ORDER BY v.event_id""".stripMargin,
+
+    // half-open overlap predicate; the bucketed owner rule must equal
+    // the plain inequality join exactly
+    "interval_overlap" ->
+      """WITH er AS (
+        |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_s,
+        |    epoch_us(ts) + 600000000 AS e_e
+        |  FROM events WHERE event_type = 'error'),
+        |vw AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_s,
+        |    epoch_us(ts) + 300000000 AS v_e
+        |  FROM events WHERE event_type = 'view')
+        |SELECT e.user_id, e.error_id, v.view_id,
+        |  least(e.e_e, v.v_e) - greatest(e.e_s, v.v_s) AS overlap_us
+        |FROM er e JOIN vw v ON e.user_id = v.user_id
+        |  AND e.e_s < v.v_e AND v.v_s < e.e_e
+        |ORDER BY e.user_id, error_id, view_id""".stripMargin,
 
     // inclusive-start exclusive-end attribution window, seconds ticks
     "funnel_conversion" ->

@@ -68,4 +68,44 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL-overlap join — the interval × interval completion of
+    * [[pointInInterval]]: left intervals `(key, [ls, le))` matched to
+    * right intervals `(key, [rs, re))` that OVERLAP them
+    * (`ls < re AND rs < le`, half-open semantics). Same timeline
+    * quantization, plus the OWNER-BUCKET rule that keeps the join
+    * duplicate-free WITHOUT a distinct: an overlapping pair co-occupies
+    * every bucket of `[max(ls, rs), min(le, re))`, so exactly one
+    * bucket — the FIRST common one, `bucketOf(max(ls, rs))` — owns the
+    * pair, and the join filter accepts a candidate only in its owner
+    * bucket. No post-join dedup shuffle; candidates per bucket are
+    * bounded by interval density (both sides), independent of key
+    * popularity. Empty intervals (end <= start) match nothing. Columns
+    * must be LONG ticks (the [[pointInInterval]] contract); left and
+    * right column names must be disjoint apart from `keys`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      keys: Seq[String], leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "overlap join needs at least one key column")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val w = bucketWidth
+    def bucketOf(c: Column): Column = {
+      val n = c.cast("long") - pmod(c.cast("long"), lit(w))
+      (n / w).cast("long") // exact: n is a multiple of width
+    }
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bucket", explode(
+        sequence(bucketOf(col(s)), bucketOf(col(e) - 1))))
+    val l = exploded(left, leftStart, leftEnd)
+    val r = exploded(right, rightStart, rightEnd)
+    l.join(r, keys :+ "__bucket")
+      .filter(col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd))
+      // owner-bucket rule: emit each overlapping pair exactly once
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(leftStart), col(rightStart))))
+      .drop("__bucket")
+  }
 }

@@ -54,6 +54,41 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: owner-bucket emits each pair ONCE even when " +
+      "a pair spans many buckets; equals brute force; half-open edges") {
+    // golden: a pair spanning 10 buckets at width 10 must emit once
+    val l1 = Seq((1L, "k", 0L, 100L)).toDF("lid", "k", "ls", "le")
+    val r1 = Seq((1L, "k", 5L, 95L), (2L, "k", 100L, 110L))
+      .toDF("rid", "k", "rs", "re")
+    val g = RangeJoin.intervalOverlap(l1, r1, Seq("k"), "ls", "le",
+        "rs", "re", bucketWidth = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // rid=2 touches at le=100=rs: half-open -> NOT an overlap
+    assert(g.toSeq == Seq((1L, 1L)), g.toSeq)
+    // randomized parity with the brute-force inequality join
+    val rnd = new scala.util.Random(23)
+    val li = (1L to 150L).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i, s"k${rnd.nextInt(5)}", s, s + 1 + rnd.nextInt(800).toLong)
+    }.toDF("lid", "k", "ls", "le")
+    val ri = (1L to 150L).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i, s"k${rnd.nextInt(5)}", s, s + 1 + rnd.nextInt(800).toLong)
+    }.toDF("rid", "k", "rs", "re")
+    for (width <- Seq(64L, 300L, 1200L)) {
+      val got = RangeJoin.intervalOverlap(li, ri, Seq("k"), "ls", "le",
+          "rs", "re", width)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val brute = li.as("l").join(ri.as("r"),
+          $"l.k" === $"r.k" && $"l.ls" < $"r.re" && $"r.rs" < $"l.le")
+        .select($"lid", $"rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"duplicate pairs at width $width")
+      assert(got.toSet === brute.toSet, s"mismatch at width $width")
+    }
+  }
+
   test("plan: equi-join on (key, bucket) — no nested-loop or cartesian") {
     val points = Seq((1L, "k", 5L)).toDF("pid", "k", "ts")
     val iv = Seq(("k", 0L, 10L)).toDF("k", "s", "e")
