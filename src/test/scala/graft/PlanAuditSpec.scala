@@ -358,8 +358,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("r8 monitor/funnel composites carry no cartesian, nested-loop, " +
       "single-partition exchange, or window") {
+    // (asof_join_forward is audited in AsOfSpec — its union-WINDOW
+    // plan is the documented as-of shape; source_terms has its own
+    // audit — its 1-row global total legitimately single-partitions
+    // after a map-side partial)
     for (n <- Seq("funnel_conversion", "q13_cohort", "embedding_drift",
-        "mixture_temperature", "ngram_coverage")) {
+        "mixture_temperature", "ngram_coverage", "interval_overlap")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"cartesian in $n:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
