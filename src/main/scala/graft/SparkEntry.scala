@@ -3547,6 +3547,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- robust outlier detection by MAD (median absolute
+    //      deviation): two exact-quantile passes (each one range-sort
+    //      rank selection, never a global single-partition sort) +
+    //      one map-only count — the length-outlier filter that, unlike
+    //      mean/stddev, a heavy tail cannot drag ----
+    "mad_outliers" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("n_chars").cast("double").as("x"))
+        .filter(col("x").isNotNull)
+      val med = Sampling.exactQuantiles(v, "x", Seq(0.5))
+        .collect()(0).getDouble(1)
+      val mad = Sampling.exactQuantiles(
+          v.select(abs(col("x") - med).as("d")), "d", Seq(0.5))
+        .collect()(0).getDouble(1)
+      v.agg(count(lit(1)).as("n_total"),
+          sum(when(abs(col("x") - med) > lit(1.5) * mad, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(lit(med).as("median"), lit(mad).as("mad"),
+          col("n_total"), col("n_outliers"))
+    }),
+
     // ---- exact distributed quantiles: one range-sort shuffle +
     //      bounded per-partition counts; value at rank ⌊q·(N−1)⌋ ----
     "quantiles_exact" -> ((s, dir) =>
@@ -5630,6 +5651,28 @@ object SparkEntry {
         |    AS position
         |FROM k
         |ORDER BY doc_id""".stripMargin,
+
+    // same rank-at-floor(q(N-1)) discretization as quantiles_exact,
+    // applied twice (median, then median of absolute deviations)
+    "mad_outliers" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS c FROM v),
+        |med AS (
+        |  SELECT x AS m FROM (
+        |    SELECT x, row_number() OVER (ORDER BY x) - 1 AS r FROM v), n
+        |  WHERE r = CAST(floor(0.5 * (c - 1)) AS BIGINT)),
+        |mad AS (
+        |  SELECT dv AS md FROM (
+        |    SELECT abs(x - m) AS dv,
+        |      row_number() OVER (ORDER BY abs(x - m)) - 1 AS r
+        |    FROM v, med), n
+        |  WHERE r = CAST(floor(0.5 * (c - 1)) AS BIGINT))
+        |SELECT m AS median, md AS mad, c AS n_total,
+        |  (SELECT count(*) FROM v, med, mad
+        |   WHERE abs(x - m) > 1.5 * md) AS n_outliers
+        |FROM med, mad, n""".stripMargin,
 
     "quantiles_exact" ->
       """WITH s AS (
