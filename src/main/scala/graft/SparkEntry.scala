@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, TextAnalysis}
+import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, Sessions, Sketch, TextAnalysis}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -1458,6 +1458,30 @@ object SparkEntry {
     //      in week c+o over the cohort size. Two aggregations + one
     //      equi-join on user_id — no window; offsets are multiples of
     //      7 days between week-truncated stamps (exact division) ----
+    // ---- declarative data-quality expectations (the Deequ /
+    //      Great Expectations ingest gate): the whole rule set
+    //      compiles into ONE aggregation pass; verdicts are exact
+    //      long-ratio metrics computed in-plan, never collected ----
+    "dq_expectations" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      check(t(s, dir, "events"), Seq(
+        Completeness("user_id", 1.0),
+        Distinctness("event_id", 1.0),
+        Between("value", 0.0, 100.0, 0.9),
+        InSet("event_type",
+          Seq("click", "purchase", "signup", "view"), 0.9),
+        Completeness("props", 0.99)))
+    }),
+
+    // ---- gap-based batch sessionization with the two-level bucketed
+    //      prefix (per-(key, day-bucket) windows + a bounded summary
+    //      carry) — no window ever partitions the EVENT relation by
+    //      key alone, so a hot key spreads across its buckets ----
+    "sessionize_batch" -> ((s, dir) =>
+      Sessions.sessionize(eventsWithTsUtc(s, dir), "user_id", "ts_utc",
+          "event_id", gapSeconds = 14400L, bucketSeconds = 86400L)
+        .orderBy("user_id", "session_id")),
+
     "q13_cohort" -> ((s, dir) => {
       val ev = eventsWithTsUtc(s, dir)
       val firsts = ev.groupBy("user_id")
@@ -3547,6 +3571,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- EXACT heavy hitters via the two-pass Misra–Gries
+    //      discipline: per-partition bounded sketches emit a candidate
+    //      SUPERSET (P×k rows), an exact verify pass counts only the
+    //      broadcast candidates — the corpus token stream never
+    //      shuffles on its raw key, yet the output is exact ----
+    "heavy_hitters" -> ((s, dir) =>
+      Sketch.heavyHitters(t(s, dir, "documents"), "text", phi = 0.034)),
+
     // ---- robust outlier detection by MAD (median absolute
     //      deviation): two exact-quantile passes (each one range-sort
     //      rank selection, never a global single-partition sort) +
@@ -4777,6 +4809,59 @@ object SparkEntry {
 
     // week-truncated stamps differ by exact multiples of 7 days, so
     // the offset division is exact on both engines
+    // every metric is an exact long ratio; verdicts replay as one
+    // aggregate row fanned out through VALUES-style UNION ALL
+    "dq_expectations" ->
+      """WITH m AS (SELECT
+        |  round(CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) AS m0,
+        |  round(CAST(count(DISTINCT event_id) AS DOUBLE) /
+        |    sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END), 6)
+        |    AS m1,
+        |  round(CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0.0
+        |    AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    count(*), 6) AS m2,
+        |  round(CAST(sum(CASE WHEN event_type IN ('click', 'purchase',
+        |    'signup', 'view') THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    count(*), 6) AS m3,
+        |  round(CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) AS m4
+        |FROM events)
+        |SELECT * FROM (
+        |  SELECT 0 AS rule_id, 'completeness' AS rule,
+        |    'user_id' AS "column", m0 AS metric, 1.0 AS threshold,
+        |    m0 >= 1.0 AS pass FROM m
+        |  UNION ALL SELECT 1, 'distinctness', 'event_id', m1, 1.0,
+        |    m1 >= 1.0 FROM m
+        |  UNION ALL SELECT 2, 'between', 'value', m2, 0.9,
+        |    m2 >= 0.9 FROM m
+        |  UNION ALL SELECT 3, 'in_set', 'event_type', m3, 0.9,
+        |    m3 >= 0.9 FROM m
+        |  UNION ALL SELECT 4, 'completeness', 'props', m4, 0.99,
+        |    m4 >= 0.99 FROM m)
+        |ORDER BY rule_id""".stripMargin,
+
+    // reference definition: whole-key lag + running boundary sum (the
+    // window form the bucketed operator refuses to run at scale)
+    "sessionize_batch" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "q13_cohort" ->
       """WITH firsts AS (
         |  SELECT user_id,
@@ -5651,6 +5736,20 @@ object SparkEntry {
         |    AS position
         |FROM k
         |ORDER BY doc_id""".stripMargin,
+
+    // exact definition the two-pass MG + verify must reproduce: plain
+    // GROUP BY + HAVING over the whole token stream
+    "heavy_hitters" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT unnest($toks) AS tok FROM documents),
+         |n AS (SELECT count(*) AS n_tok FROM toked)
+         |SELECT tok AS token, count(*) AS cnt
+         |FROM toked CROSS JOIN n
+         |GROUP BY tok, n_tok
+         |HAVING count(*) >= ceil(0.034 * n_tok)
+         |ORDER BY cnt DESC, token""".stripMargin
+    },
 
     // same rank-at-floor(q(N-1)) discretization as quantiles_exact,
     // applied twice (median, then median of absolute deviations)

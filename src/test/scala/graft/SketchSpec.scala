@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Sketch
+
+/** Two-pass Misra–Gries exact heavy hitters: the verified output must
+  * equal the brute-force GROUP BY + HAVING definition regardless of
+  * partitioning, and the local MG summary must honor its survival
+  * guarantee with bounded state. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(df: org.apache.spark.sql.DataFrame,
+                         phi: Double) = {
+    val toks = df.select(explode(TextFunctions.tokensCol(col("text"),
+      removeStopwords = false)).as("tok"))
+    val n = toks.count()
+    toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= math.ceil(phi * n))
+      .select(col("tok").as("token"), col("cnt"))
+  }
+
+  private val corpus = {
+    // skewed vocabulary: "alpha" in every doc, "beta" in half, a long
+    // unique tail — plus stopwords, which heavyHitters keeps by default
+    val docs = (0 until 400).map { i =>
+      val tail = s"uniq$i only once w$i"
+      val beta = if (i % 2 == 0) "beta beta" else ""
+      (i.toLong, s"alpha the $beta common word $tail")
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("exact result equals brute force, independent of partitioning") {
+    val expect = bruteForce(corpus, 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expect.nonEmpty && expect.contains("alpha"))
+    for (p <- Seq(1, 7, 32)) {
+      val got = Sketch.heavyHitters(corpus.repartition(p), "text", 0.02)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"p=$p: $got vs $expect")
+    }
+  }
+
+  test("ordering is (cnt desc, token asc) and counts are exact") {
+    val rows = Sketch.heavyHitters(corpus, "text", 0.02).collect()
+    val asSeq = rows.map(r => (r.getLong(1), r.getString(0))).toSeq
+    assert(asSeq == asSeq.sortBy { case (c, t) => (-c, t) })
+    // "alpha" appears exactly once per doc
+    assert(rows.find(_.getString(0) == "alpha").get.getLong(1) == 400L)
+  }
+
+  test("tight phi keeps only the universal token") {
+    // tokens/doc ~ 8-10; alpha is ~1/9 of the stream; phi=0.09 keeps
+    // only the always-present tokens
+    val got = Sketch.heavyHitters(corpus, "text", 0.09)
+      .collect().map(_.getString(0)).toSet
+    val expect = bruteForce(corpus, 0.09)
+      .collect().map(_.getString(0)).toSet
+    assert(got == expect && got.contains("alpha") && !got.contains("uniq0"))
+  }
+
+  test("misraGries: bounded state and survival guarantee") {
+    // stream: 'hot' has freq 40 of 100 (> n/(k+1) for k=4) and MUST
+    // survive; state never exceeds k counters
+    val stream = Seq.fill(40)("hot") ++ (0 until 60).map(i => s"cold$i")
+    // adversarial order: interleave
+    val inter = stream.zipWithIndex.sortBy(_._2 % 7).map(_._1)
+    val (counters, n) = Sketch.misraGries(inter.iterator, 4)
+    assert(n == 100L)
+    assert(counters.size <= 4)
+    assert(counters.contains("hot"))
+  }
+
+  test("empty and null-text inputs yield an empty relation") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sketch.heavyHitters(empty, "text", 0.1).collect().isEmpty)
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(Sketch.heavyHitters(nulls, "text", 0.1).collect().isEmpty)
+  }
+}
