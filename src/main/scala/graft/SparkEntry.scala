@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, Sessions, Sketch, TextAnalysis}
+import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, Sessions, Sketch, TextAnalysis, TextRank}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -3687,6 +3687,15 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- TextRank corpus keywords: PageRank power iteration over
+    //      the word-adjacency graph — the iterative-graph tier (RDD
+    //      loop, edges hash-partitioned once, co-located join per
+    //      iteration, sorted-fold bit-stable sums); the cut rides the
+    //      bounded TopK aggregator on scores rounded BEFORE it ----
+    "textrank_keywords" -> ((s, dir) =>
+      TextRank.keywords(t(s, dir, "documents"), "text", minCount = 2L,
+        iterations = 8, topK = 40)),
+
     // ---- distinctive vocabulary per source: PMI of token|source vs
     //      the corpus, minCount floor, bounded TopK cut per source
     //      (one tokenize pass; marginals derive from the count
@@ -5892,6 +5901,48 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // replays the whole power iteration in chained MATERIALIZED CTEs
+    // (the quality_classifier / bpe_train discipline); (1.0 - 0.85)
+    // is spelled as the same double expression Spark evaluates, and
+    // scores round to 6 dp before the rank cut. Cross-engine float
+    // drift is summation-order only (~1e-15 relative) — far below the
+    // rounding granularity.
+    "textrank_keywords" -> {
+      val toks = sqlToks("text")
+      val iters = (1 to 8).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT e.v AS tok, (1.0 - 0.85) + 0.85 * sum(e.frac * r.s)
+           |    AS s
+           |  FROM e JOIN r${i - 1} r ON r.tok = e.u GROUP BY e.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT $toks AS t FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |  FROM toked WHERE len(t) >= 2),
+         |und AS MATERIALIZED (
+         |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+         |    count(*) AS w
+         |  FROM bg WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+         |dirx AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, w FROM und
+         |  UNION ALL SELECT b AS u, a AS v, w FROM und),
+         |deg AS MATERIALIZED (
+         |  SELECT u, CAST(sum(w) AS BIGINT) AS du FROM dirx GROUP BY 1),
+         |e AS MATERIALIZED (
+         |  SELECT d.u, d.v, CAST(d.w AS DOUBLE) / deg.du AS frac
+         |  FROM dirx d JOIN deg ON deg.u = d.u),
+         |r0 AS MATERIALIZED (SELECT u AS tok, 1.0 AS s FROM deg),
+         |$iters
+         |SELECT CAST(row_number() OVER (ORDER BY round(s, 6) DESC, tok)
+         |    AS INT) AS rank,
+         |  tok AS token, round(s, 6) AS score
+         |FROM r8
+         |ORDER BY rank
+         |LIMIT 40""".stripMargin
     },
 
     // same bigram stream as lm_perplexity; PMI marginals are the

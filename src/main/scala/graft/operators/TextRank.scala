@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/** TextRank corpus keywords (Mihalcea & Tarau 2004) — PageRank power
+  * iteration over the word-adjacency graph, the graph-centrality
+  * keyword signal that pure frequency (RAKE's degree/frequency score,
+  * [[Rake]]) cannot express. This is also the repo's iterative-graph
+  * tier: the same loop shape (bounded vertex relation, edge-join +
+  * re-key + aggregate per iteration, partitioner reuse) is how
+  * PageRank/label-propagation run on Spark at scale.
+  *
+  * Graph: vertices are stopword-filtered tokens; an undirected edge
+  * joins each ADJACENT pair of the filtered token stream, weighted by
+  * corpus-wide adjacency count (window 2, the paper's default).
+  * Scores iterate S(v) = (1-d) + d * sum_{u~v} [w_uv / wdeg(u)] * S(u)
+  * from S = 1.0, d = 0.85, a FIXED iteration count (no convergence
+  * probe — determinism over adaptivity, the quality-classifier
+  * discipline).
+  *
+  * Scale shape: the corpus-sized token stream is aggregated ONCE into
+  * the Zipf-bounded adjacency-count relation (`minCount` prunes the
+  * long tail BEFORE the loop). The iteration then runs on the RDD
+  * layer — per the repo rule that per-iteration DataFrame loops pay
+  * ~100 ms of Catalyst planning each — with the edge relation hash-
+  * partitioned ONCE and persisted: each iteration is one co-located
+  * join (zero shuffle — ranks carry the same partitioner) plus one
+  * re-key shuffle of the contribution stream, the canonical
+  * PageRank-on-Spark cost.
+  *
+  * Determinism: per-vertex contributions are folded in SORTED source-
+  * token order (not reduce order), so scores are bit-stable across
+  * partitionings and runs; the final projection rounds to 6 dp and
+  * ties break on the token, so the top-k cut replays in any engine.
+  *
+  * Output: (rank 1-based, token, score desc 6 dp).
+  */
+object TextRank {
+
+  def keywords(df: DataFrame, textCol: String, minCount: Long = 1L,
+               iterations: Int = 8, damping: Double = 0.85,
+               topK: Int = 40): DataFrame = {
+    require(minCount >= 1L && iterations >= 1 && topK >= 1 &&
+      damping > 0.0 && damping < 1.0,
+      s"bad spec: $minCount/$iterations/$damping/$topK")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // ONE corpus aggregation: undirected adjacent-pair counts, tail
+    // pruned before anything iterates
+    val toked = df.select(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = true).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val bg = toked
+      .select(explode(sequence(lit(1), size(col("_t")) - 1)).as("_i"),
+        col("_t"))
+      .select(element_at(col("_t"), col("_i")).as("w1"),
+        element_at(col("_t"), col("_i") + 1).as("w2"))
+      .filter(col("w1") =!= col("w2")) // no self-loops
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+    val und = bg.groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+
+    val parts = spark.sparkContext.defaultParallelism
+    val partitioner = new HashPartitioner(parts)
+    // both directions; frac = w_uv / wdeg(u) precomputed once
+    val directed = und.as[(String, String, Long)].rdd
+      .flatMap { case (a, b, w) => Iterator((a, (b, w)), (b, (a, w))) }
+    val wdeg = directed.mapValues(_._2).reduceByKey(partitioner, _ + _)
+    val edges = directed.join(wdeg, partitioner)
+      .map { case (u, ((v, w), du)) => (u, (v, w.toDouble / du)) }
+      .partitionBy(partitioner)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = wdeg.mapValues(_ => 1.0) // same partitioner as edges
+
+    for (_ <- 1 to iterations) {
+      val contribs = edges.join(ranks) // co-located: zero shuffle
+        .map { case (u, ((v, frac), s)) => (v, (u, frac * s)) }
+      ranks = contribs.groupByKey(partitioner)
+        .mapValues { cs => // sorted fold: bit-stable sum order
+          val it = cs.toArray.sortBy(_._1)
+          var acc = 0.0
+          it.foreach(acc += _._2)
+          1.0 - damping + damping * acc
+        }
+    }
+    // round BEFORE the cut so the top-k boundary replays cross-engine;
+    // the rank rides the bounded map-side TopK aggregator (constant
+    // group), never a whole-relation rank window
+    val scored = ranks.toDF("token", "_s")
+      .select(col("token"), round(col("_s"), 6).as("score"))
+      .localCheckpoint() // eager: runs the 8-stage loop once against
+                         // the cached edges, then the cache can go
+    edges.unpersist(blocking = false)
+    TopK.perGroup(
+        scored.select(lit("all").as("g"), col("token").as("doc_id"),
+          col("token").as("chunk_id"), col("score")),
+        "g", topK)
+      .select(col("rank"), col("doc_id").as("token"), col("score"))
+      .orderBy("rank")
+  }
+}
