@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, Sessions, Sketch, TextAnalysis, TextRank}
+import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, Sessions, Sketch, TextAnalysis, TextRank, Winnow}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
 import graft.streaming.Sync
@@ -3687,6 +3687,15 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- winnowing fingerprints (MOSS): per-doc window-min selection
+    //      at 2/(w+1) density with the w+k-1 shared-run guarantee;
+    //      overlap pairs ride the fingerprint posting lists with a
+    //      maxDf boilerplate guard — never all-pairs ----
+    "winnow_overlap" -> ((s, dir) =>
+      Winnow.overlapPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, minShared = 2L, maxDf = 50L)
+        .orderBy("id_a", "id_b")),
+
     // ---- TextRank corpus keywords: PageRank power iteration over
     //      the word-adjacency graph — the iterative-graph tier (RDD
     //      loop, edges hash-partitioned once, co-located join per
@@ -5901,6 +5910,38 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the hash||inverted-pos min-key trick replays verbatim: one
+    // window-min per doc, distinct winners, posting-list pair join
+    "winnow_overlap" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT doc_id, $toks AS t FROM documents),
+         |gr AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(list_aggregate(t[i:i+3], 'string_agg', ' ')) AS h
+         |  FROM toked, unnest(range(1, len(t) - 2)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |keyed AS (
+         |  SELECT doc_id, pos,
+         |    h || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS hk
+         |  FROM gr),
+         |wmin AS (
+         |  SELECT doc_id, pos,
+         |    min(hk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+         |  FROM keyed),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, substr(mk, 1, 32) AS h
+         |  FROM wmin WHERE pos >= 3),
+         |keep AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 50),
+         |s2 AS (SELECT sel.doc_id, sel.h FROM sel JOIN keep USING (h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared
+         |FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     // replays the whole power iteration in chained MATERIALIZED CTEs
