@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextFunctions, UrlFunctions, VectorFunctions}
 import graft.operators.{BenchmarkDatasets, Bm25, Bpe, Chunking, Dedup, IrMetrics, Knn, Maintenance, Pq, Rake, Rrf, Sampling, Sessions, Sketch, TextAnalysis, TextRank, Winnow}
 import graft.pipeline.Predicates
 import graft.search.{Ingest, SearchEngine}
@@ -3687,6 +3687,42 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- URL canonicalization (RFC 3986 normalization + tracking-
+    //      param strip) — the crawl pipeline's first dedup key. URLs
+    //      are synthesized IN-PLAN from doc fields (the mixed_language
+    //      splice precedent: the corpus has no URL column) with scheme
+    //      case, default ports, param order, tracking params, trailing
+    //      slashes, and fragments all varying; the canonical form
+    //      collapses them. Map-only until the one dedup groupBy. ----
+    "url_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val page = (d % 50).cast("string")
+      val raw = docs.select(d.as("doc_id"), concat(
+        when(d % 4 === 0, lit("http")).when(d % 4 === 1, lit("HTTP"))
+          .when(d % 4 === 2, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(d % 2 === 0, lit("WWW.Example.COM"))
+          .otherwise(lit("www.example.com")),
+        when(d % 8 === 0, lit(":80")).when(d % 8 === 6, lit(":443"))
+          .otherwise(lit("")),
+        lit("/"), col("source"), lit("/p"), page,
+        when(d % 5 === 0, lit("/")).when(d % 5 === 1, lit("//"))
+          .otherwise(lit("")),
+        when(d % 3 === 0, lit("?b=2&a=1&utm_source=rss"))
+          .when(d % 3 === 1, lit("?a=1&b=2"))
+          .otherwise(lit("?a=1&utm_campaign=x&b=2&gclid=zzz")),
+        when(d % 2 === 0, concat(lit("#sec"), page)).otherwise(lit("")))
+        .as("raw_url"))
+      raw.select(col("doc_id"), col("raw_url"),
+          UrlFunctions.canonicalizeUrl(col("raw_url")).as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("raw_url")).as("n_variants"),
+          min("doc_id").as("keeper"))
+        .orderBy("url")
+    }),
+
     // ---- winnowing fingerprints (MOSS): per-doc window-min selection
     //      at 2/(w+1) density with the w+k-1 shared-run guarantee;
     //      overlap pairs ride the fingerprint posting lists with a
@@ -5911,6 +5947,64 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // same in-plan URL synthesis, same regexp-part canonicalization;
+    // list_aggregate over an empty list is NULL (vs Spark's "") —
+    // coalesced before the '?' reattach
+    "url_canonical" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+        |      WHEN 2 THEN 'https' ELSE 'HTTPS' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'
+        |        ELSE 'www.example.com' END)
+        |    || (CASE doc_id % 8 WHEN 0 THEN ':80' WHEN 6 THEN ':443'
+        |        ELSE '' END)
+        |    || '/' || source || '/p' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '//'
+        |        ELSE '' END)
+        |    || (CASE doc_id % 3 WHEN 0 THEN '?b=2&a=1&utm_source=rss'
+        |        WHEN 1 THEN '?a=1&b=2'
+        |        ELSE '?a=1&utm_campaign=x&b=2&gclid=zzz' END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |        THEN '#sec' || CAST(doc_id % 50 AS VARCHAR)
+        |        ELSE '' END) AS raw_url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, raw_url,
+        |    lower(regexp_extract(raw_url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    lower(regexp_extract(raw_url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+        |    regexp_extract(raw_url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rp,
+        |    regexp_extract(raw_url, '\?([^#]*)', 1) AS rq
+        |  FROM raw),
+        |q AS (
+        |  SELECT *, list_aggregate(list_sort(list_filter(
+        |      string_split(rq, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)='))),
+        |      'string_agg', '&') AS qs
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    CASE WHEN sch = '' THEN raw_url ELSE
+        |    sch || '://'
+        |    || (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+        |        WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+        |        ELSE hp END)
+        |    || (CASE WHEN regexp_replace(rp, '/+$', '') = '' THEN '/'
+        |        ELSE regexp_replace(rp, '/+$', '') END)
+        |    || (CASE WHEN coalesce(qs, '') = '' THEN ''
+        |        ELSE '?' || qs END) END AS url
+        |  FROM q)
+        |SELECT url, count(*) AS n_urls,
+        |  count(DISTINCT raw_url) AS n_variants,
+        |  min(doc_id) AS keeper
+        |FROM c GROUP BY url
+        |ORDER BY url""".stripMargin,
 
     // the hash||inverted-pos min-key trick replays verbatim: one
     // window-min per doc, distinct winners, posting-list pair join
