@@ -3687,6 +3687,77 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- OLAP rollup: per-(source, lang) doc stats with subtotal and
+    //      grand-total levels in ONE pass (Spark expands grouping sets
+    //      map-side — no per-level rescan); grouping indicators make
+    //      the NULL-vs-subtotal distinction explicit ----
+    "q14_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(grouping("source").cast("int").as("g_source"),
+          grouping("lang").cast("int").as("g_lang"),
+          count(lit(1)).as("n_docs"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 6)
+            .as("avg_chars"))
+        .select(col("source"), col("lang"), col("g_source"),
+          col("g_lang"), col("n_docs"), col("avg_chars"))
+        .orderBy("g_source", "g_lang", "source", "lang")),
+
+    // ---- daily event-count anomalies: trailing-7-day z-score per
+    //      event type. The window runs over the BOUNDED (type × day)
+    //      daily-count relation, never raw events; variance derives
+    //      from integer window sums (s1, s2) so both engines compute
+    //      the identical double expression ----
+    "events_anomaly" -> ((s, dir) => {
+      val daily = eventsWithTsUtc(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts_utc")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("n7", count(col("c")).over(w))
+        .withColumn("s1", sum(col("c")).over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("mean", col("s1").cast("double") / 7.0)
+        .withColumn("sd", sqrt(
+          (col("s2").cast("double") - col("s1").cast("double") *
+            col("s1") / 7.0) / 6.0))
+        .withColumn("z", when(col("sd") > 0.0,
+          round((col("c").cast("double") - col("mean")) / col("sd"), 6)))
+        .select(col("event_type"), col("day"), col("c"),
+          round(col("mean"), 6).as("mean7"), col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- join-key skew probe: the "should I salt?" advisor — per-key
+    //      counts once, stats + bounded TopK cut from that relation ----
+    "skew_probe" -> ((s, dir) => {
+      import graft.operators.Skew
+      Skew.probe(t(s, dir, "orders"), "o_custkey", topK = 5)
+    }),
+
+    // ---- incremental exact dedup — the production nightly shape:
+    //      today's batch dedupes within itself, then anti-joins the
+    //      historical corpus's DISTINCT hash relation; history rows
+    //      are never re-shuffled. Cross-corpus and in-batch dups are
+    //      spliced in-plan (the corpus has no exact dups at sf0.01) ----
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 10 < 8)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+      val copiesOfHistory = history.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val inBatchDups = fresh.filter(col("doc_id") % 10 === 8)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val incoming = fresh.unionByName(copiesOfHistory)
+        .unionByName(inBatchDups)
+      Dedup.exactIncremental(incoming, history, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- URL canonicalization (RFC 3986 normalization + tracking-
     //      param strip) — the crawl pipeline's first dedup key. URLs
     //      are synthesized IN-PLAN from doc fields (the mixed_language
@@ -5947,6 +6018,91 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // GROUP BY ROLLUP with explicit GROUPING() indicators; the avg is
+    // the exact sum/count ratio rounded once
+    "q14_rollup" ->
+      """SELECT source, lang,
+        |  GROUPING(source) AS g_source, GROUPING(lang) AS g_lang,
+        |  count(*) AS n_docs,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)
+        |ORDER BY g_source, g_lang, source, lang""".stripMargin,
+
+    // trailing-7-row integer sums (s1, s2) -> identical double math
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, c,
+        |    count(c) OVER w AS n7,
+        |    CAST(sum(c) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(c * c) OVER w AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |sc AS (
+        |  SELECT event_type, day, c,
+        |    CAST(s1 AS DOUBLE) / 7.0 AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 7.0)
+        |      / 6.0) AS sd
+        |  FROM win WHERE n7 = 7)
+        |SELECT event_type, day, c, round(mean, 6) AS mean7,
+        |  CASE WHEN sd > 0.0
+        |    THEN round((CAST(c AS DOUBLE) - mean) / sd, 6) END AS z,
+        |  coalesce(abs(CASE WHEN sd > 0.0
+        |    THEN round((CAST(c AS DOUBLE) - mean) / sd, 6) END) > 2.0,
+        |    false) AS is_anomaly
+        |FROM sc
+        |ORDER BY event_type, day""".stripMargin,
+
+    // per-key counts once; stats and the top-5 cut derive from that
+    // relation (rank replays as cnt desc, key-string asc)
+    "skew_probe" ->
+      """WITH kc AS MATERIALIZED (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM kc),
+        |cut AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key)
+        |      AS INT) AS rank, key, cnt
+        |  FROM kc ORDER BY rank LIMIT 5)
+        |SELECT c.rank, c.key, c.cnt, s.n_keys, s.total,
+        |  round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total, 6)
+        |    AS skew_ratio
+        |FROM cut c CROSS JOIN stats s
+        |ORDER BY rank""".stripMargin,
+
+    // history's distinct hashes are the only thing the batch sees;
+    // in-batch keep-first then the anti-join, same splice
+    "dedup_incremental" ->
+      """WITH history AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+        |incoming AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM history
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 8),
+        |kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+        |    FROM incoming)
+        |  WHERE doc_id = keep_id)
+        |SELECT k.doc_id FROM kept k
+        |WHERE sha256(k.text) NOT IN (SELECT sha256(text) FROM history)
+        |ORDER BY doc_id""".stripMargin,
 
     // same in-plan URL synthesis, same regexp-part canonicalization;
     // list_aggregate over an empty list is NULL (vs Spark's "") —

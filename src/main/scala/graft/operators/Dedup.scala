@@ -49,6 +49,27 @@ object Dedup {
       .drop("__keep_id")
   }
 
+  /** Incremental exact dedup — the PRODUCTION dedup shape: today's
+    * batch deduplicates against the historical corpus without ever
+    * re-shuffling history's rows. Two stages, both on the hash key:
+    * (1) within-batch keep-first ([[exactRows]] semantics over the
+    * incoming relation only); (2) a left-anti join of survivors
+    * against history's DISTINCT hash relation. At 100 TB the history
+    * side is a hash-bucketed table of one 32-byte column per distinct
+    * doc — the anti-join co-locates on that bucketing and history's
+    * text is never read (column pruning keeps the scan to the hash, or
+    * to `textCol` once, if hashes aren't materialized).
+    * Output: the surviving incoming rows, all columns. */
+  def exactIncremental(incoming: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = history
+      .select(contentHash(col(textCol)).as("__h")).distinct()
+    exactRows(incoming, idCol, textCol)
+      .withColumn("__h", contentHash(col(textCol)))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Distinct token n-gram shingles per doc: (id, shingle).
     * The token array is projected FIRST so the gram lambda references a
     * materialized attribute — inlining the tokenizer expression into the

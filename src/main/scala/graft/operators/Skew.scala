@@ -43,4 +43,35 @@ object Skew {
     partial.groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Join-key skew probe — the "should I salt this join?" advisor run
+    * BEFORE committing a shuffle plan: per-key counts in one
+    * aggregation, the corpus-level skew statistics (max/mean ratio)
+    * derived from that bounded relation, and the top-k hottest keys
+    * cut with the bounded [[TopK]] aggregator (no rank window). A
+    * skew_ratio near 1 means hash partitioning balances; a ratio of R
+    * means the hottest key's partition carries ~R× the average — the
+    * number that decides `numSalts` for [[saltedJoin]].
+    * Output: (rank, key STRING, cnt, n_keys, total, skew_ratio). */
+  def probe(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    val kc = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // two consumers: stats + top-k cut
+    val stats = broadcast(kc.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+      max("cnt").as("max_cnt")))
+    TopK.perGroup(
+        kc.select(lit("all").as("g"), col("key").as("doc_id"),
+          col("key").as("chunk_id"), col("cnt").cast("double").as("score")),
+        "g", topK)
+      .select(col("rank"), col("doc_id").as("key"),
+        col("score").cast("long").as("cnt"))
+      .crossJoin(stats)
+      .select(col("rank"), col("key"), col("cnt"), col("n_keys"),
+        col("total"),
+        round(col("max_cnt").cast("double") * col("n_keys") /
+          col("total"), 6).as("skew_ratio"))
+      .orderBy("rank")
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Skew}
+
+/** Incremental exact dedup semantics and the skew-probe advisor. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactIncremental: in-batch keep-first, then history anti-join") {
+    val history = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "aaa"), // dup of history -> dropped
+      (11L, "ccc"), (12L, "ccc"), // in-batch dup -> keep 11
+      (13L, "ddd"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactIncremental(incoming, history, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 13L), got)
+  }
+
+  test("exactIncremental: an in-batch dup of a history doc dies even " +
+      "when the batch's keeper is not the history copy") {
+    val history = Seq((1L, "xxx")).toDF("doc_id", "text")
+    val incoming = Seq((5L, "xxx"), (6L, "xxx")).toDF("doc_id", "text")
+    assert(Dedup.exactIncremental(incoming, history, "doc_id", "text")
+      .count() == 0L)
+  }
+
+  test("exactIncremental keeps all incoming columns") {
+    val history = Seq((1L, "aaa", "en")).toDF("doc_id", "text", "lang")
+    val incoming = Seq((2L, "bbb", "de")).toDF("doc_id", "text", "lang")
+    val rows = Dedup.exactIncremental(incoming, history, "doc_id", "text")
+      .collect()
+    assert(rows.length == 1 && rows(0).getString(2) == "de")
+  }
+
+  test("skew probe: ratio is max/mean and the cut is (cnt desc, key)") {
+    // key "hot" 6x, "a" 2x, "b" 2x, "c" 2x -> mean 3, ratio 2.0
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "b", "c", "c"))
+      .toDF("k")
+    val rows = Skew.probe(df, "k", topK = 3).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("hot", "a", "b"))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(rows(0).getLong(2) == 6L)
+    assert(rows(0).getLong(3) == 4L) // n_keys
+    assert(rows(0).getLong(4) == 12L) // total
+    assert(rows(0).getDouble(5) == 2.0) // 6 / (12/4)
+  }
+
+  test("skew probe plan: no rank window over the key-count relation") {
+    val df = Seq("a", "b", "a").toDF("k")
+    val p = Skew.probe(df, "k", topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+}
