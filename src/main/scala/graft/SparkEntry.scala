@@ -3687,6 +3687,83 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- Z-order layout + zone-map skipping audit: the lakehouse
+    //      OPTIMIZE decision made with a measured number — rows laid
+    //      out three ways (arrival order, single-column sort, Morton
+    //      interleave), cut into equal "files", and a range predicate
+    //      scored by how many files its min/max zone maps provably
+    //      skip. Rank is the relational zipWithIndex; everything
+    //      after it is files-sized ----
+    "zorder_skipping" -> ((s, dir) => {
+      import graft.operators.Layout
+      import graft.operators.Layout.RangePred
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("value").cast("double").as("value"), col("user_id"))
+      val xb = least(lit(31L), floor(col("value") / 16.0).cast("long"))
+      val yb = least(lit(31L), floor(col("user_id") / 5.0).cast("long"))
+      val withZ = ev.withColumn("zkey", Layout.zorderKey2(xb, yb, 5))
+      val preds = Seq(
+        RangePred("p_x", Some(120.0), Some(180.0), None, None),
+        RangePred("p_y", None, None, Some(40.0), Some(60.0)),
+        RangePred("p_xy", Some(120.0), Some(180.0),
+          Some(40.0), Some(60.0)))
+      Seq(
+        Layout.skippingAudit(withZ, "natural", Seq("event_id"),
+          "value", "user_id", 64, preds),
+        Layout.skippingAudit(withZ, "value_sorted",
+          Seq("value", "event_id"), "value", "user_id", 64, preds),
+        Layout.skippingAudit(withZ, "zorder", Seq("zkey", "event_id"),
+          "value", "user_id", 64, preds))
+        .reduce(_ unionByName _)
+        .orderBy("layout", "predicate")
+    }),
+
+    // ---- GROUP-ATOMIC split (GroupKFold / leakage-safe): the split
+    //      key is the SOURCE hash, so near-duplicate docs from one
+    //      source can never straddle train/test — hashSplit keyed on
+    //      the group column, the one-line fix for split leakage ----
+    "split_grouped" -> ((s, dir) =>
+      TextAnalysis.hashSplit(t(s, dir, "documents"), "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "gsplit")
+        .groupBy("split")
+        .agg(count_distinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("split")),
+
+    // ---- sample-based quantile estimation with an HONEST rank-error
+    //      audit (the ann_recall / dedup_calibration discipline for
+    //      order statistics): estimate quantiles on a 20% sha-uniform
+    //      sample, then measure each estimate's TRUE rank against the
+    //      full corpus — the sampling-error tuning loop for "how small
+    //      a sample can size my range partitioner / histogram" ----
+    "quantiles_sampled" -> ((s, dir) => {
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("x"))
+        .filter(col("x").isNotNull)
+      val sample = TextAnalysis.hashSplit(docs, "doc_id",
+          Seq("keep" -> 0.2, "rest" -> 0.8), salt = "qsample")
+        .filter(col("split") === "keep")
+      val est = Sampling.exactQuantiles(sample, "x", qs)
+        .select(col("q"), col("value").as("est_value"))
+      val exact = Sampling.exactQuantiles(docs, "x", qs)
+        .select(col("q"), col("value").as("exact_value"))
+      // true rank of each estimate: one pass over the corpus against
+      // the broadcast 5-row estimate relation (map-side partials)
+      val ranks = docs.crossJoin(broadcast(est))
+        .groupBy("q", "est_value")
+        .agg(sum(when(col("x") <= col("est_value"), 1L).otherwise(0L))
+          .as("rank_le"), count(lit(1)).as("n"))
+        .select(col("q"), col("est_value"),
+          round(abs(col("rank_le").cast("double") / col("n")
+            - col("q")), 6).as("rank_error"))
+      exact.join(ranks, "q")
+        .select(col("q"), col("exact_value"), col("est_value"),
+          col("rank_error"))
+        .orderBy("q")
+    }),
+
     // ---- OLAP rollup: per-(source, lang) doc stats with subtotal and
     //      grand-total levels in ONE pass (Spark expands grouping sets
     //      map-side — no per-level rescan); grouping indicators make
@@ -6017,6 +6094,118 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same Morton arithmetic, same floor(rank*F/N) file cut, same
+    // box-overlap skip rule, per layout
+    "zorder_skipping" -> {
+      val zterms = (0 until 5).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def layoutCte(name: String, order: String) =
+        s"""f_$name AS (
+           |  SELECT floor((row_number() OVER (ORDER BY $order) - 1)
+           |      * 64.0 / (count(*) OVER ())) AS file,
+           |    value, user_id
+           |  FROM ev),
+           |z_$name AS (
+           |  SELECT '$name' AS layout, file,
+           |    min(CAST(value AS DOUBLE)) AS min_x,
+           |    max(CAST(value AS DOUBLE)) AS max_x,
+           |    min(CAST(user_id AS DOUBLE)) AS min_y,
+           |    max(CAST(user_id AS DOUBLE)) AS max_y
+           |  FROM f_$name GROUP BY file)""".stripMargin
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT event_id, CAST(value AS DOUBLE) AS value, user_id,
+         |    least(31, CAST(floor(CAST(value AS DOUBLE) / 16.0)
+         |      AS BIGINT)) AS xb,
+         |    least(31, CAST(floor(user_id / 5.0) AS BIGINT)) AS yb
+         |  FROM events),
+         |ev2 AS MATERIALIZED (
+         |  SELECT *, $zterms AS zkey FROM ev),
+         |${layoutCte("natural", "event_id")},
+         |${layoutCte("value_sorted", "value, event_id")
+            .replace("FROM ev)", "FROM ev2)")},
+         |${layoutCte("zorder", "zkey, event_id")
+            .replace("FROM ev)", "FROM ev2)")},
+         |zones AS (
+         |  SELECT * FROM z_natural
+         |  UNION ALL SELECT * FROM z_value_sorted
+         |  UNION ALL SELECT * FROM z_zorder),
+         |preds AS (
+         |  SELECT * FROM (VALUES
+         |    ('p_x', 120.0, 180.0, NULL, NULL),
+         |    ('p_y', NULL, NULL, 40.0, 60.0),
+         |    ('p_xy', 120.0, 180.0, 40.0, 60.0))
+         |    AS t(predicate, lo_x, hi_x, lo_y, hi_y)),
+         |audit AS (
+         |  SELECT layout, predicate,
+         |    count(*) AS n_files,
+         |    CAST(sum(CASE WHEN NOT (
+         |      (lo_x IS NULL OR max_x >= lo_x) AND
+         |      (hi_x IS NULL OR min_x <= hi_x) AND
+         |      (lo_y IS NULL OR max_y >= lo_y) AND
+         |      (hi_y IS NULL OR min_y <= hi_y)) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_skipped
+         |  FROM zones CROSS JOIN preds
+         |  GROUP BY layout, predicate)
+         |SELECT layout, predicate, n_files, n_skipped,
+         |  round(CAST(n_skipped AS DOUBLE) / n_files, 6) AS skip_frac
+         |FROM audit
+         |ORDER BY layout, predicate""".stripMargin
+    },
+
+    // the same sha-uniform rule keyed on source; group atomicity is
+    // structural (one hash -> one split)
+    "split_grouped" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN u < 0.8 THEN 'train'
+        |         WHEN u < 0.9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT source,
+        |      ('0x' || substr(sha256('gsplit:' || source), 1, 8))
+        |        ::UBIGINT / 4294967296.0 AS u
+        |    FROM documents))
+        |SELECT split, count(DISTINCT source) AS n_sources,
+        |  count(*) AS n_docs
+        |FROM s GROUP BY split
+        |ORDER BY split""".stripMargin,
+
+    // estimate = exact quantile over the sha-sampled subset; the rank
+    // audit counts x <= estimate over the full corpus
+    "quantiles_sampled" -> {
+      s"""WITH qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q),
+         |v AS MATERIALIZED (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |samp AS MATERIALIZED (
+         |  SELECT doc_id, x FROM v
+         |  WHERE ('0x' || substr(sha256('qsample:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 8))
+         |    ::UBIGINT / 4294967296.0 < 0.2),
+         |ex AS (
+         |  SELECT q, x AS exact_value FROM (
+         |    SELECT q, x, row_number() OVER (PARTITION BY q ORDER BY x)
+         |      - 1 AS r, count(*) OVER (PARTITION BY q) AS c
+         |    FROM v CROSS JOIN qs)
+         |  WHERE r = CAST(floor(q * (c - 1)) AS BIGINT)),
+         |es AS (
+         |  SELECT q, x AS est_value FROM (
+         |    SELECT q, x, row_number() OVER (PARTITION BY q ORDER BY x)
+         |      - 1 AS r, count(*) OVER (PARTITION BY q) AS c
+         |    FROM samp CROSS JOIN qs)
+         |  WHERE r = CAST(floor(q * (c - 1)) AS BIGINT)),
+         |rk AS (
+         |  SELECT es.q, es.est_value,
+         |    round(abs(CAST(sum(CASE WHEN v.x <= es.est_value THEN 1
+         |      ELSE 0 END) AS DOUBLE) / count(*) - es.q), 6)
+         |      AS rank_error
+         |  FROM v CROSS JOIN es GROUP BY es.q, es.est_value)
+         |SELECT ex.q, ex.exact_value, rk.est_value, rk.rank_error
+         |FROM ex JOIN rk ON ex.q = rk.q
+         |ORDER BY ex.q""".stripMargin
     },
 
     // GROUP BY ROLLUP with explicit GROUPING() indicators; the avg is
