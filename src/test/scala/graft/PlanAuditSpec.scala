@@ -418,4 +418,46 @@ class PlanAuditSpec extends SparkSpec {
         s"executed plan:\n${probePlans.mkString("\n====\n")}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("r8 second-wave queries: no cartesian product anywhere; " +
+      "nested-loop joins only as bounded broadcasts") {
+    // crossJoin(broadcast(<rows-bounded relation>)) legitimately plans
+    // as BroadcastNestedLoopJoin: heavy_hitters (1-row totals),
+    // skew_probe (1-row stats), quantiles_sampled (5-row estimates),
+    // zorder_skipping (1-row count + 3-row predicates)
+    val bnljOk = Set("heavy_hitters", "skew_probe", "quantiles_sampled",
+      "zorder_skipping")
+    for (n <- Seq("heavy_hitters", "dq_expectations", "url_canonical",
+        "q14_rollup", "split_grouped", "winnow_overlap",
+        "dedup_incremental", "textrank_keywords", "skew_probe",
+        "quantiles_sampled", "zorder_skipping", "events_anomaly",
+        "sessionize_batch")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $n:\n$p")
+      if (!bnljOk(n)) assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested loop in $n:\n$p")
+    }
+  }
+
+  test("single-agg-pass queries plan with ZERO joins; heavy_hitters " +
+      "verifies through a broadcast semi-join") {
+    for (n <- Seq("dq_expectations", "q14_rollup", "split_grouped",
+        "url_canonical"))
+      assert(!plan(n).contains("Join"), s"join in $n")
+    val hh = plan("heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin") && hh.contains("LeftSemi"),
+      s"candidate semi-join not broadcast in:\n$hh")
+    assert(!hh.contains("windowspecdefinition"), hh)
+  }
+
+  test("winnow_overlap windows only per document; the pair join is an " +
+      "equi-join on the fingerprint") {
+    val p = plan("winnow_overlap")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("id")),
+      s"non-doc-partitioned window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
