@@ -3687,6 +3687,52 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- join-cardinality predictor (skew_probe's companion): exact
+    //      |L ⋈ R| = Σ f_L(k)·f_R(k) from the two bounded per-key
+    //      count relations — the explosion detector run BEFORE the
+    //      join is allowed into a plan (here: the events self-join) ----
+    "join_cardinality" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = t(s, dir, "events")
+      Skew.joinCardinality(ev, "user_id", ev, "user_id", topK = 5)
+    }),
+
+    // ---- 3-step strict-order funnel (view → click → purchase, each
+    //      step within 24 h): the bucketed as-of operator composed
+    //      TWICE — nearest prior view per click, nearest qualified
+    //      click per purchase; "nearest within window" ≡ "any within
+    //      window" because as-of returns the max prior ts ----
+    "funnel_steps" -> ((s, dir) => {
+      import graft.operators.AsOf
+      val ev = eventsWithTsUtc(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_utc").as("vts"))
+        .agg(max("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_utc").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_utc").as("pts"))
+      val dayUs = 86400L * 1000000L
+      val qc = AsOf.joinAsOfBucketed(clicks, views, Seq("user_id"),
+          "cts", "vts", Seq("view_id"), dayUs)
+        .filter(col("asof_vts").isNotNull &&
+          unix_micros(col("cts")) - unix_micros(col("asof_vts"))
+            <= dayUs)
+        .groupBy(col("user_id"), col("cts"))
+        .agg(max("click_id").as("click_id"))
+      AsOf.joinAsOfBucketed(purchases, qc, Seq("user_id"),
+          "pts", "cts", Seq("click_id"), dayUs)
+        .filter(col("asof_cts").isNotNull &&
+          unix_micros(col("pts")) - unix_micros(col("asof_cts"))
+            <= dayUs)
+        .groupBy(date_trunc("day", col("pts")).as("day"))
+        .agg(count(lit(1)).as("n_funnels"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }),
+
     // ---- Z-order layout + zone-map skipping audit: the lakehouse
     //      OPTIMIZE decision made with a measured number — rows laid
     //      out three ways (arrival order, single-column sort, Morton
@@ -6095,6 +6141,59 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // Σ f_L(k)·f_R(k) from the two count relations; the cut replays
+    // as (contrib desc, key asc)
+    "join_cardinality" ->
+      """WITH lc AS MATERIALIZED (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |co AS MATERIALIZED (
+        |  SELECT a.key, a.c AS left_cnt, b.c AS right_cnt,
+        |    a.c * b.c AS contrib
+        |  FROM lc a JOIN lc b USING (key)),
+        |tot AS (
+        |  SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
+        |    count(*) AS n_match_keys FROM co),
+        |cut AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY contrib DESC, key)
+        |      AS INT) AS rank, key
+        |  FROM co ORDER BY rank LIMIT 5)
+        |SELECT cut.rank, co.key, co.left_cnt, co.right_cnt,
+        |  co.contrib, tot.est_rows, tot.n_match_keys
+        |FROM co JOIN cut USING (key) CROSS JOIN tot
+        |ORDER BY rank""".stripMargin,
+
+    // DuckDB's native ASOF twice, with the same within-window filter
+    // and the same unique-right pre-aggregations
+    "funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS vts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |qc AS (
+        |  SELECT c.user_id, c.cts, max(c.click_id) AS click_id
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.cts >= v.vts
+        |  WHERE v.vts IS NOT NULL
+        |    AND epoch_us(c.cts) - epoch_us(v.vts) <= 86400000000
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT p.purchase_id, p.user_id, p.pts
+        |  FROM p ASOF LEFT JOIN qc
+        |    ON p.user_id = qc.user_id AND p.pts >= qc.cts
+        |  WHERE qc.cts IS NOT NULL
+        |    AND epoch_us(p.pts) - epoch_us(qc.cts) <= 86400000000)
+        |SELECT CAST(date_trunc('day', pts) AS TIMESTAMP) AS day,
+        |  count(*) AS n_funnels,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM fp GROUP BY 1
+        |ORDER BY day""".stripMargin,
 
     // same Morton arithmetic, same floor(rank*F/N) file cut, same
     // box-overlap skip rule, per layout

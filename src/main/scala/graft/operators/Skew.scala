@@ -74,4 +74,43 @@ object Skew {
           col("total"), 6).as("skew_ratio"))
       .orderBy("rank")
   }
+
+  /** Join-cardinality predictor — [[probe]]'s companion, run BEFORE an
+    * equi-join is allowed into a plan: the exact output size of
+    * `left ⋈ right` on a key is Σ_k f_L(k)·f_R(k), computable from the
+    * two BOUNDED per-key count relations without materializing a
+    * single joined row. The top contributors (by f_L·f_R product,
+    * bounded TopK cut) name the keys that would explode — a self-join
+    * on a hot key is quadratic in exactly these terms.
+    * Output: (rank, key STRING, left_cnt, right_cnt, contrib,
+    * est_rows, n_match_keys). */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    def counts(df: DataFrame, k: String, c: String) =
+      df.groupBy(col(k).cast("string").as("key"))
+        .agg(count(lit(1)).as(c))
+    val contrib = counts(left, leftKey, "left_cnt")
+      .join(counts(right, rightKey, "right_cnt"), "key")
+      .withColumn("contrib", col("left_cnt") * col("right_cnt"))
+      .localCheckpoint() // two consumers: totals + top-k cut
+    val totals = broadcast(contrib.agg(
+      sum("contrib").as("est_rows"),
+      count(lit(1)).as("n_match_keys")))
+    val cut = TopK.perGroup(
+        contrib.select(lit("all").as("g"), col("key").as("doc_id"),
+          col("key").as("chunk_id"),
+          col("contrib").cast("double").as("score")),
+        "g", topK)
+      .select(col("rank"), col("doc_id").as("key"))
+    // the bounded cut joins back as the broadcast side (the
+    // distinctiveTerms discipline)
+    contrib.join(broadcast(cut), "key")
+      .crossJoin(totals)
+      .select(col("rank"), col("key"), col("left_cnt"),
+        col("right_cnt"), col("contrib"), col("est_rows"),
+        col("n_match_keys"))
+      .orderBy("rank")
+  }
 }

@@ -49,6 +49,20 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rows(0).getDouble(5) == 2.0) // 6 / (12/4)
   }
 
+  test("joinCardinality: est_rows equals the materialized join size " +
+      "and top contributors rank by product") {
+    val left = (Seq.fill(4)("hot") ++ Seq("a", "a", "b")).toDF("k")
+    val right = (Seq.fill(3)("hot") ++ Seq("a", "c")).toDF("k")
+    val rows = Skew.joinCardinality(left, "k", right, "k", topK = 2)
+      .collect()
+    // hot: 4*3=12, a: 2*1=2; b/c don't match
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(4)))
+      .toSeq == Seq((1, "hot", 12L), (2, "a", 2L)), rows.toSeq.toString)
+    val actual = left.join(right, "k").count()
+    assert(rows(0).getLong(5) == actual && actual == 14L)
+    assert(rows(0).getLong(6) == 2L) // n_match_keys
+  }
+
   test("skew probe plan: no rank window over the key-count relation") {
     val df = Seq("a", "b", "a").toDF("k")
     val p = Skew.probe(df, "k", topK = 2)
