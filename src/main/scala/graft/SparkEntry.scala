@@ -3687,6 +3687,36 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- SCD2 versioned dimension merge (Kimball type 2): closed
+    //      history passes through with NO shuffle; the only exchange
+    //      is one key-equi full-outer join of OPEN rows vs snapshot.
+    //      Two snapshots synthesized in-plan: t2 changes n_chars for
+    //      %7 keys, deletes %11 keys, adds %13 copies as new keys ----
+    "scd2_merge" -> ((s, dir) => {
+      import graft.operators.Scd
+      val docs = t(s, dir, "documents")
+      val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+      val snap1 = docs.select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val snap2 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1000L)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            lit("new").as("source"), col("n_chars")))
+      val dim0 = snap1
+        .withColumn("valid_from", t1)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .filter(lit(false))
+      val dim1 = Scd.scd2Merge(dim0, snap1, "doc_id",
+        Seq("source", "n_chars"), t1)
+      Scd.scd2Merge(dim1, snap2, "doc_id",
+          Seq("source", "n_chars"), t2)
+        .orderBy("doc_id", "valid_from")
+    }),
+
     // ---- join-cardinality predictor (skew_probe's companion): exact
     //      |L ⋈ R| = Σ f_L(k)·f_R(k) from the two bounded per-key
     //      count relations — the explosion detector run BEFORE the
@@ -6141,6 +6171,50 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // the three row fates derived set-wise: closed = changed ∪
+    // deleted at t2; unchanged stay open from t1; opened = changed ∪
+    // new at t2
+    "scd2_merge" ->
+      """WITH s1 AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars FROM documents),
+        |s2 AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, 'new' AS source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |t AS (SELECT TIMESTAMP '2024-01-01 00:00:00' AS t1,
+        |  TIMESTAMP '2024-02-01 00:00:00' AS t2),
+        |changed AS (
+        |  SELECT s1.doc_id FROM s1 JOIN s2 USING (doc_id)
+        |  WHERE s1.source <> s2.source OR s1.n_chars <> s2.n_chars),
+        |deleted AS (
+        |  SELECT doc_id FROM s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM s2)),
+        |newk AS (
+        |  SELECT doc_id FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM s1))
+        |SELECT * FROM (
+        |  SELECT s1.doc_id, s1.source, s1.n_chars,
+        |    t.t1 AS valid_from, t.t2 AS valid_to
+        |  FROM s1 CROSS JOIN t
+        |  WHERE s1.doc_id IN (SELECT doc_id FROM changed)
+        |    OR s1.doc_id IN (SELECT doc_id FROM deleted)
+        |  UNION ALL
+        |  SELECT s1.doc_id, s1.source, s1.n_chars,
+        |    t.t1, CAST(NULL AS TIMESTAMP)
+        |  FROM s1 JOIN s2 USING (doc_id) CROSS JOIN t
+        |  WHERE s1.source = s2.source AND s1.n_chars = s2.n_chars
+        |  UNION ALL
+        |  SELECT s2.doc_id, s2.source, s2.n_chars,
+        |    t.t2, CAST(NULL AS TIMESTAMP)
+        |  FROM s2 CROSS JOIN t
+        |  WHERE s2.doc_id IN (SELECT doc_id FROM changed)
+        |    OR s2.doc_id IN (SELECT doc_id FROM newk))
+        |ORDER BY doc_id, valid_from""".stripMargin,
 
     // Σ f_L(k)·f_R(k) from the two count relations; the cut replays
     // as (contrib desc, key asc)

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 merge — the warehouse-standard
+  * versioned upsert (Kimball SCD2): every business key carries a
+  * history of attribute versions with [valid_from, valid_to) validity;
+  * merging a new snapshot closes changed/deleted versions at the
+  * snapshot timestamp and opens new ones. This is how a 100 TB
+  * pipeline versions its dimension/metadata tables (source registry,
+  * collection config, document provenance) without ever updating a
+  * row in place — append-only, time-travelable.
+  *
+  * Scale shape: closed history passes through UNTOUCHED (no shuffle —
+  * at scale it is the bulk of the table and never needs to move); the
+  * only shuffle is ONE full-outer equi-join between the OPEN rows and
+  * the snapshot on the business key, which co-locates when both sides
+  * are bucketed by that key. Change detection is null-safe per-column
+  * equality (`<=>`), so a null attribute is a value, not a wildcard.
+  *
+  * Row fates out of the join:
+  *  - both sides, attrs equal      → open row unchanged
+  *  - both sides, attrs differ     → old row closed at snapTs + new
+  *                                   open row with the new attrs
+  *  - snapshot only (new key)      → new open row
+  *  - open only (key disappeared)  → closed at snapTs (the standard
+  *                                   hard-delete treatment)
+  */
+object Scd {
+
+  /** @param dim      current dimension: keyCol, attrCols*,
+    *                  valid_from, valid_to (null = open)
+    * @param snapshot  new snapshot: keyCol, attrCols*
+    * @param snapTs    the snapshot's timestamp literal
+    * Output: the merged dimension, same schema as `dim`. */
+  def scd2Merge(dim: DataFrame, snapshot: DataFrame, keyCol: String,
+                attrCols: Seq[String], snapTs: Column): DataFrame = {
+    require(attrCols.nonEmpty, "SCD2 needs at least one tracked attr")
+    val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to")
+    val history = dim.filter(col("valid_to").isNotNull)
+      .select(outCols.map(col): _*)
+    val open = dim.filter(col("valid_to").isNull)
+
+    val snapPrefixed = snapshot.select(
+      (col(keyCol).as("__sk") +:
+        attrCols.map(c => col(c).as(s"__s_$c"))): _*)
+    val joined = open.join(snapPrefixed,
+      col(keyCol) <=> col("__sk"), "full_outer")
+    val inOpen = col("valid_from").isNotNull
+    val inSnap = col("__sk").isNotNull
+    val same = attrCols.map(c => col(c) <=> col(s"__s_$c"))
+      .reduce(_ && _)
+
+    // surviving open rows: unchanged
+    val unchanged = joined.filter(inOpen && inSnap && same)
+      .select(outCols.map(col): _*)
+    // closures: changed or deleted
+    val closed = joined.filter(inOpen && (!inSnap || !same))
+      .select(((col(keyCol) +: attrCols.map(col)) ++
+        Seq(col("valid_from"), snapTs.as("valid_to"))): _*)
+    // openings: changed or brand-new keys
+    val opened = joined.filter(inSnap && (!inOpen || !same))
+      .select(((col("__sk").as(keyCol) +:
+        attrCols.map(c => col(s"__s_$c").as(c))) ++
+        Seq(snapTs.as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))): _*)
+
+    history.unionByName(unchanged).unionByName(closed)
+      .unionByName(opened)
+  }
+}

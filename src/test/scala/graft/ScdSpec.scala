@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd
+
+/** SCD2 merge: the four row fates, null-safe attribute comparison,
+  * idempotence, and the untouched-history contract. */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+  private val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+
+  private def emptyDim(snap: org.apache.spark.sql.DataFrame) = snap
+    .withColumn("valid_from", t1)
+    .withColumn("valid_to", lit(null).cast("timestamp"))
+    .filter(lit(false))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k", "valid_from").collect().map(r =>
+      (r.getString(0), Option(r.get(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+
+  test("change, delete, add, and unchanged fates in one merge") {
+    val snap1 = Seq(("stay", Some("a")), ("chg", Some("x")),
+      ("del", Some("d"))).toDF("k", "v")
+    val snap2 = Seq(("stay", Some("a")), ("chg", Some("y")),
+      ("add", Some("n"))).toDF("k", "v")
+    val dim1 = Scd.scd2Merge(emptyDim(snap1), snap1, "k", Seq("v"), t1)
+    val dim2 = Scd.scd2Merge(dim1, snap2, "k", Seq("v"), t2)
+    assert(rows(dim2) == Seq(
+      ("add", Some("n"), ts("2024-02-01 00:00:00"), None),
+      ("chg", Some("x"), ts("2024-01-01 00:00:00"),
+        Some(ts("2024-02-01 00:00:00"))),
+      ("chg", Some("y"), ts("2024-02-01 00:00:00"), None),
+      ("del", Some("d"), ts("2024-01-01 00:00:00"),
+        Some(ts("2024-02-01 00:00:00"))),
+      ("stay", Some("a"), ts("2024-01-01 00:00:00"), None)),
+      rows(dim2).toString)
+  }
+
+  test("null attributes compare as values, not wildcards") {
+    val snap1 = Seq(("k1", None: Option[String]), ("k2", Some("v")))
+      .toDF("k", "v")
+    val snap2 = Seq(("k1", None: Option[String]), ("k2", None))
+      .toDF("k", "v")
+    val dim1 = Scd.scd2Merge(emptyDim(snap1), snap1, "k", Seq("v"), t1)
+    val dim2 = Scd.scd2Merge(dim1, snap2, "k", Seq("v"), t2)
+    val got = rows(dim2)
+    // k1: null == null -> unchanged; k2: v -> null is a CHANGE
+    assert(got == Seq(
+      ("k1", None, ts("2024-01-01 00:00:00"), None),
+      ("k2", Some("v"), ts("2024-01-01 00:00:00"),
+        Some(ts("2024-02-01 00:00:00"))),
+      ("k2", None, ts("2024-02-01 00:00:00"), None)), got.toString)
+  }
+
+  test("re-merging the same snapshot is a no-op (idempotent)") {
+    val snap = Seq(("a", Some("1")), ("b", Some("2"))).toDF("k", "v")
+    val dim1 = Scd.scd2Merge(emptyDim(snap), snap, "k", Seq("v"), t1)
+    val dim2 = Scd.scd2Merge(dim1, snap, "k", Seq("v"), t2)
+    assert(rows(dim2) == rows(dim1))
+  }
+
+  test("closed history survives merges untouched") {
+    val snap1 = Seq(("a", Some("1"))).toDF("k", "v")
+    val snap2 = Seq(("a", Some("2"))).toDF("k", "v")
+    val snap3 = Seq(("a", Some("3"))).toDF("k", "v")
+    val t3 = lit("2024-03-01 00:00:00").cast("timestamp")
+    val d = Scd.scd2Merge(
+      Scd.scd2Merge(
+        Scd.scd2Merge(emptyDim(snap1), snap1, "k", Seq("v"), t1),
+        snap2, "k", Seq("v"), t2),
+      snap3, "k", Seq("v"), t3)
+    assert(rows(d) == Seq(
+      ("a", Some("1"), ts("2024-01-01 00:00:00"),
+        Some(ts("2024-02-01 00:00:00"))),
+      ("a", Some("2"), ts("2024-02-01 00:00:00"),
+        Some(ts("2024-03-01 00:00:00"))),
+      ("a", Some("3"), ts("2024-03-01 00:00:00"), None)),
+      rows(d).toString)
+  }
+}
