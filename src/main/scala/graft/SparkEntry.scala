@@ -3687,6 +3687,18 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- ε-DP Laplace release of per-language counts (sensitivity-1
+    //      count + Laplace(1/ε) noise; the true count never appears in
+    //      the output). The noise draw is the repo's deterministic
+    //      md5-uniform so the release is testable — swap in a secure
+    //      RNG in production and nothing else changes ----
+    "dp_counts" -> ((s, dir) => {
+      import graft.operators.Privacy
+      Privacy.dpGroupCounts(t(s, dir, "documents"), "lang",
+          epsilon = 0.5)
+        .orderBy("lang")
+    }),
+
     // ---- SCD2 versioned dimension merge (Kimball type 2): closed
     //      history passes through with NO shuffle; the only exchange
     //      is one key-equi full-outer join of OPEN rows vs snapshot.
@@ -6171,6 +6183,22 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // identical inverse-CDF Laplace arithmetic on the same md5
+    // uniform; ln drift between libms sits ~10 orders below the 6-dp
+    // rounding
+    "dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n,
+        |    ('0x' || substr(md5(lang || ':42'), 1, 8))::UBIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents GROUP BY lang)
+        |SELECT lang,
+        |  round(CAST(n AS DOUBLE) + (-(1.0 / 0.5)) * sign(u - 0.5) *
+        |    ln(greatest(1e-12, 1.0 - 2.0 * abs(u - 0.5))), 6)
+        |    AS n_noisy,
+        |  0.5 AS epsilon
+        |FROM g ORDER BY lang""".stripMargin,
 
     // the three row fates derived set-wise: closed = changed ∪
     // deleted at t2; unchanged stay open from t1; opened = changed ∪
