@@ -3687,6 +3687,27 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences: P(next | current) from one lag window per user
+    //      (the Sequences posture: per-user timelines are bounded) and
+    //      a row-normalized count relation — the behavioral statistic
+    //      a sequential recommender sanity-checks against ----
+    "event_transitions" -> ((s, dir) => {
+      val ev = eventsWithTsUtc(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_utc", "event_id")
+      val pairs = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"),
+          col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val rowTotals = pairs.groupBy("cur").agg(sum("n").as("row_n"))
+      pairs.join(rowTotals, "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n").cast("double") / col("row_n"), 6).as("p"))
+        .orderBy("cur", "nxt")
+    }),
+
     // ---- ε-DP Laplace release of per-language counts (sensitivity-1
     //      count + Laplace(1/ε) noise; the true count never appears in
     //      the output). The noise draw is the repo's deterministic
@@ -6183,6 +6204,25 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // same lead-per-user stream; marginals derive from the bounded
+    // pair-count relation
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, count(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cur, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.cur, p.nxt, p.n,
+        |  round(CAST(p.n AS DOUBLE) / t.row_n, 6) AS p
+        |FROM pairs p JOIN tot t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
 
     // identical inverse-CDF Laplace arithmetic on the same md5
     // uniform; ln drift between libms sits ~10 orders below the 6-dp
