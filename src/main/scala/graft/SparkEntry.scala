@@ -3687,6 +3687,18 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- HyperLogLog distinct-count calibration: the production
+    //      cardinality sketch (m=256 registers via ONE map-side-
+    //      partial max agg, no corpus-wide distinct shuffle) audited
+    //      against the exact count — the count-distinct sibling of
+    //      ann_recall / quantiles_sampled ----
+    "distinct_sketch" -> ((s, dir) =>
+      Sketch.hllDistinctCalibration(
+        t(s, dir, "documents").select(
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok")),
+        "tok", b = 8)),
+
     // ---- first-order Markov transition matrix over per-user event
     //      sequences: P(next | current) from one lag window per user
     //      (the Sequences posture: per-user timelines are bounded) and
@@ -6203,6 +6215,39 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // identical register construction (md5 32-bit slice, & / >> /
+    // bin+lpad+instr rank) and identical estimator arithmetic; the
+    // register sum is exact dyadic arithmetic, order-independent
+    "distinct_sketch" -> {
+      val toks = sqlToksKeepStop("text")
+      val eRaw = "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z"
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT unnest($toks) AS tok FROM documents),
+         |h AS (
+         |  SELECT CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT
+         |    AS BIGINT) AS hv
+         |  FROM toked),
+         |hw AS (SELECT hv & 255 AS j, hv >> 8 AS w FROM h),
+         |regs AS (
+         |  SELECT j, max(CASE WHEN w = 0 THEN 25
+         |    ELSE instr(lpad(bin(w), 24, '0'), '1') END) AS mj
+         |  FROM hw GROUP BY j),
+         |sk AS (
+         |  SELECT sum(power(2.0, -mj)) + (256.0 - count(*)) AS z,
+         |    256 - count(*) AS v
+         |  FROM regs),
+         |est AS (
+         |  SELECT CASE WHEN $eRaw <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v)
+         |    ELSE $eRaw END AS estimate
+         |  FROM sk),
+         |ex AS (SELECT count(DISTINCT tok) AS n_exact FROM toked)
+         |SELECT ex.n_exact, round(est.estimate, 4) AS n_estimate,
+         |  round(abs(est.estimate - CAST(ex.n_exact AS DOUBLE))
+         |    / ex.n_exact, 4) AS rel_error
+         |FROM ex CROSS JOIN est""".stripMargin
     },
 
     // same lead-per-user stream; marginals derive from the bounded

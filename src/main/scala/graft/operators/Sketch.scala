@@ -107,4 +107,64 @@ object Sketch {
       .select(col("tok").as("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
   }
+
+  /** HyperLogLog distinct-count CALIBRATION (Flajolet 2007) — the
+    * production cardinality sketch audited against the exact answer,
+    * the ann_recall / quantiles_sampled discipline applied to
+    * count-distinct. The sketch side is the 100 TB path: the hashed
+    * stream folds into m = 2^b registers via ONE map-side-partial
+    * max-aggregation (the exchange carries <= P*m rows), no
+    * corpus-wide distinct shuffle; the exact side pays that shuffle
+    * and exists only for the audit.
+    *
+    * Register construction is engine-replayable by design: h = first
+    * 32 md5 bits, register j = h & (m-1), rank = position of the
+    * first 1-bit in the remaining (32-b)-bit word via
+    * `instr(lpad(bin(w)))` — pure integer/string ops. The register
+    * sum Σ 2^-M_j is a sum of dyadic rationals spanning < 53 mantissa
+    * bits, so it is EXACT and summation-order-independent; the final
+    * ln/division is identical double arithmetic both engines.
+    *
+    * Estimator: raw alpha_m * m^2 / Z with the standard small-range
+    * linear-counting branch (E <= 2.5m and empty registers exist).
+    * Output (one row): (n_exact, n_estimate 4 dp, rel_error 4 dp). */
+  def hllDistinctCalibration(df: DataFrame, valueCol: String,
+                             b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"b out of [4,16]: $b")
+    val m = 1 << b
+    val wBits = 32 - b
+    val vals = df.select(col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          md5(col("_v").cast("binary"))), 0))
+    val hashed = vals.select(
+      (h.bitwiseAND(lit((m - 1).toLong))).as("j"),
+      shiftright(h, b).as("w"))
+    val regs = hashed
+      .withColumn("rank", when(col("w") === 0L, lit(wBits + 1))
+        .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1")))
+      .groupBy("j").agg(max("rank").as("mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val sketch = regs.agg(
+      sum(pow(lit(2.0), -col("mj"))).as("z_present"),
+      count(lit(1)).as("n_present"))
+      .select(
+        (col("z_present") +
+          (lit(m.toDouble) - col("n_present"))).as("z"),
+        (lit(m.toLong) - col("n_present")).as("v"))
+      .select(
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / col("z"))
+          .as("e_raw"), col("v"))
+      .select(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(col("e_raw")).as("estimate"))
+    val exact = vals.agg(count_distinct(col("_v")).as("n_exact"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("n_exact"),
+        round(col("estimate"), 4).as("n_estimate"),
+        round(abs(col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact"), 4).as("rel_error"))
+  }
 }

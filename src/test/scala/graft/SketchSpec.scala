@@ -74,6 +74,30 @@ class SketchSpec extends SparkSpec {
     assert(counters.contains("hot"))
   }
 
+  test("HLL calibration: raw-branch accuracy within theory on a " +
+      "high-cardinality stream, independent of partitioning") {
+    val vals = (0 until 60000).map(i => s"value_$i").toDF("v")
+    for (p <- Seq(1, 8)) {
+      val row = Sketch.hllDistinctCalibration(vals.repartition(p), "v",
+        b = 8).collect()(0)
+      assert(row.getLong(0) == 60000L)
+      // sigma = 1.04/sqrt(256) = 6.5%; 5 sigma = 32.5%
+      assert(row.getDouble(2) < 0.325,
+        s"p=$p rel_error=${row.getDouble(2)}")
+      // raw branch: estimate must not be a linear-counting artifact
+      assert(row.getDouble(1) > 640.0)
+    }
+  }
+
+  test("HLL calibration: small cardinality takes the linear-counting " +
+      "branch and lands very close") {
+    val vals = (0 until 40).flatMap(i => Seq.fill(100)(s"tok$i"))
+      .toDF("v")
+    val row = Sketch.hllDistinctCalibration(vals, "v", b = 8).collect()(0)
+    assert(row.getLong(0) == 40L)
+    assert(row.getDouble(2) < 0.15, s"rel_error=${row.getDouble(2)}")
+  }
+
   test("empty and null-text inputs yield an empty relation") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Sketch.heavyHitters(empty, "text", 0.1).collect().isEmpty)
