@@ -3687,6 +3687,87 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- equi-depth histogram (the ANALYZE statistic a cost-based
+    //      optimizer feeds on): 9 exact-quantile cut points (bounded
+    //      scalar collect, the mad_outliers precedent), then one
+    //      map-only bucket pass ----
+    "histogram_equidepth" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("n_chars").cast("double").as("x"))
+        .filter(col("x").isNotNull)
+      val bounds = Sampling.exactQuantiles(v, "x",
+          (1 to 9).map(_ / 10.0))
+        .collect().map(_.getDouble(1))
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("x") > b, 1).otherwise(0)
+      }
+      v.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("x").as("lo"),
+          max("x").as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // ---- churn labeling — ML target construction from the event
+    //      log: a churn gap is >14 days between a user's consecutive
+    //      events; the final event is right-censored against the
+    //      corpus max timestamp. Per-user windows over bounded
+    //      timelines (the Sequences posture) ----
+    "churn_labels" -> ((s, dir) => {
+      val ev = eventsWithTsUtc(s, dir)
+      val horizonS = 14L * 86400L
+      val w = Window.partitionBy("user_id").orderBy("ts_utc", "event_id")
+      val maxTs = broadcast(ev.agg(max("ts_utc").as("corpus_max")))
+      ev.withColumn("next_ts", lead(col("ts_utc"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(unix_timestamp(col("next_ts")) -
+            unix_timestamp(col("ts_utc")) > horizonS, 1L)
+            .otherwise(0L)).as("n_churn_gaps"),
+          max("ts_utc").as("last_ts"))
+        .crossJoin(maxTs)
+        .withColumn("final_churned",
+          unix_timestamp(col("corpus_max")) -
+            unix_timestamp(col("last_ts")) > horizonS)
+        .select("user_id", "n_events", "n_churn_gaps", "last_ts",
+          "final_churned")
+        .orderBy("user_id")
+    }),
+
+    // ---- first-touch vs last-touch attribution over a 24 h lookback
+    //      (the marketing dual of funnel_conversion): clicks land in
+    //      per-purchase lookback intervals via the bucketed range
+    //      join; per purchase, min/max click ts decide whether the
+    //      two attribution models disagree ----
+    "attribution_compare" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = eventsWithTsUtc(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          unix_timestamp(col("ts_utc")).as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (unix_timestamp(col("ts_utc")) - 86400L).as("p_start"),
+          (unix_timestamp(col("ts_utc")) + 1L).as("p_end"),
+          date_trunc("day", col("ts_utc")).as("day"))
+      val touched = RangeJoin.pointInInterval(clicks, purchases,
+          Seq("user_id"), "cts", "p_start", "p_end",
+          bucketWidth = 86400L)
+        .groupBy("purchase_id", "day")
+        .agg(count(lit(1)).as("n_touches"),
+          min("cts").as("first_touch"), max("cts").as("last_touch"))
+      touched.groupBy("day")
+        .agg(count(lit(1)).as("n_attributed"),
+          sum(when(col("first_touch") =!= col("last_touch"), 1L)
+            .otherwise(0L)).as("n_model_disagree"),
+          sum(when(col("n_touches") > 1L, 1L).otherwise(0L))
+            .as("n_multi_touch"))
+        .withColumn("pct_disagree", round(
+          col("n_model_disagree").cast("double") / col("n_attributed"),
+          6))
+        .orderBy("day")
+    }),
+
     // ---- HyperLogLog distinct-count calibration: the production
     //      cardinality sketch (m=256 registers via ONE map-side-
     //      partial max agg, no corpus-wide distinct shuffle) audited
@@ -6216,6 +6297,73 @@ object SparkEntry {
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // same rank-at-floor(q(N-1)) cut points; bucket id = count of
+    // bounds strictly below x (correlated over the 9-row bounds)
+    "histogram_equidepth" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |b AS (
+        |  SELECT x AS bv FROM (
+        |    SELECT q, x, row_number() OVER (PARTITION BY q ORDER BY x)
+        |      - 1 AS r, count(*) OVER (PARTITION BY q) AS c
+        |    FROM v CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+        |      0.6, 0.7, 0.8, 0.9]) AS q))
+        |  WHERE r = CAST(floor(q * (c - 1)) AS BIGINT))
+        |SELECT bucket, count(*) AS n, min(x) AS lo, max(x) AS hi
+        |FROM (
+        |  SELECT x, (SELECT count(*) FROM b WHERE v.x > b.bv) AS bucket
+        |  FROM v)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    // lead-per-user gaps; final event right-censored vs corpus max
+    "churn_labels" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_ts
+        |  FROM events),
+        |m AS (SELECT max(ts) AS corpus_max FROM events)
+    |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN (epoch_us(next_ts) // 1000000)
+        |    - (epoch_us(ts) // 1000000) > 1209600 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churn_gaps,
+        |  max(ts) AS last_ts,
+        |  (epoch_us((SELECT corpus_max FROM m)) // 1000000)
+        |    - (epoch_us(max(ts)) // 1000000) > 1209600
+        |    AS final_churned
+        |FROM g GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // plain inequality join stands in for the bucketed range join;
+    // second-resolution ticks as in the Spark plan
+    "attribution_compare" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    (epoch_us(ts) // 1000000) - 86400 AS p_start,
+        |    (epoch_us(ts) // 1000000) + 1 AS p_end,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |touched AS (
+        |  SELECT p.purchase_id, p.day, count(*) AS n_touches,
+        |    min(c.cts) AS first_touch, max(c.cts) AS last_touch
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts >= p.p_start AND c.cts < p.p_end
+        |  GROUP BY 1, 2)
+        |SELECT day, count(*) AS n_attributed,
+        |  CAST(sum(CASE WHEN first_touch <> last_touch THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_model_disagree,
+        |  CAST(sum(CASE WHEN n_touches > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_multi_touch,
+        |  round(CAST(sum(CASE WHEN first_touch <> last_touch THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_disagree
+        |FROM touched GROUP BY day
+        |ORDER BY day""".stripMargin,
 
     // identical register construction (md5 32-bit slice, & / >> /
     // bin+lpad+instr rank) and identical estimator arithmetic; the
