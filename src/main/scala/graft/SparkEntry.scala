@@ -3687,6 +3687,15 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- A-priori frequent pairs with lift (document-level
+    //      co-occurrence, the set-wise sibling of collocations):
+    //      support pruning BEFORE pair generation is the scale
+    //      argument — pairs cross only each doc's surviving frequent
+    //      items ----
+    "frequent_pairs" -> ((s, dir) =>
+      TextAnalysis.frequentPairs(t(s, dir, "documents"), "doc_id",
+        "text", minSupport = 25L, topK = 25)),
+
     // ---- equi-depth histogram (the ANALYZE statistic a cost-based
     //      optimizer feeds on): 9 exact-quantile cut points (bounded
     //      scalar collect, the mad_outliers precedent), then one
@@ -6296,6 +6305,34 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // two A-priori passes over the distinct basket relation; lift on
+    // counts derived from the same passes
+    "frequent_pairs" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH baskets AS MATERIALIZED (
+         |  SELECT DISTINCT id, tok FROM (
+         |    SELECT doc_id AS id, unnest($toks) AS tok
+         |    FROM documents)),
+         |items AS (
+         |  SELECT tok, count(*) AS n_item FROM baskets
+         |  GROUP BY tok HAVING count(*) >= 25),
+         |fq AS (
+         |  SELECT b.id, b.tok, i.n_item
+         |  FROM baskets b JOIN items i USING (tok)),
+         |pairs AS (
+         |  SELECT x.tok AS a, y.tok AS b, count(*) AS n_both,
+         |    min(x.n_item) AS n_a, min(y.n_item) AS n_b
+         |  FROM fq x JOIN fq y ON x.id = y.id AND x.tok < y.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 25),
+         |nd AS (SELECT count(DISTINCT id) AS n_docs FROM baskets)
+         |SELECT a, b, n_both,
+         |  round(CAST(n_docs AS DOUBLE) * n_both /
+         |    (CAST(n_a AS DOUBLE) * n_b), 6) AS lift
+         |FROM pairs CROSS JOIN nd
+         |ORDER BY lift DESC, a, b
+         |LIMIT 25""".stripMargin
     },
 
     // same rank-at-floor(q(N-1)) cut points; bucket id = count of

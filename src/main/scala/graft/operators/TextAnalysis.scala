@@ -462,6 +462,53 @@ object TextAnalysis {
       .select("group", "rank", "token", "n", "score")
   }
 
+  /** A-priori frequent token pairs with lift (Agrawal 1994's first
+    * two passes, the market-basket classic on the doc×token basket
+    * relation) — DOCUMENT-level co-occurrence, the set-wise sibling of
+    * the adjacency-based [[collocations]]: which terms live in the
+    * same documents far more often than independence predicts.
+    *
+    * Scale shape (the A-priori pruning IS the scale argument): pass 1
+    * counts item document-frequency and keeps only items with support
+    * >= minSupport (one groupBy over the distinct (doc, token)
+    * relation); pass 2 generates candidate pairs ONLY among each
+    * doc's surviving frequent items (a per-doc local cross of the
+    * FILTERED set — bounded by the frequent-vocabulary density per
+    * doc, the knob minSupport controls), then one pair groupBy with
+    * the same support floor. Lift = N·n_ab / (n_a·n_b) on counts
+    * derived from the two passes; 6-dp round + (a, b) ties before the
+    * bounded TakeOrdered cut. */
+  def frequentPairs(df: DataFrame, idCol: String, textCol: String,
+                    minSupport: Long = 5L, topK: Int = 25): DataFrame = {
+    require(minSupport >= 1L && topK >= 1,
+      s"bad spec: $minSupport/$topK")
+    val baskets = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokensCol(col(textCol),
+          removeStopwords = false)).as("tok"))
+      .distinct()
+      .localCheckpoint() // three consumers: item counts, pairs, N
+    val items = baskets.groupBy("tok")
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minSupport)
+    val frequent = baskets.join(broadcast(items), "tok")
+    val pairs = frequent.as("x")
+      .join(frequent.as("y"),
+        col("x.id") === col("y.id") && col("x.tok") < col("y.tok"))
+      .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+      .agg(count(lit(1)).as("n_both"),
+        first(col("x.n_item")).as("n_a"),
+        first(col("y.n_item")).as("n_b"))
+      .filter(col("n_both") >= minSupport)
+    val nDocs = broadcast(baskets.select("id").distinct()
+      .agg(count(lit(1)).as("n_docs")))
+    pairs.crossJoin(nDocs)
+      .select(col("a"), col("b"), col("n_both"),
+        round(col("n_docs").cast("double") * col("n_both") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Deterministic stratified sampling — the domain-mixture weighting
     * step of a training-data pipeline (e.g. upweight code, downsample
     * crawl): keep a row iff its sha-derived uniform u(id) < rate of

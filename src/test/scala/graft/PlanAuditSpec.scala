@@ -426,12 +426,16 @@ class PlanAuditSpec extends SparkSpec {
     // skew_probe (1-row stats), quantiles_sampled (5-row estimates),
     // zorder_skipping (1-row count + 3-row predicates)
     val bnljOk = Set("heavy_hitters", "skew_probe", "quantiles_sampled",
-      "zorder_skipping")
+      "zorder_skipping", "churn_labels", "frequent_pairs",
+      "join_cardinality", "distinct_sketch")
     for (n <- Seq("heavy_hitters", "dq_expectations", "url_canonical",
         "q14_rollup", "split_grouped", "winnow_overlap",
         "dedup_incremental", "textrank_keywords", "skew_probe",
         "quantiles_sampled", "zorder_skipping", "events_anomaly",
-        "sessionize_batch")) {
+        "sessionize_batch", "scd2_merge", "dp_counts",
+        "event_transitions", "join_cardinality", "funnel_steps",
+        "distinct_sketch", "histogram_equidepth", "churn_labels",
+        "attribution_compare", "frequent_pairs")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"cartesian in $n:\n$p")
       if (!bnljOk(n)) assert(!p.contains("BroadcastNestedLoopJoin"),
