@@ -92,7 +92,10 @@ object Sketch {
         counters.keysIterator.map(t => (t, 0L)) ++ Iterator((null: String, n))
       }(Encoders.product[(String, Long)])
       .toDF("tok", "n_part")
-      .localCheckpoint() // two consumers: N and the candidate set
+      // two consumers: N and the candidate set. P*k rows; the caller
+      // owns the (tiny) checkpoint's lifetime — session-scoped, like
+      // Sampling's rank pins
+      .localCheckpoint()
     val totals = sketch.filter(col("tok").isNull)
       .agg(sum("n_part").as("n_tok"))
     val candidates = sketch.filter(col("tok").isNotNull)

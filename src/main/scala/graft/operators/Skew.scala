@@ -57,7 +57,9 @@ object Skew {
     require(topK >= 1, s"bad topK: $topK")
     val kc = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // two consumers: stats + top-k cut
+      // two consumers (stats + top-k cut); key-bounded relation, the
+      // caller owns the checkpoint's session-scoped lifetime
+      .localCheckpoint()
     val stats = broadcast(kc.agg(
       count(lit(1)).as("n_keys"), sum("cnt").as("total"),
       max("cnt").as("max_cnt")))
@@ -94,7 +96,9 @@ object Skew {
     val contrib = counts(left, leftKey, "left_cnt")
       .join(counts(right, rightKey, "right_cnt"), "key")
       .withColumn("contrib", col("left_cnt") * col("right_cnt"))
-      .localCheckpoint() // two consumers: totals + top-k cut
+      // two consumers (totals + top-k cut); matching-key-bounded, the
+      // caller owns the checkpoint's session-scoped lifetime
+      .localCheckpoint()
     val totals = broadcast(contrib.agg(
       sum("contrib").as("est_rows"),
       count(lit(1)).as("n_match_keys")))

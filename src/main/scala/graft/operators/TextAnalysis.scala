@@ -486,7 +486,9 @@ object TextAnalysis {
         explode(TextFunctions.tokensCol(col(textCol),
           removeStopwords = false)).as("tok"))
       .distinct()
-      .localCheckpoint() // three consumers: item counts, pairs, N
+      // three consumers (item counts, pairs, N); the caller owns the
+      // checkpoint's session-scoped lifetime (the Sampling note)
+      .localCheckpoint()
     val items = baskets.groupBy("tok")
       .agg(count(lit(1)).as("n_item"))
       .filter(col("n_item") >= minSupport)

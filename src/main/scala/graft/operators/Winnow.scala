@@ -32,6 +32,11 @@ import graft.functions.TextFunctions
   */
 object Winnow {
 
+  // 9-digit inverted-position pad: a position past this would corrupt
+  // the min-key encoding. Unreachable for per-document token counts —
+  // a 1e9-token doc is ~5 GB of text in ONE row, far past any row
+  // this engine (or parquet) would carry; documents that large must be
+  // chunked upstream (C1-C6) before fingerprinting.
   private val MaxPos = 999999999L
 
   /** Selected fingerprints: (id, h md5-hex, pos 0-based k-gram start).
