@@ -3687,6 +3687,70 @@ object SparkEntry {
           minCount = 5L, topK = 50)
         .orderBy(col("pmi").desc, col("w1"), col("w2"))),
 
+    // ---- LSH banding sweep: recall + false-candidate rate of four
+    //      (bands × rows) configurations against exact-Jaccard ground
+    //      truth on the calibration pair panel — dedup_calibration's
+    //      sibling for the OTHER MinHash dial (where to put the
+    //      S-curve), measured per-pair from the signatures alone ----
+    "lsh_band_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val en = docs.filter(col("lang") === "en").select("doc_id", "text")
+      val start = (floor(length(col("text")) *
+        ((col("doc_id") % 10).cast("double") / 10.0)) + 1).cast("int")
+      val mutated = en.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text").substr(start, length(col("text"))).as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(mutated)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .withColumn("id_b", col("id_a") + col("d"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+        .select("id_a", "id_b")
+        .unionByName(en.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(1000000L)).as("id_b")))
+      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+        .localCheckpoint() // four consumers — the calibration pin
+      val sig = Dedup.minhashSignaturesFrom(sh, 16, Dedup.shaHashFamily)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val inters = pairs
+        .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      val scored = pairs
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+        .join(inters, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("ni"))
+        .join(sig.select(col("id").as("id_a"), col("signature").as("sa")),
+          "id_a")
+        .join(sig.select(col("id").as("id_b"), col("signature").as("sb")),
+          "id_b")
+        .withColumn("j", col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")))
+      def caught(b: Int, r: Int): Column =
+        (0 until b).map { k =>
+          (0 until r).map(i =>
+            element_at(col("sa"), k * r + i + 1) ===
+              element_at(col("sb"), k * r + i + 1)).reduce(_ && _)
+        }.reduce(_ || _)
+      val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      scored.select(col("j"), explode(array(configs.map { case (b, r) =>
+          struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            caught(b, r).as("caught"))
+        }: _*)).as("c"))
+        .select(col("j"), col("c.*"))
+        .groupBy("bands", "rows_per_band")
+        .agg(sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("j") >= 0.5 && col("caught"), 1L).otherwise(0L))
+            .as("n_caught"),
+          sum(when(col("j") < 0.5 && col("caught"), 1L).otherwise(0L))
+            .as("n_false_cands"))
+        .withColumn("recall", round(
+          col("n_caught").cast("double") / col("n_true"), 6))
+        .orderBy(col("bands").desc)
+    }),
+
     // ---- A-priori frequent pairs with lift (document-level
     //      co-occurrence, the set-wise sibling of collocations):
     //      support pruning BEFORE pair generation is the scale
@@ -6305,6 +6369,86 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same panel/signature CTEs as dedup_calibration; each config's
+    // caught flag is OR-over-bands of AND-over-rows on the signature
+    // columns
+    "lsh_band_sweep" -> {
+      val toks = sqlToksKeepStop("text")
+      def shaH(seed: Int) =
+        s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
+          s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
+      val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
+        .mkString(",\n    ")
+      def caughtSql(b: Int, r: Int) = (0 until b).map { k =>
+        (0 until r).map(i => s"am${k * r + i} = bm${k * r + i}")
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+      val sigCols = (0 until 16)
+        .map(i => s"A.m$i AS am$i, B.m$i AS bm$i").mkString(",\n    ")
+      val configSelects = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map {
+        case (b, r) =>
+          val c = caughtSql(b, r)
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+             |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN j >= 0.5 AND $c THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_caught,
+             |  CAST(sum(CASE WHEN j < 0.5 AND $c THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_false_cands,
+             |  round(CAST(sum(CASE WHEN j >= 0.5 AND $c THEN 1 ELSE 0
+             |    END) AS DOUBLE) /
+             |    sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 6)
+             |    AS recall
+             |FROM cscored""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ccorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text,
+         |    CAST(floor(length(text) * ((doc_id % 10) / 10.0)) AS INT)
+         |      + 1) AS text
+         |  FROM documents WHERE lang = 'en'),
+         |csh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM ccorpus),
+         |csig AS MATERIALIZED (
+         |  SELECT id,
+         |    $hashCols
+         |  FROM csh GROUP BY id),
+         |cids AS (SELECT doc_id FROM documents),
+         |cpairs AS (
+         |  SELECT a.doc_id AS id_a, a.doc_id + d AS id_b
+         |  FROM cids a CROSS JOIN (SELECT unnest([1, 2, 3]) AS d)
+         |  WHERE a.doc_id + d IN (SELECT doc_id FROM cids)
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 1000000 FROM documents
+         |  WHERE lang = 'en'),
+         |csizes AS (SELECT id, count(*) AS n FROM csh GROUP BY 1),
+         |cinters AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS ni
+         |  FROM cpairs p
+         |  JOIN csh a ON a.id = p.id_a
+         |  JOIN csh b ON b.id = p.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |cscored AS MATERIALIZED (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(coalesce(i.ni, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - coalesce(i.ni, 0)) AS j,
+         |    $sigCols
+         |  FROM cpairs p
+         |  JOIN csizes sa ON sa.id = p.id_a
+         |  JOIN csizes sb ON sb.id = p.id_b
+         |  LEFT JOIN cinters i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |  JOIN csig A ON A.id = p.id_a
+         |  JOIN csig B ON B.id = p.id_b)
+         |SELECT * FROM ($configSelects)
+         |ORDER BY bands DESC""".stripMargin
     },
 
     // two A-priori passes over the distinct basket relation; lift on
