@@ -1247,9 +1247,14 @@ object SparkEntry {
     //      shuffle — the sequential-recommender dataset builder) ----
     "event_sequences" -> ((s, dir) => {
       import graft.operators.Sequences
+      // driver-surface discipline: the operator returns a real
+      // ARRAY<STRING> context for engine callers, but the harness's
+      // pandas canonicalizer can't sort raw arrays — serialize it
+      // deterministically at the query surface (VERDICT r8 #1)
       Sequences.nextEventExamples(eventsWithTsUtc(s, dir), "user_id",
           "ts_utc", "event_id", "event_type", contextLen = 3)
-        .select(col("user_id"), col("target_id"), col("context"),
+        .select(col("user_id"), col("target_id"),
+          array_join(col("context"), "|").as("context"),
           col("n_context"), col("target"))
         .orderBy("user_id", "target_id")
     }),
@@ -5143,9 +5148,12 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
-    // bounded-frame window replay; list() keeps frame order in DuckDB
+    // bounded-frame window replay; list() keeps frame order in DuckDB;
+    // context serialized ('|'-joined) so the harness canonicalizer can
+    // sort/hash it — the raw-array form broke pandas in r8
     "event_sequences" ->
-      """SELECT user_id, event_id AS target_id, context,
+      """SELECT user_id, event_id AS target_id,
+        |  array_to_string(context, '|') AS context,
         |  len(context) AS n_context, event_type AS target
         |FROM (
         |  SELECT user_id, event_id, event_type,
