@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench executes ~600 generated-codegen query runs in one JVM;
+  // the JDK default 240m code cache fills partway through, the JIT
+  // stops compiling, and every later execution runs deoptimized —
+  // measured as 2-4x inflation of whole queries (r8 head-of-board
+  // cluster). 512m keeps the compiler alive for the whole suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -5,12 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the driver-supplied
   * scale factor and prints ONE JSON line.
   *
-  * Each query runs three times and reports the per-query MIN. The first
-  * pass doubles as JVM/codegen warm-up; the passes traverse the query
-  * list in alternating order (forward, reverse, forward) so a transient
-  * host-load spike cannot inflate the same queries in every pass —
-  * min-of-3 over interleaved passes damps the scheduler noise of a
-  * loaded local[32] host. A trivial action warms the session first.
+  * Each query runs three times BACK-TO-BACK and reports the per-query
+  * MIN. Consecutive runs (not interleaved passes) are deliberate: r8's
+  * interleaved forward/reverse/forward passes measured the suite's
+  * alphabetical head 2-4x slower in the 201-query run than the same
+  * queries isolated (A/B'd via SPARK_GRAFT_BENCH_ONLY, NOTES_r09.md) —
+  * after ~hundreds of executions the JVM degrades (codegen class churn
+  * through Spark's bounded codegen cache + JIT code-cache pressure), so
+  * a query's pass-2/3 runs landed in a worse JVM than its pass-1 run
+  * and the min never saw a warm-and-healthy execution. Back-to-back,
+  * run 1 warms the query's own generated code and runs 2-3 measure it
+  * warm — position-independent by construction. The residual risk (a
+  * transient host spike inflating one query's all-three runs) is
+  * bounded by the calibration field, which records host speed in the
+  * same JSON line. A trivial action warms the session first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,10 +56,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val passes = Seq(names, names.reverse, names)
-      .map(order => order.map(n => n -> once(n)).toMap)
     val results = names.map { n =>
-      val ts = passes.map(_(n))
+      val ts = Seq(once(n), once(n), once(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 

@@ -1259,6 +1259,23 @@ object SparkEntry {
         .orderBy("user_id", "target_id")
     }),
 
+    // ---- the bucketed hot-key form of event_sequences — output-
+    //      identical (same oracle SQL), but every window over the
+    //      EVENT relation partitions by (user, day-bucket), so a
+    //      dominant key can't serialize its timeline through one sort
+    //      task; cross-bucket context rides the bounded per-bucket
+    //      summary relation (Sequences.nextEventExamplesBucketed) ----
+    "event_sequences_bucketed" -> ((s, dir) => {
+      import graft.operators.Sequences
+      Sequences.nextEventExamplesBucketed(eventsWithTsUtc(s, dir),
+          "user_id", "ts_utc", "event_id", "event_type",
+          contextLen = 3, bucketSeconds = 86400L)
+        .select(col("user_id"), col("target_id"),
+          array_join(col("context"), "|").as("context"),
+          col("n_context"), col("target"))
+        .orderBy("user_id", "target_id")
+    }),
+
     // ---- as-of join (click→purchase attribution): every purchase
     //      attaches the user's most recent at-or-before click, via the
     //      union-window form (ONE key shuffle, no inequality-join pair
@@ -3812,6 +3829,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- churn_labels with the bucketed next-event posture — output-
+    //      identical (same oracle SQL); the per-user lead(1) rides
+    //      (user, day-bucket) windows plus the bounded bucket-summary
+    //      carry (Sequences.nextEventBucketed) ----
+    "churn_labels_bucketed" -> ((s, dir) => {
+      import graft.operators.Sequences
+      val ev = eventsWithTsUtc(s, dir)
+      val horizonS = 14L * 86400L
+      val maxTs = broadcast(ev.agg(max("ts_utc").as("corpus_max")))
+      Sequences.nextEventBucketed(ev, "user_id", "ts_utc", "event_id",
+          Seq("ts_utc"), bucketSeconds = 86400L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(unix_timestamp(col("next_ts_utc")) -
+            unix_timestamp(col("ts_utc")) > horizonS, 1L)
+            .otherwise(0L)).as("n_churn_gaps"),
+          max("ts_utc").as("last_ts"))
+        .crossJoin(maxTs)
+        .withColumn("final_churned",
+          unix_timestamp(col("corpus_max")) -
+            unix_timestamp(col("last_ts")) > horizonS)
+        .select("user_id", "n_events", "n_churn_gaps", "last_ts",
+          "final_churned")
+        .orderBy("user_id")
+    }),
+
     // ---- first-touch vs last-touch attribution over a 24 h lookback
     //      (the marketing dual of funnel_conversion): clicks land in
     //      per-purchase lookback intervals via the bucketed range
@@ -3871,6 +3914,24 @@ object SparkEntry {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("cur"),
           col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val rowTotals = pairs.groupBy("cur").agg(sum("n").as("row_n"))
+      pairs.join(rowTotals, "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n").cast("double") / col("row_n"), 6).as("p"))
+        .orderBy("cur", "nxt")
+    }),
+
+    // ---- event_transitions with the bucketed next-event posture —
+    //      output-identical (same oracle SQL) ----
+    "event_transitions_bucketed" -> ((s, dir) => {
+      import graft.operators.Sequences
+      val pairs = Sequences.nextEventBucketed(eventsWithTsUtc(s, dir),
+          "user_id", "ts_utc", "event_id", Seq("event_type"),
+          bucketSeconds = 86400L)
+        .filter(col("next_event_type").isNotNull)
+        .groupBy(col("event_type").as("cur"),
+          col("next_event_type").as("nxt"))
         .agg(count(lit(1)).as("n"))
       val rowTotals = pairs.groupBy("cur").agg(sum("n").as("row_n"))
       pairs.join(rowTotals, "cur")
@@ -4958,7 +5019,19 @@ object SparkEntry {
       |  WHERE NOT has_md AND NOT has_code AND NOT has_struct
       |    AND $cond""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // the bucketed hot-key forms are OUTPUT-IDENTICAL to their
+    // key-window twins, so they share the twin's oracle SQL verbatim —
+    // a green row is a proof of output identity at sf0.01 against an
+    // independent engine, not just a rows check
+    m ++ Map(
+      "event_sequences_bucketed" -> m("event_sequences"),
+      "churn_labels_bucketed" -> m("churn_labels"),
+      "event_transitions_bucketed" -> m("event_transitions"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -47,4 +47,57 @@ class SequencesSpec extends SparkSpec {
     assert(got(8L) === Seq("a"))
     assert(got(9L) === Seq("a", "b"))
   }
+
+  /** Skewed fixture: one dominant key holding most events across many
+    * buckets (contexts must flow across every bucket boundary), a
+    * sparse key with EMPTY buckets in between (carry must look past
+    * them), a NULL key (window semantics group NULLs together), tied
+    * timestamps at a bucket boundary, and a single-event key. */
+  private def skewedFixture = {
+    val dominant = (0 until 400).map { i =>
+      (i.toLong, "hot", ts(10L + i * 37), s"t${i % 5}")
+    }
+    val sparse = Seq(
+      (1000L, "cold", ts(5), "x"), (1001L, "cold", ts(905), "y"),
+      (1002L, "cold", ts(9005), "z")) // buckets 0, 9, 90: gaps of 8+
+    val nulls = Seq(
+      (2000L, null, ts(50), "n1"), (2001L, null, ts(150), "n2"),
+      (2002L, null, ts(250), "n3"))
+    val tied = Seq( // both at ts 200 = exactly a bucket boundary
+      (3000L, "tie", ts(200), "p"), (3001L, "tie", ts(200), "q"),
+      (3002L, "tie", ts(300), "r"))
+    val lone = Seq((4000L, "lone", ts(77), "only"))
+    (dominant ++ sparse ++ nulls ++ tied ++ lone)
+      .toDF("event_id", "user_id", "ets", "event_type")
+  }
+
+  test("bucketed examples are output-identical to the key-window form " +
+      "on a dominant-key fixture (empty buckets, NULL keys, ties)") {
+    val ev = skewedFixture
+    // bucketSeconds=100 → the dominant key spans ~148 buckets
+    val plain = Sequences.nextEventExamples(ev, "user_id", "ets",
+      "event_id", "event_type", contextLen = 3)
+    val bucketed = Sequences.nextEventExamplesBucketed(ev, "user_id",
+      "ets", "event_id", "event_type", contextLen = 3,
+      bucketSeconds = 100L)
+    assert(plain.count() === bucketed.count())
+    assert(plain.exceptAll(bucketed).isEmpty &&
+      bucketed.exceptAll(plain).isEmpty)
+  }
+
+  test("bucketed next-event attach matches lead(1) over the key window") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = skewedFixture
+    val w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+    val plain = ev
+      .withColumn("next_ets", lead(col("ets"), 1).over(w))
+      .withColumn("next_event_type", lead(col("event_type"), 1).over(w))
+    val bucketed = Sequences.nextEventBucketed(ev, "user_id", "ets",
+      "event_id", Seq("ets", "event_type"), bucketSeconds = 100L)
+      .withColumnRenamed("next_ets", "next_ets")
+    assert(plain.count() === bucketed.count())
+    assert(plain.select(plain.columns.sorted.map(col): _*)
+      .exceptAll(bucketed.select(bucketed.columns.sorted.map(col): _*))
+      .isEmpty)
+  }
 }
