@@ -1324,6 +1324,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- the forward as-of through the SAME custom node (negated-
+    //      tick rewrite below the node, original ticks re-emitted
+    //      above it) — output-identical to asof_join_forward, same
+    //      native DuckDB ASOF oracle ----
+    "asof_join_forward_exec" -> ((s, dir) => {
+      import graft.plans.AsOfExec
+      val ev = eventsWithTsUtc(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_utc")
+        .agg(max("event_id").as("purchase_id"))
+        .select(col("user_id"),
+          unix_micros(col("ts_utc")).as("ts_us"), col("purchase_id"),
+          unix_micros(col("ts_utc")).as("p_ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts_utc")).as("ts_us"))
+      AsOfExec.joinAsOfForwardExec(clicks, purchases, "user_id",
+          "ts_us", Seq("purchase_id", "p_ts_us"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (col("p_ts_us") - col("ts_us")).as("lead_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- the SAME as-of contract through the CUSTOM physical node
     //      (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): declared
     //      ClusteredDistribution + (key, ts) child ordering, one
@@ -5028,7 +5051,8 @@ object SparkEntry {
     m ++ Map(
       "event_sequences_bucketed" -> m("event_sequences"),
       "churn_labels_bucketed" -> m("churn_labels"),
-      "event_transitions_bucketed" -> m("event_transitions"))
+      "event_transitions_bucketed" -> m("event_transitions"),
+      "asof_join_forward_exec" -> m("asof_join_forward"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

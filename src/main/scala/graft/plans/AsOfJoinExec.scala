@@ -39,15 +39,29 @@ import org.apache.spark.sql.types.LongType
   * timeline in one task (the documented [[graft.operators.AsOf]]
   * posture; the bucketed variant spreads it when that bites).
   *
-  * Measured honestly (sf0.1, same host/bench): window form 0.30 s,
-  * this node 0.49 s — the merge runs interpreted (per-row eval +
-  * JoinedRow + projection) while the window form rides whole-stage
-  * codegen everywhere except the window node itself. Both are
-  * shuffle-bound at real scale; the custom node's value is the
-  * operator-tier capability (planner-integrated custom execution with
-  * declared distribution/ordering) and the O(1)-state merge, not a
-  * small-scale latency win. `doGenCode` for the merge is the known
-  * path to parity if it ever matters.
+  * Measured (r9, `graft.AsOfCrossover`, 2M×2M rows, local[32],
+  * min-of-3 with a payload-CONSUMING action — a bare count() lets
+  * Catalyst prune the window node out of the union-window plan and
+  * times a plan that never computes the match, which is how r8's
+  * "window 0.30 s vs exec 0.49 s" comparison went wrong):
+  *
+  *   keys    rows/key   window_s   exec_s   winner
+  *   8192         244      0.998    0.711   exec
+  *    512        3906      0.964    0.745   exec
+  *     32       62500      1.178    0.931   exec
+  *      8      250000      2.225    1.755   exec
+  *      2     1000000      8.970    7.195   exec
+  *
+  * The merge wins at EVERY key count, and the margin widens as
+  * per-key timelines grow — the window form pays the union of both
+  * sides into one sorted stream plus the running `last(ignoring
+  * nulls)` frame, while the merge sorts each side separately and
+  * streams once with O(1) state. The same holds on the real events
+  * table (bench sf0.1: asof_join_exec 0.49 s vs asof_join 0.69 s,
+  * same run). Both forms still serialize a hot key into one task;
+  * [[graft.operators.AsOf.joinAsOfBucketed]] is the skew posture.
+  * [[AsOfExec.joinAsOfForwardExec]] plans the forward direction
+  * through this same node via the negated-tick rewrite.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -213,5 +227,32 @@ object AsOfExec {
         attr(lPlan, keyCol), attr(rPlan, keyCol),
         attr(lPlan, tsCol), attr(rPlan, tsCol),
         payloadCols.map(attr(rPlan, _))))
+  }
+
+  /** FORWARD as-of through the SAME custom node — the
+    * [[graft.operators.AsOf.joinAsOfForward]] negated-tick rewrite
+    * applied at this tier: backward-as-of on negated ticks IS
+    * forward-as-of (first right row with `right.ts >= left.ts`, equal
+    * ts inclusive) on the originals, so the physical plan, merge, and
+    * contract are [[joinAsOfExec]]'s verbatim. The negation happens in
+    * a projection below the node and is dropped above it; the emitted
+    * `tsCol` carries the ORIGINAL ticks. */
+  def joinAsOfForwardExec(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(left.schema(tsCol).dataType == LongType &&
+        right.schema(tsCol).dataType == LongType,
+      s"'$tsCol' must be LongType on both sides (cast timestamps to " +
+        "unix_micros first)")
+    require(!payloadCols.contains(tsCol),
+      s"payload must not include '$tsCol' (re-emitted negated); " +
+        "alias it on the right first")
+    val negT = s"__neg_$tsCol"
+    val l = left.withColumn(negT, -col(tsCol))
+      .drop(tsCol).withColumnRenamed(negT, tsCol)
+    val r = right.withColumn(negT, -col(tsCol))
+      .drop(tsCol).withColumnRenamed(negT, tsCol)
+    joinAsOfExec(l, r, keyCol, tsCol, payloadCols)
+      .withColumn(tsCol, -col(tsCol))
   }
 }

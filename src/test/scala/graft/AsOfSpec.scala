@@ -163,6 +163,40 @@ class AsOfSpec extends SparkSpec {
       s"$same")
   }
 
+  test("forward as-of through the custom node: identical to the " +
+      "negation-delegated window form on random frames; original ticks " +
+      "re-emitted") {
+    import graft.plans.AsOfExec
+    val rnd = new scala.util.Random(23)
+    val left = (1L to 400L).map(i =>
+      (i, s"u${rnd.nextInt(7)}", rnd.nextInt(1000).toLong))
+      .toDF("event_id", "k", "t")
+    val right = (1L to 250L).map(i =>
+        (s"u${rnd.nextInt(9)}", rnd.nextInt(1000).toLong, i))
+      .toDF("k", "t", "pl")
+      .groupBy("k", "t").agg(max("pl").as("pl"))
+    val exec = AsOfExec.joinAsOfForwardExec(left, right, "k", "t",
+      Seq("pl"))
+    val p = exec.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"custom node missing:\n$p")
+    // the left's ticks come back un-negated
+    assert(exec.select("event_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      left.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap)
+    val got = exec.select("event_id", "pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val ref = AsOf.joinAsOfForward(left, right, Seq("k"), "t", "t",
+        Seq("pl"))
+      .select("event_id", "asof_pl").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == ref)
+    // payload must not smuggle the ts column (it would come back negated)
+    val ex = intercept[IllegalArgumentException] {
+      AsOfExec.joinAsOfForwardExec(left, right, "k", "t", Seq("t", "pl"))
+    }
+    assert(ex.getMessage.contains("alias"))
+  }
+
   test("bucketed form is output-identical under one dominant key, and " +
       "its row-level window partitions by (key, bucket)") {
     val rnd = new scala.util.Random(11)
