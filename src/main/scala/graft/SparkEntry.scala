@@ -1022,6 +1022,76 @@ object SparkEntry {
        |  $bandSelects)""".stripMargin
   }
 
+  /** Shared by `lsh_band_sweep` and `dedup_tuned`: the calibration
+    * corpus (documents ∪ prefix-dropped en mutations — the raw corpus
+    * has no near-dups below sf0.1) and the per-configuration LSH
+    * banding sweep over it — recall and false-candidate counts of four
+    * (bands × rows) splits of the 16-hash signature, measured against
+    * exact Jaccard ground truth on the deterministic LINEAR pair panel
+    * (never all-pairs). Returns (corpus, sweep) where sweep has one
+    * row per configuration: (bands, rows_per_band, n_true, n_caught,
+    * n_false_cands, recall). */
+  private def lshSweep(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val en = docs.filter(col("lang") === "en").select("doc_id", "text")
+    val start = (floor(length(col("text")) *
+      ((col("doc_id") % 10).cast("double") / 10.0)) + 1).cast("int")
+    val mutated = en.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      col("text").substr(start, length(col("text"))).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(mutated)
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+      .withColumn("id_b", col("id_a") + col("d"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+      .select("id_a", "id_b")
+      .unionByName(en.select(col("doc_id").as("id_a"),
+        (col("doc_id") + lit(1000000L)).as("id_b")))
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+      .localCheckpoint() // four consumers — the calibration pin
+    val sig = Dedup.minhashSignaturesFrom(sh, 16, Dedup.shaHashFamily)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inters = pairs
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+    val scored = pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .join(inters, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("ni"))
+      .join(sig.select(col("id").as("id_a"), col("signature").as("sa")),
+        "id_a")
+      .join(sig.select(col("id").as("id_b"), col("signature").as("sb")),
+        "id_b")
+      .withColumn("j", col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")))
+    def caught(b: Int, r: Int): Column =
+      (0 until b).map { k =>
+        (0 until r).map(i =>
+          element_at(col("sa"), k * r + i + 1) ===
+            element_at(col("sb"), k * r + i + 1)).reduce(_ && _)
+      }.reduce(_ || _)
+    val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+    val sweep = scored
+      .select(col("j"), explode(array(configs.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          caught(b, r).as("caught"))
+      }: _*)).as("c"))
+      .select(col("j"), col("c.*"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("j") >= 0.5 && col("caught"), 1L).otherwise(0L))
+          .as("n_caught"),
+        sum(when(col("j") < 0.5 && col("caught"), 1L).otherwise(0L))
+          .as("n_false_cands"))
+      .withColumn("recall", round(
+        col("n_caught").cast("double") / col("n_true"), 6))
+    (corpus, sweep)
+  }
+
   // =====================================================================
   // Queries
   // =====================================================================
@@ -3737,63 +3807,31 @@ object SparkEntry {
     //      truth on the calibration pair panel — dedup_calibration's
     //      sibling for the OTHER MinHash dial (where to put the
     //      S-curve), measured per-pair from the signatures alone ----
-    "lsh_band_sweep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val en = docs.filter(col("lang") === "en").select("doc_id", "text")
-      val start = (floor(length(col("text")) *
-        ((col("doc_id") % 10).cast("double") / 10.0)) + 1).cast("int")
-      val mutated = en.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        col("text").substr(start, length(col("text"))).as("text"))
-      val corpus = docs.select("doc_id", "text").unionByName(mutated)
-      val ids = docs.select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("id_a"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
-        .withColumn("id_b", col("id_a") + col("d"))
-        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
-        .select("id_a", "id_b")
-        .unionByName(en.select(col("doc_id").as("id_a"),
-          (col("doc_id") + lit(1000000L)).as("id_b")))
-      val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
-        .localCheckpoint() // four consumers — the calibration pin
-      val sig = Dedup.minhashSignaturesFrom(sh, 16, Dedup.shaHashFamily)
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-      val inters = pairs
-        .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-        .join(sh.select(col("id").as("id_b"), col("shingle")),
-          Seq("id_b", "shingle"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
-      val scored = pairs
-        .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-        .join(inters, Seq("id_a", "id_b"), "left")
-        .na.fill(0L, Seq("ni"))
-        .join(sig.select(col("id").as("id_a"), col("signature").as("sa")),
-          "id_a")
-        .join(sig.select(col("id").as("id_b"), col("signature").as("sb")),
-          "id_b")
-        .withColumn("j", col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")))
-      def caught(b: Int, r: Int): Column =
-        (0 until b).map { k =>
-          (0 until r).map(i =>
-            element_at(col("sa"), k * r + i + 1) ===
-              element_at(col("sb"), k * r + i + 1)).reduce(_ && _)
-        }.reduce(_ || _)
-      val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
-      scored.select(col("j"), explode(array(configs.map { case (b, r) =>
-          struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
-            caught(b, r).as("caught"))
-        }: _*)).as("c"))
-        .select(col("j"), col("c.*"))
-        .groupBy("bands", "rows_per_band")
-        .agg(sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_true"),
-          sum(when(col("j") >= 0.5 && col("caught"), 1L).otherwise(0L))
-            .as("n_caught"),
-          sum(when(col("j") < 0.5 && col("caught"), 1L).otherwise(0L))
-            .as("n_false_cands"))
-        .withColumn("recall", round(
-          col("n_caught").cast("double") / col("n_true"), 6))
-        .orderBy(col("bands").desc)
+    "lsh_band_sweep" -> ((s, dir) =>
+      lshSweep(s, dir)._2.orderBy(col("bands").desc)),
+
+    // ---- the CLOSED MinHash tuning loop (VERDICT r8 #6): the sweep's
+    //      measurements SELECT the banding — among configs with recall
+    //      >= 0.9 at the j>=0.5 truth line, the fewest false
+    //      candidates (ties: fewest bands) — and dedup RUNS with it.
+    //      The config pick is a bounded 4-row collect (the
+    //      histogram_equidepth precedent); both engines replay the
+    //      same deterministic selection, so the row is a check of the
+    //      sweep, the selection rule, AND the tuned dedup at once ----
+    "dedup_tuned" -> ((s, dir) => {
+      val (corpus, sweep) = lshSweep(s, dir)
+      val best = sweep.filter(col("recall") >= 0.9)
+        .orderBy(col("n_false_cands"), col("bands"))
+        .limit(1).collect()(0)
+      val (b, r) = (best.getAs[Int]("bands"),
+        best.getAs[Int]("rows_per_band"))
+      Dedup.minhashNearDups(corpus, "doc_id", "text",
+          n = 3, numHashes = 16, bands = b, threshold = 0.5,
+          hashFamily = Dedup.shaHashFamily)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- A-priori frequent pairs with lift (document-level
@@ -5041,6 +5079,89 @@ object SparkEntry {
       |    FROM documents WHERE length(text) > 0)
       |  WHERE NOT has_md AND NOT has_code AND NOT has_struct
       |    AND $cond""".stripMargin
+
+  /** The LSH banding sweep as DuckDB CTEs (shared by `lsh_band_sweep`
+    * and `dedup_tuned`): calibration corpus → shingles (`csh`) →
+    * 16 sha-seeded signatures (`csig`, columns m0..m15) → exact-Jaccard
+    * pair panel (`cscored`) → per-configuration recall/false-candidate
+    * aggregate (`sweep`). Mirrors [[lshSweep]] exactly. */
+  private def lshSweepOracleCtes: String = {
+    val toks = sqlToksKeepStop("text")
+    def shaH(seed: Int) =
+      s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
+        s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
+    val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
+      .mkString(",\n    ")
+    def caughtSql(b: Int, r: Int) = (0 until b).map { k =>
+      (0 until r).map(i => s"am${k * r + i} = bm${k * r + i}")
+        .mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    val sigCols = (0 until 16)
+      .map(i => s"A.m$i AS am$i, B.m$i AS bm$i").mkString(",\n    ")
+    val configSelects = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map {
+      case (b, r) =>
+        val c = caughtSql(b, r)
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_true,
+           |  CAST(sum(CASE WHEN j >= 0.5 AND $c THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_caught,
+           |  CAST(sum(CASE WHEN j < 0.5 AND $c THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_false_cands,
+           |  round(CAST(sum(CASE WHEN j >= 0.5 AND $c THEN 1 ELSE 0
+           |    END) AS DOUBLE) /
+           |    sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 6)
+           |    AS recall
+           |FROM cscored""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""ccorpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text,
+       |    CAST(floor(length(text) * ((doc_id % 10) / 10.0)) AS INT)
+       |      + 1) AS text
+       |  FROM documents WHERE lang = 'en'),
+       |csh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS id, unnest(
+       |    CASE WHEN len($toks) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len($toks) - 2),
+       |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+       |    END) AS shingle
+       |  FROM ccorpus),
+       |csig AS MATERIALIZED (
+       |  SELECT id,
+       |    $hashCols
+       |  FROM csh GROUP BY id),
+       |cids AS (SELECT doc_id FROM documents),
+       |cpairs AS (
+       |  SELECT a.doc_id AS id_a, a.doc_id + d AS id_b
+       |  FROM cids a CROSS JOIN (SELECT unnest([1, 2, 3]) AS d)
+       |  WHERE a.doc_id + d IN (SELECT doc_id FROM cids)
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + 1000000 FROM documents
+       |  WHERE lang = 'en'),
+       |csizes AS MATERIALIZED (
+       |  SELECT id, count(*) AS n FROM csh GROUP BY 1),
+       |cinters AS (
+       |  SELECT p.id_a, p.id_b, count(*) AS ni
+       |  FROM cpairs p
+       |  JOIN csh a ON a.id = p.id_a
+       |  JOIN csh b ON b.id = p.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |cscored AS MATERIALIZED (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(coalesce(i.ni, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - coalesce(i.ni, 0)) AS j,
+       |    $sigCols
+       |  FROM cpairs p
+       |  JOIN csizes sa ON sa.id = p.id_a
+       |  JOIN csizes sb ON sb.id = p.id_b
+       |  LEFT JOIN cinters i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |  JOIN csig A ON A.id = p.id_a
+       |  JOIN csig B ON B.id = p.id_b),
+       |sweep AS MATERIALIZED (
+       |  $configSelects)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
@@ -6479,81 +6600,55 @@ object SparkEntry {
     // same panel/signature CTEs as dedup_calibration; each config's
     // caught flag is OR-over-bands of AND-over-rows on the signature
     // columns
-    "lsh_band_sweep" -> {
-      val toks = sqlToksKeepStop("text")
-      def shaH(seed: Int) =
-        s"('0x' || substr(sha256('${seed / 8}:' || shingle), " +
-          s"${(seed % 8) * 8 + 1}, 8))::UBIGINT::BIGINT"
-      val hashCols = (0 until 16).map(s => s"min(${shaH(s)}) AS m$s")
-        .mkString(",\n    ")
-      def caughtSql(b: Int, r: Int) = (0 until b).map { k =>
-        (0 until r).map(i => s"am${k * r + i} = bm${k * r + i}")
-          .mkString("(", " AND ", ")")
-      }.mkString("(", " OR ", ")")
-      val sigCols = (0 until 16)
-        .map(i => s"A.m$i AS am$i, B.m$i AS bm$i").mkString(",\n    ")
-      val configSelects = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map {
-        case (b, r) =>
-          val c = caughtSql(b, r)
-          s"""SELECT $b AS bands, $r AS rows_per_band,
-             |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS n_true,
-             |  CAST(sum(CASE WHEN j >= 0.5 AND $c THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS n_caught,
-             |  CAST(sum(CASE WHEN j < 0.5 AND $c THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS n_false_cands,
-             |  round(CAST(sum(CASE WHEN j >= 0.5 AND $c THEN 1 ELSE 0
-             |    END) AS DOUBLE) /
-             |    sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 6)
-             |    AS recall
-             |FROM cscored""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH ccorpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, substr(text,
-         |    CAST(floor(length(text) * ((doc_id % 10) / 10.0)) AS INT)
-         |      + 1) AS text
-         |  FROM documents WHERE lang = 'en'),
-         |csh AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id AS id, unnest(
-         |    CASE WHEN len($toks) < 3 THEN []
-         |    ELSE list_transform(generate_series(1, len($toks) - 2),
-         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
-         |    END) AS shingle
-         |  FROM ccorpus),
-         |csig AS MATERIALIZED (
-         |  SELECT id,
-         |    $hashCols
-         |  FROM csh GROUP BY id),
-         |cids AS (SELECT doc_id FROM documents),
-         |cpairs AS (
-         |  SELECT a.doc_id AS id_a, a.doc_id + d AS id_b
-         |  FROM cids a CROSS JOIN (SELECT unnest([1, 2, 3]) AS d)
-         |  WHERE a.doc_id + d IN (SELECT doc_id FROM cids)
-         |  UNION ALL
-         |  SELECT doc_id, doc_id + 1000000 FROM documents
-         |  WHERE lang = 'en'),
-         |csizes AS (SELECT id, count(*) AS n FROM csh GROUP BY 1),
-         |cinters AS (
-         |  SELECT p.id_a, p.id_b, count(*) AS ni
-         |  FROM cpairs p
-         |  JOIN csh a ON a.id = p.id_a
-         |  JOIN csh b ON b.id = p.id_b AND b.shingle = a.shingle
+    "lsh_band_sweep" ->
+      s"""WITH $lshSweepOracleCtes
+         |SELECT * FROM sweep
+         |ORDER BY bands DESC""".stripMargin,
+
+    // the sweep SELECTS the banding (recall >= 0.9, fewest false
+    // candidates, ties to fewest bands) and the tuned dedup runs with
+    // it — dynamic banding via a scalar subquery over the best row;
+    // band contents replay Spark's slice(signature, b*rows+1, rows)
+    // joined with ','
+    "dedup_tuned" -> {
+      val mList = (0 until 16).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH $lshSweepOracleCtes,
+         |best AS (
+         |  SELECT bands, rows_per_band FROM sweep
+         |  WHERE recall >= 0.9
+         |  ORDER BY n_false_cands, bands LIMIT 1),
+         |sigl AS (
+         |  SELECT id, unnest($mList) AS m, unnest(range(16)) AS i
+         |  FROM csig),
+         |tbanded AS (
+         |  SELECT id, i // (SELECT rows_per_band FROM best) AS band,
+         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_val
+         |  FROM sigl
+         |  GROUP BY id, i // (SELECT rows_per_band FROM best)),
+         |tcands AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM tbanded l JOIN tbanded r
+         |    ON l.band = r.band AND l.band_val = r.band_val
+         |      AND l.id < r.id),
+         |tinters AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS ni
+         |  FROM tcands c
+         |  JOIN csh a ON a.id = c.id_a
+         |  JOIN csh b ON b.id = c.id_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2),
-         |cscored AS MATERIALIZED (
-         |  SELECT p.id_a, p.id_b,
+         |tpairs AS (
+         |  SELECT c.id_a, c.id_b,
          |    CAST(coalesce(i.ni, 0) AS DOUBLE) /
-         |      (sa.n + sb.n - coalesce(i.ni, 0)) AS j,
-         |    $sigCols
-         |  FROM cpairs p
-         |  JOIN csizes sa ON sa.id = p.id_a
-         |  JOIN csizes sb ON sb.id = p.id_b
-         |  LEFT JOIN cinters i ON i.id_a = p.id_a AND i.id_b = p.id_b
-         |  JOIN csig A ON A.id = p.id_a
-         |  JOIN csig B ON B.id = p.id_b)
-         |SELECT * FROM ($configSelects)
-         |ORDER BY bands DESC""".stripMargin
+         |      (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+         |  FROM tcands c
+         |  LEFT JOIN tinters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN csizes sa ON sa.id = c.id_a
+         |  JOIN csizes sb ON sb.id = c.id_b)
+         |SELECT (SELECT bands FROM best) AS bands,
+         |  (SELECT rows_per_band FROM best) AS rows_per_band,
+         |  id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM tpairs WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     // two A-priori passes over the distinct basket relation; lift on
