@@ -2258,6 +2258,43 @@ object SparkEntry {
         .orderBy("generation")
     }),
 
+    // ---- OPTIMIZE ... ZORDER BY, end to end (VERDICT r8 #7): the
+    //      zorder_skipping DECISION wired into the WRITE path. The
+    //      events table is compacted twice through the blue/green swap
+    //      — natural arrival order, then Z-order — with
+    //      Ingest.compactWithLayout assigning each row its target file
+    //      by rank (one dir per file id, so zone maps are
+    //      deterministic), and the skip fractions are audited from the
+    //      ON-DISK layout (file partition column + per-file min/max),
+    //      not a simulation. The oracle replays the rank arithmetic ----
+    "compact_zorder" -> ((s, dir) => {
+      import graft.operators.Layout
+      import graft.operators.Layout.RangePred
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("value").cast("double").as("value"), col("user_id"))
+      val xb = least(lit(31L), floor(col("value") / 16.0).cast("long"))
+      val yb = least(lit(31L), floor(col("user_id") / 5.0).cast("long"))
+      val withZ = ev.withColumn("zkey", Layout.zorderKey2(xb, yb, 5))
+      val preds = Seq(
+        RangePred("p_x", Some(120.0), Some(180.0), None, None),
+        RangePred("p_y", None, None, Some(40.0), Some(60.0)),
+        RangePred("p_xy", Some(120.0), Some(180.0),
+          Some(40.0), Some(60.0)))
+      def rewriteAndAudit(layoutKeys: Seq[String], name: String) = {
+        Ingest.reindexSwapLayout(s,
+          Ingest.compactWithLayout(withZ, layoutKeys, 64), root)
+        val disk = Ingest.readCurrent(s, root) // pins THIS generation
+        Layout.auditZoneMaps(
+          Layout.fileZoneMaps(disk, "file", "value", "user_id"),
+          name, preds)
+      }
+      val before = rewriteAndAudit(Seq("event_id"), "natural")
+      val after = rewriteAndAudit(Seq("zkey", "event_id"), "zorder")
+      before.unionByName(after).orderBy("layout", "predicate")
+    }),
+
     // ---- schema evolution across generations: an old partition
     //      written WITHOUT a column coexists with a new one that has
     //      it; mergeSchema unifies the read and the missing column
@@ -8078,6 +8115,62 @@ object SparkEntry {
         |SELECT 'fragmented', CAST(16 AS BIGINT),
         |  (SELECT count(*) FROM documents)
         |ORDER BY generation""".stripMargin,
+
+    // the written layout must equal the declared rank arithmetic:
+    // same file cuts, zone maps, and predicate skips as the
+    // zorder_skipping simulation, for the two compacted generations
+    "compact_zorder" -> {
+      val zterms = (0 until 5).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      def layoutCte(name: String, order: String, src: String) =
+        s"""f_$name AS (
+           |  SELECT floor((row_number() OVER (ORDER BY $order) - 1)
+           |      * 64.0 / (count(*) OVER ())) AS file,
+           |    value, user_id
+           |  FROM $src),
+           |z_$name AS (
+           |  SELECT '$name' AS layout, file,
+           |    min(CAST(value AS DOUBLE)) AS min_x,
+           |    max(CAST(value AS DOUBLE)) AS max_x,
+           |    min(CAST(user_id AS DOUBLE)) AS min_y,
+           |    max(CAST(user_id AS DOUBLE)) AS max_y
+           |  FROM f_$name GROUP BY file)""".stripMargin
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT event_id, CAST(value AS DOUBLE) AS value, user_id,
+         |    least(31, CAST(floor(CAST(value AS DOUBLE) / 16.0)
+         |      AS BIGINT)) AS xb,
+         |    least(31, CAST(floor(user_id / 5.0) AS BIGINT)) AS yb
+         |  FROM events),
+         |ev2 AS MATERIALIZED (
+         |  SELECT *, $zterms AS zkey FROM ev),
+         |${layoutCte("natural", "event_id", "ev")},
+         |${layoutCte("zorder", "zkey, event_id", "ev2")},
+         |zones AS (
+         |  SELECT * FROM z_natural
+         |  UNION ALL SELECT * FROM z_zorder),
+         |preds AS (
+         |  SELECT * FROM (VALUES
+         |    ('p_x', 120.0, 180.0, NULL, NULL),
+         |    ('p_y', NULL, NULL, 40.0, 60.0),
+         |    ('p_xy', 120.0, 180.0, 40.0, 60.0))
+         |    AS t(predicate, lo_x, hi_x, lo_y, hi_y)),
+         |audit AS (
+         |  SELECT layout, predicate,
+         |    count(*) AS n_files,
+         |    CAST(sum(CASE WHEN NOT (
+         |      (lo_x IS NULL OR max_x >= lo_x) AND
+         |      (hi_x IS NULL OR min_x <= hi_x) AND
+         |      (lo_y IS NULL OR max_y >= lo_y) AND
+         |      (hi_y IS NULL OR min_y <= hi_y)) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_skipped
+         |  FROM zones CROSS JOIN preds
+         |  GROUP BY layout, predicate)
+         |SELECT layout, predicate, n_files, n_skipped,
+         |  round(CAST(n_skipped AS DOUBLE) / n_files, 6) AS skip_frac
+         |FROM audit
+         |ORDER BY layout, predicate""".stripMargin
+    },
 
     // the JSONL round-trip must reproduce the parquet originals
     "jsonl_scan" ->

@@ -53,8 +53,6 @@ object Layout {
                     layoutKeys: Seq[String], xCol: String, yCol: String,
                     nFiles: Int, preds: Seq[RangePred]): DataFrame = {
     require(nFiles >= 1 && preds.nonEmpty, s"bad spec: $nFiles/$preds")
-    val spark = df.sparkSession
-    import spark.implicits._
     val ranked = Sampling.globalRank(df, layoutKeys, "position")
     val withN = ranked.crossJoin(
       broadcast(ranked.agg(count(lit(1)).as("_n"))))
@@ -62,18 +60,37 @@ object Layout {
     val files = withN
       .withColumn("file",
         floor(col("position") * nFiles.toDouble / col("_n")))
-      .groupBy("file")
+    auditZoneMaps(fileZoneMaps(files, "file", xCol, yCol), layout, preds)
+  }
+
+  /** Per-file zone maps: (fileCol, min/max of x and y) — the min/max
+    * footer statistics a parquet file or lakehouse manifest would
+    * carry, derived from any relation that declares its file
+    * assignment (a simulated cut or a real on-disk partition column). */
+  def fileZoneMaps(df: DataFrame, fileCol: String, xCol: String,
+                   yCol: String): DataFrame =
+    df.groupBy(col(fileCol).as("file"))
       .agg(min(col(xCol).cast("double")).as("min_x"),
         max(col(xCol).cast("double")).as("max_x"),
         min(col(yCol).cast("double")).as("min_y"),
         max(col(yCol).cast("double")).as("max_y"))
+
+  /** Score `preds` against a zone-map relation (from [[fileZoneMaps]]):
+    * a file is skipped when its box provably misses the predicate's
+    * rectangle. The zone relation is files-sized — everything here is
+    * bounded by file counts, never row counts. */
+  def auditZoneMaps(zones: DataFrame, layout: String,
+                    preds: Seq[RangePred]): DataFrame = {
+    require(preds.nonEmpty, "no predicates")
+    val spark = zones.sparkSession
+    import spark.implicits._
     val predDf = broadcast(preds
       .map(p => (p.name, p.loX, p.hiX, p.loY, p.hiY))
       .toDF("predicate", "lo_x", "hi_x", "lo_y", "hi_y"))
     def overlaps(lo: String, hi: String, mn: String, mx: String) =
       (col(lo).isNull || col(mx) >= col(lo)) &&
         (col(hi).isNull || col(mn) <= col(hi))
-    files.crossJoin(predDf)
+    zones.crossJoin(predDf)
       .withColumn("skipped",
         !(overlaps("lo_x", "hi_x", "min_x", "max_x") &&
           overlaps("lo_y", "hi_y", "min_y", "max_y")))

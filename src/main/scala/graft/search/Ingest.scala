@@ -76,7 +76,14 @@ object Ingest {
     * swap the `current` pointer file — readers resolve the pointer and
     * never observe a half-written table. */
   def reindexSwap(spark: SparkSession, chunks: DataFrame,
-                  tableRoot: String): String = {
+                  tableRoot: String): String =
+    swapPointer(tableRoot)(target => writeChunks(chunks, target))
+
+  /** The pointer-flip half of [[reindexSwap]], factored so any writer
+    * (collection-partitioned chunks, layout-partitioned compactions)
+    * rides the same atomic swap. */
+  private def swapPointer(tableRoot: String)(
+      write: String => Unit): String = {
     val fs = new java.io.File(tableRoot)
     fs.mkdirs()
     val current = new java.io.File(fs, "CURRENT")
@@ -85,7 +92,7 @@ object Ingest {
         .stripPrefix("gen-").toInt + 1
     else 0
     val target = s"$tableRoot/gen-$gen"
-    writeChunks(chunks, target)
+    write(target)
     val tmp = new java.io.File(fs, "CURRENT.tmp")
     java.nio.file.Files.writeString(tmp.toPath, s"gen-$gen")
     java.nio.file.Files.move(tmp.toPath, current.toPath,
@@ -93,6 +100,41 @@ object Ingest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     target
   }
+
+  /** Layout-aware compaction (the lakehouse OPTIMIZE ... ZORDER BY
+    * write path): assign every row a DETERMINISTIC target file by its
+    * rank under the declared layout order — natural arrival
+    * (`Seq(idCol)`), single-key (`Seq(key, idCol)`), or Z-order
+    * (`Seq(zkeyCol, idCol)` with a [[graft.operators.Layout.zorderKey2]]
+    * column) — via [[graft.operators.Sampling.globalRank]] (relational
+    * zipWithIndex: one range shuffle + bounded offsets collect, no
+    * corpus-wide window). `file = floor(rank * nFiles / n)` cuts the
+    * layout into equal files exactly like
+    * [[graft.operators.Layout.skippingAudit]] simulates, so the
+    * written layout IS the audited layout. A repartitionByRange writer
+    * would instead sample range boundaries per run — nondeterministic
+    * file contents, unauditable zone maps. */
+  def compactWithLayout(df: DataFrame, layoutKeys: Seq[String],
+                        nFiles: Int): DataFrame = {
+    require(nFiles >= 1, s"bad nFiles: $nFiles")
+    val ranked = graft.operators.Sampling.globalRank(df, layoutKeys,
+      "position")
+    val withN = ranked.crossJoin(
+      org.apache.spark.sql.functions.broadcast(
+        ranked.agg(count(lit(1)).as("_n"))))
+    withN.withColumn("file",
+        floor(col("position") * nFiles.toDouble / col("_n")))
+      .drop("position", "_n")
+  }
+
+  /** [[reindexSwap]] for a [[compactWithLayout]] relation: one
+    * directory per target file id (`file=N/`), so every file's
+    * parquet min/max footer stats — its zone maps — are a
+    * deterministic function of the data and the layout keys. */
+  def reindexSwapLayout(spark: SparkSession, laid: DataFrame,
+                        tableRoot: String): String =
+    swapPointer(tableRoot)(target =>
+      laid.write.mode("overwrite").partitionBy("file").parquet(target))
 
   /** Resolve the current generation of a blue/green table. */
   def readCurrent(spark: SparkSession, tableRoot: String): DataFrame = {

@@ -464,4 +464,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("compactWithLayout ranks via a range exchange, never a " +
+      "corpus-wide window; the only window is the bounded per-" +
+      "partition offsets relation") {
+    import graft.search.Ingest
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("value"), col("user_id"))
+    val laid = Ingest.compactWithLayout(ev, Seq("event_id"), 8)
+    val p = laid.queryExecution.executedPlan.toString
+    // the range exchange itself sits behind globalRank's
+    // localCheckpoint (the repartitionByRange double-evaluation
+    // gotcha), so the visible plan starts at the checkpointed RDD scan
+    assert(p.contains("Scan ExistingRDD"), s"rank not pinned:\n$p")
+    // globalRank's offsets window runs over the P-row per-partition
+    // count relation (partition-count-bounded), identifiable by its
+    // _pid ordering; no window may order the event relation itself
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_pid")),
+      s"corpus-ordered window in the layout rank:\n$p")
+    // the only nested-loop is the 1-row total-count broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bucketed sequences/next-event forms window by (key, bucket) " +
+      "at the event level; key-only windows touch only the bucket " +
+      "summary relation") {
+    for (q <- Seq("event_sequences_bucketed", "churn_labels_bucketed",
+        "event_transitions_bucketed")) {
+      val p = plan(q)
+      // churn's corpus_max crossJoin is the declared 1-row stat
+      // broadcast (BNLJ BuildRight over an aggregate) — allowed;
+      // cartesian products are not
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // every corpus-level window must carry the __bucket column in its
+      // partition spec; windows without it are over the summary
+      // relation, whose spec also orders BY __bucket — so every window
+      // line must mention __bucket one way or the other
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty && winLines.forall(_.contains("__bucket")),
+        s"$q has a bucket-free window:\n$p")
+    }
+  }
 }
