@@ -3999,6 +3999,31 @@ object SparkEntry {
             removeStopwords = false)).as("tok")),
         "tok", b = 8)),
 
+    // ---- corpus-composition diversity (Shannon / Simpson / Gini)
+    //      over source and language shares — the mixture monitor a
+    //      curation pipeline tracks per snapshot; integer sums
+    //      everywhere except the bounded Σ n·ln n term ----
+    "corpus_diversity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.diversity(docs, "source")
+        .select(lit("source").as("dimension"), col("*"))
+        .unionByName(TextAnalysis.diversity(docs, "lang")
+          .select(lit("lang").as("dimension"), col("*")))
+        .orderBy("dimension")
+    }),
+
+    // ---- count-min sketch frequency calibration: the point-frequency
+    //      sibling of distinct_sketch / heavy_hitters — 4×256 counters
+    //      from ONE map-side-combinable (row, col) agg, top-20 exact
+    //      probes audited for overestimate (CMS never underestimates;
+    //      the min over rows picks the least collision mass) ----
+    "cms_calibration" -> ((s, dir) =>
+      Sketch.cmsCalibration(
+        t(s, dir, "documents").select(
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok")),
+        "tok", d = 4, wBits = 8, probeK = 20)),
+
     // ---- first-order Markov transition matrix over per-user event
     //      sequences: P(next | current) from one lag window per user
     //      (the Sequences posture: per-user timelines are bounded) and
@@ -6814,6 +6839,86 @@ object SparkEntry {
          |  round(abs(est.estimate - CAST(ex.n_exact AS DOUBLE))
          |    / ex.n_exact, 4) AS rel_error
          |FROM ex CROSS JOIN est""".stripMargin
+    },
+
+    // integer sums (Σn, Σn², Σi·n) drive everything except Σ n·ln n,
+    // whose bounded-relation addition drift sits far below 6 dp
+    "corpus_diversity" ->
+      """WITH ds AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, count(*) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |dl AS (
+        |  SELECT CAST(lang AS VARCHAR) AS g, count(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |rs AS (SELECT g, n, row_number() OVER (ORDER BY n, g) AS i
+        |  FROM ds),
+        |rl AS (SELECT g, n, row_number() OVER (ORDER BY n, g) AS i
+        |  FROM dl),
+        |a_s AS (
+        |  SELECT count(*) AS gc, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(n * n) AS BIGINT) AS sn2,
+        |    CAST(sum(i * n) AS BIGINT) AS sin,
+        |    sum(n * ln(n)) AS snln
+        |  FROM rs),
+        |a_l AS (
+        |  SELECT count(*) AS gc, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(n * n) AS BIGINT) AS sn2,
+        |    CAST(sum(i * n) AS BIGINT) AS sin,
+        |    sum(n * ln(n)) AS snln
+        |  FROM rl),
+        |out_s AS (
+        |  SELECT 'source' AS dimension, gc AS n_groups,
+        |    round(ln(nt) - snln / nt, 6) AS entropy,
+        |    round(CASE WHEN gc > 1
+        |      THEN (ln(nt) - snln / nt) / ln(gc) ELSE 0.0 END, 6)
+        |      AS norm_entropy,
+        |    round(CAST(sn2 AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6)
+        |      AS simpson,
+        |    round((2.0 * sin - (gc + 1.0) * nt) /
+        |      (CAST(gc AS DOUBLE) * nt), 6) AS gini
+        |  FROM a_s)
+        |SELECT * FROM out_s
+        |UNION ALL
+        |SELECT 'lang', gc,
+        |  round(ln(nt) - snln / nt, 6),
+        |  round(CASE WHEN gc > 1
+        |    THEN (ln(nt) - snln / nt) / ln(gc) ELSE 0.0 END, 6),
+        |  round(CAST(sn2 AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6),
+        |  round((2.0 * sin - (gc + 1.0) * nt) /
+        |    (CAST(gc AS DOUBLE) * nt), 6)
+        |FROM a_l
+        |ORDER BY dimension""".stripMargin,
+
+    // identical md5 32-bit-slice hashing and integer counters; the
+    // min-over-rows estimate and the TakeOrdered probe cut replay
+    // engine-exactly
+    "cms_calibration" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT unnest($toks) AS tok FROM documents),
+         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r,
+         |    ('0x' || substr(md5(r || ':' || tok), 1, 8))::UBIGINT % 256
+         |      AS c
+         |  FROM toked CROSS JOIN rs),
+         |sketch AS MATERIALIZED (
+         |  SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT tok, count(*) AS n_exact FROM toked GROUP BY tok
+         |  ORDER BY n_exact DESC, tok LIMIT 20),
+         |pc AS (
+         |  SELECT p.tok, p.n_exact, rs.r,
+         |    ('0x' || substr(md5(rs.r || ':' || p.tok), 1, 8))::UBIGINT
+         |      % 256 AS c
+         |  FROM probes p CROSS JOIN rs),
+         |est AS (
+         |  SELECT tok, n_exact, min(cnt) AS n_est
+         |  FROM pc JOIN sketch USING (r, c) GROUP BY 1, 2)
+         |SELECT tok AS token, n_exact, n_est,
+         |  n_est - n_exact AS overestimate
+         |FROM est
+         |ORDER BY n_exact DESC, token""".stripMargin
     },
 
     // same lead-per-user stream; marginals derive from the bounded

@@ -170,4 +170,63 @@ object Sketch {
         round(abs(col("estimate") - col("n_exact").cast("double")) /
           col("n_exact"), 4).as("rel_error"))
   }
+
+  /** Count-min sketch frequency CALIBRATION (Cormode–Muthukrishnan
+    * 2005) — the point-frequency sibling of [[hllDistinctCalibration]]
+    * and [[heavyHitters]]: d independent hash rows × w counters,
+    * counter (r, c) = #items with h_r(item) mod w = c, built by ONE
+    * map-side-combinable groupBy over (r, c) — the exchange carries
+    * at most P·d·w partial rows, never the corpus, and the sketch
+    * relation is d·w rows regardless of input size. The point
+    * estimate min_r counter(r, h_r(x)) is always an OVER-estimate
+    * (every row counts x plus its colliders; the min picks the row
+    * with the least collision mass — the classic ≤ εN w.h.p. bound
+    * with ε = e/w over d = ln(1/δ) rows).
+    *
+    * The audit probes the top `probeK` items by EXACT count (ties to
+    * item asc — a TakeOrdered cut, the exact side exists only for
+    * calibration) and reports each probe's estimate and overestimate.
+    * Hashes are the engine-replayable md5 32-bit slice of
+    * `"r:item"`, so every count is an integer both engines derive
+    * identically.
+    *
+    * Output: (token, n_exact, n_est, overestimate), n_exact desc,
+    * token asc. */
+  def cmsCalibration(df: DataFrame, valueCol: String, d: Int = 4,
+                     wBits: Int = 8, probeK: Int = 20): DataFrame = {
+    require(d >= 1 && d <= 16, s"d out of [1,16]: $d")
+    require(wBits >= 4 && wBits <= 20, s"wBits out of [4,20]: $wBits")
+    require(probeK >= 1, s"bad probeK: $probeK")
+    val w = (1L << wBits)
+    val vals = df.select(col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    def cellOf(r: Int, v: Column): Column = {
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.HexSliceToLong(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            md5(concat(lit(s"$r:"), v).cast("binary"))), 0))
+      h % w
+    }
+    val cells = vals.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cellOf(r, col("_v")).as("c"))): _*))
+      .as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+    val sketch = cells.groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    // the exact side: top-K probe relation (bounded), TakeOrdered cut
+    val probes = vals.groupBy(col("_v"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("_v"))
+      .limit(probeK)
+    val probeCells = probes.select(col("_v"), col("n_exact"),
+      explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cellOf(r, col("_v")).as("c"))): _*))
+        .as("rc"))
+      .select(col("_v"), col("n_exact"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+    probeCells.join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("_v", "n_exact").agg(min("cnt").as("n_est"))
+      .select(col("_v").as("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
 }

@@ -988,4 +988,47 @@ object TextAnalysis {
       (passWords && passMeanLen && passSymbol && passBullet &&
         passEllipsis && passAlpha && passStop).as("gopher_pass"))
   }
+
+  /** Corpus-composition diversity over one categorical dimension — the
+    * mixture-monitoring statistic a curation pipeline tracks per
+    * snapshot (is one source/language quietly taking over?):
+    *
+    *  - Shannon entropy H = ln N − (Σ n_g ln n_g)/N and its
+    *    ln(G)-normalized form in [0, 1],
+    *  - Simpson concentration Σ p_g² (the collision probability —
+    *    1/G when uniform, →1 under monopoly),
+    *  - Gini coefficient over group sizes,
+    *    (2 Σ i·n_(i) − (G+1) N) / (G·N) with groups size-ascending.
+    *
+    * Everything derives from INTEGER sums (Σn, Σn², Σi·n) except the
+    * single Σ n ln n term, whose addition-order drift over a
+    * |groups|-bounded relation sits ~8 orders below the 6-dp rounding.
+    * The only window runs over that same bounded group-count relation
+    * — never the corpus. Output: one row
+    * (n_groups, entropy, norm_entropy, simpson, gini). */
+  def diversity(df: DataFrame, dimCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(dimCol).isNotNull)
+      .groupBy(col(dimCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+    // bounded relation: |groups| rows — the single-partition rank is
+    // the histogram_equidepth precedent, not a corpus window
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("n"), col("g"))))
+    val nt = col("nt").cast("double")
+    val gc = col("gc").cast("double")
+    val h = log(nt) - col("snln") / nt
+    ranked.agg(count(lit(1)).as("gc"), sum("n").as("nt"),
+        sum(col("n") * col("n")).as("sn2"),
+        sum(col("i") * col("n")).as("sin"),
+        sum(col("n").cast("double") * log(col("n").cast("double")))
+          .as("snln"))
+      .select(col("gc").as("n_groups"),
+        round(h, 6).as("entropy"),
+        round(when(col("gc") > 1L, h / log(gc)).otherwise(lit(0.0)), 6)
+          .as("norm_entropy"),
+        round(col("sn2").cast("double") / (nt * nt), 6).as("simpson"),
+        round((lit(2.0) * col("sin") - (gc + lit(1.0)) * nt) /
+          (gc * nt), 6).as("gini"))
+  }
 }
