@@ -1881,6 +1881,20 @@ object SparkEntry {
         .orderBy(col("adist").asc, col("vec_id"))
     }),
 
+    // ---- PQ shortlist + EXACT refine (the FAISS refine stage —
+    //      Jégou 2011 §V): ADC keeps a 50-candidate shortlist from the
+    //      compressed codes, exact cosine re-ranks it to top-10 — the
+    //      production accuracy/speed trade where the full-precision
+    //      vectors are touched for only `shortlist` rows per query ----
+    "ann_pq_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = queryVecFor(s, dir)
+      Pq.refinedTopK(e, "vec_id", "embedding", qv, k = 10,
+          pqCodebookFor(s, dir), shortlist = 50)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // ---- duplicate-cluster resolution: near-dup pairs → connected
     //      components → canonical survivor per cluster ----
     "dedup_clusters" -> ((s, dir) => {
@@ -3998,6 +4012,17 @@ object SparkEntry {
           explode(TextFunctions.tokensCol(col("text"),
             removeStopwords = false)).as("tok")),
         "tok", b = 8)),
+
+    // ---- the per-group HLL — the sketch as the GROUP BY aggregate it
+    //      is in production (distinct vocabulary per source): registers
+    //      keyed by (source, j), ONE map-side-partial max agg, exact
+    //      per-source count_distinct joined on for the audit only ----
+    "distinct_sketch_by_source" -> ((s, dir) =>
+      Sketch.hllDistinctByKey(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok")),
+        "source", "tok", b = 8)),
 
     // ---- corpus-composition diversity (Shannon / Simpson / Gini)
     //      over source and language shares — the mixture monitor a
@@ -6841,6 +6866,42 @@ object SparkEntry {
          |FROM ex CROSS JOIN est""".stripMargin
     },
 
+    // identical register construction and estimator arithmetic as
+    // distinct_sketch, grouped by source
+    "distinct_sketch_by_source" -> {
+      val toks = sqlToksKeepStop("text")
+      val eRaw = "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z"
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT CAST(source AS VARCHAR) AS k, unnest($toks) AS tok
+         |  FROM documents WHERE source IS NOT NULL),
+         |h AS (
+         |  SELECT k, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT
+         |    AS BIGINT) AS hv
+         |  FROM toked),
+         |hw AS (SELECT k, hv & 255 AS j, hv >> 8 AS w FROM h),
+         |regs AS (
+         |  SELECT k, j, max(CASE WHEN w = 0 THEN 25
+         |    ELSE instr(lpad(bin(w), 24, '0'), '1') END) AS mj
+         |  FROM hw GROUP BY k, j),
+         |sk AS (
+         |  SELECT k, sum(power(2.0, -mj)) + (256.0 - count(*)) AS z,
+         |    256 - count(*) AS v
+         |  FROM regs GROUP BY k),
+         |est AS (
+         |  SELECT k, CASE WHEN $eRaw <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v)
+         |    ELSE $eRaw END AS estimate
+         |  FROM sk),
+         |ex AS (SELECT k, count(DISTINCT tok) AS n_exact
+         |  FROM toked GROUP BY k)
+         |SELECT ex.k AS key, ex.n_exact,
+         |  round(est.estimate, 4) AS n_estimate,
+         |  round(abs(est.estimate - CAST(ex.n_exact AS DOUBLE))
+         |    / ex.n_exact, 4) AS rel_error
+         |FROM ex JOIN est ON est.k = ex.k
+         |ORDER BY key""".stripMargin
+    },
+
     // integer sums (Σn, Σn², Σi·n) drive everything except Σ n·ln n,
     // whose bounded-relation addition drift sits far below 6 dp
     "corpus_diversity" ->
@@ -9679,6 +9740,60 @@ object SparkEntry {
              |  SELECT vec_id, adist FROM dists
              |  ORDER BY adist ASC, vec_id LIMIT 10)
              |ORDER BY adist, vec_id""".stripMargin
+        },
+        "ann_pq_refine" -> {
+          val cb = pqCodebookFor(
+            org.apache.spark.sql.SparkSession.active, lastDir)
+          val qv = IvfOracleQueryVec
+          val table = Pq.adcTable(qv, cb)
+          val cvals = (for {
+            s <- 0 until cb.m
+            j <- 0 until cb.k
+          } yield {
+            val c = cb.centroids(s)(j)
+            s"($s, $j, ${sqlDoubleList(c)}, ${c.map(x => x * x).sum})"
+          }).mkString(",\n    ")
+          val tvals = table.zipWithIndex
+            .map { case (t, s) => s"($s, ${sqlDoubleList(t)})" }
+            .mkString(",\n    ")
+          // same encode/ADC replay as ann_pq, then a 50-candidate
+          // shortlist (adist asc, id — Pq.adcTopK's cut) re-ranked by
+          // exact cosine against the vec_id-0 query
+          s"""WITH cents AS (
+             |  SELECT s, j, c, c2 FROM (VALUES
+             |    $cvals) AS t(s, j, c, c2)),
+             |codes AS (
+             |  SELECT vec_id, s, j AS code FROM (
+             |    SELECT e.vec_id, c.s, c.j,
+             |      row_number() OVER (PARTITION BY e.vec_id, c.s
+             |        ORDER BY 2 * list_inner_product(
+             |          list_slice(CAST(e.embedding AS DOUBLE[]),
+             |            c.s*8 + 1, c.s*8 + 8), c.c) - c.c2 DESC,
+             |          c.j) AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |adc AS (
+             |  SELECT s, dt FROM (VALUES
+             |    $tvals) AS t(s, dt)),
+             |dists AS (
+             |  SELECT co.vec_id,
+             |    list_sum(list(a.dt[co.code + 1] ORDER BY co.s)) AS adist
+             |  FROM codes co JOIN adc a ON a.s = co.s
+             |  GROUP BY co.vec_id),
+             |short AS (
+             |  SELECT vec_id FROM dists
+             |  ORDER BY adist ASC, vec_id LIMIT 50),
+             |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT e.vec_id,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                           CAST(q.embedding AS DOUBLE[]))
+             |      AS raw
+             |  FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id,
+             |    q)
+             |SELECT vec_id, round(raw, 6) AS score FROM (
+             |  SELECT vec_id, raw FROM scored
+             |  ORDER BY raw DESC, vec_id LIMIT 10)
+             |ORDER BY score DESC, vec_id""".stripMargin
         },
         "pca_project" -> {
           val (m, p1, p2) = PcaOracleFit

@@ -171,6 +171,60 @@ object Sketch {
           col("n_exact"), 4).as("rel_error"))
   }
 
+  /** PER-GROUP HyperLogLog — [[hllDistinctCalibration]] as the GROUP
+    * BY aggregate it is in production (distinct tokens per source,
+    * distinct users per day): registers keyed by (group, j), still ONE
+    * map-side-partial max-aggregation whose exchange carries at most
+    * P·|groups|·m rows — the per-group `count_distinct` it replaces
+    * shuffles the corpus. The exact side exists only for the audit.
+    * Register construction, dyadic register sum, and estimator
+    * branches are [[hllDistinctCalibration]]'s verbatim.
+    *
+    * Output: (key, n_exact, n_estimate 4 dp, rel_error 4 dp), key asc. */
+  def hllDistinctByKey(df: DataFrame, keyCol: String, valueCol: String,
+                       b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"b out of [4,16]: $b")
+    val m = 1 << b
+    val wBits = 32 - b
+    val vals = df.select(col(keyCol).cast("string").as("_k"),
+        col(valueCol).cast("string").as("_v"))
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HexSliceToLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          md5(col("_v").cast("binary"))), 0))
+    val hashed = vals.select(col("_k"),
+      (h.bitwiseAND(lit((m - 1).toLong))).as("j"),
+      shiftright(h, b).as("w"))
+    val regs = hashed
+      .withColumn("rank", when(col("w") === 0L, lit(wBits + 1))
+        .otherwise(instr(lpad(bin(col("w")), wBits, "0"), "1")))
+      .groupBy("_k", "j").agg(max("rank").as("mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val sketch = regs.groupBy("_k").agg(
+        sum(pow(lit(2.0), -col("mj"))).as("z_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("_k"),
+        (col("z_present") +
+          (lit(m.toDouble) - col("n_present"))).as("z"),
+        (lit(m.toLong) - col("n_present")).as("v"))
+      .select(col("_k"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / col("z"))
+          .as("e_raw"), col("v"))
+      .select(col("_k"),
+        when(col("e_raw") <= lit(2.5 * m) && col("v") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(col("e_raw")).as("estimate"))
+    val exact = vals.groupBy("_k")
+      .agg(count_distinct(col("_v")).as("n_exact"))
+    exact.join(sketch, "_k")
+      .select(col("_k").as("key"), col("n_exact"),
+        round(col("estimate"), 4).as("n_estimate"),
+        round(abs(col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact"), 4).as("rel_error"))
+      .orderBy("key")
+  }
+
   /** Count-min sketch frequency CALIBRATION (Cormode–Muthukrishnan
     * 2005) — the point-frequency sibling of [[hllDistinctCalibration]]
     * and [[heavyHitters]]: d independent hash rows × w counters,
