@@ -104,4 +104,49 @@ class SketchSpec extends SparkSpec {
     val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
     assert(Sketch.heavyHitters(nulls, "text", 0.1).collect().isEmpty)
   }
+
+  test("CMS never underestimates; an uncollided skewed head is exact; " +
+      "ordering is (n_exact desc, token asc)") {
+    // Zipf-ish: item i appears 200/i times — the head dwarfs the tail
+    val vals = (1 to 60).flatMap(i => Seq.fill(200 / i)(s"item_$i"))
+      .toDF("v")
+    val rows = Sketch.cmsCalibration(vals, "v", d = 4, wBits = 8,
+      probeK = 10).collect()
+    assert(rows.length == 10)
+    // the defining CMS guarantee: estimate >= exact, always
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L,
+        s"underestimate for ${r.getString(0)}: $r")
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3))
+    }
+    // top probe is the head item with its exact count
+    assert(rows.head.getString(0) == "item_1" && rows.head.getLong(1) == 200L)
+    // sorted by exact desc then token asc
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("per-group HLL matches the global calibration per key and " +
+      "audits each group against its exact count") {
+    val vals = (for {
+      g <- Seq("a", "b")
+      i <- 1 to (if (g == "a") 40 else 300)
+    } yield (g, s"$g$i")).toDF("k", "v")
+    val rows = Sketch.hllDistinctByKey(vals, "k", "v", b = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("a", "b"))
+    assert(rows("a")._1 == 40L && rows("b")._1 == 300L)
+    assert(rows("a")._3 < 0.15 && rows("b")._3 < 0.15,
+      s"rel_error too high: $rows")
+    // group-scoped registers must equal the single-key sketch run on
+    // each group alone — the aggregate is truly per-key
+    for (g <- Seq("a", "b")) {
+      val solo = Sketch.hllDistinctCalibration(
+        vals.filter(col("k") === g).select("v"), "v", b = 8)
+        .collect()(0)
+      assert(solo.getDouble(1) == rows(g)._2,
+        s"group $g: solo=${solo.getDouble(1)} grouped=${rows(g)._2}")
+    }
+  }
 }
