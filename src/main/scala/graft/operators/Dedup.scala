@@ -355,6 +355,18 @@ object Dedup {
     // one shingle relation feeds both the signature and the verify
     // branches (otherwise the explode+distinct shuffle runs twice)
     val sh = shingles(df, idCol, textCol, n).cache()
+    minhashNearDupsFrom(sh, numHashes, bands, threshold, hashFamily)
+  }
+
+  /** [[minhashNearDups]] over a precomputed (id, shingle) relation —
+    * for callers that already paid (and pinned) the shingle pass: the
+    * tuned-dedup query shares the banding sweep's checkpointed
+    * shingles, so the corpus is tokenized ONCE for sweep + selection +
+    * dedup. The caller owns the relation's persistence. */
+  def minhashNearDupsFrom(sh: DataFrame, numHashes: Int, bands: Int,
+                          threshold: Double,
+                          hashFamily: (Int, Column) => Column =
+                            xxHashFamily): DataFrame = {
     val sigs = minhashSignaturesFrom(sh, numHashes, hashFamily)
     // pin the candidate relation: ngramJaccardFrom references its pair
     // argument three times (candidate-id semi-filter, intersection join,
