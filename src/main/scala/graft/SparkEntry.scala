@@ -4020,6 +4020,16 @@ object SparkEntry {
             removeStopwords = false)).as("tok")),
         "tok", b = 8)),
 
+    // ---- exact phrase search over a positional index: a token at
+    //      position p matching phrase word i votes for start p−i; all
+    //      |phrase| slots voting = a match. The posting stream is
+    //      pruned MAP-SIDE by the broadcast word relation — only
+    //      phrase-word postings ever shuffle ----
+    "phrase_search" -> ((s, dir) =>
+      graft.operators.Phrase.phraseSearch(
+          t(s, dir, "documents"), "doc_id", "text", Seq("big", "data"))
+        .orderBy("doc_id")),
+
     // ---- the per-group HLL — the sketch as the GROUP BY aggregate it
     //      is in production (distinct vocabulary per source): registers
     //      keyed by (source, j), ONE map-side-partial max agg, exact
@@ -6871,6 +6881,29 @@ object SparkEntry {
          |  round(abs(est.estimate - CAST(ex.n_exact AS DOUBLE))
          |    / ex.n_exact, 4) AS rel_error
          |FROM ex CROSS JOIN est""".stripMargin
+    },
+
+    // positional zip of the token stream (multiple unnests zip
+    // positionally in one SELECT), the same vote-for-start
+    // intersection, 0-based positions both engines
+    "phrase_search" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |    unnest(range(len($toks))) AS pos
+         |  FROM documents),
+         |words AS (SELECT * FROM (VALUES ('big', 0), ('data', 1))
+         |  AS t(w, i)),
+         |starts AS (
+         |  SELECT t.doc_id, t.pos - w.i AS start, count(*) AS n
+         |  FROM toked t JOIN words w ON t.tok = w.w
+         |  GROUP BY 1, 2),
+         |m AS (SELECT doc_id, start FROM starts
+         |  WHERE n = 2 AND start >= 0)
+         |SELECT doc_id, count(*) AS n_matches,
+         |  CAST(min(start) AS BIGINT) AS first_pos
+         |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     // identical register construction and estimator arithmetic as

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Exact phrase search over a positional index — the IR operator BM25's
+  * bag-of-words scoring cannot express (ref surface: the reference
+  * serves substring/keyword matching through its sparse/BM25 legs;
+  * positional adjacency is the standard inverted-index extension,
+  * Manning IR ch. 2).
+  *
+  * Method: the classic positional-intersection trick — a token at
+  * position p matching phrase word i votes for candidate start p − i;
+  * a start with votes from ALL |phrase| word slots is an exact match
+  * (distinct positions imply distinct slots, so `count == |phrase|`
+  * is exact even with repeated words in the phrase).
+  *
+  * Scale posture: the posting stream is pruned MAP-SIDE by the
+  * broadcast phrase-word relation before anything shuffles — the
+  * (id, start) groupBy carries only phrase-word postings (corpus
+  * frequency of the phrase's words), never the corpus token stream.
+  * At 100 TB this is a broadcast semi-join + one bounded shuffle,
+  * the same shape as [[Sketch.heavyHitters]]' verify pass.
+  */
+object Phrase {
+
+  /** @return one row per matching document:
+    *         (doc_id, n_matches, first_pos), 0-based token positions. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String],
+                   removeStopwords: Boolean = false): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = broadcast(
+      phrase.zipWithIndex.toDF("w", "i"))
+    val postings = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = removeStopwords)).as(Seq("pos", "tok")))
+    postings.join(words, col("tok") === col("w"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("start"))
+      .groupBy("doc_id", "start").agg(count(lit(1)).as("n"))
+      .filter(col("n") === phrase.length && col("start") >= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("start").cast("long").as("first_pos"))
+  }
+}
