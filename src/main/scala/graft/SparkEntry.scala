@@ -4030,6 +4030,37 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", Seq("big", "data"))
         .orderBy("doc_id")),
 
+    // ---- proximity ("sloppy phrase") search — w2 within `slop`
+    //      tokens AFTER w1, the position pairing recast as a
+    //      point-in-interval problem over the token axis (each w1
+    //      position opens [p+1, p+slop+1); RangeJoin bounds candidates
+    //      by density per slop-window, not word frequency) ----
+    "proximity_search" -> ((s, dir) =>
+      graft.operators.Phrase.proximitySearch(
+          t(s, dir, "documents"), "doc_id", "text",
+          w1 = "big", w2 = "query", slop = 4)
+        .orderBy("doc_id")),
+
+    // ---- per-dimension embedding statistics: the feature-store
+    //      monitoring primitive (and the fit input for whitening) —
+    //      posexplode into (dim, v), one dims-bounded aggregate;
+    //      std from the moment form so both engines compute the
+    //      identical double expression ----
+    "embedding_dim_stats" -> ((s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+      x.groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          round(avg("v"), 6).as("mean_v"),
+          round(sqrt(sum(col("v") * col("v")) / count(lit(1)) -
+            avg("v") * avg("v")), 6).as("std_v"),
+          round(min("v"), 6).as("min_v"),
+          round(max("v"), 6).as("max_v"))
+        .orderBy("dim")
+    }),
+
     // ---- the per-group HLL — the sketch as the GROUP BY aggregate it
     //      is in production (distinct vocabulary per source): registers
     //      keyed by (source, j), ONE map-side-partial max agg, exact
@@ -6905,6 +6936,41 @@ object SparkEntry {
          |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    // plain inequality join stands in for the bucketed range join on
+    // the token axis (the range_join_bucketed discipline)
+    "proximity_search" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |    unnest(range(len($toks))) AS pos
+         |  FROM documents),
+         |a AS (SELECT doc_id, pos AS p1 FROM toked WHERE tok = 'big'),
+         |b AS (SELECT doc_id, pos AS p2 FROM toked
+         |  WHERE tok = 'query')
+         |SELECT a.doc_id, count(*) AS n_pairs,
+         |  CAST(min(b.p2 - a.p1) AS BIGINT) AS min_gap
+         |FROM a JOIN b ON a.doc_id = b.doc_id
+         |  AND b.p2 - a.p1 BETWEEN 1 AND 4
+         |GROUP BY a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
+    // identical moment-form std; positional zip of range(64) against
+    // the cast embedding list
+    "embedding_dim_stats" ->
+      """WITH x AS (
+        |  SELECT unnest(range(64)) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        |  round(avg(v), 6) AS mean_v,
+        |  round(sqrt(sum(v * v) / count(*) - avg(v) * avg(v)), 6)
+        |    AS std_v,
+        |  round(min(v), 6) AS min_v,
+        |  round(max(v), 6) AS max_v
+        |FROM x GROUP BY dim
+        |ORDER BY dim""".stripMargin,
 
     // identical register construction and estimator arithmetic as
     // distinct_sketch, grouped by source

@@ -47,4 +47,35 @@ object Phrase {
       .agg(count(lit(1)).as("n_matches"),
         min("start").cast("long").as("first_pos"))
   }
+
+  /** Proximity ("sloppy phrase") search: documents where `w2` occurs
+    * within `slop` tokens AFTER `w1` (ordered, gap in [1, slop]) —
+    * Manning IR's positional within-k query. Rather than the naive
+    * per-doc position pair join (quadratic on a doc that repeats a hot
+    * word), the position pairing IS a point-in-interval problem and
+    * reuses [[RangeJoin.pointInInterval]]: each w1 position opens the
+    * interval [p+1, p+slop+1) on the doc's token axis, w2 positions
+    * are the points, and the bucketed timeline bounds candidates by
+    * density per slop-window, not word frequency.
+    *
+    * Output: (doc_id, n_pairs, min_gap) per matching doc. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      w1: String, w2: String, slop: Int,
+                      removeStopwords: Boolean = false): DataFrame = {
+    require(slop >= 1, s"bad slop: $slop")
+    val postings = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = removeStopwords)).as(Seq("pos", "tok")))
+    val lefts = postings.filter(col("tok") === w1)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("w_start"),
+        (col("pos") + slop + 1).cast("long").as("w_end"),
+        col("pos").cast("long").as("p1"))
+    val rights = postings.filter(col("tok") === w2)
+      .select(col("doc_id"), col("pos").cast("long").as("p2"))
+    RangeJoin.pointInInterval(rights, lefts, Seq("doc_id"),
+        "p2", "w_start", "w_end", bucketWidth = slop + 1L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("p2") - col("p1")).as("min_gap"))
+  }
 }
