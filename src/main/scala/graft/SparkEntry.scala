@@ -3271,6 +3271,61 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- STREAMING windowed cardinality: distinct users per day
+    //      window as a REAL stream — the HLL register construction
+    //      (distinct_sketch) runs INSIDE the streaming aggregation
+    //      (groupBy(window, register) max(rank): bounded state of
+    //      windows×256 rows, where a streaming count_distinct would
+    //      hold every user id in state), finalized registers read
+    //      batch-side for the estimate, audited against the exact
+    //      per-window distinct over the same finalized windows ----
+    "streaming_distinct_window" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val stream = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.HexSliceToLong(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            md5(col("user_id").cast("string").cast("binary"))), 0))
+      val out = stream.filter(col("user_id").isNotNull)
+        .withWatermark("ts_utc", "10 minutes")
+        .select(col("ts_utc"), h.bitwiseAND(lit(255L)).as("j"),
+          shiftright(h, 8).as("hw"))
+        .withColumn("rank", when(col("hw") === 0L, lit(25))
+          .otherwise(instr(lpad(bin(col("hw")), 24, "0"), "1")))
+        .groupBy(window(col("ts_utc"), "1 day"), col("j"))
+        .agg(max("rank").as("mj"))
+        .select(col("window.start").as("window_start"), col("j"),
+          col("mj"))
+      val regs = runStreamToTable(s, out, "shll", dir)
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val sk = regs.groupBy("window_start")
+        .agg(sum(pow(lit(2.0), -col("mj"))).as("zp"),
+          count(lit(1)).as("np"))
+        .select(col("window_start"),
+          (col("zp") + (lit(256.0) - col("np"))).as("z"),
+          (lit(256L) - col("np")).as("v"))
+        .select(col("window_start"),
+          (alpha * lit(65536.0) / col("z")).as("e_raw"), col("v"))
+        .select(col("window_start"),
+          when(col("e_raw") <= lit(640.0) && col("v") > 0L,
+            lit(256.0) * log(lit(256.0) / col("v")))
+          .otherwise(col("e_raw")).as("estimate"))
+      val exact = eventsWithTsUtc(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts_utc"), "1 day"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .select(col("window.start").as("window_start"), col("n_exact"))
+      // inner join: only windows the stream FINALIZED carry a sketch
+      exact.join(sk, "window_start")
+        .select(col("window_start"), col("n_exact"),
+          round(col("estimate"), 4).as("n_estimate"),
+          round(abs(col("estimate") - col("n_exact").cast("double")) /
+            col("n_exact"), 4).as("rel_error"))
+        .orderBy("window_start")
+    }),
+
     // ---- SLIDING-window streaming twin: 2-hour windows every hour
     //      (each event lands in two windows, state = 2× windows in
     //      flight × keys, still bounded); same real stream + append
@@ -9386,6 +9441,46 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < wm.w
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // same finalization predicate; identical register construction
+    // and estimator arithmetic as distinct_sketch, per day window
+    "streaming_distinct_window" -> {
+      val eRaw = "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / z"
+      s"""WITH wm AS (
+         |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+         |fin AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+         |    user_id
+         |  FROM events, wm
+         |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY < wm.w
+         |    AND user_id IS NOT NULL),
+         |h AS (
+         |  SELECT ws, CAST(('0x' || substr(md5(CAST(user_id AS
+         |    VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS hv
+         |  FROM fin),
+         |hw AS (SELECT ws, hv & 255 AS j, hv >> 8 AS w2 FROM h),
+         |regs AS (
+         |  SELECT ws, j, max(CASE WHEN w2 = 0 THEN 25
+         |    ELSE instr(lpad(bin(w2), 24, '0'), '1') END) AS mj
+         |  FROM hw GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT ws, sum(power(2.0, -mj)) + (256.0 - count(*)) AS z,
+         |    256 - count(*) AS v
+         |  FROM regs GROUP BY ws),
+         |est AS (
+         |  SELECT ws, CASE WHEN $eRaw <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v)
+         |    ELSE $eRaw END AS estimate
+         |  FROM sk),
+         |ex AS (SELECT ws, count(DISTINCT user_id) AS n_exact
+         |  FROM fin GROUP BY ws)
+         |SELECT ex.ws AS window_start, ex.n_exact,
+         |  round(est.estimate, 4) AS n_estimate,
+         |  round(abs(est.estimate - CAST(ex.n_exact AS DOUBLE))
+         |    / ex.n_exact, 4) AS rel_error
+         |FROM ex JOIN est ON est.ws = ex.ws
+         |ORDER BY window_start""".stripMargin
+    },
 
     // the windowed-count replay (same finalization predicate, day
     // windows) scored against the whole-corpus baseline mix
