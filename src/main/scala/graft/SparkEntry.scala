@@ -2047,6 +2047,32 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // ---- k-means cluster profile of the frozen IVF quantizer — the
+    //      "is my index balanced" ops statistic (cell sizes + per-cell
+    //      assignment-score moments) a production ANN deployment
+    //      monitors for re-fit triggers; one map-side assignment pass
+    //      (struct-max over the broadcast centroid literals), one
+    //      cells-bounded aggregate ----
+    "kmeans_cluster_stats" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val e = t(s, dir, "embeddings")
+      val centroids = ivfCentroidsFor(s, dir)
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(V.dot(col("embedding"),
+          array(c.toIndexedSeq.map(lit): _*)).as("s"),
+          lit(-i).as("negi"))
+      }
+      val best = greatest(scored: _*)
+      e.select((-best.getField("negi")).as("cluster_id"),
+          best.getField("s").as("score"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg("score"), 6).as("avg_score"),
+          round(min("score"), 6).as("min_score"),
+          round(max("score"), 6).as("max_score"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- ANN quality harness: recall@10 of the IVF(nprobe=3) path
     //      against the exact scan, over a 3-query panel — the
     //      evaluation loop a production ANN deployment runs when
@@ -9765,6 +9791,32 @@ object SparkEntry {
              |ORDER BY score DESC, vec_id""".stripMargin
         },
 
+        "kmeans_cluster_stats" -> {
+          val cvals = IvfOracleCentroids.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          // same argmax-assignment replay as ann_ivf, carrying the
+          // winning dot; ties to the lowest centroid id
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS (
+             |  SELECT vec_id, cid, s FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      list_inner_product(CAST(e.embedding AS DOUBLE[]),
+             |        c.c) AS s,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid)
+             |        AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1)
+             |SELECT cid AS cluster_id, count(*) AS n_vectors,
+             |  round(avg(s), 6) AS avg_score,
+             |  round(min(s), 6) AS min_score,
+             |  round(max(s), 6) AS max_score
+             |FROM assigned GROUP BY cid
+             |ORDER BY cluster_id""".stripMargin
+        },
         "ann_ivf" -> {
           val cvals = IvfOracleCentroids.zipWithIndex
             .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
