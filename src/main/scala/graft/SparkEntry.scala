@@ -1725,6 +1725,19 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- pseudo-relevance-feedback expansion (Rocchio — the
+    //      statistical sibling of search_hyde's LLM expansion): BM25
+    //      first pass → top-5 expansion terms by summed doc weight
+    //      over the top-10 feedback docs (rounded-before-cut) →
+    //      expanded re-score. Two passes over docWeights, everything
+    //      else broadcast-sized ----
+    "search_prf" -> ((s, dir) => {
+      Bm25.searchPrf(t(s, dir, "documents"), "doc_id", "text",
+          SearchQuery, k = 20, fbDocs = 10, fbTerms = 5, beta = 0.4)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- dense k-NN over stored embeddings (W1) ----
     "knn_vec" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -5886,6 +5899,37 @@ object SparkEntry {
       s"""WITH $Bm25ScoresCtes
          |SELECT doc_id, round(score, 6) AS score FROM (
          |  SELECT doc_id, score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // first pass = bm25_scores; expansion terms by 6-dp-rounded summed
+    // weight over the feedback docs (rounded BEFORE the cut and reused
+    // AS the expansion weight, so both engines replay the cut and the
+    // re-score from identical doubles)
+    "search_prf" ->
+      s"""WITH $Bm25ScoresCtes,
+         |fdocs AS (
+         |  SELECT doc_id FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |fb AS (
+         |  SELECT term, fb_w FROM (
+         |    SELECT w.term, round(sum(w.weight), 6) AS fb_w
+         |    FROM weights w JOIN fdocs f ON w.doc_id = f.doc_id
+         |    WHERE w.term NOT IN (SELECT term FROM qweights)
+         |    GROUP BY w.term)
+         |  ORDER BY fb_w DESC, term LIMIT 5),
+         |q2 AS (
+         |  SELECT term, q_weight FROM qweights
+         |  UNION ALL
+         |  SELECT term, 0.4 * fb_w / 10.0 FROM fb),
+         |scores2 AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * q.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM weights w JOIN q2 q ON w.term = q.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM scores2
          |  ORDER BY score DESC, doc_id LIMIT 20)
          |ORDER BY score DESC, doc_id""".stripMargin,
 

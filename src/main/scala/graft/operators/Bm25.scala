@@ -298,4 +298,49 @@ object Bm25 {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Pseudo-relevance-feedback expansion (Rocchio 1971, the
+    * statistical sibling of the reference's HyDE LLM expansion —
+    * ref shared/llm/hyde.py:40-173 expands with generated text; PRF
+    * expands with the corpus itself): first-pass BM25 keeps the top
+    * `fbDocs` documents, expansion terms are the top `fbTerms` by
+    * SUMMED doc weight across that feedback set (original query terms
+    * excluded; 6-dp rounded-BEFORE-cut ordering so the cut replays
+    * cross-engine), and the expanded query re-scores with
+    * `beta · fb_weight / fbDocs` added per expansion term. Every
+    * relation beyond the doc-weight joins is query-sized or
+    * feedback-sized and broadcasts; the corpus-sized docWeights
+    * relation is touched exactly twice — the two scoring passes any
+    * PRF implementation pays. */
+  def searchPrf(corpus: DataFrame, idCol: String, textCol: String,
+                queryText: String, k: Int, fbDocs: Int = 10,
+                fbTerms: Int = 5, beta: Double = 0.4,
+                p: Params = Default,
+                index: Option[Index] = None): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, s"bad PRF spec: $fbDocs/$fbTerms")
+    val idx = index.getOrElse(buildIndex(corpus, idCol, textCol, p,
+      pinStats = true))
+    val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    val first = idx.docWeights.join(broadcast(qW), "term")
+      .groupBy("id")
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(fbDocs)
+      .select("id")
+    val fb = idx.docWeights.join(broadcast(first), "id")
+      .join(broadcast(qW.select("term")), Seq("term"), "left_anti")
+      .groupBy("term").agg(round(sum("weight"), 6).as("fb_w"))
+      .orderBy(col("fb_w").desc, col("term"))
+      .limit(fbTerms)
+      .select(col("term"),
+        (lit(beta) * col("fb_w") / lit(fbDocs.toDouble)).as("q_weight"))
+    val q2 = qW.unionByName(fb)
+    idx.docWeights.join(broadcast(q2), "term")
+      .groupBy("id")
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }
