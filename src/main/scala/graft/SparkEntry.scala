@@ -2047,6 +2047,20 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // ---- MULTI-PROBE LSH (Lv 2007): the single-bucket probe plus
+    //      the buckets reached by flipping the 2 smallest-|margin|
+    //      hyperplane bits (4 of 16 buckets probed) — recall recovered
+    //      from ONE table instead of more planes; the probe set is a
+    //      pure function of the query, the scan stays bucket-pruned ----
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = queryVecFor(s, dir)
+      Knn.lshTopKMultiProbe(e, "vec_id", "embedding", qv, k = 10,
+          nPlanes = 4, probeBits = 2)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // ---- ANN via IVF coarse quantizer (scale path #2). The fit is
     //      memoized per dir and shared with the oracle's centroid
     //      literals, so both sides see bit-identical centroids ----
@@ -2106,6 +2120,31 @@ object SparkEntry {
           .select(lit(qid).as("query_id"), col("k"), col("n_hits"),
             (col("n_hits").cast("double") / col("k")).as("recall"))
       }.reduce(_ unionByName _).orderBy("query_id")
+    }),
+
+    // ---- LSH recall harness: recall@10 of single-probe vs
+    //      MULTI-PROBE (2 flip bits → 4 of 16 buckets) against the
+    //      exact scan over the same query panel — the measured number
+    //      behind "multiprobe recovers recall without more tables" ----
+    "ann_recall_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnRecallQids.map { qid =>
+        val qv = queryVecNFor(s, dir, qid)
+        val exact = Knn.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+          .select(col("vec_id"))
+        def hits(approx: DataFrame, method: String) =
+          exact.join(approx.select(col("vec_id").as("a_id")),
+              col("vec_id") === col("a_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+            .select(lit(qid).as("query_id"), lit(method).as("method"),
+              col("k"), col("n_hits"),
+              (col("n_hits").cast("double") / col("k")).as("recall"))
+        hits(Knn.lshTopK(e, "vec_id", "embedding", qv, 10,
+            nPlanes = 4), "single")
+          .unionByName(hits(Knn.lshTopKMultiProbe(e, "vec_id",
+            "embedding", qv, 10, nPlanes = 4, probeBits = 2),
+            "multiprobe"))
+      }.reduce(_ unionByName _).orderBy("query_id", "method")
     }),
 
     // ---- IVF index MAINTENANCE: the quantizer is frozen on the
@@ -5957,6 +5996,117 @@ object SparkEntry {
          |SELECT vec_id, round(raw, 6) AS score FROM (
          |  SELECT vec_id, raw FROM scored ORDER BY raw DESC, vec_id LIMIT 10)
          |ORDER BY score DESC, vec_id""".stripMargin
+    },
+
+    // probe set = query bucket ⊕ subsets of the 2 smallest-|margin|
+    // bits (ties: lowest plane index) — a pure function of the query,
+    // replayed from the same plane literals
+    "ann_lsh_multiprobe" -> {
+      val planes = Knn.hyperplanes(4, 64)
+      val bucketE = lshBucketSql("e.embedding", planes)
+      val bucketQ = lshBucketSql("q.embedding", planes)
+      val marginRows = planes.zipWithIndex.map { case (p, b) =>
+        val dot = (0 until 8)
+          .map(i => s"CAST(q.embedding[${i + 1}] AS DOUBLE) * (${p(i)})")
+          .mkString(" + ")
+        s"SELECT $b AS b, ($dot) AS m FROM q"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT CAST($bucketQ AS BIGINT) AS qbv FROM q),
+         |marg AS (
+         |  $marginRows),
+         |ranked AS (
+         |  SELECT b, row_number() OVER (ORDER BY abs(m), b) AS rn
+         |  FROM marg),
+         |fl AS (
+         |  SELECT list(CAST(1 << b AS BIGINT) ORDER BY rn) AS fs
+         |  FROM ranked WHERE rn <= 2),
+         |masks AS (
+         |  SELECT unnest([0, fs[1], fs[2], fs[1] + fs[2]]) AS mk
+         |  FROM fl),
+         |probes AS (SELECT xor(qb.qbv, mk) AS pb FROM qb, masks),
+         |scored AS (
+         |  SELECT e.vec_id AS vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(q.embedding AS DOUBLE[])) AS raw
+         |  FROM embeddings e, q
+         |  WHERE CAST($bucketE AS BIGINT) IN (SELECT pb FROM probes))
+         |SELECT vec_id, round(raw, 6) AS score FROM (
+         |  SELECT vec_id, raw FROM scored ORDER BY raw DESC, vec_id LIMIT 10)
+         |ORDER BY score DESC, vec_id""".stripMargin
+    },
+
+    // single-probe and multiprobe LSH recall vs the exact scan, per
+    // panel query — probe sets replayed from the same plane literals
+    "ann_recall_lsh" -> {
+      val planes = Knn.hyperplanes(4, 64)
+      val bucketE = lshBucketSql("e.embedding", planes)
+      val bucketQ = lshBucketSql("q.embedding", planes)
+      def perQid(qid: Long): String = {
+        val marginRows = planes.zipWithIndex.map { case (p, b) =>
+          val dot = (0 until 8)
+            .map(i => s"CAST(q.embedding[${i + 1}] AS DOUBLE) * (${p(i)})")
+            .mkString(" + ")
+          s"SELECT $b AS b, ($dot) AS m FROM q_$qid q"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""q_$qid AS (SELECT embedding FROM embeddings
+           |  WHERE vec_id = $qid),
+           |ex_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM embeddings e, q_$qid q
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10)),
+           |qb_$qid AS (SELECT CAST($bucketQ AS BIGINT) AS qbv
+           |  FROM q_$qid q),
+           |marg_$qid AS (
+           |  $marginRows),
+           |ranked_$qid AS (
+           |  SELECT b, row_number() OVER (ORDER BY abs(m), b) AS rn
+           |  FROM marg_$qid),
+           |fl_$qid AS (
+           |  SELECT list(CAST(1 << b AS BIGINT) ORDER BY rn) AS fs
+           |  FROM ranked_$qid WHERE rn <= 2),
+           |probes_$qid AS (
+           |  SELECT xor(qb.qbv, mk) AS pb FROM qb_$qid qb,
+           |    (SELECT unnest([0, fs[1], fs[2], fs[1] + fs[2]]) AS mk
+           |     FROM fl_$qid)),
+           |sg_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM embeddings e, q_$qid q
+           |    WHERE CAST($bucketE AS BIGINT) =
+           |      (SELECT qbv FROM qb_$qid)
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10)),
+           |mp_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM embeddings e, q_$qid q
+           |    WHERE CAST($bucketE AS BIGINT) IN
+           |      (SELECT pb FROM probes_$qid)
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10))""".stripMargin
+      }
+      val ctes = AnnRecallQids.map(perQid).mkString(",\n")
+      val selects = AnnRecallQids.flatMap { qid => Seq(
+        s"""SELECT $qid AS query_id, 'multiprobe' AS method,
+           |  (SELECT count(*) FROM ex_$qid) AS k,
+           |  (SELECT count(*) FROM ex_$qid x JOIN mp_$qid a
+           |    USING (vec_id)) AS n_hits""".stripMargin,
+        s"""SELECT $qid AS query_id, 'single' AS method,
+           |  (SELECT count(*) FROM ex_$qid) AS k,
+           |  (SELECT count(*) FROM ex_$qid x JOIN sg_$qid a
+           |    USING (vec_id)) AS n_hits""".stripMargin)
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ctes
+         |SELECT query_id, method, k, n_hits,
+         |  CAST(n_hits AS DOUBLE) / k AS recall FROM (
+         |  $selects)
+         |ORDER BY query_id, method""".stripMargin
     },
 
     "dedup_embedding" -> {

@@ -71,6 +71,42 @@ object Knn {
       .transform(bruteForceTopK(_, idCol, vecCol, query, k))
   }
 
+  /** MULTI-PROBE LSH (Lv et al., VLDB 2007): probe the query's own
+    * bucket plus every bucket reached by flipping subsets of the
+    * `probeBits` hyperplane bits with the SMALLEST |margin| — the
+    * likeliest sign errors for near neighbors sitting close to a
+    * hyperplane. Recall is recovered by probing 2^probeBits buckets of
+    * ONE table instead of maintaining more tables/planes (the memory
+    * trade the paper quantifies). Deterministic: the flip ranking
+    * orders by (|margin| asc, plane index asc), so the probe set is a
+    * pure function of the query. The scan stays bucket-pruned — the
+    * `isin` probe-set filter reaches the storage layer exactly like
+    * the single-bucket form. */
+  def lshTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
+                        query: Array[Double], k: Int, nPlanes: Int = 8,
+                        probeBits: Int = 2): DataFrame = {
+    require(probeBits >= 1 && probeBits <= nPlanes,
+      s"probeBits out of [1,$nPlanes]: $probeBits")
+    val dim = query.length
+    val planes = hyperplanes(nPlanes, dim)
+    val margins = planes.map(h => V.dotS(query, h))
+    var bucket = 0L
+    margins.zipWithIndex.foreach { case (m, i) =>
+      if (m >= 0.0) bucket |= (1L << i)
+    }
+    val flips = margins.zipWithIndex
+      .map { case (m, i) => (math.abs(m), i) }
+      .sorted.take(probeBits).map(_._2)
+    val probes = flips.foldLeft(Seq(bucket)) { (acc, b) =>
+      acc ++ acc.map(_ ^ (1L << b))
+    }.distinct
+    vectors
+      .withColumn("_bucket", lshBucket(col(vecCol), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .drop("_bucket")
+      .transform(bruteForceTopK(_, idCol, vecCol, query, k))
+  }
+
   // -------------------------------------------------------------------
   // IVF: coarse-quantizer ANN — the second scale path beside LSH.
   // Deterministic throughout: centroids init from the first k vectors
