@@ -4479,6 +4479,41 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ---- per-type volume TREND: closed-form OLS slope of daily
+    //      counts vs epoch day over the bounded (type, day) relation —
+    //      the "is this source growing or dying" curation monitor.
+    //      Every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT, so
+    //      slope/intercept/r² are identical doubles in both engines ----
+    "event_trend" -> ((s, dir) => {
+      val daily = eventsWithTsUtc(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts_utc")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("x", (unix_timestamp(col("day")) / 86400L)
+          .cast("long"))
+      val agg = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("c").as("sy"),
+        sum(col("x") * col("c")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("c") * col("c")).as("sy2"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val den = (col("n") * col("sx2") - col("sx") * col("sx"))
+        .cast("double")
+      val deny = (col("n") * col("sy2") - col("sy") * col("sy"))
+        .cast("double")
+      val slope = num / den
+      agg.select(col("event_type"), col("n").as("n_days"),
+          when(col("n") > 1L && den > 0.0, round(slope, 6))
+            .as("slope_per_day"),
+          when(col("n") > 1L && den > 0.0, round(
+            (col("sy").cast("double") - slope * col("sx")) /
+              col("n"), 6)).as("intercept"),
+          when(col("n") > 1L && den > 0.0 && deny > 0.0,
+            round(num * num / (den * deny), 6)).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // ---- join-key skew probe: the "should I salt?" advisor — per-key
     //      counts once, stats + bounded TopK cut from that relation ----
     "skew_probe" -> ((s, dir) => {
@@ -7619,6 +7654,41 @@ object SparkEntry {
         |ORDER BY g_source, g_lang, source, lang""".stripMargin,
 
     // trailing-7-row integer sums (s1, s2) -> identical double math
+    // every OLS moment is an exact BIGINT; the final projections are
+    // identical double expressions on both engines
+    "event_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dx AS (
+        |  SELECT event_type, epoch_us(day) // 86400000000 AS x, c
+        |  FROM daily),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(x * c) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2,
+        |    CAST(sum(c * c) AS BIGINT) AS sy2
+        |  FROM dx GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN n > 1 AND CAST(n * sx2 - sx * sx AS DOUBLE) > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sx2 - sx * sx AS DOUBLE), 6) END AS slope_per_day,
+        |  CASE WHEN n > 1 AND CAST(n * sx2 - sx * sx AS DOUBLE) > 0
+        |    THEN round((CAST(sy AS DOUBLE) -
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sx2 - sx * sx AS DOUBLE)) * sx) / n, 6)
+        |    END AS intercept,
+        |  CASE WHEN n > 1 AND CAST(n * sx2 - sx * sx AS DOUBLE) > 0
+        |      AND CAST(n * sy2 - sy * sy AS DOUBLE) > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) *
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (CAST(n * sx2 - sx * sx AS DOUBLE) *
+        |       CAST(n * sy2 - sy * sy AS DOUBLE)), 6) END AS r2
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "events_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type,
