@@ -4479,6 +4479,49 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ---- Kaplan–Meier survival over user lifetimes (Kaplan & Meier
+    //      1958) — churn_labels' censoring rule turned into the full
+    //      survival curve: lifetime = HOURS between a user's first and
+    //      last event; users quiet for >6 h at corpus end are observed
+    //      churn EVENTS, the rest are right-CENSORED (they may still
+    //      be active). S(t) = Π (1 − d_u/n_u) over event hours u ≤ t,
+    //      computed as exp(Σ ln) through an ordered cumulative window
+    //      over the BOUNDED per-hour relation (hours, never users) ----
+    "survival_km" -> ((s, dir) => {
+      val ev = eventsWithTsUtc(s, dir)
+      val horizonS = 6L * 3600L
+      val maxTs = broadcast(ev.agg(max("ts_utc").as("corpus_max")))
+      val users = ev.groupBy("user_id")
+        .agg(min("ts_utc").as("first_ts"), max("ts_utc").as("last_ts"))
+        .crossJoin(maxTs)
+        .select(col("user_id"),
+          ((unix_timestamp(col("last_ts")) -
+            unix_timestamp(col("first_ts"))) / 3600L).cast("long")
+            .as("t"),
+          (unix_timestamp(col("corpus_max")) -
+            unix_timestamp(col("last_ts")) > horizonS).as("churned"))
+      val byDay = users.groupBy("t")
+        .agg(count(lit(1)).as("n_end"),
+          sum(col("churned").cast("long")).as("d"))
+      val totals = broadcast(users.agg(count(lit(1)).as("n_total")))
+      val w = Window.orderBy("t")
+      byDay.crossJoin(totals)
+        .withColumn("ended_before", coalesce(sum("n_end")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_at_risk", col("n_total") - col("ended_before"))
+        .withColumn("lnterm", when(col("d") > 0L,
+          log(lit(1.0) - col("d").cast("double") / col("n_at_risk")))
+          .otherwise(lit(0.0)))
+        .withColumn("survival", exp(sum("lnterm")
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow))))
+        .filter(col("d") > 0L)
+        .select(col("t").as("t_hour"), col("n_at_risk"),
+          col("d").as("n_events"), round(col("survival"), 6)
+            .as("survival"))
+        .orderBy("t_hour")
+    }),
+
     // ---- per-type volume TREND: closed-form OLS slope of daily
     //      counts vs epoch day over the bounded (type, day) relation —
     //      the "is this source growing or dying" curation monitor.
@@ -7654,6 +7697,42 @@ object SparkEntry {
         |ORDER BY g_source, g_lang, source, lang""".stripMargin,
 
     // trailing-7-row integer sums (s1, s2) -> identical double math
+    // same censoring rule as churn_labels; the cumulative exp(Σ ln)
+    // fold runs in t order over the bounded per-day relation on both
+    // engines
+    "survival_km" ->
+      """WITH m AS (SELECT max(ts) AS corpus_max FROM events),
+        |users AS (
+        |  SELECT user_id,
+        |    ((epoch_us(max(ts)) // 1000000) -
+        |     (epoch_us(min(ts)) // 1000000)) // 3600 AS t,
+        |    (epoch_us((SELECT corpus_max FROM m)) // 1000000) -
+        |      (epoch_us(max(ts)) // 1000000) > 21600 AS churned
+        |  FROM events GROUP BY user_id),
+        |byday AS (
+        |  SELECT t, count(*) AS n_end,
+        |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM users GROUP BY t),
+    |tot AS (SELECT count(*) AS n_total FROM users),
+        |ar AS (
+        |  SELECT t, d,
+        |    n_total - coalesce(sum(n_end) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM byday, tot),
+        |km AS (
+        |  SELECT t, d, n_at_risk,
+        |    sum(CASE WHEN d > 0 THEN ln(1.0 - CAST(d AS DOUBLE) /
+        |      n_at_risk) ELSE 0.0 END) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS lnsum
+        |  FROM ar)
+        |SELECT t AS t_hour, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  d AS n_events, round(exp(lnsum), 6) AS survival
+        |FROM km WHERE d > 0
+        |ORDER BY t_hour""".stripMargin,
+
     // every OLS moment is an exact BIGINT; the final projections are
     // identical double expressions on both engines
     "event_trend" ->
