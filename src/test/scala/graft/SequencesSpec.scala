@@ -85,6 +85,43 @@ class SequencesSpec extends SparkSpec {
       bucketed.exceptAll(plain).isEmpty)
   }
 
+  test("property: bucketed forms equal the key-window forms on " +
+      "seeded-random inputs, for any bucket width, context length, " +
+      "and partitioning") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(6)
+      val rows = (0 until 500 + rnd.nextInt(1500)).map { i =>
+        val key = rnd.nextInt(nKeys + 1) match {
+          case 0 => null: String // NULL keys group together
+          case k => s"k$k"
+        }
+        // coarse ts granularity forces ties AND bucket-boundary hits
+        (i.toLong, key, ts(rnd.nextInt(5000) * 10L), s"t${rnd.nextInt(4)}")
+      }
+      val ev = rows.toDF("event_id", "user_id", "ets", "event_type")
+        .repartition(1 + rnd.nextInt(8))
+      val contextLen = 1 + rnd.nextInt(4)
+      val bucketSeconds = Seq(7L, 100L, 3600L)(rnd.nextInt(3))
+      val plain = Sequences.nextEventExamples(ev, "user_id", "ets",
+        "event_id", "event_type", contextLen)
+      val bucketed = Sequences.nextEventExamplesBucketed(ev, "user_id",
+        "ets", "event_id", "event_type", contextLen, bucketSeconds)
+      assert(plain.exceptAll(bucketed).isEmpty &&
+        bucketed.exceptAll(plain).isEmpty,
+        s"seed=$seed ctx=$contextLen bucket=$bucketSeconds")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+      val leadRef = ev.withColumn("next_event_type",
+        lead(col("event_type"), 1).over(w))
+      val leadGot = Sequences.nextEventBucketed(ev, "user_id", "ets",
+        "event_id", Seq("event_type"), bucketSeconds)
+      assert(leadRef.select(leadRef.columns.sorted.map(col): _*)
+        .exceptAll(leadGot.select(leadGot.columns.sorted.map(col): _*))
+        .isEmpty, s"lead: seed=$seed bucket=$bucketSeconds")
+    }
+  }
+
   test("bucketed next-event attach matches lead(1) over the key window") {
     import org.apache.spark.sql.expressions.Window
     val ev = skewedFixture
