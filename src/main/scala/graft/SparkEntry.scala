@@ -4479,6 +4479,72 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ---- day-of-week SEASONAL anomaly baseline: the trailing-window
+    //      z-score (events_anomaly) misfires on weekly rhythm — here
+    //      each (type, day) scores against its own (type, DOW) cohort
+    //      (mean/σ from integer sums over the bounded daily relation),
+    //      the standard seasonal-naive residual ----
+    "events_anomaly_dow" -> ((s, dir) => {
+      val daily = eventsWithTsUtc(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts_utc")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        // 0=Sunday..6=Saturday on both engines
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      val stats = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("n") >= 3)
+      daily.join(stats, Seq("event_type", "dow"))
+        .withColumn("mean_dow",
+          col("s1").cast("double") / col("n"))
+        .withColumn("sd", sqrt(greatest(lit(0.0),
+          (col("s2").cast("double") - col("s1").cast("double") *
+            col("s1") / col("n")) / (col("n") - 1))))
+        .withColumn("z", when(col("sd") > 0.0,
+          round((col("c").cast("double") - col("mean_dow")) /
+            col("sd"), 6)))
+        .select(col("event_type"), col("day"), col("dow"), col("c"),
+          round(col("mean_dow"), 6).as("mean_dow"), col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- stationary distribution of the event-transition Markov
+    //      chain (the long-run behavioral mix event_transitions
+    //      implies): 8 power-iteration steps from uniform over the
+    //      |types|²-BOUNDED transition relation — a bounded collect +
+    //      driver fold (the histogram_equidepth precedent), with the
+    //      oracle replaying all 8 steps in chained CTEs ----
+    "markov_stationary" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts_utc", "event_id")
+      val pairs = eventsWithTsUtc(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"),
+          col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val rows = pairs.collect() // bounded: |types|² rows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+      val totals = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      val p = rows.map { case (a, b, n) =>
+        (a, b) -> n.toDouble / totals(a) }.toMap
+      var x: Seq[Double] = states.toSeq.map(_ => 1.0 / states.length)
+      for (_ <- 1 to 8) {
+        x = states.toSeq.map { j =>
+          // fold in sorted state order — deterministic double sums
+          states.zip(x).map { case (i, xi) =>
+            xi * p.getOrElse((i, j), 0.0) }.sum
+        }
+      }
+      states.zip(x).map { case (st, pi) =>
+        (st, BigDecimal(pi).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("state", "pi").orderBy("state")
+    }),
+
     // ---- Kaplan–Meier survival over user lifetimes (Kaplan & Meier
     //      1958) — churn_labels' censoring rule turned into the full
     //      survival curve: lifetime = HOURS between a user's first and
@@ -7697,6 +7763,77 @@ object SparkEntry {
         |ORDER BY g_source, g_lang, source, lang""".stripMargin,
 
     // trailing-7-row integer sums (s1, s2) -> identical double math
+    // same integer-sum variance discipline as events_anomaly, cohorts
+    // keyed by (type, dow); date_part('dow') is 0=Sunday, matching
+    // Spark's dayofweek - 1
+    "events_anomaly_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, day, c,
+        |    CAST(date_part('dow', day) AS BIGINT) AS dow
+        |  FROM daily),
+        |stats AS (
+        |  SELECT event_type, dow, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM dd GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (
+        |  SELECT d.event_type, d.day, d.dow, d.c,
+        |    CAST(s1 AS DOUBLE) / n AS mean_dow,
+        |    sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) AS sd
+        |  FROM dd d JOIN stats s USING (event_type, dow))
+        |SELECT event_type, day, dow, c,
+        |  round(mean_dow, 6) AS mean_dow,
+        |  CASE WHEN sd > 0.0 THEN round((CAST(c AS DOUBLE) - mean_dow)
+        |    / sd, 6) END AS z,
+        |  coalesce(abs(CASE WHEN sd > 0.0 THEN
+        |    round((CAST(c AS DOUBLE) - mean_dow) / sd, 6) END) > 2.0,
+        |    false) AS is_anomaly
+        |FROM sc
+        |ORDER BY event_type, day""".stripMargin,
+
+    // 8 power-iteration steps replayed in chained MATERIALIZED CTEs
+    // (the TextRank discipline); sums span <= |types| products, far
+    // below the 6-dp rounding
+    "markov_stationary" -> {
+      val steps = (1 to 8).map { i =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT s.st, coalesce(sum(x0.x * p.p), 0.0) AS x
+           |  FROM states s
+           |  LEFT JOIN p ON p.nxt = s.st
+           |  LEFT JOIN s${i - 1} x0 ON x0.st = p.cur
+           |  GROUP BY s.st)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type AS cur,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |pairs AS (
+         |  SELECT cur, nxt, count(*) AS n FROM seq
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT cur, CAST(sum(n) AS BIGINT) AS rn
+         |  FROM pairs GROUP BY 1),
+         |p AS MATERIALIZED (
+         |  SELECT pairs.cur, pairs.nxt, CAST(n AS DOUBLE) / rn AS p
+         |  FROM pairs JOIN tot USING (cur)),
+         |states AS MATERIALIZED (
+         |  SELECT cur AS st FROM pairs
+         |  UNION SELECT nxt FROM pairs),
+         |s0 AS MATERIALIZED (
+         |  SELECT st, 1.0 / (SELECT count(*) FROM states) AS x
+         |  FROM states),
+         |$steps
+         |SELECT st AS state, round(x, 6) AS pi FROM s8
+         |ORDER BY state""".stripMargin
+    },
+
     // same censoring rule as churn_labels; the cumulative exp(Σ ln)
     // fold runs in t order over the bounded per-day relation on both
     // engines
