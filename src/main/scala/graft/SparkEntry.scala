@@ -2393,6 +2393,29 @@ object SparkEntry {
       before.unionByName(after).orderBy("layout", "predicate")
     }),
 
+    // ---- TIME TRAVEL + VACUUM across blue/green generations: three
+    //      swaps build gen-0/1/2, every retained generation is read
+    //      back BY NUMBER (the lakehouse VERSION AS OF story — counts
+    //      taken before reclaim), then vacuum(keep=2) deletes gen-0
+    //      and the retained set is re-listed from disk ----
+    "time_travel_vacuum" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tt").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .withColumn("collection_id", lit("docs"))
+      Ingest.reindexSwap(s, docs.filter(col("doc_id") % 2 === 0), root)
+      Ingest.reindexSwap(s, docs, root)
+      Ingest.reindexSwap(s, docs.filter(col("doc_id") % 3 =!= 0), root)
+      val counts = (0 to 2).map(g =>
+        g -> Ingest.readGeneration(s, root, g).count())
+      Ingest.vacuumGenerations(root, keep = 2)
+      val kept = Ingest.listGenerations(root).toSet
+      import s.implicits._
+      counts.map { case (g, n) => (g.toLong, n, kept.contains(g)) }
+        .toDF("generation", "n_rows", "retained")
+        .orderBy("generation")
+    }),
+
     // ---- schema evolution across generations: an old partition
     //      written WITHOUT a column coexists with a new one that has
     //      it; mergeSchema unifies the read and the missing column
@@ -8947,6 +8970,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'fragmented', CAST(16 AS BIGINT),
         |  (SELECT count(*) FROM documents)
+        |ORDER BY generation""".stripMargin,
+
+    // the time-travel counts must equal the declared filter
+    // arithmetic; vacuum(keep=2) must reclaim exactly gen-0
+    "time_travel_vacuum" ->
+      """SELECT CAST(0 AS BIGINT) AS generation,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+        |    AS n_rows,
+        |  false AS retained
+        |UNION ALL
+        |SELECT 1, (SELECT count(*) FROM documents), true
+        |UNION ALL
+        |SELECT 2,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0), true
         |ORDER BY generation""".stripMargin,
 
     // the written layout must equal the declared rank arithmetic:

@@ -142,4 +142,52 @@ object Ingest {
       new java.io.File(tableRoot, "CURRENT").toPath)).trim
     spark.read.parquet(s"$tableRoot/$gen")
   }
+
+  /** TIME TRAVEL: read a specific retained generation (`gen-N`) of a
+    * blue/green table — every [[reindexSwap]] keeps its predecessors
+    * on disk until [[vacuumGenerations]] reclaims them, so any
+    * retained snapshot is readable by number, the lakehouse
+    * `VERSION AS OF` story. Fails loudly on a vacuumed/unknown
+    * generation. */
+  def readGeneration(spark: SparkSession, tableRoot: String,
+                     gen: Int): DataFrame = {
+    val dir = new java.io.File(tableRoot, s"gen-$gen")
+    require(dir.isDirectory,
+      s"generation gen-$gen not retained under $tableRoot")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** List retained generation numbers, ascending. */
+  def listGenerations(tableRoot: String): Seq[Int] = {
+    val fs = new java.io.File(tableRoot).listFiles()
+    if (fs == null) Seq.empty
+    else fs.toSeq.filter(f => f.isDirectory &&
+        f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toInt).sorted
+  }
+
+  /** VACUUM: delete every generation except the newest `keep` (the
+    * CURRENT pointer's target is always retained regardless).
+    * Returns the deleted generation numbers. The pointer file is
+    * never touched, so concurrent readers of the current generation
+    * are safe; readers of reclaimed history get a loud failure, not
+    * silent partial data. */
+  def vacuumGenerations(tableRoot: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"must keep at least 1 generation: $keep")
+    val gens = listGenerations(tableRoot)
+    val current = new java.io.File(tableRoot, "CURRENT")
+    val cur = if (current.exists())
+      new String(java.nio.file.Files.readAllBytes(current.toPath))
+        .trim.stripPrefix("gen-").toInt
+    else -1
+    val doomed = gens.dropRight(keep).filterNot(_ == cur)
+    doomed.foreach { g =>
+      val dir = new java.io.File(tableRoot, s"gen-$g").toPath
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+    doomed
+  }
 }
