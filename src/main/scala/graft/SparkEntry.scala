@@ -1943,6 +1943,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup EXECUTIVE SUMMARY: the cluster-size histogram + the
+    //      survivor/removal arithmetic a curation report leads with —
+    //      one clusters-bounded aggregate over the resolved
+    //      components (singletons included: size-1 clusters ARE the
+    //      unduplicated corpus) ----
+    "dedup_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.2,
+        hashFamily = Dedup.shaHashFamily)
+      Dedup.resolveClusters(docs, "doc_id", pairs)
+        .groupBy("cluster_size")
+        .agg(count_distinct(col("cluster_rep")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(col("is_kept").cast("long")).as("n_kept"))
+        .withColumn("n_removed", col("n_docs") - col("n_kept"))
+        .orderBy("cluster_size")
+    }),
+
     // ---- corpus-level span (line) dedup — the C4/RefinedWeb
     //      boilerplate-removal pass. The synthetic corpus has no
     //      natural span duplication, so the query stages the classic
@@ -6882,6 +6901,30 @@ object SparkEntry {
          |  s.cluster_size, c.id = c.rep AS is_kept
          |FROM comp c JOIN csize s ON s.rep = c.rep
          |ORDER BY doc_id""".stripMargin,
+
+    // same component replay, aggregated to the size histogram
+    "dedup_summary" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+         |  UNION SELECT id_b, id_a FROM dup_pairs),
+         |walk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst),
+         |comp AS (SELECT id, min(r) AS rep FROM walk GROUP BY id),
+         |csize AS (SELECT rep, count(*) AS cluster_size
+         |  FROM comp GROUP BY rep)
+         |SELECT s.cluster_size,
+         |  count(DISTINCT c.rep) AS n_clusters,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN c.id = c.rep THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  count(*) - CAST(sum(CASE WHEN c.id = c.rep THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_removed
+         |FROM comp c JOIN csize s ON s.rep = c.rep
+         |GROUP BY s.cluster_size
+         |ORDER BY cluster_size""".stripMargin,
 
     // same component replay; keep = per-cluster argmax(n_chars, min id)
     "dedup_keep_best" ->
