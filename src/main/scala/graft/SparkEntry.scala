@@ -1725,6 +1725,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- "did you mean" spelling correction (SymSpell symmetric
+    //      deletes): both sides emit only their 1-deletion variants —
+    //      any distance-1 pair provably shares one — then an exact
+    //      levenshtein verify and a df-argmax rank. Inputs staged by
+    //      mangling the 10 highest-df length>=5 vocabulary terms
+    //      (2nd char deleted) ----
+    "spell_correct" -> ((s, dir) => {
+      import graft.operators.Spell
+      // two consumers (input staging + correction): pin the
+      // Zipf-bounded vocabulary
+      val vocab = Spell.vocabulary(t(s, dir, "documents"),
+        "doc_id", "text").cache()
+      val inputs = vocab.filter(length(col("term")) >= 5)
+        .orderBy(col("df").desc, col("term")).limit(10)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), length(col("term")))).as("q"))
+      Spell.didYouMean(vocab, inputs, "q").orderBy("input")
+    }),
+
     // ---- pseudo-relevance-feedback expansion (Rocchio — the
     //      statistical sibling of search_hyde's LLM expansion): BM25
     //      first pass → top-5 expansion terms by summed doc weight
@@ -6126,6 +6145,51 @@ object SparkEntry {
          |  SELECT doc_id, score FROM bm25_scores
          |  ORDER BY score DESC, doc_id LIMIT 20)
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // same deletion-variant join + exact levenshtein verify + df
+    // argmax (ties to the smallest term); duplicates are harmless on
+    // both sides (DISTINCT before ranking)
+    "spell_correct" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest($toks) AS term
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM toked GROUP BY term),
+         |inputs AS (
+         |  SELECT substr(term, 1, 1) || substr(term, 3) AS input
+         |  FROM (
+         |    SELECT term FROM vocab WHERE length(term) >= 5
+         |    ORDER BY df DESC, term LIMIT 10)),
+         |vdel AS (
+         |  SELECT term, df, unnest(list_append(
+         |    list_transform(range(1, length(term) + 1),
+         |      i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+         |    term)) AS variant
+         |  FROM vocab),
+         |qdel AS (
+         |  SELECT input, unnest(list_append(
+         |    list_transform(range(1, length(input) + 1),
+         |      i -> substr(input, 1, i - 1) || substr(input, i + 1)),
+         |    input)) AS variant
+         |  FROM inputs),
+         |cands AS (
+         |  SELECT DISTINCT q.input, v.term, v.df,
+         |    CAST(levenshtein(q.input, v.term) AS INT) AS dist
+         |  FROM qdel q JOIN vdel v USING (variant)
+         |  WHERE levenshtein(q.input, v.term) <= 1),
+         |bestd AS (SELECT input, min(dist) AS dist FROM cands
+         |  GROUP BY 1),
+         |atd AS (SELECT c.* FROM cands c JOIN bestd b
+         |  ON b.input = c.input AND b.dist = c.dist),
+         |bestdf AS (SELECT input, dist, max(df) AS df FROM atd
+         |  GROUP BY 1, 2)
+         |SELECT a.input, min(a.term) AS suggestion, a.df, a.dist
+         |FROM atd a JOIN bestdf f ON f.input = a.input
+         |  AND f.dist = a.dist AND f.df = a.df
+         |GROUP BY a.input, a.dist, a.df
+         |ORDER BY a.input""".stripMargin
+    },
 
     // first pass = bm25_scores; expansion terms by 6-dp-rounded summed
     // weight over the feedback docs (rounded BEFORE the cut and reused
