@@ -1725,6 +1725,36 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- result SNIPPET generation (the P6 projection extended to
+    //      the results-page operator): for each BM25 top-5 doc, the
+    //      earliest query-term hit position and a ±3-token window
+    //      around it — the positional machinery of phrase_search
+    //      scoped to the 5-row result set (everything after the top-k
+    //      cut is result-sized) ----
+    "search_snippets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val top = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 5)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+      val qterms = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val toked = docs.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("score"),
+          TextFunctions.tokensCol(col("text"),
+            removeStopwords = false).as("toks"))
+      val hits = toked
+        .select(col("doc_id"), col("score"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(qterms: _*))
+        .groupBy("doc_id", "score", "toks")
+        .agg(min("pos").as("first_pos"))
+      hits.select(col("doc_id"), col("score"),
+          col("first_pos").cast("long").as("first_pos"),
+          array_join(slice(col("toks"),
+            greatest(lit(1), col("first_pos") - 2),
+            lit(7)), " ").as("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // ---- "did you mean" spelling correction (SymSpell symmetric
     //      deletes): both sides emit only their 1-deletion variants —
     //      any distance-1 pair provably shares one — then an exact
@@ -6145,6 +6175,35 @@ object SparkEntry {
          |  SELECT doc_id, score FROM bm25_scores
          |  ORDER BY score DESC, doc_id LIMIT 20)
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // same top-5 cut as bm25_topk, then the positional min-hit and a
+    // clamped 7-token list slice
+    "search_snippets" -> {
+      val toks = sqlToksKeepStop("text")
+      val qlist = TextFunctions.tokenize(SearchQuery).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH $Bm25ScoresCtes,
+         |top5 AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 5),
+         |toked AS (
+         |  SELECT d.doc_id, t.score, $toks AS toks
+         |  FROM documents d JOIN top5 t USING (doc_id)),
+         |pos AS (
+         |  SELECT doc_id, score, toks, unnest(toks) AS tok,
+         |    unnest(range(len(toks))) AS p
+         |  FROM toked),
+         |hits AS (
+         |  SELECT doc_id, score, toks, min(p) AS first_pos
+         |  FROM pos WHERE tok IN ($qlist)
+         |  GROUP BY doc_id, score, toks)
+         |SELECT doc_id, score, CAST(first_pos AS BIGINT) AS first_pos,
+         |  array_to_string(list_slice(toks,
+         |    greatest(1, CAST(first_pos AS INT) - 2),
+         |    greatest(1, CAST(first_pos AS INT) - 2) + 6), ' ')
+         |    AS snippet
+         |FROM hits ORDER BY doc_id""".stripMargin
+    },
 
     // same deletion-variant join + exact levenshtein verify + df
     // argmax (ties to the smallest term); duplicates are harmless on
