@@ -1725,6 +1725,22 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- BM25F field boosting (Robertson–Zaragoza simple BM25F):
+    //      title (first 80 chars, boost 2) + body, saturation applied
+    //      to the POOLED weighted frequency with a weighted-length
+    //      norm — the field-boosted ranking score-mixing gets wrong ----
+    "bm25f_topk" -> ((s, dir) => {
+      val fielded = t(s, dir, "documents")
+        .withColumn("f_title", col("text").substr(lit(1), lit(80)))
+        .withColumn("f_body",
+          col("text").substr(lit(81), length(col("text"))))
+      Bm25.searchTopKFielded(fielded, "doc_id",
+          Seq(("f_title", 2.0), ("f_body", 1.0)), SearchQuery, 20)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- result SNIPPET generation (the P6 projection extended to
     //      the results-page operator): for each BM25 top-5 doc, the
     //      earliest query-term hit position and a ±3-token window
@@ -6173,6 +6189,63 @@ object SparkEntry {
       s"""WITH $Bm25ScoresCtes
          |SELECT doc_id, round(score, 6) AS score FROM (
          |  SELECT doc_id, score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // same saturation/idf arithmetic as the BM25 CTEs over the pooled
+    // field-weighted tf and weighted lengths (all dyadic-exact)
+    "bm25f_topk" ->
+      s"""WITH fdocs AS (
+         |  SELECT doc_id, substr(text, 1, 80) AS f_title,
+         |    substr(text, 81) AS f_body
+         |  FROM documents),
+         |ftoks AS (
+         |  SELECT doc_id, unnest(${sqlToks("f_title")}) AS term,
+         |    2.0 AS w
+         |  FROM fdocs
+         |  UNION ALL
+         |  SELECT doc_id, unnest(${sqlToks("f_body")}) AS term,
+         |    1.0 AS w
+         |  FROM fdocs),
+         |flens AS (
+         |  SELECT doc_id,
+         |    2.0 * len(${sqlToks("f_title")}) +
+         |    1.0 * len(${sqlToks("f_body")}) AS wlen
+         |  FROM fdocs),
+         |fg AS (SELECT count(*) AS n_docs, avg(wlen) AS avgwl
+         |  FROM flens),
+         |ftf AS (SELECT doc_id, term, sum(w) AS wtf FROM ftoks
+         |  GROUP BY 1, 2),
+         |fdf AS (SELECT term, count(*) AS df FROM ftf GROUP BY term),
+         |fidf AS (
+         |  SELECT term, df, n_docs, greatest(0.0,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS idf
+         |  FROM fdf, fg),
+         |fw AS (
+         |  SELECT t.doc_id, t.term,
+         |    i.idf * (t.wtf * 2.5) / (t.wtf + 1.5 *
+         |      (CASE WHEN g.avgwl > 0
+         |        THEN 0.25 + 0.75 * l.wlen / g.avgwl ELSE 1.0 END))
+         |      AS weight
+         |  FROM ftf t
+         |  JOIN flens l USING (doc_id)
+         |  JOIN fidf i USING (term), fg g
+         |  WHERE i.idf * (t.wtf * 2.5) / (t.wtf + 1.5 *
+         |      (CASE WHEN g.avgwl > 0
+         |        THEN 0.25 + 0.75 * l.wlen / g.avgwl ELSE 1.0 END))
+         |      > 0),
+         |fq AS (SELECT q.term, q.q_tf FROM (VALUES $bm25QueryValues)
+         |  AS q(term, q_tf)),
+         |fqw AS (
+         |  SELECT fq.term, CAST(fq.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM fq JOIN fidf i USING (term) WHERE i.idf > 0),
+         |fsc AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM fw w JOIN fqw qw USING (term) GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM fsc
          |  ORDER BY score DESC, doc_id LIMIT 20)
          |ORDER BY score DESC, doc_id""".stripMargin,
 

@@ -299,6 +299,63 @@ object Bm25 {
       .limit(k)
   }
 
+  /** BM25F — field-boosted ranking (Robertson & Zaragoza's "simple
+    * BM25F": weighted term frequency wtf = Σ_f boost_f·tf_f and
+    * weighted length norm over wlen = Σ_f boost_f·len_f, one
+    * saturation curve on the COMBINED frequency — boosting fields
+    * this way beats score-mixing per-field BM25s because saturation
+    * applies after the evidence is pooled). df counts documents
+    * containing the term in ANY field; idf is the shared formula.
+    *
+    * Scale shape: one tokenize pass per field unioned into a single
+    * (id, term) aggregation — the same one-shuffle profile as
+    * [[buildIndex]], ×|fields| narrow scans. Weighted tfs and lengths
+    * are dyadic-exact (integer tf × dyadic boost), so cross-engine
+    * doubles are identical.
+    *
+    * @param fields (fieldColumn, boost) pairs — the caller projects
+    *               the field columns (e.g. a title split) first. */
+  def searchTopKFielded(corpus: DataFrame, idCol: String,
+      fields: Seq[(String, Double)], queryText: String, k: Int,
+      p: Params = Default): DataFrame = {
+    require(fields.nonEmpty, "no fields")
+    val lens = fields.map { case (f, boost) =>
+      corpus.select(col(idCol).as("id"),
+        (size(TextFunctions.tokensCol(col(f))).cast("double") * boost)
+          .as("wl"))
+    }.reduce(_ unionByName _)
+      .groupBy("id").agg(sum("wl").as("wlen"))
+    val globals = broadcast(lens.agg(
+      count(lit(1)).as("n_docs"), avg("wlen").as("avgwl")))
+    val tf = fields.map { case (f, boost) =>
+      corpus.select(col(idCol).as("id"),
+          explode(TextFunctions.tokensCol(col(f))).as("term"))
+        .withColumn("w", lit(boost))
+    }.reduce(_ unionByName _)
+      .groupBy("id", "term").agg(sum("w").as("wtf"))
+    val stats = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(globals)
+      .withColumn("idf", idfCol(col("df"), col("n_docs")))
+      .coalesce(1).cache() // two consumers: doc weights + query terms
+    val norm = when(col("avgwl") > 0.0,
+      lit(1.0 - p.b) + lit(p.b) * col("wlen") / col("avgwl"))
+      .otherwise(lit(1.0))
+    val docW = tf.join(lens, "id").join(stats, "term")
+      .withColumn("weight",
+        col("idf") * (col("wtf") * lit(p.k1 + 1.0)) /
+          (col("wtf") + lit(p.k1) * norm))
+      .filter(col("weight") > 0.0)
+      .select("id", "term", "weight")
+    val qW = queryTermWeights(stats.select("term", "idf"), queryText,
+      corpus.sparkSession)
+    docW.join(broadcast(qW), "term")
+      .groupBy("id")
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Pseudo-relevance-feedback expansion (Rocchio 1971, the
     * statistical sibling of the reference's HyDE LLM expansion —
     * ref shared/llm/hyde.py:40-173 expands with generated text; PRF
