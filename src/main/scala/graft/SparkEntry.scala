@@ -1771,6 +1771,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- prefix AUTOCOMPLETE over the corpus vocabulary: top-3
+    //      completions per prefix by (df desc, term asc) — each prefix
+    //      is one TakeOrdered over the Zipf-bounded vocabulary, no
+    //      rank window; with spell_correct, the search-box suggest
+    //      family ----
+    "suggest_prefix" -> ((s, dir) => {
+      import graft.operators.Spell
+      val vocab = Spell.vocabulary(t(s, dir, "documents"),
+        "doc_id", "text").cache() // one consumer per prefix
+      Seq("st", "qu", "ba").map { p =>
+        vocab.filter(col("term").startsWith(p))
+          .orderBy(col("df").desc, col("term")).limit(3)
+          .select(lit(p).as("prefix"), col("term").as("suggestion"),
+            col("df"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("prefix"), col("df").desc, col("suggestion"))
+    }),
+
     // ---- "did you mean" spelling correction (SymSpell symmetric
     //      deletes): both sides emit only their 1-deletion variants —
     //      any distance-1 pair provably shares one — then an exact
@@ -6276,6 +6294,24 @@ object SparkEntry {
          |    greatest(1, CAST(first_pos AS INT) - 2) + 6), ' ')
          |    AS snippet
          |FROM hits ORDER BY doc_id""".stripMargin
+    },
+
+    // one LIMIT-3 cut per literal prefix over the same vocabulary
+    "suggest_prefix" -> {
+      val toks = sqlToksKeepStop("text")
+      val blocks = Seq("st", "qu", "ba").map { p =>
+        s"""SELECT '$p' AS prefix, suggestion, df FROM (
+           |  SELECT term AS suggestion, df FROM vocab
+           |  WHERE term LIKE '$p%'
+           |  ORDER BY df DESC, term LIMIT 3)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest($toks) AS term
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM toked GROUP BY term)
+         |$blocks
+         |ORDER BY prefix, df DESC, suggestion""".stripMargin
     },
 
     // same deletion-variant join + exact levenshtein verify + df
