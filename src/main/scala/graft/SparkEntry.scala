@@ -1725,6 +1725,51 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- boolean MUST_NOT search: BM25 ranking with a negated-term
+    //      exclusion — docs containing any excluded term are dropped
+    //      by a postings anti-join BEFORE the cut (so the page fills
+    //      with eligible docs, not post-filtered holes) ----
+    "search_boolean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val excluded = Seq("customer", "error")
+      val banned = docs.select(col("doc_id"),
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok"))
+        .filter(col("tok").isin(excluded: _*))
+        .select("doc_id").distinct()
+      val eligible = docs.join(banned, Seq("doc_id"), "left_anti")
+      Bm25.searchTopK(eligible, "doc_id", "text", SearchQuery, 20)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- keyset PAGINATION (search_after): page 2 of the BM25
+    //      ranking via a (score, doc_id) cursor strictly after page
+    //      1's last row — the stateless deep-paging API semantic
+    //      (OFFSET re-sorts everything; the cursor prunes) ----
+    "search_after" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Bm25.buildIndex(docs, "doc_id", "text",
+        pinStats = true)
+      val page1 = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery,
+          10, index = Some(idx))
+        .select(round(col("score"), 6).as("score"),
+          col("id").cast("long").as("id"))
+        .orderBy(col("score").asc, col("id").desc)
+        .limit(1).collect()(0) // the cursor: page 1's LAST row
+      val (cScore, cId) = (page1.getDouble(0), page1.getLong(1))
+      Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 1000,
+          index = Some(idx))
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .filter(col("score") < cScore ||
+          (col("score") === cScore && col("doc_id") > cId))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- BM25F field boosting (Robertson–Zaragoza simple BM25F):
     //      title (first 80 chars, boost 2) + body, saturation applied
     //      to the POOLED weighted frequency with a weighted-length
@@ -6208,6 +6253,57 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM (
          |  SELECT doc_id, score FROM bm25_scores
          |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // exclusion replayed as a NOT IN over the keep-stop token stream,
+    // BM25 stats recomputed over the eligible corpus (filter-then-rank
+    // semantics, prefixed CTE chain)
+    "search_boolean" -> {
+      val toks = sqlToksKeepStop("text")
+      val where = s""" WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('customer', 'error'))""".stripMargin
+      s"""WITH ${bm25WeightsCtes("x", where)},
+         |xqterms AS (SELECT q.term, q.q_tf
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+         |xqweights AS (
+         |  SELECT xqterms.term,
+         |    CAST(xqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+         |  FROM xqterms JOIN xidf idf ON xqterms.term = idf.term
+         |  WHERE idf.idf > 0),
+         |xscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM xweights w JOIN xqweights qw ON w.term = qw.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM xscores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
+    // the cursor is page 1's last (score, doc_id); the page-2 cut
+    // applies the strict keyset predicate on 6-dp-rounded scores on
+    // both engines
+    "search_after" ->
+      s"""WITH $Bm25ScoresCtes,
+         |topc AS (
+         |  SELECT doc_id, score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 1000),
+         |r2 AS (SELECT doc_id, round(score, 6) AS score FROM topc),
+         |p1 AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM (
+         |    SELECT doc_id, score FROM bm25_scores
+         |    ORDER BY score DESC, doc_id LIMIT 10)),
+         |cur AS (SELECT score, doc_id FROM p1
+         |  ORDER BY score ASC, doc_id DESC LIMIT 1)
+         |SELECT doc_id, score FROM (
+         |  SELECT t.doc_id, t.score FROM r2 t, cur c
+         |  WHERE t.score < c.score OR
+         |    (t.score = c.score AND t.doc_id > c.doc_id)
+         |  ORDER BY t.score DESC, t.doc_id LIMIT 10)
          |ORDER BY score DESC, doc_id""".stripMargin,
 
     // same saturation/idf arithmetic as the BM25 CTEs over the pooled
