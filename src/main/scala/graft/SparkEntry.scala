@@ -1894,6 +1894,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- WEIGHTED RRF (the fusion knob production rankers tune):
+    //      same legs as rrf_fuse, dense leg at 0.7 / sparse at 0.3 —
+    //      1.0/1.0 recovers classic RRF bit-exactly ----
+    "rrf_fuse_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dense = docs
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val sparse = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 50)
+        .withColumnRenamed("id", "doc_id")
+      Rrf.fuse(dense, sparse, "doc_id", "score", k = 20,
+          wDense = 0.7, wSparse = 0.3)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("_dense_rank"), col("_sparse_rank"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- exact dedup (content hash) ----
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -6650,6 +6667,28 @@ object SparkEntry {
          |  SELECT coalesce(d.doc_id, sp.doc_id) AS doc_id,
          |    coalesce(1.0 / (60 + d.r), 0.0) +
          |      coalesce(1.0 / (60 + sp.r), 0.0) AS score,
+         |    d.r AS _dense_rank, sp.r AS _sparse_rank
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.doc_id = sp.doc_id)
+         |SELECT doc_id, round(score, 6) AS score, _dense_rank, _sparse_rank
+         |FROM (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // same legs, per-leg weights 0.7/0.3 applied to the reciprocal
+    // ranks
+    "rrf_fuse_weighted" ->
+      s"""WITH $Bm25ScoresCtes,
+         |dense AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY n_chars DESC, doc_id) AS r
+         |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50),
+         |sparse AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS r
+         |  FROM bm25_scores ORDER BY score DESC, doc_id LIMIT 50),
+         |fused AS (
+         |  SELECT coalesce(d.doc_id, sp.doc_id) AS doc_id,
+         |    0.7 * coalesce(1.0 / (60 + d.r), 0.0) +
+         |      0.3 * coalesce(1.0 / (60 + sp.r), 0.0) AS score,
          |    d.r AS _dense_rank, sp.r AS _sparse_rank
          |  FROM dense d FULL OUTER JOIN sparse sp ON d.doc_id = sp.doc_id)
          |SELECT doc_id, round(score, 6) AS score, _dense_rank, _sparse_rank

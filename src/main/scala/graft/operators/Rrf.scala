@@ -46,10 +46,15 @@ object Rrf {
     * union aggregation is a single bounded exchange (each leg
     * contributes ≤ k rows per query and at most one row per key, so
     * `max` reconstructs the outer join's NULL-padding exactly). */
+  /** @param wDense/wSparse per-leg fusion weights (Cormack 2009's RRF
+    *   generalized the way production rankers tune it — weighted
+    *   reciprocal ranks; 1.0/1.0 is classic RRF and the default, so
+    *   existing callers are bit-unchanged) */
   def fuse(dense: DataFrame, sparse: DataFrame, idCol: String,
            scoreCol: String, k: Int, rrfK: Int = DefaultRrfK,
            queryCol: Option[String] = None,
-           preRanked: Boolean = false): DataFrame = {
+           preRanked: Boolean = false,
+           wDense: Double = 1.0, wSparse: Double = 1.0): DataFrame = {
     val keys = queryCol.toSeq :+ idCol
     val nullI = lit(null).cast("int")
     val nullD = lit(null).cast("double")
@@ -77,7 +82,9 @@ object Rrf {
         min("_sparse_rank").as("_sparse_rank"),
         max("_sparse_score").as("_sparse_score"))
       .withColumn("score",
-        coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
+        lit(wDense) *
+          coalesce(lit(1.0) / (lit(rrfK) + col("_dense_rank")), lit(0.0)) +
+        lit(wSparse) *
           coalesce(lit(1.0) / (lit(rrfK) + col("_sparse_rank")), lit(0.0)))
     queryCol match {
       case Some(q) =>
