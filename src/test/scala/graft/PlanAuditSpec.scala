@@ -488,6 +488,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("r9 IR surface: no cartesian products; query-side relations " +
+      "broadcast; spell candidates equi-join on the variant key") {
+    for (q <- Seq("bm25f_topk", "search_boolean", "search_prf",
+        "spell_correct", "phrase_search", "proximity_search",
+        "search_snippets", "rrf_fuse_weighted")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastExchange"), s"$q has no broadcast:\n$p")
+    }
+  }
+
   test("bucketed sequences/next-event forms window by (key, bucket) " +
       "at the event level; key-only windows touch only the bucket " +
       "summary relation") {
