@@ -69,6 +69,22 @@ object Bench {
     spark.range(2000000)
       .selectExpr("count(distinct sha2(cast(id as string), 256))").collect()
     val calibration = (System.nanoTime() - calT0) / 1e9
+    // Second calibration probe, SHUFFLE-bound (r9 verdict item 1): the
+    // sha2 probe is pure CPU, so host contention that hits memory
+    // bandwidth / shuffle spill harder than raw compute (the profile of
+    // the tokenize-explode-groupBy BM25 family) is invisible to it — a
+    // contended-run record then over-penalizes exactly that family.
+    // This probe is a fixed explode+groupBy (2M exploded rows through
+    // one hash exchange), the same shape as Bm25.buildIndex's first
+    // stage. Comparing the two probes' drift across records NAMES
+    // contention: if cal_shuffle inflates while cal_sha2 holds, the run
+    // was shuffle-contended and tokenize-family numbers inherit it.
+    val calS0 = System.nanoTime()
+    spark.range(200000)
+      .selectExpr("explode(array(id,id+1,id+2,id+3,id+4,id+5,id+6,id+7,id+8,id+9)) t")
+      .groupBy((org.apache.spark.sql.functions.col("t") % 65536).as("k"))
+      .count().selectExpr("count(*)", "sum(count)").collect()
+    val calShuffle = (System.nanoTime() - calS0) / 1e9
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -78,7 +94,7 @@ object Bench {
     // ~90 queries (r1-r4: the driver's parsed field was null every
     // round for exactly this reason) — so the calibration field goes
     // LAST (it survives the window) and a compact line follows.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle}"""
     println(full)
     // Compact final line, guaranteed inside the tail window. r6 proved
     // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
@@ -91,7 +107,7 @@ object Bench {
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val sfName = sfDir.split('/').last
-    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"""
+    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},"""
     val budget = 1400 - prefix.length - 60 // 60: closing + omitted field
     val sortedDesc = results.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -109,8 +109,12 @@ object Sequences {
           .otherwise(col("__flat")))
       .select(col(keyCol).as("__ck"), col("__bucket").as("__cb"),
         col("__carry"))
+    // both legs null-safe: a NULL event-time yields a NULL __bucket,
+    // which the windows group together but a plain === would never
+    // match — silently dropping those rows' carry and breaking the
+    // documented output-identity with the plain key-window form
     val joined = flagged.join(carried,
-      col(keyCol) <=> col("__ck") && col("__bucket") === col("__cb"),
+      col(keyCol) <=> col("__ck") && col("__bucket") <=> col("__cb"),
       "left")
     val full = concat(
       coalesce(col("__carry"),
@@ -164,8 +168,9 @@ object Sequences {
       .withColumn("__next_bucket_first", lead(col("__first"), 1).over(wAcross))
       .select(col(keyCol).as("__ck"), col("__bucket").as("__cb"),
         col("__next_bucket_first"))
+    // null-safe on both legs (NULL ts → NULL __bucket; see above)
     val joined = flagged.join(summary,
-      col(keyCol) <=> col("__ck") && col("__bucket") === col("__cb"),
+      col(keyCol) <=> col("__ck") && col("__bucket") <=> col("__cb"),
       "left")
       .withColumn("__next",
         when(col("__rn") === col("__cnt"), col("__next_bucket_first"))

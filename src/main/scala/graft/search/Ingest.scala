@@ -184,8 +184,12 @@ object Ingest {
     doomed.foreach { g =>
       val dir = new java.io.File(tableRoot, s"gen-$g").toPath
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
+      // Files.walk returns a Stream holding an open directory handle —
+      // close it (Using) after collecting, or every vacuumed
+      // generation leaks a descriptor in a long-lived driver JVM
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq
+      }.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists)
     }
     doomed

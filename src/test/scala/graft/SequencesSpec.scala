@@ -67,7 +67,16 @@ class SequencesSpec extends SparkSpec {
       (3000L, "tie", ts(200), "p"), (3001L, "tie", ts(200), "q"),
       (3002L, "tie", ts(300), "r"))
     val lone = Seq((4000L, "lone", ts(77), "only"))
-    (dominant ++ sparse ++ nulls ++ tied ++ lone)
+    // NULL event-times: NULL ts → NULL __bucket in the bucketed forms;
+    // the carry join must be null-safe on the bucket too (ADVICE r9) —
+    // both on a key that also has real timestamps and on an all-NULL key
+    val nullTs = Seq(
+      (5000L, "hot", null.asInstanceOf[Timestamp], "nt1"),
+      (5001L, "hot", null.asInstanceOf[Timestamp], "nt2"),
+      (5002L, "nts", null.asInstanceOf[Timestamp], "nt3"),
+      (5003L, "nts", null.asInstanceOf[Timestamp], "nt4"),
+      (5004L, "nts", ts(500), "nt5"))
+    (dominant ++ sparse ++ nulls ++ tied ++ lone ++ nullTs)
       .toDF("event_id", "user_id", "ets", "event_type")
   }
 
@@ -96,8 +105,11 @@ class SequencesSpec extends SparkSpec {
           case 0 => null: String // NULL keys group together
           case k => s"k$k"
         }
-        // coarse ts granularity forces ties AND bucket-boundary hits
-        (i.toLong, key, ts(rnd.nextInt(5000) * 10L), s"t${rnd.nextInt(4)}")
+        // coarse ts granularity forces ties AND bucket-boundary hits;
+        // ~5% NULL event-times exercise the null-safe bucket carry
+        val t = if (rnd.nextInt(20) == 0) null.asInstanceOf[Timestamp]
+                else ts(rnd.nextInt(5000) * 10L)
+        (i.toLong, key, t, s"t${rnd.nextInt(4)}")
       }
       val ev = rows.toDF("event_id", "user_id", "ets", "event_type")
         .repartition(1 + rnd.nextInt(8))
