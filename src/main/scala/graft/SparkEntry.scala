@@ -793,6 +793,17 @@ object SparkEntry {
     * side and the oracle literals. */
   private val AnnRecallQids: Seq[Long] = Seq(0L, 1L, 2L)
 
+  /** The ann_tuned sweep grid — (nPlanes, probeBits) configurations,
+    * indexed by position (the cfg id both engines select over). The
+    * per-query probed fraction of the table is 2^probeBits / 2^nPlanes
+    * — the cost axis of the selection rule. */
+  private val AnnTunedGrid: Seq[(Int, Int)] =
+    Seq((4, 1), (4, 2), (8, 1), (8, 2))
+  private def annTunedFrac(cfg: Int): Double = {
+    val (np, pb) = AnnTunedGrid(cfg)
+    math.pow(2.0, (pb - np).toDouble)
+  }
+
   private val int8FitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -1744,6 +1755,21 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- the COMPOSED boolean tree (VERDICT r9 #4 — the reference
+    //      normalizes all three legs, payloads.py:17-31): must =
+    //      postings semi-join conjunction (gates, never scores),
+    //      must_not = the postings anti-join, should = optional-term
+    //      boost (shouldBoost·idf joins the query vector — score-only,
+    //      eligibility unchanged), all BEFORE the cut, BM25 stats over
+    //      the eligible corpus (filter-then-rank) ----
+    "search_boolean_tree" -> ((s, dir) =>
+      Bm25.searchBooleanTree(t(s, dir, "documents"), "doc_id", "text",
+          SearchQuery, must = Seq("data"), should = Seq("customer"),
+          mustNot = Seq("error"), shouldBoost = 0.5, k = 20)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // ---- keyset PAGINATION (search_after): page 2 of the BM25
     //      ranking via a (score, doc_id) cursor strictly after page
     //      1's last row — the stateless deep-paging API semantic
@@ -1816,6 +1842,98 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- MULTI-window snippets (VERDICT r9 #7 — results pages show
+    //      the best 2 windows, not just the earliest hit): 7-token
+    //      tumbling windows over the same posexplode, ranked per doc
+    //      by (distinct query terms covered desc, window position
+    //      asc), top 2 per doc. Everything after the top-5 cut is
+    //      result-set-bounded, so the per-doc rank window runs over a
+    //      handful of rows ----
+    "search_snippets_multi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val top = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 5)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+      val qterms = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val toked = docs.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("score"),
+          TextFunctions.tokensCol(col("text"),
+            removeStopwords = false).as("toks"))
+      val wins = toked
+        .select(col("doc_id"), col("score"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(qterms: _*))
+        .withColumn("win", floor(col("pos") / 7))
+        .groupBy("doc_id", "score", "toks", "win")
+        .agg(countDistinct("tok").as("n_terms"),
+          min("pos").as("first_pos"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n_terms").desc, col("win"))
+      wins.withColumn("win_rank", row_number().over(w))
+        .filter(col("win_rank") <= 2)
+        .select(col("doc_id"), col("score"),
+          col("win_rank").cast("long").as("win_rank"),
+          col("n_terms"),
+          col("first_pos").cast("long").as("first_pos"),
+          array_join(slice(col("toks"),
+            (col("win") * 7 + 1).cast("int"), lit(7)), " ").as("snippet"))
+        .orderBy("doc_id", "win_rank")
+    }),
+
+    // ---- FACETED search: per-facet value counts over the top-50
+    //      candidate set (the results-page facet rail — source and
+    //      language here). Counting happens on the result-bounded set
+    //      AFTER the cut: the facet relation is ≤ candidates×|facets|
+    //      rows, one bounded aggregate ----
+    "search_facets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val top = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 50)
+        .select(col("id").as("doc_id"))
+      docs.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), explode(map(
+          lit("source"), col("source"),
+          lit("lang"), col("lang"))).as(Seq("facet", "value")))
+        .groupBy("facet", "value")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("facet", "value")
+    }),
+
+    // ---- "more like this" — query-by-document (the Lucene MLT
+    //      operator): seed doc 1's top-10 BM25 terms (rounded before
+    //      the cut) become the query; every other doc scores by the
+    //      standard sparse dot; seed excluded ----
+    "more_like_this" -> ((s, dir) =>
+      Bm25.moreLikeThis(t(s, dir, "documents"), "doc_id", "text",
+          seedFilter = col("id") === 1L, topTerms = 10, k = 10)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // ---- RAG context packing: the retrieval→prompt assembly step —
+    //      top-20 BM25 hits greedily packed into a 400-token budget in
+    //      rank order (prefix cut: the first hit whose cumulative
+    //      token count would exceed the budget ends the context).
+    //      Rank + running sum over the 20-row post-cut relation ----
+    "rag_context_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val top = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 20)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      // broadcast the 20-row cut into the docs scan so only the kept
+      // documents tokenize; the pack windows run on ≤20 rows
+      docs.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("score"),
+          size(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).cast("long").as("n_tokens"))
+        .withColumn("context_pos", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+          sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= 400L)
+        .select("context_pos", "doc_id", "score", "n_tokens", "cum_tokens")
+        .orderBy("context_pos")
+    }),
+
     // ---- prefix AUTOCOMPLETE over the corpus vocabulary: top-3
     //      completions per prefix by (df desc, term asc) — each prefix
     //      is one TakeOrdered over the Zipf-bounded vocabulary, no
@@ -1823,14 +1941,14 @@ object SparkEntry {
     //      family ----
     "suggest_prefix" -> ((s, dir) => {
       import graft.operators.Spell
-      val vocab = Spell.vocabulary(t(s, dir, "documents"),
-        "doc_id", "text").cache() // one consumer per prefix
-      Seq("st", "qu", "ba").map { p =>
-        vocab.filter(col("term").startsWith(p))
-          .orderBy(col("df").desc, col("term")).limit(3)
-          .select(lit(p).as("prefix"), col("term").as("suggestion"),
-            col("df"))
-      }.reduce(_ unionByName _)
+      // ONE plan (VERDICT r9 #8): prefixes as a broadcast relation
+      // equi-joined on substr(term, 1, len), bounded per-prefix top-3
+      // via the TopK aggregator — the query count no longer grows the
+      // plan (the previous form built one TakeOrdered branch per
+      // prefix); shape pinned in PlanAuditSpec
+      Spell.suggest(
+          Spell.vocabulary(t(s, dir, "documents"), "doc_id", "text"),
+          Seq("st", "qu", "ba"), n = 3)
         .orderBy(col("prefix"), col("df").desc, col("suggestion"))
     }),
 
@@ -1851,6 +1969,28 @@ object SparkEntry {
         .select(concat(col("term").substr(lit(1), lit(1)),
           col("term").substr(lit(3), length(col("term")))).as("q"))
       Spell.didYouMean(vocab, inputs, "q").orderBy("input")
+    }),
+
+    // ---- "did you mean" at edit distance 2 (VERDICT r9 #5 — the
+    //      production bar; Garbe's algorithm exists precisely because
+    //      d=2 substitution-generation explodes while deletion depth 2
+    //      stays |vocab|·len² bounded): depth-2 deletion variants on
+    //      BOTH sides, exact levenshtein <= 2 verify, same
+    //      (dist asc, df desc, term asc) ranking. Inputs staged by
+    //      DOUBLE-mangling the 10 highest-df length>=6 terms (2nd and
+    //      4th chars deleted — true distance-2 probes; a closer
+    //      distance-1 neighbor may still win, which is the point of
+    //      the dist-first ranking) ----
+    "spell_correct_d2" -> ((s, dir) => {
+      import graft.operators.Spell
+      val vocab = Spell.vocabulary(t(s, dir, "documents"),
+        "doc_id", "text").cache()
+      val inputs = vocab.filter(length(col("term")) >= 6)
+        .orderBy(col("df").desc, col("term")).limit(10)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), lit(1)),
+          col("term").substr(lit(5), length(col("term")))).as("q"))
+      Spell.didYouMean(vocab, inputs, "q", maxDist = 2).orderBy("input")
     }),
 
     // ---- pseudo-relevance-feedback expansion (Rocchio — the
@@ -2006,6 +2146,31 @@ object SparkEntry {
           n = 3, numHashes = 16, bands = 8, threshold = 0.2,
           hashFamily = Dedup.shaHashFamily)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- INCREMENTAL MinHash near-dup — dedup_incremental's fuzzy
+    //      sibling (the production arrival shape): today's batch vs
+    //      the standing corpus via an incoming-bands ⨝ standing-bands
+    //      join (never a self-join of the union); near-dup arrivals
+    //      spliced in-plan (history docs with a mutated tail) since
+    //      the corpus has no cross-split near-dups at sf0.01 ----
+    "minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("text"))
+      val mutated = history.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"),
+            lit(" near duplicate arrival copy")).as("text"))
+      val incoming = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"))
+        .unionByName(mutated)
+      Dedup.minhashIncremental(incoming, history, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 8, threshold = 0.5,
+          hashFamily = Dedup.shaHashFamily)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2254,11 +2419,18 @@ object SparkEntry {
           lit(-i).as("negi"))
       }
       val best = greatest(scored: _*)
+      // avg over unordered double sums is partial-aggregation-order
+      // dependent (ADVICE r9): quantize each score to a 1e-6 integer
+      // grid first, so the sum is an exact BIGINT — order-independent
+      // on both engines at any scale. min/max are order-independent
+      // already and stay on the raw doubles.
       e.select((-best.getField("negi")).as("cluster_id"),
           best.getField("s").as("score"))
+        .withColumn("q", round(col("score") * 1e6, 0).cast("long"))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_vectors"),
-          round(avg("score"), 6).as("avg_score"),
+          round(sum("q").cast("double") / 1e6 /
+            count(lit(1)).cast("double"), 6).as("avg_score"),
           round(min("score"), 6).as("min_score"),
           round(max("score"), 6).as("max_score"))
         .orderBy("cluster_id")
@@ -2309,6 +2481,53 @@ object SparkEntry {
             "embedding", qv, 10, nPlanes = 4, probeBits = 2),
             "multiprobe"))
       }.reduce(_ unionByName _).orderBy("query_id", "method")
+    }),
+
+    // ---- the CLOSED ANN tuning loop (VERDICT r9 #3, mirroring
+    //      dedup_tuned): the recall harness's measurements SELECT the
+    //      (nPlanes, probeBits) config and the search RUNS with it.
+    //      Micro-averaged recall@10 (Σhits/Σk — integer totals, no
+    //      float-mean order hazard) per grid config over the 3-query
+    //      panel; selection = among configs at recall >= 0.5, the
+    //      smallest probed fraction of the table (ties: higher recall,
+    //      then lowest cfg id); if NONE reaches the floor, the
+    //      highest-recall config wins (deterministic total rule — no
+    //      data-dependent crash). The config pick is a 4-row collect
+    //      (the dedup_tuned precedent); the oracle replays sweep +
+    //      selection + tuned run from the same plane literals ----
+    "ann_tuned" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val recalls = AnnTunedGrid.zipWithIndex.map { case ((np, pb), cfg) =>
+        AnnRecallQids.map { qid =>
+          val qv = queryVecNFor(s, dir, qid)
+          val exact = Knn.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+            .select("vec_id")
+          val approx = Knn.lshTopKMultiProbe(e, "vec_id", "embedding",
+              qv, 10, nPlanes = np, probeBits = pb)
+            .select(col("vec_id").as("a_id"))
+          exact.join(approx, col("vec_id") === col("a_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
+        .collect() // 4 rows — the bounded selection collect
+      val rows = recalls.map { r =>
+        val cfg = r.getAs[Int]("cfg")
+        val mr = r.getAs[Long]("th").toDouble / r.getAs[Long]("tk")
+        (cfg, mr)
+      }
+      val (bestCfg, bestMr) = rows.sortBy { case (cfg, mr) =>
+        (if (mr >= 0.5) 0 else 1,
+          if (mr >= 0.5) annTunedFrac(cfg) else 0.0, -mr, cfg)
+      }.head
+      val (np, pb) = AnnTunedGrid(bestCfg)
+      Knn.lshTopKMultiProbe(e, "vec_id", "embedding",
+          queryVecFor(s, dir), 10, nPlanes = np, probeBits = pb)
+        .select(lit(np).as("n_planes"), lit(pb).as("probe_bits"),
+          round(lit(bestMr), 6).as("panel_recall"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
     }),
 
     // ---- IVF index MAINTENANCE: the quantizer is frozen on the
@@ -2907,6 +3126,26 @@ object SparkEntry {
       SearchEngine.search(docsAsChunksSnapshot(s, dir),
           SearchEngine.SearchRequest(
           query = SearchQuery, searchMode = "hybrid", k = 10,
+          useReranker = true, vectorDim = KnnTextDim),
+          sparseIndex = Some(docsSparseIndex(s, dir)))
+        .select(col("doc_id"), col("chunk_id"),
+          round(col("score"), 6).as("score"),
+          round(col("reranked_score"), 6).as("reranked_score"))
+        .orderBy(col("reranked_score").desc, col("score").desc,
+          col("chunk_id"))
+    }),
+
+    // ---- WEIGHTED hybrid at the ENGINE surface (VERDICT r9 #6):
+    //      (wDense, wSparse) threaded through SearchRequest into
+    //      Rrf.fuse — dense leg 0.7 / sparse 0.3 through the full
+    //      §3.1 plan incl. the reranker; search_hybrid/search_hybrid
+    //      _docs stay on the 1.0/1.0 defaults (bit-unchanged) ----
+    "search_hybrid_weighted" -> ((s, dir) => {
+      lastDir = dir
+      SearchEngine.search(docsAsChunksSnapshot(s, dir),
+          SearchEngine.SearchRequest(
+          query = SearchQuery, searchMode = "hybrid", k = 10,
+          wDense = 0.7, wSparse = 0.3,
           useReranker = true, vectorDim = KnnTextDim),
           sparseIndex = Some(docsSparseIndex(s, dir)))
         .select(col("doc_id"), col("chunk_id"),
@@ -4197,9 +4436,17 @@ object SparkEntry {
     //      sweep, the selection rule, AND the tuned dedup at once ----
     "dedup_tuned" -> ((s, dir) => {
       val (sh, sweep) = lshSweep(s, dir)
+      // headOption, not (0): if NO banding config reaches the recall
+      // bar the bare index would throw AIOOBE while the DuckDB oracle
+      // (scalar subquery over an empty `best`) returned empty — fail
+      // loudly with the actual contract violation instead (ADVICE r9)
       val best = sweep.filter(col("recall") >= 0.9)
         .orderBy(col("n_false_cands"), col("bands"))
-        .limit(1).collect()(0)
+        .limit(1).collect().headOption.getOrElse(throw new
+          IllegalStateException(
+            "dedup_tuned: no LSH banding config reaches recall >= 0.9 " +
+            "at the j>=0.5 truth line — the sweep grid cannot satisfy " +
+            "the declared recall floor on this corpus"))
       val (b, r) = (best.getAs[Int]("bands"),
         best.getAs[Int]("rows_per_band"))
       // the tuned run REUSES the sweep's checkpointed shingles — the
@@ -4371,11 +4618,23 @@ object SparkEntry {
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("dim").cast("long").as("dim"),
           col("v").cast("double").as("v"))
-      x.groupBy("dim")
+      // quantized-moment form (ADVICE r9): v and v² land on 1e-6/1e-12
+      // integer grids, so both sums are exact BIGINTs — no float-
+      // summation order dependence between partial aggregates or
+      // engines; the moments derive from the identical integers
+      x.withColumn("q", round(col("v") * 1e6, 0).cast("long"))
+        .withColumn("q2",
+          round(col("v") * col("v") * 1e12, 0).cast("long"))
+        .groupBy("dim")
         .agg(count(lit(1)).as("n"),
-          round(avg("v"), 6).as("mean_v"),
-          round(sqrt(sum(col("v") * col("v")) / count(lit(1)) -
-            avg("v") * avg("v")), 6).as("std_v"),
+          round(sum("q").cast("double") / 1e6 /
+            count(lit(1)).cast("double"), 6).as("mean_v"),
+          round(sqrt(sum("q2").cast("double") / 1e12 /
+              count(lit(1)).cast("double") -
+            (sum("q").cast("double") / 1e6 /
+              count(lit(1)).cast("double")) *
+            (sum("q").cast("double") / 1e6 /
+              count(lit(1)).cast("double"))), 6).as("std_v"),
           round(min("v"), 6).as("min_v"),
           round(max("v"), 6).as("max_v"))
         .orderBy("dim")
@@ -6301,6 +6560,50 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id""".stripMargin
     },
 
+    // the composed tree: must = all-terms conjunction (HAVING over one
+    // postings pass), must_not = NOT IN, both in the eligibility WHERE
+    // (stats over the eligible corpus); should = 0.5*idf added to the
+    // query vector (2-element sums are order-safe), score-only
+    "search_boolean_tree" -> {
+      val toks = sqlToksKeepStop("text")
+      val where = s""" WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('error'))
+        |  AND doc_id IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('data')
+        |    GROUP BY doc_id HAVING count(DISTINCT tok) = 1)"""
+        .stripMargin
+      s"""WITH ${bm25WeightsCtes("x", where)},
+         |xqterms AS (SELECT q.term, q.q_tf
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+         |xqw0 AS (
+         |  SELECT xqterms.term,
+         |    CAST(xqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+         |  FROM xqterms JOIN xidf idf ON xqterms.term = idf.term
+         |  WHERE idf.idf > 0
+         |  UNION ALL
+         |  SELECT s.term, 0.5 * idf.idf AS q_weight
+         |  FROM (VALUES ('customer')) AS s(term)
+         |  JOIN xidf idf ON s.term = idf.term
+         |  WHERE idf.idf > 0),
+         |xqweights AS (
+         |  SELECT term, sum(q_weight) AS q_weight FROM xqw0
+         |  GROUP BY term),
+         |xscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM xweights w JOIN xqweights qw ON w.term = qw.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM xscores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
     // the cursor is page 1's last (score, doc_id); the page-2 cut
     // applies the strict keyset predicate on 6-dp-rounded scores on
     // both engines
@@ -6409,6 +6712,105 @@ object SparkEntry {
          |FROM hits ORDER BY doc_id""".stripMargin
     },
 
+    // same top-5 cut and posexplode, 7-token tumbling windows ranked
+    // per doc by (distinct-term coverage desc, window asc), top 2
+    "search_snippets_multi" -> {
+      val toks = sqlToksKeepStop("text")
+      val qlist = TextFunctions.tokenize(SearchQuery).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH $Bm25ScoresCtes,
+         |top5 AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 5),
+         |toked AS (
+         |  SELECT d.doc_id, t.score, $toks AS toks
+         |  FROM documents d JOIN top5 t USING (doc_id)),
+         |pos AS (
+         |  SELECT doc_id, score, toks, unnest(toks) AS tok,
+         |    unnest(range(len(toks))) AS p
+         |  FROM toked),
+         |wins AS (
+         |  SELECT doc_id, score, toks, p // 7 AS win,
+         |    count(DISTINCT tok) AS n_terms, min(p) AS first_pos
+         |  FROM pos WHERE tok IN ($qlist)
+         |  GROUP BY doc_id, score, toks, p // 7),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY n_terms DESC, win) AS win_rank
+         |  FROM wins)
+         |SELECT doc_id, score, CAST(win_rank AS BIGINT) AS win_rank,
+         |  n_terms, CAST(first_pos AS BIGINT) AS first_pos,
+         |  array_to_string(list_slice(toks,
+         |    CAST(win * 7 + 1 AS INT), CAST(win * 7 + 7 AS INT)), ' ')
+         |    AS snippet
+         |FROM ranked WHERE win_rank <= 2
+         |ORDER BY doc_id, win_rank""".stripMargin
+    },
+
+    // facet counts over the same top-50 cut, one unioned facet stream
+    "search_facets" ->
+      s"""WITH $Bm25ScoresCtes,
+         |top50 AS (
+         |  SELECT doc_id FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |fac AS (
+         |  SELECT 'source' AS facet, d.source AS value
+         |  FROM documents d JOIN top50 USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'lang' AS facet, d.lang AS value
+         |  FROM documents d JOIN top50 USING (doc_id))
+         |SELECT facet, value, count(*) AS n FROM fac
+         |GROUP BY facet, value
+         |ORDER BY facet, value""".stripMargin,
+
+    // seed doc 1's top-10 weights (6-dp rounded BEFORE the cut) as the
+    // query vector; standard sparse dot over every other doc
+    "more_like_this" ->
+      s"""WITH $Bm25WeightsCtes,
+         |seedq AS (
+         |  SELECT term, q_weight FROM (
+         |    SELECT term, round(weight, 6) AS q_weight FROM weights
+         |    WHERE doc_id = 1)
+         |  ORDER BY q_weight DESC, term LIMIT 10),
+         |mscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * q.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM weights w JOIN seedq q USING (term)
+         |  WHERE w.doc_id <> 1
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM mscores
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // same top-20 cut (rounded scores), per-doc token counts, greedy
+    // prefix pack under the 400-token budget
+    "rag_context_pack" -> {
+      val toks = sqlToksKeepStop("d.text")
+      s"""WITH $Bm25ScoresCtes,
+         |top20 AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM (
+         |    SELECT doc_id, score FROM bm25_scores
+         |    ORDER BY score DESC, doc_id LIMIT 20)),
+         |packed AS (
+         |  SELECT t.doc_id, t.score,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM top20 t JOIN documents d USING (doc_id)),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS context_pos,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM packed)
+         |SELECT CAST(context_pos AS BIGINT) AS context_pos, doc_id,
+         |  score, n_tokens, cum_tokens
+         |FROM ranked WHERE cum_tokens <= 400
+         |ORDER BY context_pos""".stripMargin
+    },
+
     // one LIMIT-3 cut per literal prefix over the same vocabulary
     "suggest_prefix" -> {
       val toks = sqlToksKeepStop("text")
@@ -6459,6 +6861,58 @@ object SparkEntry {
          |    CAST(levenshtein(q.input, v.term) AS INT) AS dist
          |  FROM qdel q JOIN vdel v USING (variant)
          |  WHERE levenshtein(q.input, v.term) <= 1),
+         |bestd AS (SELECT input, min(dist) AS dist FROM cands
+         |  GROUP BY 1),
+         |atd AS (SELECT c.* FROM cands c JOIN bestd b
+         |  ON b.input = c.input AND b.dist = c.dist),
+         |bestdf AS (SELECT input, dist, max(df) AS df FROM atd
+         |  GROUP BY 1, 2)
+         |SELECT a.input, min(a.term) AS suggestion, a.df, a.dist
+         |FROM atd a JOIN bestdf f ON f.input = a.input
+         |  AND f.dist = a.dist AND f.df = a.df
+         |GROUP BY a.input, a.dist, a.df
+         |ORDER BY a.input""".stripMargin
+    },
+
+    // depth-2 deletion variants on both sides (deletions of deletions,
+    // deduped — multiplicity differences vs Spark's array_union are
+    // killed by the DISTINCT on candidates), exact levenshtein <= 2
+    // verify, same (dist, df, term) ranking; inputs double-mangled
+    // (2nd + 4th chars deleted) from the top-10 length>=6 terms
+    "spell_correct_d2" -> {
+      val toks = sqlToksKeepStop("text")
+      // one level of deletion variants of s, plus s itself
+      def del(s: String) =
+        s"""list_append(
+           |    list_transform(range(1, length($s) + 1),
+           |      i -> substr($s, 1, i - 1) || substr($s, i + 1)), $s)"""
+          .stripMargin
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest($toks) AS term
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM toked GROUP BY term),
+         |inputs AS (
+         |  SELECT substr(term, 1, 1) || substr(term, 3, 1) ||
+         |    substr(term, 5) AS input
+         |  FROM (
+         |    SELECT term FROM vocab WHERE length(term) >= 6
+         |    ORDER BY df DESC, term LIMIT 10)),
+         |vdel AS (
+         |  SELECT term, df, unnest(list_distinct(flatten(
+         |    list_transform(${del("term")}, s -> ${del("s")}))))
+         |    AS variant
+         |  FROM vocab),
+         |qdel AS (
+         |  SELECT input, unnest(list_distinct(flatten(
+         |    list_transform(${del("input")}, s -> ${del("s")}))))
+         |    AS variant
+         |  FROM inputs),
+         |cands AS (
+         |  SELECT DISTINCT q.input, v.term, v.df,
+         |    CAST(levenshtein(q.input, v.term) AS INT) AS dist
+         |  FROM qdel q JOIN vdel v USING (variant)
+         |  WHERE levenshtein(q.input, v.term) <= 2),
          |bestd AS (SELECT input, min(dist) AS dist FROM cands
          |  GROUP BY 1),
          |atd AS (SELECT c.* FROM cands c JOIN bestd b
@@ -6640,6 +7094,97 @@ object SparkEntry {
          |ORDER BY query_id, method""".stripMargin
     },
 
+    // the closed ANN loop replayed end-to-end: per-config multiprobe
+    // top-10 per panel query (same plane literals), micro-averaged
+    // recall from integer totals, the same total selection rule
+    // (recall floor → probed fraction → recall → cfg id), and the
+    // winning config's qid-0 run as the result
+    "ann_tuned" -> {
+      def exCte(qid: Long): String =
+        s"""q_$qid AS (SELECT embedding FROM embeddings
+           |  WHERE vec_id = $qid),
+           |ex_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM embeddings e, q_$qid q
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10))""".stripMargin
+      def mpCte(cfg: Int, qid: Long): String = {
+        val (np, pb) = AnnTunedGrid(cfg)
+        val planes = Knn.hyperplanes(np, 64)
+        val bucketE = lshBucketSql("e.embedding", planes)
+        val bucketQ = lshBucketSql("q.embedding", planes)
+        val marginRows = planes.zipWithIndex.map { case (p, b) =>
+          val dot = (0 until 8)
+            .map(i => s"CAST(q.embedding[${i + 1}] AS DOUBLE) * (${p(i)})")
+            .mkString(" + ")
+          s"SELECT $b AS b, ($dot) AS m FROM q_$qid q"
+        }.mkString("\n  UNION ALL\n  ")
+        val masks =
+          if (pb == 1) "[CAST(0 AS BIGINT), fs[1]]"
+          else "[CAST(0 AS BIGINT), fs[1], fs[2], fs[1] + fs[2]]"
+        s"""qb_${cfg}_$qid AS (
+           |  SELECT CAST($bucketQ AS BIGINT) AS qbv FROM q_$qid q),
+           |marg_${cfg}_$qid AS (
+           |  $marginRows),
+           |fl_${cfg}_$qid AS (
+           |  SELECT list(CAST(1 << b AS BIGINT) ORDER BY rn) AS fs
+           |  FROM (
+           |    SELECT b, row_number() OVER (ORDER BY abs(m), b) AS rn
+           |    FROM marg_${cfg}_$qid)
+           |  WHERE rn <= $pb),
+           |probes_${cfg}_$qid AS (
+           |  SELECT xor(qb.qbv, mk) AS pbv FROM qb_${cfg}_$qid qb,
+           |    (SELECT unnest($masks) AS mk FROM fl_${cfg}_$qid)),
+           |mp_${cfg}_$qid AS MATERIALIZED (
+           |  SELECT vec_id, raw FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM embeddings e, q_$qid q
+           |    WHERE CAST($bucketE AS BIGINT) IN
+           |      (SELECT pbv FROM probes_${cfg}_$qid)
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10))""".stripMargin
+      }
+      val cfgs = AnnTunedGrid.indices
+      val ctes = (AnnRecallQids.map(exCte) ++
+        cfgs.flatMap(c => AnnRecallQids.map(q => mpCte(c, q))))
+        .mkString(",\n")
+      val recRows = cfgs.map { c =>
+        val tk = AnnRecallQids
+          .map(q => s"(SELECT count(*) FROM ex_$q)").mkString(" + ")
+        val th = AnnRecallQids
+          .map(q => s"(SELECT count(*) FROM ex_$q x JOIN mp_${c}_$q a " +
+            "USING (vec_id))").mkString(" + ")
+        s"SELECT $c AS cfg, ${annTunedFrac(c)} AS frac,\n" +
+          s"  CAST($tk AS BIGINT) AS tk, CAST($th AS BIGINT) AS th"
+      }.mkString("\nUNION ALL\n")
+      val runRows = cfgs.map { c =>
+        val (np, pb) = AnnTunedGrid(c)
+        s"SELECT $c AS cfg, $np AS n_planes, $pb AS probe_bits, " +
+          s"vec_id, raw FROM mp_${c}_0"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ctes,
+         |rec AS MATERIALIZED (
+         |  $recRows),
+         |sel AS (
+         |  SELECT cfg, CAST(th AS DOUBLE) / tk AS mr FROM rec
+         |  ORDER BY
+         |    (CASE WHEN CAST(th AS DOUBLE) / tk >= 0.5 THEN 0
+         |      ELSE 1 END),
+         |    (CASE WHEN CAST(th AS DOUBLE) / tk >= 0.5 THEN frac
+         |      ELSE 0 END),
+         |    CAST(th AS DOUBLE) / tk DESC, cfg
+         |  LIMIT 1),
+         |runs AS (
+         |  $runRows)
+         |SELECT r.n_planes, r.probe_bits, round(s.mr, 6) AS panel_recall,
+         |  r.vec_id, round(r.raw, 6) AS score
+         |FROM runs r JOIN sel s ON r.cfg = s.cfg
+         |ORDER BY score DESC, vec_id""".stripMargin
+    },
+
     "dedup_embedding" -> {
       val bucketA = lshBucketSql("a.embedding", Knn.hyperplanes(4, 64))
       val bucketB = lshBucketSql("b.embedding", Knn.hyperplanes(4, 64))
@@ -6776,6 +7321,50 @@ object SparkEntry {
          |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
          |    coalesce(1.0 / (60 + d.r), 0.0) +
          |      coalesce(1.0 / (60 + sp.r), 0.0) AS score
+         |  FROM dense d FULL OUTER JOIN sparse sp ON d.chunk_id = sp.chunk_id),
+         |pool AS (
+         |  SELECT chunk_id, score FROM fused
+         |  ORDER BY score DESC, chunk_id LIMIT 50),
+         |rer AS (
+         |  SELECT p.chunk_id, p.score,
+         |    CAST(len(list_intersect(${sqlToks("d.text")}, $qtoksList))
+         |      AS DOUBLE) / ${qtoks.size} AS rscore
+         |  FROM pool p JOIN documents d
+         |    ON CAST(d.doc_id AS VARCHAR) = p.chunk_id),
+         |topr AS (
+         |  SELECT chunk_id, score, rscore FROM rer
+         |  ORDER BY rscore DESC, score DESC, chunk_id LIMIT 10)
+         |SELECT chunk_id AS doc_id, chunk_id, round(score, 6) AS score,
+         |  round(rscore, 6) AS reranked_score
+         |FROM topr
+         |ORDER BY reranked_score DESC, score DESC, chunk_id""".stripMargin
+    },
+
+    // search_hybrid_docs with the per-leg fusion weights threaded
+    // through the engine: fused = 0.7/(60+dr) + 0.3/(60+sr)
+    "search_hybrid_weighted" -> {
+      val qtoks = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val qtoksList = qtoks.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH $Bm25ScoresCtes,
+         |$mockDocVecCtes,
+         |dense_scored AS (
+         |  SELECT doc_id, ${mockDotExpr(KnnQueryVec)} AS dscore FROM nrm),
+         |dense AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY dscore DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM dense_scored) WHERE r <= 50),
+         |sparse AS (
+         |  SELECT chunk_id, r FROM (
+         |    SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+         |      row_number() OVER (ORDER BY score DESC,
+         |        CAST(doc_id AS VARCHAR)) AS r
+         |    FROM bm25_scores) WHERE r <= 50),
+         |fused AS (
+         |  SELECT coalesce(d.chunk_id, sp.chunk_id) AS chunk_id,
+         |    0.7 * coalesce(1.0 / (60 + d.r), 0.0) +
+         |      0.3 * coalesce(1.0 / (60 + sp.r), 0.0) AS score
          |  FROM dense d FULL OUTER JOIN sparse sp ON d.chunk_id = sp.chunk_id),
          |pool AS (
          |  SELECT chunk_id, score FROM fused
@@ -7170,6 +7759,46 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM dup_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // incoming-bands ⨝ standing-bands (the two sides' shingle/
+    // signature/band CTEs replayed separately), exact-Jaccard verify
+    // over the unioned shingle relations, threshold 0.5
+    "minhash_incremental" ->
+      s"""WITH hist AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id % 10 < 8),
+         |inc AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id % 10 >= 8
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS id,
+         |    text || ' near duplicate arrival copy' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |${minhashSideCtes("inc", "in")},
+         |${minhashSideCtes("hist", "old")},
+         |icands AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM banded_in l JOIN banded_old r
+         |    ON l.band = r.band AND l.band_val = r.band_val),
+         |allsh AS (
+         |  SELECT * FROM sh_in UNION ALL SELECT * FROM sh_old),
+         |isizes AS (SELECT id, count(*) AS n FROM allsh GROUP BY id),
+         |iinters AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM icands c
+         |  JOIN sh_in a ON a.id = c.id_a
+         |  JOIN sh_old b ON b.id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+         |  FROM icands c
+         |  LEFT JOIN iinters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN isizes sa ON sa.id = c.id_a
+         |  JOIN isizes sb ON sb.id = c.id_b)
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // signature-agreement estimate vs exact Jaccard over the linear
     // neighbor-pair sample; identical integer counts make the doubles
@@ -7808,20 +8437,27 @@ object SparkEntry {
          |ORDER BY a.doc_id""".stripMargin
     },
 
-    // identical moment-form std; positional zip of range(64) against
-    // the cast embedding list
+    // identical quantized-moment form (exact BIGINT sums on the
+    // 1e-6/1e-12 grids — order-independent, matching the Spark side);
+    // positional zip of range(64) against the cast embedding list
     "embedding_dim_stats" ->
       """WITH x AS (
         |  SELECT unnest(range(64)) AS dim,
         |    unnest(CAST(embedding AS DOUBLE[])) AS v
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT dim, v,
+        |    CAST(round(v * 1e6) AS BIGINT) AS q,
+        |    CAST(round(v * v * 1e12) AS BIGINT) AS q2
+        |  FROM x)
         |SELECT dim, count(*) AS n,
-        |  round(avg(v), 6) AS mean_v,
-        |  round(sqrt(sum(v * v) / count(*) - avg(v) * avg(v)), 6)
-        |    AS std_v,
+        |  round(CAST(sum(q) AS DOUBLE) / 1e6 / count(*), 6) AS mean_v,
+        |  round(sqrt(CAST(sum(q2) AS DOUBLE) / 1e12 / count(*) -
+        |    (CAST(sum(q) AS DOUBLE) / 1e6 / count(*)) *
+        |    (CAST(sum(q) AS DOUBLE) / 1e6 / count(*))), 6) AS std_v,
         |  round(min(v), 6) AS min_v,
         |  round(max(v), 6) AS max_v
-        |FROM x GROUP BY dim
+        |FROM q GROUP BY dim
         |ORDER BY dim""".stripMargin,
 
     // identical register construction and estimator arithmetic as
@@ -10738,7 +11374,8 @@ object SparkEntry {
              |        AS rn
              |    FROM embeddings e, cents c) WHERE rn = 1)
              |SELECT cid AS cluster_id, count(*) AS n_vectors,
-             |  round(avg(s), 6) AS avg_score,
+             |  round(CAST(sum(CAST(round(s * 1e6) AS BIGINT)) AS DOUBLE)
+             |    / 1e6 / count(*), 6) AS avg_score,
              |  round(min(s), 6) AS min_score,
              |  round(max(s), 6) AS max_score
              |FROM assigned GROUP BY cid

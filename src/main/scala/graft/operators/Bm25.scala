@@ -356,6 +356,107 @@ object Bm25 {
       .limit(k)
   }
 
+  /** "More like this" — query-by-document (the Lucene MLT operator a
+    * search product exposes as "similar results"): the seed document's
+    * top `topTerms` terms by its own BM25 weight become the query
+    * vector (q_weight = the seed's weight, 6-dp rounded BEFORE the cut
+    * so the term selection and the re-score replay cross-engine), and
+    * every OTHER document scores by the standard sparse dot product.
+    * Seed excluded from results.
+    *
+    * Scale shape: the seed's posting list is one broadcast-sized
+    * filter of docWeights (at web scale: one id-keyed lookup); the
+    * scoring pass is the same one-shuffle docWeights ⨝ broadcast query
+    * as [[searchTopK]]. */
+  def moreLikeThis(corpus: DataFrame, idCol: String, textCol: String,
+      seedFilter: Column, topTerms: Int, k: Int,
+      p: Params = Default, index: Option[Index] = None): DataFrame = {
+    require(topTerms >= 1 && k >= 1, s"bad MLT spec: $topTerms/$k")
+    val idx = index.getOrElse(buildIndex(corpus, idCol, textCol, p,
+      pinStats = true))
+    val seed = idx.docWeights.filter(seedFilter)
+    val qW = seed
+      .select(col("term"), round(col("weight"), 6).as("q_weight"))
+      .orderBy(col("q_weight").desc, col("term"))
+      .limit(topTerms)
+    idx.docWeights.filter(!seedFilter)
+      .join(broadcast(qW), "term")
+      .groupBy("id")
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Boolean query tree at the ranking layer — the full
+    * must/should/must_not surface the reference normalizes for its
+    * payload filters (ref packages/vecpipe/search/payloads.py:17-31),
+    * compiled to postings operations, all BEFORE the top-k cut
+    * (filter-then-rank, so the page fills with eligible docs):
+    *
+    *  - `must`     — eligibility CONJUNCTION: docs containing EVERY
+    *                 must term (one postings pass + a distinct-count
+    *                 HAVING, then a left-semi join — not |must| joins);
+    *                 must terms gate, they do not score (the reference
+    *                 semantic: filters are orthogonal to ranking)
+    *  - `mustNot`  — the postings ANTI-join (search_boolean's leg)
+    *  - `should`   — optional-term BOOST: each should term joins the
+    *                 query vector at `shouldBoost · idf(t)` — it raises
+    *                 the score of docs containing it but never changes
+    *                 eligibility (a should term also in the query text
+    *                 adds on top of its tf·idf weight)
+    *
+    * BM25 statistics are recomputed over the ELIGIBLE corpus, matching
+    * the filtered-collection semantics. Scale shape: two bounded
+    * postings passes (isin filters push into the tokenize scan) + the
+    * standard one-shuffle [[buildIndex]]; the composed query relation
+    * stays query-sized and broadcasts. */
+  def searchBooleanTree(corpus: DataFrame, idCol: String, textCol: String,
+      queryText: String, must: Seq[String], should: Seq[String],
+      mustNot: Seq[String], shouldBoost: Double, k: Int,
+      p: Params = Default): DataFrame = {
+    val toks = corpus.select(col(idCol).as("id"),
+      explode(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = false)).as("tok"))
+    val afterNot =
+      if (mustNot.isEmpty) corpus
+      else corpus.join(
+        toks.filter(col("tok").isin(mustNot.distinct: _*))
+          .select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val eligible =
+      if (must.isEmpty) afterNot
+      else afterNot.join(
+        toks.filter(col("tok").isin(must.distinct: _*))
+          .groupBy("id").agg(countDistinct("tok").as("__nm"))
+          .filter(col("__nm") === must.distinct.size)
+          .select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+    val idx = buildIndex(eligible, idCol, textCol, p, pinStats = true)
+    val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q2 =
+      if (should.isEmpty) qW
+      else {
+        val sW = should.distinct.toDF("term")
+          .join(idx.stats.select("term", "idf"), "term")
+          .filter(col("idf") > 0.0)
+          .select(col("term"),
+            (lit(shouldBoost) * col("idf")).as("q_weight"))
+        // at most two rows per term (query + should) — a 2-element
+        // float sum is commutative, so the merge is order-safe
+        qW.unionByName(sW).groupBy("term")
+          .agg(sum("q_weight").as("q_weight"))
+      }
+    idx.docWeights.join(broadcast(q2), "term")
+      .groupBy("id")
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Pseudo-relevance-feedback expansion (Rocchio 1971, the
     * statistical sibling of the reference's HyDE LLM expansion —
     * ref shared/llm/hyde.py:40-173 expands with generated text; PRF

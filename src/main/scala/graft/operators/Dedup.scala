@@ -378,6 +378,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental MinHash near-dup — [[exactIncremental]]'s FUZZY
+    * sibling, the production arrival shape: today's batch against the
+    * standing corpus. Band keys for both sides; the candidate join is
+    * incoming-bands ⨝ standing-bands on (band, band_hash) — never a
+    * self-join of the union — so the standing corpus contributes rows
+    * only where an incoming band collides, and within-batch pairs are
+    * deliberately NOT emitted (run [[minhashNearDups]] on the batch
+    * for those). At scale the standing band-key relation is a
+    * materialized index bucketed on (band, band_hash): an arrival
+    * probes its ≤`bands` buckets, never the corpus. Ids must be
+    * disjoint across the two relations (same contract as
+    * exactIncremental's history).
+    * Output: (id_a incoming, id_b standing, jaccard ≥ threshold). */
+  def minhashIncremental(incoming: DataFrame, standing: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8,
+      hashFamily: (Int, Column) => Column = xxHashFamily): DataFrame = {
+    // each shingle relation feeds its signature branch AND the verify
+    val shIn = shingles(incoming, idCol, textCol, n).cache()
+    val shOld = shingles(standing, idCol, textCol, n).cache()
+    val bIn = minhashBandKeys(
+        minhashSignaturesFrom(shIn, numHashes, hashFamily),
+        numHashes, bands)
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val bOld = minhashBandKeys(
+        minhashSignaturesFrom(shOld, numHashes, hashFamily),
+        numHashes, bands)
+      .select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val cands = pinPairs(bIn.join(bOld, Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct())
+    ngramJaccardFrom(shIn.unionByName(shOld), cands)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Edit-distance-verified near-dup: the MinHash-banded candidate
     * pairs (never all-pairs) verified by Levenshtein similarity
     * `1 − dist / max(len)` over a bounded text PREFIX. Levenshtein is

@@ -26,12 +26,28 @@ import graft.functions.TextFunctions
   */
 object Spell {
 
-  /** One-character-deletion variants of `c`, plus `c` itself. */
+  /** One-character-deletion variants of `c`, plus `c` itself. The
+    * empty-string guard matters at depth 2: `sequence(1, 0)` is the
+    * DESCENDING [1, 0] in Spark, not empty — a depth-1 variant of a
+    * 1-char term is "" and must map to just itself. */
   private[graft] def deletions(c: Column): Column =
-    array_union(array(c),
-      transform(sequence(lit(1), length(c)), i =>
-        concat(c.substr(lit(1), i - 1),
-          c.substr(i + 1, length(c)))))
+    when(length(c) === 0, array(c)).otherwise(
+      array_union(array(c),
+        transform(sequence(lit(1), length(c)), i =>
+          concat(c.substr(lit(1), i - 1),
+            c.substr(i + 1, length(c))))))
+
+  /** All variants reachable by deleting UP TO `depth` characters
+    * (depth 1 = [[deletions]]; depth 2 = deletions of deletions,
+    * |len|²-bounded per term — the reason Garbe's symmetric-delete
+    * algorithm exists: substitution-generation at distance 2 is
+    * ~(26·len)² per lookup, deletion depth 2 stays len²). */
+  private[graft] def deletionsDepth(c: Column, depth: Int): Column = {
+    require(depth >= 1 && depth <= 3, s"bad deletion depth: $depth")
+    (2 to depth).foldLeft(deletions(c)) { (acc, _) =>
+      array_distinct(flatten(transform(acc, d => deletions(d))))
+    }
+  }
 
   /** Corpus vocabulary (term, df) from a text column — distinct
     * document frequency, the ranking signal. */
@@ -50,15 +66,28 @@ object Spell {
     * with NO candidate are absent. Three bounded aggregates, no rank
     * window. */
   def didYouMean(vocab: DataFrame, inputs: DataFrame,
-                 inputCol: String): DataFrame = {
+                 inputCol: String): DataFrame =
+    didYouMean(vocab, inputs, inputCol, maxDist = 1)
+
+  /** [[didYouMean]] at a configurable maximum edit distance — the
+    * production "did you mean" bar is d=2 (SymSpell's headline case):
+    * both sides emit their depth-`maxDist` deletion variants (any
+    * distance-d pair provably shares one, Garbe's symmetry argument
+    * generalizes to d>1), exact `levenshtein <= maxDist` verify, same
+    * (dist asc, df desc, term asc) ranking. The variant relation grows
+    * to |vocab|·len^d rows but still shuffles ONCE on the variant
+    * key — never a vocabulary scan per input. */
+  def didYouMean(vocab: DataFrame, inputs: DataFrame,
+                 inputCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3, s"bad maxDist: $maxDist")
     val vx = vocab.select(col("term"), col("df"),
-        explode(deletions(col("term"))).as("variant"))
+        explode(deletionsDepth(col("term"), maxDist)).as("variant"))
     val qx = inputs.select(col(inputCol).as("input"),
-        explode(deletions(col(inputCol))).as("variant"))
+        explode(deletionsDepth(col(inputCol), maxDist)).as("variant"))
     val cands = qx.join(vx, "variant")
       .select("input", "term", "df").distinct()
       .withColumn("dist", levenshtein(col("input"), col("term")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
     val bestD = cands.groupBy("input").agg(min("dist").as("dist"))
     val atD = cands.join(bestD, Seq("input", "dist"))
     val bestDf = atD.groupBy("input", "dist").agg(max("df").as("df"))
@@ -66,5 +95,30 @@ object Spell {
       .groupBy("input", "dist", "df")
       .agg(min("term").as("suggestion"))
       .select("input", "suggestion", "df", "dist")
+  }
+
+  /** Prefix autocomplete as ONE plan (VERDICT r9 #8): the prefixes are
+    * a broadcast RELATION equi-joined on `substr(term, 1, len)` —
+    * grouped by prefix length so each group is a hash join, never a
+    * per-prefix plan branch (a Scala-side loop grows the plan linearly
+    * with the prefix count) — then a bounded per-prefix top-`n` via the
+    * [[TopK]] aggregator (map-side partial top-k, no rank window).
+    * Output: (prefix, suggestion, df), top `n` per prefix by
+    * (df desc, term asc). */
+  def suggest(vocab: DataFrame, prefixes: Seq[String], n: Int): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_.nonEmpty), "bad prefixes")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val matched = prefixes.distinct.groupBy(_.length).toSeq.sortBy(_._1)
+      .map { case (len, ps) =>
+        vocab.join(broadcast(ps.toDF("prefix")),
+          col("term").substr(1, len) === col("prefix"))
+      }.reduce(_ unionByName _)
+    TopK.perGroup(
+        matched.select(col("prefix"), col("term").as("doc_id"),
+          col("term").as("chunk_id"), col("df").cast("double").as("score")),
+        "prefix", n)
+      .select(col("prefix"), col("chunk_id").as("suggestion"),
+        col("score").cast("long").as("df"))
   }
 }

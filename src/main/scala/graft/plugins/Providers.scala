@@ -121,4 +121,40 @@ object Providers {
       else Some(s"Hypothetical passage answering: $query. " +
         s"It discusses ${TextFunctions.tokenize(query).distinct.mkString(", ")}.")
   }
+
+  /** Pseudo-relevance-feedback expander (VERDICT r9 #6) — the
+    * STATISTICAL sibling of [[MockHyde]] behind the same hook
+    * (ref search_service.py:469-498 wires HyDE as the one expansion
+    * point; PRF is the expansion that needs no LLM): a BM25 first pass
+    * over `corpus` keeps the top `fbDocs` documents, and the top
+    * `fbTerms` expansion terms by summed doc weight (Rocchio's
+    * positive centroid, original query terms excluded) are appended to
+    * the query text. expand() runs two bounded Spark jobs at
+    * request-build time — the moral equivalent of MockHyde's LLM call;
+    * the collected relation is `fbTerms` rows. Empty/None on a blank
+    * query or an empty feedback set (caller falls back, same contract
+    * as HyDE failure). */
+  final case class PrfExpander(
+      corpus: DataFrame, idCol: String, textCol: String,
+      fbDocs: Int = 10, fbTerms: Int = 5) extends QueryExpander {
+    override def expand(query: String): Option[String] = {
+      if (query == null || query.trim.isEmpty) return None
+      val idx = Bm25.buildIndex(corpus, idCol, textCol, pinStats = true)
+      val qW = Bm25.queryTermWeights(idx.stats, query, corpus.sparkSession)
+      val first = idx.docWeights.join(broadcast(qW), "term")
+        .groupBy("id")
+        .agg(Bm25.sparseScore(col("weight") * col("q_weight"),
+          col("term")).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(fbDocs).select("id")
+      val terms = idx.docWeights.join(broadcast(first), "id")
+        .join(broadcast(qW.select("term")), Seq("term"), "left_anti")
+        .groupBy("term").agg(round(sum("weight"), 6).as("fb_w"))
+        .orderBy(col("fb_w").desc, col("term"))
+        .limit(fbTerms)
+        .select("term").collect().map(_.getString(0))
+      if (terms.isEmpty) None
+      else Some(s"$query ${terms.mkString(" ")}")
+    }
+  }
 }

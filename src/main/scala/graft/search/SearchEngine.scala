@@ -34,6 +34,11 @@ object SearchEngine {
       searchType: String = "semantic",
       instruction: Option[String] = None,
       rrfK: Int = 60,
+      // per-leg fusion weights (VERDICT r9 #6): the knob production
+      // rankers tune; 1.0/1.0 is classic RRF, so existing requests
+      // are bit-unchanged
+      wDense: Double = 1.0,
+      wSparse: Double = 1.0,
       scoreThreshold: Double = 0.0,
       filters: Map[String, Any] = Map.empty,
       pathId: Option[String] = None,
@@ -231,7 +236,8 @@ object SearchEngine {
           .select("chunk_id", "score"))
         // J1 fusion, then payload enrichment from the dense-first union
         Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK,
-            preRanked = derived)
+            preRanked = derived,
+            wDense = req.wDense, wSparse = req.wSparse)
           .select("chunk_id", "score", "_dense_rank", "_sparse_rank",
             "_dense_score", "_sparse_score")
           // filtered for the same P2 reason as dense mode above

@@ -113,4 +113,41 @@ class Bm25RrfSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Int]("_dense_rank")).toMap
     assert(re == Map("10" -> 1, "2" -> 2))
   }
+
+  test("searchBooleanTree: must gates without scoring, must_not " +
+      "excludes before the cut, should boosts score only") {
+    val c = Seq(
+      (1L, "spark join optimizer"),
+      (2L, "spark join error trace"),
+      (3L, "join only document"),
+      (4L, "spark boost here please")).toDF("doc_id", "text")
+    val got = Bm25.searchBooleanTree(c, "doc_id", "text", "join",
+        must = Seq("spark"), should = Seq("boost"),
+        mustNot = Seq("error"), shouldBoost = 0.5, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 2 has the banned term; 3 misses the must term; 4 scores ONLY
+    // through the should boost (it has no query term)
+    assert(got.keySet == Set(1L, 4L), got.toString)
+    assert(got(4L) > 0.0 && got(1L) > got(4L), got.toString)
+    // should is score-only: drop it and doc 4 vanishes (nothing to
+    // score), while eligibility of 1 is unchanged
+    val noShould = Bm25.searchBooleanTree(c, "doc_id", "text", "join",
+        Seq("spark"), Nil, Seq("error"), 0.5, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(noShould == Set(1L), noShould.toString)
+  }
+
+  test("moreLikeThis: the seed's top-weight terms retrieve the " +
+      "overlapping doc first; the seed itself and term-disjoint docs " +
+      "are absent") {
+    val c = Seq(
+      (1L, "quantum entanglement physics experiment"),
+      (2L, "quantum physics laboratory experiment results"),
+      (3L, "cooking pasta tomato sauce recipe"),
+      (4L, "gardening tomato plants summer")).toDF("doc_id", "text")
+    val got = Bm25.moreLikeThis(c, "doc_id", "text",
+        col("id") === 1L, topTerms = 4, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), got.toString) // shares 3 of 4 seed terms
+  }
 }

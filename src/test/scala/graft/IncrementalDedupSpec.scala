@@ -36,6 +36,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getString(2) == "de")
   }
 
+  test("minhashIncremental: cross-corpus near-dups found, in-batch " +
+      "and in-history pairs NOT emitted, low-jaccard collisions " +
+      "verified away") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val history = Seq(
+      (1L, base),
+      (2L, base), // in-history dup of 1 — must NOT pair
+      (3L, "completely different text about spark shuffle exchanges " +
+        "and broadcast joins in distributed query engines"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " extra tail"), // near-dup of history 1 AND 2
+      (11L, base + " extra tail"), // in-batch dup of 10 — no pair
+      (12L, "unrelated arrival document mentioning neither corpus " +
+        "covering entirely novel subject matter and vocabulary"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashIncremental(incoming, history,
+        "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)), got)
+  }
+
   test("skew probe: ratio is max/mean and the cut is (cnt desc, key)") {
     // key "hot" 6x, "a" 2x, "b" 2x, "c" 2x -> mean 3, ratio 2.0
     val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "b", "c", "c"))

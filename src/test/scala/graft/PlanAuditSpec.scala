@@ -500,6 +500,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r10 surface: boolean tree / weighted hybrid / d2 spell / " +
+      "multi-snippets / tuned ANN are cartesian-free with broadcast " +
+      "query-side relations") {
+    for (q <- Seq("search_boolean_tree", "spell_correct_d2",
+        "search_snippets_multi", "search_hybrid_weighted")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastExchange"), s"$q has no broadcast:\n$p")
+    }
+    // ann_tuned's FINAL plan is joinless by design: the sweep +
+    // selection ran as bounded driver-side jobs, and the tuned run is
+    // a probe-set-pruned scan + TakeOrderedAndProject — the probe IN
+    // filter must sit in the scan stage
+    val p = plan("ann_tuned")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"ann_tuned should be joinless:\n$p")
+    assert(p.contains("TakeOrderedAndProject") && p.contains(" IN ("),
+      s"probe-set pruning or top-k heap missing:\n$p")
+  }
+
+  test("suggest_prefix is ONE plan: a broadcast prefix equi-join into " +
+      "the bounded TopK aggregate — no per-prefix branches, no rank " +
+      "window") {
+    val p = plan("suggest_prefix")
+    assert(!p.contains("windowspecdefinition"), s"rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix join not broadcast:\n$p")
+    assert(!p.contains("Union"), s"per-prefix plan branches:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopK aggregate missing:\n$p")
+  }
+
   test("bucketed sequences/next-event forms window by (key, bucket) " +
       "at the event level; key-only windows touch only the bucket " +
       "summary relation") {

@@ -290,4 +290,59 @@ class SearchEngineSpec extends SparkSpec {
     assert(Ingest.readCurrent(spark, root).count() == 4)
     assert(new java.io.File(root, "gen-1").exists())
   }
+
+  test("fusion weights thread through SearchRequest: 1.0/1.0 is " +
+      "bit-identical to the default; weighted scores follow " +
+      "w_d/(60+dr) + w_s/(60+sr)") {
+    val base = SearchRequest(query = "tomato spark", searchMode = "hybrid",
+      k = 5, scoreThreshold = -1e9)
+    val classic = SearchEngine.search(chunks, base)
+      .select("chunk_id", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val explicit = SearchEngine.search(chunks,
+        base.copy(wDense = 1.0, wSparse = 1.0))
+      .select("chunk_id", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(classic == explicit) // defaults bit-unchanged
+    // weighted: every fused score must be reproducible from the legs'
+    // ranks at the requested weights
+    val weighted = SearchEngine.search(chunks,
+        base.copy(wDense = 0.7, wSparse = 0.3, includeContent = false))
+      .select("chunk_id", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dRanks = graft.operators.Rrf.ranked(
+        SearchEngine.denseLeg(chunks, base, 5)
+          .select("chunk_id", "score"), "chunk_id", "score")
+      .select("chunk_id", "rank").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val sRanks = graft.operators.Rrf.ranked(
+        SearchEngine.sparseHits(chunks, base, 5), "chunk_id", "score")
+      .select("chunk_id", "rank").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    weighted.foreach { case (id, sc) =>
+      val exp = 0.7 * dRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        0.3 * sRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(sc - exp) < 1e-12, s"$id: $sc vs $exp")
+    }
+  }
+
+  test("PRF expander is a QueryExpander sibling of MockHyde: expands " +
+      "the query with Rocchio feedback terms; blank queries and empty " +
+      "feedback fall back (None)") {
+    import graft.plugins.Providers
+    val prf = Providers.PrfExpander(docs, "doc_id", "text",
+      fbDocs = 3, fbTerms = 2)
+    val expanded = prf.expand("spark join")
+    assert(expanded.isDefined && expanded.get.startsWith("spark join "))
+    val extra = expanded.get.stripPrefix("spark join ").split(" ")
+    assert(extra.length == 2 && !extra.contains("spark") &&
+      !extra.contains("join"), expanded.get)
+    assert(prf.expand("  ").isEmpty) // blank → fallback contract
+    // engine wiring: the same withHyde hook drives the DENSE leg only
+    val req = SearchEngine.withHyde(
+      SearchRequest(query = "spark join", searchMode = "hybrid", k = 3,
+        scoreThreshold = -1e9, vectorDim = Dim), prf)
+    assert(req.denseQuery == expanded && req.query == "spark join")
+    assert(SearchEngine.search(chunks, req).collect().nonEmpty)
+  }
 }

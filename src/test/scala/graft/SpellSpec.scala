@@ -43,4 +43,38 @@ class SpellSpec extends SparkSpec {
     val got = correct("bstch")
     assert(got("bstch")._1 == "batch" && got("bstch")._2 == 100L)
   }
+
+  private def correctD2(qs: String*) =
+    Spell.didYouMean(vocab, qs.toDF("q"), "q", maxDist = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3))).toMap
+
+  test("d=2: double substitutions/insertions/deletions resolve; " +
+      "distance 3 still yields nothing; a distance-1 neighbor " +
+      "outranks any distance-2 candidate") {
+    // xxtch: 2 substitutions from batch/match — invisible at d=1
+    // (asserted above), found at d=2 with the df-then-lex ranking
+    val got = correctD2("xxtch", "batchhh", "tch", "zzzch")
+    assert(got("xxtch") == (("batch", 100L, 2)))
+    assert(got("batchhh") == (("batch", 100L, 2))) // double insertion
+    assert(got("tch") == (("batch", 100L, 2)))     // double deletion
+    assert(!got.contains("zzzch"), s"distance-3 matched: $got")
+    // dist-first: "patch" has d1 neighbors (batch/match) AND d2 ones
+    // (watch, catchy...) — the d1 result must be identical to the
+    // d=1 API's
+    val d2 = correctD2("patch")("patch")
+    val d1 = correct("patch")("patch")
+    assert(d2 == d1 && d2._3 == 1)
+  }
+
+  test("d=2 handles 1-char vocabulary terms (empty-string deletion " +
+      "variants) without error") {
+    val tiny = Seq(("a", 10L), ("ab", 5L)).toDF("term", "df")
+    val got = Spell.didYouMean(tiny, Seq("b").toDF("q"), "q", maxDist = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3))).toMap
+    // "b" ~ "a" at distance 1 (substitution, shared variant "");
+    // "ab" at distance 1 (insertion) — df ranking picks "a" (10 > 5)
+    assert(got("b") == (("a", 10L, 1)))
+  }
 }
