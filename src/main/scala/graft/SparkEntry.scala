@@ -1993,6 +1993,32 @@ object SparkEntry {
       Spell.didYouMean(vocab, inputs, "q", maxDist = 2).orderBy("input")
     }),
 
+    // ---- zero-result RECOVERY composite (the search-box fallback a
+    //      product ships: misspelled query → "did you mean" → re-run):
+    //      3 mangled high-df terms are corrected against the corpus
+    //      vocabulary, the corrected terms (input-ordered, space-
+    //      joined) become the query, and BM25 answers it — the
+    //      corrected query string rides every row so the oracle checks
+    //      the correction AND the re-search ----
+    "search_fallback_correct" -> ((s, dir) => {
+      import graft.operators.Spell
+      val docs = t(s, dir, "documents")
+      val vocab = Spell.vocabulary(docs, "doc_id", "text").cache()
+      val inputs = vocab.filter(length(col("term")) >= 5)
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), length(col("term")))).as("q"))
+      // bounded 3-row collect — the corrected query is request-sized
+      val corrected = Spell.didYouMean(vocab, inputs, "q")
+        .orderBy("input").select("suggestion")
+        .collect().map(_.getString(0))
+      val cq = corrected.mkString(" ")
+      Bm25.searchTopK(docs, "doc_id", "text", cq, 10)
+        .select(lit(cq).as("corrected_query"), col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- pseudo-relevance-feedback expansion (Rocchio — the
     //      statistical sibling of search_hyde's LLM expansion): BM25
     //      first pass → top-5 expansion terms by summed doc weight
@@ -2196,6 +2222,21 @@ object SparkEntry {
           k = 10, int8ScalesFor(s, dir))
         .select(col("vec_id"), round(col("ascore"), 6).as("ascore"))
         .orderBy(col("ascore").desc, col("vec_id"))
+    }),
+
+    // ---- BINARY quantization (the 32× compression tier below int8 —
+    //      the production BQ path): sign-bit pack into 32-bit LONG
+    //      words, Hamming popcount shortlist of 50, exact cosine
+    //      re-rank to top-10; only the shortlist touches the
+    //      full-precision vectors ----
+    "ann_binary" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = queryVecFor(s, dir)
+      graft.operators.Quant.binaryTopK(e, "vec_id", "embedding", qv,
+          k = 10, shortlist = 50, dim = 64)
+        .select(col("vec_id"), col("hamming"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
     }),
 
     // ---- PQ ADC ANN: vectors compressed 32× to m=8 one-byte codes;
@@ -4757,6 +4798,31 @@ object SparkEntry {
         .orderBy("doc_id", "valid_from")
     }),
 
+    // ---- CDC changelog apply — the Debezium-fed MERGE (scd2's
+    //      current-state sibling): the log collapses to each key's
+    //      LATEST op by seq via one struct-max aggregation (no per-key
+    //      window), unchanged base rows pass through a left-anti join,
+    //      I/U payloads append, latest-D keys vanish. Updates for
+    //      %5==0 (seq 1), deletes for %7==0 (seq 2 — a key in both
+    //      resolves to the delete), inserts of fresh keys ----
+    "cdc_apply" -> ((s, dir) => {
+      import graft.operators.Scd
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("n_chars"))
+      val updates = docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("U").as("op"), col("doc_id"),
+          (col("n_chars") + 1000L).as("n_chars"), lit(1L).as("seq"))
+      val deletes = docs.filter(col("doc_id") % 7 === 0)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("long").as("n_chars"), lit(2L).as("seq"))
+      val inserts = docs.filter(col("doc_id") % 5 === 3)
+        .select(lit("I").as("op"), (col("doc_id") + 100000L).as("doc_id"),
+          col("n_chars"), lit(1L).as("seq"))
+      val log = updates.unionByName(deletes).unionByName(inserts)
+      Scd.applyChangelog(base, log, "doc_id", "seq", "op")
+        .orderBy("doc_id")
+    }),
+
     // ---- join-cardinality predictor (skew_probe's companion): exact
     //      |L ⋈ R| = Σ f_L(k)·f_R(k) from the two bounded per-key
     //      count relations — the explosion detector run BEFORE the
@@ -6874,6 +6940,70 @@ object SparkEntry {
          |ORDER BY a.input""".stripMargin
     },
 
+    // the fallback composite end-to-end: the same d=1 correction chain
+    // (3 inputs), corrected terms grouped into query tf, and the full
+    // BM25 scoring pass — the corrected-query string rides every row
+    "search_fallback_correct" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest($toks) AS term
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM toked GROUP BY term),
+         |inputs AS (
+         |  SELECT substr(term, 1, 1) || substr(term, 3) AS input
+         |  FROM (
+         |    SELECT term FROM vocab WHERE length(term) >= 5
+         |    ORDER BY df DESC, term LIMIT 3)),
+         |vdel AS (
+         |  SELECT term, df, unnest(list_append(
+         |    list_transform(range(1, length(term) + 1),
+         |      i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+         |    term)) AS variant
+         |  FROM vocab),
+         |qdel AS (
+         |  SELECT input, unnest(list_append(
+         |    list_transform(range(1, length(input) + 1),
+         |      i -> substr(input, 1, i - 1) || substr(input, i + 1)),
+         |    input)) AS variant
+         |  FROM inputs),
+         |scands AS (
+         |  SELECT DISTINCT q.input, v.term, v.df,
+         |    CAST(levenshtein(q.input, v.term) AS INT) AS dist
+         |  FROM qdel q JOIN vdel v USING (variant)
+         |  WHERE levenshtein(q.input, v.term) <= 1),
+         |sbestd AS (SELECT input, min(dist) AS dist FROM scands
+         |  GROUP BY 1),
+         |satd AS (SELECT c.* FROM scands c JOIN sbestd b
+         |  ON b.input = c.input AND b.dist = c.dist),
+         |sbestdf AS (SELECT input, dist, max(df) AS df FROM satd
+         |  GROUP BY 1, 2),
+         |corr AS MATERIALIZED (
+         |  SELECT a.input, min(a.term) AS suggestion
+         |  FROM satd a JOIN sbestdf f ON f.input = a.input
+         |    AND f.dist = a.dist AND f.df = a.df
+         |  GROUP BY a.input, a.dist, a.df),
+         |${bm25WeightsCtes()},
+         |cqt AS (SELECT suggestion AS term, count(*) AS q_tf
+         |  FROM corr GROUP BY suggestion),
+         |cqw AS (
+         |  SELECT c.term, CAST(c.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM cqt c JOIN idf i USING (term) WHERE i.idf > 0),
+         |cscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * q.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM weights w JOIN cqw q USING (term)
+         |  GROUP BY w.doc_id),
+         |cqs AS (SELECT string_agg(suggestion, ' ' ORDER BY input)
+         |  AS corrected_query FROM corr)
+         |SELECT cqs.corrected_query, t.doc_id,
+         |  round(t.score, 6) AS score
+         |FROM (SELECT doc_id, score FROM cscores
+         |  ORDER BY score DESC, doc_id LIMIT 10) t, cqs
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
     // depth-2 deletion variants on both sides (deletions of deletions,
     // deduped — multiplicity differences vs Spark's array_union are
     // killed by the DISTINCT on candidates), exact levenshtein <= 2
@@ -7182,6 +7312,41 @@ object SparkEntry {
          |SELECT r.n_planes, r.probe_bits, round(s.mr, 6) AS panel_recall,
          |  r.vec_id, round(r.raw, 6) AS score
          |FROM runs r JOIN sel s ON r.cfg = s.cfg
+         |ORDER BY score DESC, vec_id""".stripMargin
+    },
+
+    // sign-bit pack replayed per side (two 32-bit LONG words), Hamming
+    // = popcount(xor) per word, 50-candidate shortlist, exact re-rank
+    "ann_binary" -> {
+      def word(vecExpr: String, w: Int): String =
+        (0 until 32).map { j =>
+          s"(CASE WHEN CAST($vecExpr[${32 * w + j + 1}] AS DOUBLE) " +
+            s">= 0.0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qb AS (
+         |  SELECT CAST(${word("q.embedding", 0)} AS BIGINT) AS q0,
+         |    CAST(${word("q.embedding", 1)} AS BIGINT) AS q1
+         |  FROM q),
+         |eb AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(${word("embedding", 0)} AS BIGINT) AS b0,
+         |    CAST(${word("embedding", 1)} AS BIGINT) AS b1
+         |  FROM embeddings),
+         |short AS (
+         |  SELECT eb.vec_id, eb.embedding,
+         |    CAST(bit_count(xor(eb.b0, qb.q0)) +
+         |      bit_count(xor(eb.b1, qb.q1)) AS BIGINT) AS hamming
+         |  FROM eb, qb
+         |  ORDER BY hamming, vec_id LIMIT 50),
+         |scored AS (
+         |  SELECT s.vec_id, s.hamming,
+         |    list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) AS raw
+         |  FROM short s, q)
+         |SELECT vec_id, hamming, round(raw, 6) AS score FROM (
+         |  SELECT vec_id, hamming, raw FROM scored
+         |  ORDER BY raw DESC, vec_id LIMIT 10)
          |ORDER BY score DESC, vec_id""".stripMargin
     },
 
@@ -8654,6 +8819,32 @@ object SparkEntry {
         |  WHERE s2.doc_id IN (SELECT doc_id FROM changed)
         |    OR s2.doc_id IN (SELECT doc_id FROM newk))
         |ORDER BY doc_id, valid_from""".stripMargin,
+
+    // the same latest-op-per-key collapse (row_number by seq desc ≡
+    // the struct-max), anti-join pass-through, D keys vanish
+    "cdc_apply" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents),
+        |chlog AS (
+        |  SELECT 'U' AS op, doc_id, n_chars + 1000 AS n_chars,
+        |    1 AS seq
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'D', doc_id, CAST(NULL AS BIGINT), 2
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'I', doc_id + 100000, n_chars, 1
+        |  FROM documents WHERE doc_id % 5 = 3),
+        |latest AS MATERIALIZED (
+        |  SELECT doc_id, op, n_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq DESC) AS rn
+        |    FROM chlog)
+        |  WHERE rn = 1)
+        |SELECT doc_id, n_chars FROM base
+        |WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+        |UNION ALL
+        |SELECT doc_id, n_chars FROM latest WHERE op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
 
     // Σ f_L(k)·f_R(k) from the two count relations; the cut replays
     // as (contrib desc, key asc)

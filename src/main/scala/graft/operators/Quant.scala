@@ -48,6 +48,72 @@ object Quant {
         floor(v.cast("double") / sc * 127.0 + 0.5).cast("int"))))
   }
 
+  // -------------------------------------------------------------------
+  // BINARY quantization — the 32× compression tier below int8 (the
+  // production BQ path: Qdrant/Faiss expose exactly this shape): bit i
+  // = sign(v_i), distance = Hamming via popcount, a Hamming shortlist
+  // re-ranked exact. 1 − h/d is a monotone proxy for cosine on
+  // roughly-normalized vectors; the refine stage restores exact order.
+  // -------------------------------------------------------------------
+
+  /** Sign-bit pack of a vector column into ⌈dim/32⌉ LONG words of 32
+    * bits each (32, not 64: bit 63 would need 1L<<63 = Long.MinValue,
+    * whose overflow semantics are not worth cross-engine risk; the
+    * popcount cost is identical). Word w bit j = (v[32w+j] >= 0). */
+  def packBits(vecCol: Column, dim: Int): Column = {
+    require(dim >= 1, s"bad dim: $dim")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      (0 until math.min(32, dim - 32 * w)).map { j =>
+        when(element_at(vecCol, 32 * w + j + 1).cast("double") >= 0.0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Driver-side pack of a query vector, same layout. */
+  def packBitsLocal(q: Array[Double]): Array[Long] = {
+    val words = (q.length + 31) / 32
+    val out = new Array[Long](words)
+    q.indices.foreach { i =>
+      if (q(i) >= 0.0) out(i / 32) |= (1L << (i % 32))
+    }
+    out
+  }
+
+  /** Hamming distance between a packed column and packed query words:
+    * Σ_w popcount(xor) — pure codegen'd integer arithmetic. */
+  def hamming(bitsCol: Column, qWords: Array[Long]): Column =
+    qWords.indices.map { w =>
+      bit_count(element_at(bitsCol, w + 1).bitwiseXOR(lit(qWords(w))))
+        .cast("long")
+    }.reduce(_ + _)
+
+  /** Binary-quantized ANN: Hamming shortlist of `shortlist` candidates
+    * over the packed bits (32× smaller than float32 — the scan reads
+    * ⌈d/32⌉ longs per row), exact cosine re-rank to top-`k` (the
+    * Faiss/Qdrant rescore step). Only the shortlist touches the
+    * full-precision vectors. */
+  def binaryTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Double], k: Int, shortlist: Int,
+                 dim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val qWords = packBitsLocal(query)
+    val encoded =
+      if (vectors.columns.contains("bits")) vectors
+      else vectors.withColumn("bits", packBits(col(vecCol), dim))
+    val cands = encoded
+      .withColumn("hamming", hamming(col("bits"), qWords))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(shortlist)
+    cands
+      .withColumn("score",
+        V.cosine(col(vecCol), array(query.toIndexedSeq.map(lit): _*)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("score"))
+  }
+
   /** Approximate dot-product top-k over int8 codes: one codegen'd dot
     * against the dequantization-folded query weights. */
   def int8TopK(vectors: DataFrame, idCol: String, vecCol: String,

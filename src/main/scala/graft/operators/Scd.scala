@@ -69,4 +69,33 @@ object Scd {
     history.unionByName(unchanged).unionByName(closed)
       .unionByName(opened)
   }
+
+  /** CDC changelog apply — the OTHER standard lakehouse merge (Delta's
+    * `MERGE` fed by a Debezium-style I/U/D stream): collapse the
+    * changelog to each key's LATEST operation by `seqCol` (one
+    * map-side-combinable struct-max aggregation — never a per-key
+    * window), then base rows without a change pass through via a
+    * left-anti join, surviving I/U payloads append, and latest-D keys
+    * vanish. At scale both the anti-join and the changelog collapse
+    * co-locate when base and log are bucketed on the key; base rows
+    * for unchanged keys never move.
+    *
+    * @param base  current snapshot: keyCol + payload columns
+    * @param log   changelog: keyCol, seqCol (monotone per key),
+    *              opCol ∈ {I, U, D}, and the SAME payload columns
+    *              (ignored for D rows)
+    * Output: the next snapshot, base's schema. */
+  def applyChangelog(base: DataFrame, log: DataFrame, keyCol: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val payloadCols = base.columns.filterNot(_ == keyCol).toSeq
+    val latest = log
+      .groupBy(col(keyCol))
+      .agg(max(struct(col(seqCol).as("_seq"), col(opCol).as("_op"),
+        struct(payloadCols.map(col): _*).as("_p"))).as("_m"))
+      .select(col(keyCol), col("_m._op").as("_op"),
+        col("_m._p.*"))
+    base.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(latest.filter(col("_op") =!= "D").drop("_op")
+        .select(base.columns.map(col): _*))
+  }
 }

@@ -47,4 +47,34 @@ class QuantSpec extends SparkSpec {
     assert(approx.head == exact.head) // top-1 survives quantization
     assert((approx.toSet & exact.toSet).size >= 4)
   }
+
+  test("packBits: sign bits land in 32-bit words, little-endian per " +
+      "word; driver and column packs agree") {
+    // 34 dims: word 0 full, word 1 has 2 bits — alternating signs
+    val v = (0 until 34).map(d => if (d % 3 == 0) 1.0f else -1.0f)
+    val got = Seq(Tuple1(v)).toDF("e")
+      .select(Quant.packBits(col("e"), 34).as("b"))
+      .head().getSeq[Long](0)
+    val local = Quant.packBitsLocal(v.map(_.toDouble).toArray)
+    assert(got == local.toSeq, s"$got vs ${local.toSeq}")
+    var w0 = 0L; var w1 = 0L
+    (0 until 34).foreach { d =>
+      if (d % 3 == 0) { if (d < 32) w0 |= 1L << d else w1 |= 1L << (d - 32) }
+    }
+    assert(got == Seq(w0, w1))
+  }
+
+  test("binary top-k: Hamming shortlist + exact refine recovers the " +
+      "exact top-1; hamming of the identical vector is 0") {
+    val q = vec(7).map(_.toDouble).toArray
+    val got = Quant.binaryTopK(vectors, "vec_id", "embedding", q,
+        k = 5, shortlist = 20, dim = dim).collect()
+    val byId = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(7L) == 0L, s"self hamming: ${byId.get(7L)}") // q = vec(7)
+    val exactTop = vectors.withColumn("sc",
+        V.cosine(col("embedding"), array(q.toIndexedSeq.map(lit): _*)))
+      .orderBy(col("sc").desc, col("vec_id"))
+      .limit(1).select("vec_id").as[Long].head()
+    assert(got.head.getLong(0) == exactTop)
+  }
 }

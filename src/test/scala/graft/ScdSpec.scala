@@ -84,4 +84,22 @@ class ScdSpec extends SparkSpec {
       ("a", Some("3"), ts("2024-03-01 00:00:00"), None)),
       rows(d).toString)
   }
+
+  test("applyChangelog: latest op per key wins — U updates, D deletes " +
+      "(even over an earlier U), I inserts, untouched keys pass " +
+      "through; D of an absent key is a no-op") {
+    val base = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+      .toDF("k", "v")
+    val log = Seq(
+      ("U", "a", 10L, 1L),  // plain update
+      ("U", "b", 20L, 1L), ("D", "b", 0L, 2L), // U then D → deleted
+      ("D", "c", 0L, 1L), ("U", "c", 30L, 2L), // D then U → resurrected
+      ("I", "e", 5L, 1L),   // insert
+      ("D", "zz", 0L, 1L))  // delete of an absent key: no-op
+      .toDF("op", "k", "v", "seq")
+    val got = Scd.applyChangelog(base, log, "k", "seq", "op")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "c" -> 30L, "d" -> 4L, "e" -> 5L),
+      got.toString)
+  }
 }
