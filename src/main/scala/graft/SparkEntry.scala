@@ -1909,6 +1909,48 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // ---- batch "related documents" precompute — more_like_this for
+    //      EVERY doc (the nightly related-articles job), over 3-gram
+    //      SHINGLES (the synthetic unigram vocabulary is ~30 terms,
+    //      all df>50 — shared phrases are the real signal): shingle
+    //      postings self-join pruned to 2 ≤ df ≤ 50 bounds candidates
+    //      at maxDf·|postings|; Σ ln(N/df) pair scores rounded before
+    //      the bounded per-doc TopK cut; top-3 per doc ----
+    "related_docs" -> ((s, dir) =>
+      Dedup.relatedDocs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, maxDf = 50L, k = 3)
+        .select(col("src_id").cast("long").as("doc_id"), col("rank"),
+          col("related_id").cast("long").as("related_id"), col("score"))
+        .orderBy("doc_id", "rank")),
+
+    // ---- PERCOLATOR — reverse search (the Elasticsearch percolate /
+    //      alerting primitive): STORED queries match INCOMING docs.
+    //      The stored-query relation broadcasts (it is always tiny
+    //      next to the corpus); a doc matches when it contains EVERY
+    //      required term — one distinct-token pass, one broadcast
+    //      join, one conjunction count. Query 4 requires a term absent
+    //      from the corpus, pinning the no-match path ----
+    "percolate_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val alerts = Seq(
+        (1L, Seq("spark", "join")), (2L, Seq("customer")),
+        (3L, Seq("stream", "data", "table")), (4L, Seq("zzznope")))
+      import s.implicits._
+      val qterms = alerts
+        .flatMap { case (q, ts) => ts.distinct.map(t => (q, t, ts.distinct.size)) }
+        .toDF("query_id", "tok", "n_req")
+      val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok"))
+        .distinct()
+      toks.join(broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id", "n_req")
+        .agg(countDistinct("tok").as("n_hit"))
+        .filter(col("n_hit") === col("n_req"))
+        .select("query_id", "doc_id")
+        .orderBy("query_id", "doc_id")
+    }),
+
     // ---- RAG context packing: the retrieval→prompt assembly step —
     //      top-20 BM25 hits greedily packed into a 400-token budget in
     //      rank order (prefix cut: the first hit whose cumulative
@@ -3869,6 +3911,61 @@ object SparkEntry {
           round(abs(col("estimate") - col("n_exact").cast("double")) /
             col("n_exact"), 4).as("rel_error"))
         .orderBy("window_start")
+    }),
+
+    // ---- COUNT-MIN registers INSIDE the streaming aggregation
+    //      (cms_calibration's streaming twin, the frequency sibling of
+    //      streaming_distinct_window's HLL): each event explodes into
+    //      d=4 (row, col) cells, the stream aggregates (window, r, c)
+    //      counts — state bounded by windows×4×64 REGARDLESS of the
+    //      key universe — and the finalized counters are probed
+    //      batch-side for every event type, audited vs exact (CMS
+    //      never underestimates) ----
+    "streaming_cms_window" -> ((s, dir) => {
+      val in = stagedEventBatches(s, dir)
+      val stream = s.readStream
+        .schema("ts_utc TIMESTAMP, event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val d = 4
+      val w = 64L
+      def cellOf(r: Int, v: Column): Column = {
+        val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.HexSliceToLong(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              md5(concat(lit(s"$r:"), v).cast("binary"))), 0))
+        h % w
+      }
+      val out = stream.filter(col("event_type").isNotNull)
+        .withWatermark("ts_utc", "10 minutes")
+        .select(col("ts_utc"), explode(array((0 until d).map(r =>
+            struct(lit(r).as("r"),
+              cellOf(r, col("event_type")).as("c"))): _*)).as("rc"))
+        .select(col("ts_utc"), col("rc.r").as("r"), col("rc.c").as("c"))
+        .groupBy(window(col("ts_utc"), "1 day"), col("r"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("r"),
+          col("c"), col("cnt"))
+      val sketch = runStreamToTable(s, out, "scms", dir)
+      val exact = eventsWithTsUtc(s, dir)
+        .filter(col("event_type").isNotNull)
+        .groupBy(window(col("ts_utc"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_exact"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n_exact"))
+      val probeCells = exact.select(col("window_start"),
+          col("event_type"), col("n_exact"),
+          explode(array((0 until d).map(r =>
+            struct(lit(r).as("r"),
+              cellOf(r, col("event_type")).as("c"))): _*)).as("rc"))
+        .select(col("window_start"), col("event_type"), col("n_exact"),
+          col("rc.r").as("r"), col("rc.c").as("c"))
+      // inner join: only stream-FINALIZED windows carry counters
+      probeCells.join(broadcast(sketch), Seq("window_start", "r", "c"))
+        .groupBy("window_start", "event_type", "n_exact")
+        .agg(min("cnt").as("n_est"))
+        .select(col("window_start"), col("event_type"), col("n_exact"),
+          col("n_est"), (col("n_est") - col("n_exact")).as("overestimate"))
+        .orderBy("window_start", "event_type")
     }),
 
     // ---- SLIDING-window streaming twin: 2-hour windows every hour
@@ -6849,6 +6946,62 @@ object SparkEntry {
          |  SELECT doc_id, score FROM mscores
          |  ORDER BY score DESC, doc_id LIMIT 10)
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // the same all-required-terms conjunction over the distinct token
+    // stream; query 4's absent term matches nothing
+    "percolate_match" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH alerts AS (
+         |  SELECT * FROM (VALUES
+         |    (1, 'spark', 2), (1, 'join', 2),
+         |    (2, 'customer', 1),
+         |    (3, 'stream', 3), (3, 'data', 3), (3, 'table', 3),
+         |    (4, 'zzznope', 1)) AS t(query_id, tok, n_req)),
+         |dtoks AS (
+         |  SELECT DISTINCT doc_id, unnest($toks) AS tok
+         |  FROM documents)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id
+         |FROM dtoks JOIN alerts USING (tok)
+         |GROUP BY query_id, doc_id, n_req
+         |HAVING count(DISTINCT tok) = n_req
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+
+    // shingle postings self-join (2 <= df <= 50), Σ ln(N/df) summed in
+    // shingle order and rounded before the cut, rank ties on the
+    // VARCHAR form of the related id (the TopK aggregator's contract)
+    "related_docs" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH rsh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM documents),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |rdf AS (
+         |  SELECT shingle, count(*) AS df FROM rsh GROUP BY shingle
+         |  HAVING count(*) >= 2 AND count(*) <= 50),
+         |rw AS MATERIALIZED (
+         |  SELECT s.id, s.shingle,
+         |    ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+         |  FROM rsh s JOIN rdf d USING (shingle), nd),
+         |pscore AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(list_sum(list(a.w ORDER BY a.shingle)), 6) AS score
+         |  FROM rw a JOIN rw b
+         |    ON a.shingle = b.shingle AND a.id <> b.id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY score DESC, CAST(id_b AS VARCHAR)) AS rank
+         |  FROM pscore)
+         |SELECT id_a AS doc_id, CAST(rank AS INT) AS rank,
+         |  id_b AS related_id, score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
+    },
 
     // same top-20 cut (rounded scores), per-doc token counts, greedy
     // prefix pack under the 400-token budget
@@ -11260,6 +11413,45 @@ object SparkEntry {
          |    / ex.n_exact, 4) AS rel_error
          |FROM ex JOIN est ON est.ws = ex.ws
          |ORDER BY window_start""".stripMargin
+    },
+
+    // CMS counters replayed over the finalized-window events (same
+    // md5-slice cell hashes), estimate = min over the 4 rows per type
+    "streaming_cms_window" -> {
+      def cellSql(r: Int, v: String): String =
+        s"(CAST(('0x' || substr(md5('$r:' || $v), 1, 8))::UBIGINT " +
+          s"AS BIGINT) % 64)"
+      val cellRows = (0 until 4).map(r =>
+        s"SELECT ws, event_type, $r AS r, " +
+          s"${cellSql(r, "event_type")} AS c FROM fin")
+        .mkString("\n  UNION ALL\n  ")
+      val probeRows = (0 until 4).map(r =>
+        s"SELECT ws, event_type, n_exact, $r AS r, " +
+          s"${cellSql(r, "event_type")} AS c FROM ex")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH wm AS (
+         |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+         |fin AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+         |    event_type
+         |  FROM events, wm
+         |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY < wm.w
+         |    AND event_type IS NOT NULL),
+         |cells AS (
+         |  $cellRows),
+         |sk AS MATERIALIZED (
+         |  SELECT ws, r, c, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+         |ex AS MATERIALIZED (
+         |  SELECT ws, event_type, count(*) AS n_exact
+         |  FROM fin GROUP BY 1, 2),
+         |probes AS (
+         |  $probeRows)
+         |SELECT p.ws AS window_start, p.event_type, p.n_exact,
+         |  min(s.cnt) AS n_est, min(s.cnt) - p.n_exact AS overestimate
+         |FROM probes p JOIN sk s ON s.ws = p.ws AND s.r = p.r
+         |  AND s.c = p.c
+         |GROUP BY p.ws, p.event_type, p.n_exact
+         |ORDER BY window_start, event_type""".stripMargin
     },
 
     // the windowed-count replay (same finalization predicate, day

@@ -378,6 +378,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Batch "related documents" precompute — the nightly
+    * related-articles job (moreLikeThis for every document at once),
+    * over n-gram SHINGLES rather than unigrams: shingles are the
+    * discriminative features (two docs quoting the same phrases are
+    * related; shared single words are noise on a dense vocabulary),
+    * and their Zipf tail makes the pruning honest — the candidate
+    * generator is the shingle postings self-join restricted to
+    * 2 ≤ df ≤ `maxDf`, bounding pairs at Σ df² ≤ maxDf·|postings|.
+    * Pair score = Σ ln(N/df) over shared shingles (idf-weighted
+    * phrase overlap), summed in shingle order and 6-dp rounded BEFORE
+    * the bounded [[TopK]] per-doc cut — never a per-doc rank window.
+    * Rank ties break on the STRING form of the related id (the TopK
+    * contract). Output: (src_id, rank, related_id, score) as strings/
+    * int/double, top `k` per doc. */
+  def relatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 50L, k: Int = 3): DataFrame = {
+    require(maxDf >= 2 && k >= 1, s"bad relatedDocs spec: $maxDf/$k")
+    val sh = shingles(corpus, idCol, textCol, n)
+    val nDocs = broadcast(corpus.agg(count(lit(1)).as("__n")))
+    val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+    val w = sh.join(dfRel, "shingle").crossJoin(nDocs)
+      .select(col("shingle"), col("id"),
+        log(col("__n").cast("double") / col("__df").cast("double"))
+          .as("__w"))
+    val scored = w.select(col("shingle"), col("id").as("id_a"),
+        col("__w"))
+      .join(w.select(col("shingle"), col("id").as("id_b")), "shingle")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(round(Bm25.sparseScore(col("__w"), col("shingle")), 6)
+        .as("score"))
+    TopK.perGroup(scored.select(col("id_a").cast("string").as("grp"),
+        col("id_b").cast("string").as("doc_id"),
+        col("id_b").cast("string").as("chunk_id"), col("score")),
+        "grp", k)
+      .select(col("grp").as("src_id"), col("rank"),
+        col("chunk_id").as("related_id"), col("score"))
+  }
+
   /** Incremental MinHash near-dup — [[exactIncremental]]'s FUZZY
     * sibling, the production arrival shape: today's batch against the
     * standing corpus. Band keys for both sides; the candidate join is

@@ -533,6 +533,29 @@ class PlanAuditSpec extends SparkSpec {
       s"TopK aggregate missing:\n$p")
   }
 
+  test("r10 wave 2: cdc_apply collapses the changelog with NO per-key " +
+      "window; percolate/minhash-incremental/related_docs/ann_binary " +
+      "are cartesian-free; the percolator query relation broadcasts") {
+    val cdc = plan("cdc_apply")
+    assert(!cdc.contains("windowspecdefinition"),
+      s"cdc latest-op used a window:\n$cdc")
+    assert(!cdc.contains("CartesianProduct"), cdc)
+    val perc = plan("percolate_match")
+    assert(perc.contains("BroadcastHashJoin"),
+      s"stored-query relation not broadcast:\n$perc")
+    val mi = plan("minhash_incremental")
+    assert(!mi.contains("CartesianProduct") &&
+      !mi.contains("BroadcastNestedLoopJoin"), s"minhash_incremental:\n$mi")
+    // related_docs: the only nested-loop is the declared 1-row N
+    // broadcast (the corpus-count scalar); no cartesian anywhere
+    val rd = plan("related_docs")
+    assert(!rd.contains("CartesianProduct"), s"related_docs:\n$rd")
+    // ann_binary: joinless — Hamming shortlist heap then refine heap
+    val ab = plan("ann_binary")
+    assert(!ab.contains("Join"), s"ann_binary should be joinless:\n$ab")
+    assert(ab.contains("TakeOrderedAndProject"), ab)
+  }
+
   test("bucketed sequences/next-event forms window by (key, bucket) " +
       "at the event level; key-only windows touch only the bucket " +
       "summary relation") {
