@@ -2580,15 +2580,21 @@ object SparkEntry {
     //      selection + tuned run from the same plane literals ----
     "ann_tuned" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // pin each panel query's 10-row exact top-10 ONCE — the 12
+      // unioned recall legs otherwise re-run the full exact scan per
+      // grid config (4× per qid; measured ~2× on the whole query)
+      val exactByQid = AnnRecallQids.map { qid =>
+        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
+          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
+      }.toMap
       val recalls = AnnTunedGrid.zipWithIndex.map { case ((np, pb), cfg) =>
         AnnRecallQids.map { qid =>
           val qv = queryVecNFor(s, dir, qid)
-          val exact = Knn.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
-            .select("vec_id")
           val approx = Knn.lshTopKMultiProbe(e, "vec_id", "embedding",
               qv, 10, nPlanes = np, probeBits = pb)
             .select(col("vec_id").as("a_id"))
-          exact.join(approx, col("vec_id") === col("a_id"), "left")
+          exactByQid(qid)
+            .join(approx, col("vec_id") === col("a_id"), "left")
             .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
             .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
         }.reduce(_ unionByName _)
@@ -2611,6 +2617,26 @@ object SparkEntry {
           round(lit(bestMr), 6).as("panel_recall"),
           col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- BQ recall harness: recall@10 of the binary-quantized
+    //      Hamming-shortlist path vs the exact scan over the same
+    //      query panel — completes binary quantization's evaluation
+    //      story the way ann_recall/ann_recall_lsh do for IVF/LSH ----
+    "ann_recall_binary" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnRecallQids.map { qid =>
+        val qv = queryVecNFor(s, dir, qid)
+        val exact = Knn.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+          .select(col("vec_id"))
+        val approx = graft.operators.Quant.binaryTopK(e, "vec_id",
+            "embedding", qv, k = 10, shortlist = 50, dim = 64)
+          .select(col("vec_id").as("a_id"))
+        exact.join(approx, col("vec_id") === col("a_id"), "left")
+          .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+          .select(lit(qid).as("query_id"), col("k"), col("n_hits"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionByName _).orderBy("query_id")
     }),
 
     // ---- IVF index MAINTENANCE: the quantizer is frozen on the
@@ -4814,6 +4840,21 @@ object SparkEntry {
             removeStopwords = false)).as("tok")),
         "tok", d = 4, wBits = 8, probeK = 20)),
 
+    // ---- the CLOSED count-min tuning loop (the third closed loop
+    //      beside dedup_tuned and ann_tuned): widths 16/64/256 swept
+    //      from ONE finest-sketch pass (power-of-two widths fold:
+    //      cnt_w = Σ cnt_256 over c mod w), the smallest width whose
+    //      max probe overestimate is ≤ 2% of N selected (none → the
+    //      largest), and the tuned sketch's probe table emitted with
+    //      its width on every row ----
+    "cms_tuned" -> ((s, dir) =>
+      Sketch.cmsTuned(
+        t(s, dir, "documents").select(
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok")),
+        "tok", d = 4, wBitsGrid = Seq(4, 6, 8), probeK = 20,
+        relBound = 0.02)),
+
     // ---- first-order Markov transition matrix over per-user event
     //      sequences: P(next | current) from one lag window per user
     //      (the Sequences posture: per-user timelines are bounded) and
@@ -5366,6 +5407,36 @@ object SparkEntry {
       val out = Sync.streamingDupReports(stream, "doc_id", "text")
       runStreamToTable(s, out, "sdedup", dir)
         .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING percolator — alerting as it actually deploys:
+    //      stored queries evaluated against every arriving document.
+    //      The match rule is a pure per-row conjunction over the doc's
+    //      own token array (tokens projected ONCE, conditions
+    //      reference the materialized attribute), so the stream is
+    //      STATELESS — no watermark, batching-independent, and the
+    //      batch oracle replays it exactly. Query 4's absent term pins
+    //      the no-match path on the stream too ----
+    "streaming_percolate" -> ((s, dir) => {
+      val in = stagedDocBatches(s, dir)
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val alerts = Seq(
+        (1L, Seq("spark", "join")), (2L, Seq("customer")),
+        (3L, Seq("stream", "data", "table")), (4L, Seq("zzznope")))
+      val toked = stream.select(col("doc_id"),
+        TextFunctions.tokensCol(col("text"),
+          removeStopwords = false).as("toks"))
+      val matched = array(alerts.map { case (q, ts) =>
+        when(ts.distinct.map(t => array_contains(col("toks"), t))
+          .reduce(_ && _), lit(q)).otherwise(lit(null).cast("long"))
+      }: _*)
+      val out = toked
+        .select(col("doc_id"),
+          explode(filter(matched, x => x.isNotNull)).as("query_id"))
+        .select("query_id", "doc_id")
+      runStreamToTable(s, out, "sperc", dir)
+        .orderBy("query_id", "doc_id")
     }),
 
     // ---- deterministic sampling IS streaming-safe by construction:
@@ -7468,6 +7539,57 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id""".stripMargin
     },
 
+    // the BQ shortlist+refine replayed per panel query, recall vs the
+    // exact top-10
+    "ann_recall_binary" -> {
+      def word(vecExpr: String, w: Int): String =
+        (0 until 32).map { j =>
+          s"(CASE WHEN CAST($vecExpr[${32 * w + j + 1}] AS DOUBLE) " +
+            s">= 0.0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      def perQid(qid: Long): String =
+        s"""bq_$qid AS (SELECT embedding FROM embeddings
+           |  WHERE vec_id = $qid),
+           |bex_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM embeddings e, bq_$qid q
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10)),
+           |bqw_$qid AS (
+           |  SELECT CAST(${word("q.embedding", 0)} AS BIGINT) AS q0,
+           |    CAST(${word("q.embedding", 1)} AS BIGINT) AS q1
+           |  FROM bq_$qid q),
+           |bsh_$qid AS (
+           |  SELECT e.vec_id, e.embedding
+           |  FROM (SELECT vec_id, embedding,
+           |      CAST(${word("embedding", 0)} AS BIGINT) AS b0,
+           |      CAST(${word("embedding", 1)} AS BIGINT) AS b1
+           |    FROM embeddings) e, bqw_$qid w
+           |  ORDER BY bit_count(xor(e.b0, w.q0)) +
+           |    bit_count(xor(e.b1, w.q1)), e.vec_id LIMIT 50),
+           |bap_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT s.vec_id,
+           |      list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+           |        CAST(q.embedding AS DOUBLE[])) AS raw
+           |    FROM bsh_$qid s, bq_$qid q
+           |    ORDER BY raw DESC, s.vec_id LIMIT 10))""".stripMargin
+      val ctes = AnnRecallQids.map(perQid).mkString(",\n")
+      val selects = AnnRecallQids.map { qid =>
+        s"""SELECT $qid AS query_id,
+           |  (SELECT count(*) FROM bex_$qid) AS k,
+           |  (SELECT count(*) FROM bex_$qid x JOIN bap_$qid a
+           |    USING (vec_id)) AS n_hits""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ctes
+         |SELECT query_id, k, n_hits,
+         |  CAST(n_hits AS DOUBLE) / k AS recall FROM (
+         |  $selects)
+         |ORDER BY query_id""".stripMargin
+    },
+
     // sign-bit pack replayed per side (two 32-bit LONG words), Hamming
     // = popcount(xor) per word, 50-candidate shortlist, exact re-rank
     "ann_binary" -> {
@@ -8894,6 +9016,63 @@ object SparkEntry {
          |ORDER BY n_exact DESC, token""".stripMargin
     },
 
+    // one finest sketch, modulo folds per width, the same smallest-
+    // width-at-the-2%-bound selection (none → widest), tuned probes out
+    "cms_tuned" -> {
+      val toks = sqlToksKeepStop("text")
+      def widthCtes(wb: Int): String = {
+        val w = 1L << wb
+        s"""sk_$wb AS (
+           |  SELECT r, c % $w AS c, CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM fin GROUP BY 1, 2),
+           |pc_$wb AS (
+           |  SELECT p.tok, p.n_exact, rs.r,
+           |    ('0x' || substr(md5(rs.r || ':' || p.tok), 1, 8))::UBIGINT
+           |      % 256 % $w AS c
+           |  FROM probes p CROSS JOIN rs),
+           |est_$wb AS MATERIALIZED (
+           |  SELECT tok, n_exact, min(cnt) AS n_est
+           |  FROM pc_$wb JOIN sk_$wb USING (r, c) GROUP BY 1, 2)"""
+          .stripMargin
+      }
+      val grid = Seq(4, 6, 8)
+      val sweepRows = grid.map(wb =>
+        s"SELECT $wb AS wbits, max(n_est - n_exact) AS mo FROM est_$wb")
+        .mkString("\nUNION ALL\n")
+      val finalRows = grid.map(wb =>
+        s"SELECT $wb AS wbits, tok, n_exact, n_est FROM est_$wb")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT unnest($toks) AS tok FROM documents),
+         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r,
+         |    ('0x' || substr(md5(r || ':' || tok), 1, 8))::UBIGINT % 256
+         |      AS c
+         |  FROM toked CROSS JOIN rs),
+         |fin AS MATERIALIZED (
+         |  SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM fin
+         |  WHERE r = 0),
+         |probes AS MATERIALIZED (
+         |  SELECT tok, count(*) AS n_exact FROM toked GROUP BY tok
+         |  ORDER BY n_exact DESC, tok LIMIT 20),
+         |${grid.map(widthCtes).mkString(",\n")},
+         |sweep AS (
+         |  $sweepRows),
+         |sel AS (
+         |  SELECT coalesce(
+         |    (SELECT min(wbits) FROM sweep, nt
+         |     WHERE CAST(mo AS DOUBLE) <= 0.02 * nt.n),
+         |    ${grid.max}) AS wbits),
+         |allw AS (
+         |  $finalRows)
+         |SELECT a.wbits, a.tok AS token, a.n_exact, a.n_est,
+         |  a.n_est - a.n_exact AS overestimate
+         |FROM allw a JOIN sel s ON a.wbits = s.wbits
+         |ORDER BY n_exact DESC, token""".stripMargin
+    },
+
     // same lead-per-user stream; marginals derive from the bounded
     // pair-count relation
     "event_transitions" ->
@@ -9692,6 +9871,32 @@ object SparkEntry {
 
     // the emitted duplicate reports are batching-independent: every
     // doc whose text was already seen, mapped to the corpus-min id
+    // the same conjunction over the STAGED stream's substituted texts
+    // (stateless per-row rule ⇒ the batch replay is exact)
+    "streaming_percolate" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH sdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN 'duplicated corpus text ' || CAST(doc_id % 3 AS VARCHAR)
+         |      ELSE text END AS text
+         |  FROM documents),
+         |alerts AS (
+         |  SELECT * FROM (VALUES
+         |    (1, 'spark', 2), (1, 'join', 2),
+         |    (2, 'customer', 1),
+         |    (3, 'stream', 3), (3, 'data', 3), (3, 'table', 3),
+         |    (4, 'zzznope', 1)) AS t(query_id, tok, n_req)),
+         |dtoks AS (
+         |  SELECT DISTINCT doc_id, unnest($toks) AS tok
+         |  FROM sdocs)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id
+         |FROM dtoks JOIN alerts USING (tok)
+         |GROUP BY query_id, doc_id, n_req
+         |HAVING count(DISTINCT tok) = n_req
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+
     "streaming_dedup" ->
       """SELECT doc_id, first_doc_id FROM (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY t)

@@ -283,4 +283,76 @@ object Sketch {
         (col("n_est") - col("n_exact")).as("overestimate"))
       .orderBy(col("n_exact").desc, col("token"))
   }
+
+  /** The CLOSED count-min tuning loop ([[cmsCalibration]] measures;
+    * this SELECTS — the third closed loop beside dedup_tuned and
+    * ann_tuned): sweep widths `wBitsGrid`, pick the SMALLEST width
+    * (cheapest memory) whose measured max probe overestimate is
+    * ≤ `relBound`·N (N = total items — the ε·N form of the CMS
+    * guarantee); if none qualifies, the largest width wins (total
+    * rule, no data-dependent crash). The tuned sketch's probe table is
+    * the result, the width it ran at on every row.
+    *
+    * One corpus pass builds ONLY the FINEST sketch: with power-of-two
+    * widths, every coarser width FOLDS out of it —
+    * cnt_w(r, c) = Σ_{c' ≡ c mod w} cnt_W(r, c') since w | W — so the
+    * sweep costs one d·W-row aggregation plus |grid| folds over that
+    * bounded relation, never |grid| corpus passes. */
+  def cmsTuned(df: DataFrame, valueCol: String, d: Int = 4,
+               wBitsGrid: Seq[Int] = Seq(4, 6, 8), probeK: Int = 20,
+               relBound: Double = 0.02): DataFrame = {
+    require(wBitsGrid.nonEmpty && wBitsGrid == wBitsGrid.sorted &&
+      wBitsGrid.distinct == wBitsGrid, s"bad width grid: $wBitsGrid")
+    require(wBitsGrid.forall(b => b >= 4 && b <= 20), s"$wBitsGrid")
+    val wMax = 1L << wBitsGrid.max
+    val vals = df.select(col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    def cellOf(r: Int, v: Column): Column = {
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.HexSliceToLong(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            md5(concat(lit(s"$r:"), v).cast("binary"))), 0))
+      h % wMax
+    }
+    val finest = vals.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cellOf(r, col("_v")).as("c"))): _*))
+        .as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      .cache() // d·W rows; |grid| fold consumers + the tuned output
+    val probes = vals.groupBy(col("_v"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("_v"))
+      .limit(probeK)
+    def estAt(wBits: Int): DataFrame = {
+      val w = 1L << wBits
+      val sk = finest.groupBy(col("r"), (col("c") % w).as("c"))
+        .agg(sum("cnt").as("cnt"))
+      probes.select(col("_v"), col("n_exact"),
+          explode(array((0 until d).map(r =>
+            struct(lit(r).as("r"), (cellOf(r, col("_v")) % w).as("c"))
+          ): _*)).as("rc"))
+        .select(col("_v"), col("n_exact"),
+          col("rc.r").as("r"), col("rc.c").as("c"))
+        .join(broadcast(sk), Seq("r", "c"))
+        .groupBy("_v", "n_exact").agg(min("cnt").as("n_est"))
+    }
+    // N from one row of the finest sketch (every row counts every item)
+    val nTotal = finest.filter(col("r") === 0)
+      .agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+    // bounded selection collect: |grid| rows of (wBits, max overestimate)
+    val sweep = wBitsGrid.map { wb =>
+      val m = estAt(wb).agg(coalesce(max(col("n_est") - col("n_exact")),
+        lit(0L))).collect()(0).getLong(0)
+      (wb, m)
+    }
+    val chosen = sweep.find { case (_, m) =>
+      m.toDouble <= relBound * nTotal
+    }.map(_._1).getOrElse(wBitsGrid.max)
+    estAt(chosen)
+      .select(lit(chosen).as("wbits"), col("_v").as("token"),
+        col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
 }

@@ -149,4 +149,29 @@ class SketchSpec extends SparkSpec {
         s"group $g: solo=${solo.getDouble(1)} grouped=${rows(g)._2}")
     }
   }
+
+  test("cmsTuned: the tuned probe table at the selected width equals " +
+      "the direct sketch at that width (modulo folds are exact), " +
+      "never underestimates, and the selection is from the grid") {
+    // heavy skew: one token dominating + a tail, forcing collisions at
+    // the narrow widths so the selection is non-trivial
+    val vals = (Seq.fill(500)("hot") ++
+      (1 to 200).flatMap(i => Seq.fill(3)(s"t$i"))).toDF("v")
+    val tuned = Sketch.cmsTuned(vals, "v", d = 4,
+      wBitsGrid = Seq(4, 6, 8), probeK = 10, relBound = 0.02)
+      .collect()
+    val wb = tuned.map(_.getInt(0)).distinct
+    assert(wb.length == 1 && Seq(4, 6, 8).contains(wb.head), wb.toSeq)
+    tuned.foreach(r => assert(r.getLong(3) >= r.getLong(2),
+      s"underestimate: $r"))
+    // fold exactness: the tuned table must equal cmsCalibration built
+    // DIRECTLY at the selected width
+    val direct = Sketch.cmsCalibration(vals, "v", d = 4,
+        wBits = wb.head, probeK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    tuned.foreach { r =>
+      assert(direct(r.getString(1)) == r.getLong(3),
+        s"fold mismatch at ${r.getString(1)}")
+    }
+  }
 }
