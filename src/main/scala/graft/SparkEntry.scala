@@ -1880,6 +1880,32 @@ object SparkEntry {
         .orderBy("doc_id", "win_rank")
     }),
 
+    // ---- RECENCY-boosted ranking — the freshness knob (news/docs
+    //      rankers multiply relevance by exponential time decay):
+    //      score = BM25 · exp(−age/180d), boost applied to EVERY
+    //      scored doc BEFORE the cut (boost-then-rank — a post-cut
+    //      boost would page in stale docs the decay should have
+    //      displaced); age staged deterministically from doc_id (the
+    //      corpus has no timestamp column). exp() libm drift sits ~10
+    //      orders below the 6-dp rounding (the dp_counts argument) ----
+    "search_recency_boost" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Bm25.buildIndex(docs, "doc_id", "text", pinStats = true)
+      val qW = Bm25.queryTermWeights(idx.stats, SearchQuery, s)
+      idx.docWeights.join(broadcast(qW), "term")
+        .groupBy("id")
+        .agg(Bm25.sparseScore(col("weight") * col("q_weight"),
+          col("term")).as("raw"))
+        .withColumn("age_days", (col("id") % 365).cast("double"))
+        .withColumn("score",
+          round(col("raw") * exp(-col("age_days") / 180.0), 6))
+        .orderBy(col("score").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("doc_id"),
+          col("age_days").cast("long").as("age_days"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- FACETED search: per-facet value counts over the top-50
     //      candidate set (the results-page facet rail — source and
     //      language here). Counting happens on the result-bounded set
@@ -6980,6 +7006,19 @@ object SparkEntry {
          |FROM ranked WHERE win_rank <= 2
          |ORDER BY doc_id, win_rank""".stripMargin
     },
+
+    // the same exponential decay on every scored doc before the cut
+    "search_recency_boost" ->
+      s"""WITH $Bm25ScoresCtes,
+         |boosted AS (
+         |  SELECT doc_id, CAST(doc_id % 365 AS BIGINT) AS age_days,
+         |    round(score * exp(-(CAST(doc_id % 365 AS DOUBLE))
+         |      / 180.0), 6) AS score
+         |  FROM bm25_scores)
+         |SELECT doc_id, age_days, score FROM (
+         |  SELECT * FROM boosted
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // facet counts over the same top-50 cut, one unioned facet stream
     "search_facets" ->

@@ -60,6 +60,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)), got)
   }
 
+  test("minhashIncremental property: equals the union self-join's " +
+      "cross-boundary pairs under the same banding, on a seeded " +
+      "random corpus with injected near-dups") {
+    val pool = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed)
+      def sentence() =
+        (0 until 12 + rnd.nextInt(10)).map(_ => pool(rnd.nextInt(pool.length)))
+          .mkString(" ")
+      val histRows = (1L to 20L).map(i => (i, sentence()))
+      // incoming ids 101+: half fresh, half near-dups of history docs
+      val incRows = (101L to 110L).map(i => (i, sentence())) ++
+        (111L to 120L).map { i =>
+          (i, histRows((i % 20).toInt)._2 + " tail suffix words")
+        }
+      val history = histRows.toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(4))
+      val incoming = incRows.toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(4))
+      val inc = Dedup.minhashIncremental(incoming, history,
+          "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+          threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      val all = Dedup.minhashNearDups(
+          history.unionByName(incoming), "doc_id", "text",
+          n = 3, numHashes = 16, bands = 8, threshold = 0.3)
+        .collect()
+      val cross = all.flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))
+        if (a <= 100L && b > 100L) Some((b, a, j)) else None
+      }.toSet
+      assert(inc == cross, s"seed=$seed: inc=$inc cross=$cross")
+    }
+  }
+
   test("skew probe: ratio is max/mean and the cut is (cnt desc, key)") {
     // key "hot" 6x, "a" 2x, "b" 2x, "c" 2x -> mean 3, ratio 2.0
     val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "b", "c", "c"))

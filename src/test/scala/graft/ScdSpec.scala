@@ -102,4 +102,37 @@ class ScdSpec extends SparkSpec {
     assert(got == Map("a" -> 10L, "c" -> 30L, "d" -> 4L, "e" -> 5L),
       got.toString)
   }
+
+  test("applyChangelog property: equals the latest-op reference replay " +
+      "on seeded random logs (mixed I/U/D, multi-op keys, absent-key " +
+      "ops, random partitioning)") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val keys = (1 to 30).map(i => s"k$i")
+      val baseRows = keys.take(20).zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }
+      val base = baseRows.toDF("k", "v").repartition(1 + rnd.nextInt(6))
+      val logRows = (1 to 120).map { i =>
+        (Seq("I", "U", "D")(rnd.nextInt(3)),
+          keys(rnd.nextInt(keys.length)),
+          rnd.nextInt(1000).toLong, i.toLong) // seq unique per key
+      }
+      val log = logRows.toDF("op", "k", "v", "seq")
+        .repartition(1 + rnd.nextInt(6))
+      val got = Scd.applyChangelog(base, log, "k", "seq", "op")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // reference: driver-side latest-op fold
+      val latest = logRows.groupBy(_._2).view
+        .mapValues(_.maxBy(_._4)).toMap
+      val exp = (baseRows.map(_._1) ++ latest.keys).distinct.flatMap { k =>
+        latest.get(k) match {
+          case Some(("D", _, _, _)) => None
+          case Some((_, _, v, _)) => Some(k -> v)
+          case None => baseRows.find(_._1 == k).map(b => k -> b._2)
+        }
+      }.toMap
+      assert(got == exp, s"seed=$seed: got=$got exp=$exp")
+    }
+  }
 }
