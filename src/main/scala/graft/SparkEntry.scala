@@ -1880,6 +1880,20 @@ object SparkEntry {
         .orderBy("doc_id", "win_rank")
     }),
 
+    // ---- the QUERY-SYNTAX capstone: the search-box grammar compiled
+    //      to the engine's operators — `"big data"` gates via the
+    //      positional phrase intersection, `+table` via the postings
+    //      conjunction, `-error` via the anti-join, and the bare
+    //      `spark hash` ranks BM25 over the eligible corpus
+    //      (filter-then-rank throughout; Lucene classic-parser
+    //      semantics reduced to the implemented legs) ----
+    "search_query_syntax" -> ((s, dir) =>
+      graft.search.QuerySyntax.search(t(s, dir, "documents"), "doc_id",
+          "text", "\"big data\" +table -error spark hash", k = 20)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // ---- RECENCY-boosted ranking — the freshness knob (news/docs
     //      rankers multiply relevance by exponential time decay):
     //      score = BM25 · exp(−age/180d), boost applied to EVERY
@@ -7005,6 +7019,51 @@ object SparkEntry {
          |    AS snippet
          |FROM ranked WHERE win_rank <= 2
          |ORDER BY doc_id, win_rank""".stripMargin
+    },
+
+    // phrase gate + must conjunction + NOT IN exclusion all in the
+    // eligibility WHERE (stats over the eligible corpus), bare terms
+    // as the query VALUES
+    "search_query_syntax" -> {
+      val toks = sqlToksKeepStop("text")
+      val where = s""" WHERE doc_id IN (SELECT doc_id FROM pm)
+        |  AND doc_id IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('table')
+        |    GROUP BY doc_id HAVING count(DISTINCT tok) = 1)
+        |  AND doc_id NOT IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('error'))""".stripMargin
+      s"""WITH qtoked AS MATERIALIZED (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |    unnest(range(len($toks))) AS pos
+         |  FROM documents),
+         |qwords AS (SELECT * FROM (VALUES ('big', 0), ('data', 1))
+         |  AS t(w, i)),
+         |qstarts AS (
+         |  SELECT t.doc_id, t.pos - w.i AS start, count(*) AS n
+         |  FROM qtoked t JOIN qwords w ON t.tok = w.w
+         |  GROUP BY 1, 2),
+         |pm AS MATERIALIZED (SELECT DISTINCT doc_id FROM qstarts
+         |  WHERE n = 2 AND start >= 0),
+         |${bm25WeightsCtes("y", where)},
+         |yq AS (SELECT q.term, q.q_tf
+         |  FROM (VALUES ('spark', 1), ('hash', 1)) AS q(term, q_tf)),
+         |yqw AS (
+         |  SELECT yq.term, CAST(yq.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM yq JOIN yidf i ON yq.term = i.term WHERE i.idf > 0),
+         |yscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM yweights w JOIN yqw qw ON w.term = qw.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM yscores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin
     },
 
     // the same exponential decay on every scored doc before the cut
