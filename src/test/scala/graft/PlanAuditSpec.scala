@@ -554,6 +554,15 @@ class PlanAuditSpec extends SparkSpec {
     val ab = plan("ann_binary")
     assert(!ab.contains("Join"), s"ann_binary should be joinless:\n$ab")
     assert(ab.contains("TakeOrderedAndProject"), ab)
+    // the syntax capstone and the recency boost: cartesian-free, the
+    // phrase/boolean gates broadcast, top-k through the heap
+    for (q <- Seq("search_query_syntax", "search_recency_boost")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q top-k:\n$p")
+    }
+    assert(plan("search_query_syntax").contains("BroadcastHashJoin"),
+      "phrase/boolean gates should broadcast")
   }
 
   test("bucketed sequences/next-event forms window by (key, bucket) " +

@@ -67,6 +67,29 @@ class SpellSpec extends SparkSpec {
     assert(d2 == d1 && d2._3 == 1)
   }
 
+  test("suggest property: the single-plan relation form equals the " +
+      "per-prefix reference cut on seeded random vocabularies, " +
+      "including mixed prefix lengths and empty prefixes' absence") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val pool = ("stark stern sturdy stable query quill quench basalt " +
+        "basic bastion steam still quiet barn zebra").split(" ")
+      val vocabRows = pool.toSeq.map(t => (t, 1L + rnd.nextInt(100)))
+      val vocab = vocabRows.toDF("term", "df")
+        .repartition(1 + rnd.nextInt(4))
+      val prefixes = Seq("st", "qu", "ba", "zzz", "s")
+      val got = Spell.suggest(vocab, prefixes, n = 3)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+      val exp = prefixes.distinct.flatMap { p =>
+        vocabRows.filter(_._1.startsWith(p))
+          .sortBy { case (t, df) => (-df, t) }.take(3)
+          .map { case (t, df) => (p, t, df) }
+      }.toSet
+      assert(got == exp, s"seed=$seed: got=$got exp=$exp")
+    }
+  }
+
   test("d=2 handles 1-char vocabulary terms (empty-string deletion " +
       "variants) without error") {
     val tiny = Seq(("a", 10L), ("ab", 5L)).toDF("term", "df")
