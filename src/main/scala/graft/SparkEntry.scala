@@ -1736,6 +1736,34 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- the PERSISTED standing index (the reference keeps sparse
+    //      index FILES per collection, vecpipe/sparse.py): the BM25
+    //      stats + doc-weight relations are written to disk through
+    //      the blue/green swap ONCE per session, read back, and the
+    //      search runs from the RESTORED index — proving the parquet
+    //      round-trip preserves scoring bit-exactly (the oracle is
+    //      bm25_topk's, unchanged) and exercising the search-from-disk
+    //      path a production deployment actually serves from ----
+    "bm25_index_persist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = stagedEventsCache.getOrElseUpdate(s"$dir#bm25idx", {
+        val r = tempDirCleanedOnExit("graft-bm25idx").toString
+        val idx = Bm25.buildIndex(docs, "doc_id", "text")
+        graft.search.Ingest.reindexSwapRaw(s, idx.stats, s"$r/stats")
+        graft.search.Ingest.reindexSwapRaw(s, idx.docWeights,
+          s"$r/weights")
+        r
+      })
+      val restored = Bm25.Index(
+        stats = graft.search.Ingest.readCurrent(s, s"$root/stats")
+          .coalesce(1).cache(),
+        docWeights = graft.search.Ingest.readCurrent(s, s"$root/weights"))
+      Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 20,
+          index = Some(restored))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- boolean MUST_NOT search: BM25 ranking with a negated-term
     //      exclusion — docs containing any excluded term are dropped
     //      by a postings anti-join BEFORE the cut (so the page fills
@@ -6799,6 +6827,15 @@ object SparkEntry {
          |ORDER BY doc_id, term_id""".stripMargin,
 
     "bm25_topk" ->
+      s"""WITH $Bm25ScoresCtes
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM bm25_scores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    // IDENTICAL to bm25_topk by design: the persisted-and-restored
+    // index must score bit-exactly like the in-plan one
+    "bm25_index_persist" ->
       s"""WITH $Bm25ScoresCtes
          |SELECT doc_id, round(score, 6) AS score FROM (
          |  SELECT doc_id, score FROM bm25_scores

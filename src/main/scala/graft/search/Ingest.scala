@@ -79,6 +79,14 @@ object Ingest {
                   tableRoot: String): String =
     swapPointer(tableRoot)(target => writeChunks(chunks, target))
 
+  /** [[reindexSwap]] for an ARBITRARY relation — index sidecars (BM25
+    * stats / doc-weight tables, ANN codebooks) ride the same atomic
+    * pointer flip without the chunks-table partitioning contract. */
+  def reindexSwapRaw(spark: SparkSession, df: DataFrame,
+                     tableRoot: String): String =
+    swapPointer(tableRoot)(target =>
+      df.write.mode("overwrite").parquet(target))
+
   /** The pointer-flip half of [[reindexSwap]], factored so any writer
     * (collection-partitioned chunks, layout-partitioned compactions)
     * rides the same atomic swap. */

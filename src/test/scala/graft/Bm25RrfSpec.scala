@@ -114,6 +114,29 @@ class Bm25RrfSpec extends SparkSpec {
     assert(re == Map("10" -> 1, "2" -> 2))
   }
 
+  test("fuse(queryCol): per-query fusion equals independent per-query " +
+      "fuse calls — ranks, scores, and the k-cut all scoped to the " +
+      "query partition") {
+    val dense = Seq(
+      (1, "a", 0.9), (1, "b", 0.8), (1, "c", 0.7),
+      (2, "c", 0.9), (2, "d", 0.5)).toDF("qid", "id", "score")
+    val sparse = Seq(
+      (1, "b", 5.0), (1, "x", 4.0),
+      (2, "d", 9.0), (2, "e", 8.0), (2, "a", 1.0))
+      .toDF("qid", "id", "score")
+    val batch = Rrf.fuse(dense, sparse, "id", "score", k = 3,
+        queryCol = Some("qid"))
+      .collect().map(r => (r.getAs[Int]("qid"), r.getAs[String]("id"),
+        math.rint(r.getAs[Double]("score") * 1e12))).toSet
+    val perQuery = Seq(1, 2).flatMap { q =>
+      Rrf.fuse(dense.filter($"qid" === q).drop("qid"),
+          sparse.filter($"qid" === q).drop("qid"), "id", "score", k = 3)
+        .collect().map(r => (q, r.getAs[String]("id"),
+          math.rint(r.getAs[Double]("score") * 1e12)))
+    }.toSet
+    assert(batch == perQuery, s"batch=$batch perQuery=$perQuery")
+  }
+
   test("searchBooleanTree: must gates without scoring, must_not " +
       "excludes before the cut, should boosts score only") {
     val c = Seq(
