@@ -4721,6 +4721,18 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- histogram QUANTILE sketch + exact audit — the third sketch
+    //      calibration (HLL=distinct, CMS=frequency, this=quantiles):
+    //      one map-only 256-bucket count pass (mergeable — the
+    //      telemetry shape), estimates = the target rank's bucket
+    //      right edge (≥ exact, err ≤ 1/n by construction), audited
+    //      against the exact rank-selection quantiles ----
+    "quantile_sketch" -> ((s, dir) =>
+      Sketch.histogramQuantiles(
+        t(s, dir, "documents").select(col("n_chars")),
+        "n_chars", nBuckets = 256,
+        qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))),
+
     // ---- churn labeling — ML target construction from the event
     //      log: a churn gap is >14 days between a user's consecutive
     //      events; the final event is right-censored against the
@@ -8677,6 +8689,49 @@ object SparkEntry {
         |  [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS DOUBLE) AS q)
         |SELECT q, v AS value FROM s, n, qs
         |WHERE r = CAST(floor(q * (c - 1)) AS BIGINT)
+        |ORDER BY q""".stripMargin,
+
+    // identical bucket arithmetic (division before the ×256, right-
+    // edge estimate), cum over the bounded histogram, rank-form exact
+    "quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+        |bk AS (
+        |  SELECT CASE WHEN mm.hi > mm.lo
+        |    THEN least(CAST(floor((v - lo) / (hi - lo) * 256) AS INT),
+        |      255)
+        |    ELSE 0 END AS b
+        |  FROM v, mm),
+        |h AS (SELECT b, count(*) AS cnt FROM bk GROUP BY b),
+        |cum AS (
+        |  SELECT b, CAST(sum(cnt) OVER (ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM h),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+        |  AS DOUBLE) AS q),
+        |tgt AS (
+        |  SELECT q, CAST(floor(q * (n - 1)) + 1 AS BIGINT) AS target,
+        |    lo, hi FROM qs, mm),
+        |pick AS (
+        |  SELECT t.q, t.lo, t.hi, min(c.b) AS b
+        |  FROM tgt t JOIN cum c ON c.cum >= t.target
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT q,
+        |    CASE WHEN hi > lo
+        |      THEN lo + (b + 1) * (hi - lo) / 256 ELSE lo END
+        |      AS estimate,
+        |    CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END AS span
+        |  FROM pick),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM v),
+        |ex AS (
+        |  SELECT q, v AS exact FROM s, mm, qs
+        |  WHERE r = CAST(floor(q * (n - 1)) AS BIGINT))
+        |SELECT e.q, x.exact, round(e.estimate, 6) AS estimate,
+        |  round((e.estimate - x.exact) / e.span, 6) AS err_norm
+        |FROM est e JOIN ex x USING (q)
         |ORDER BY q""".stripMargin,
 
     "quantiles_by_lang" ->

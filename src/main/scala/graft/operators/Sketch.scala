@@ -284,6 +284,61 @@ object Sketch {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** Fixed-width histogram QUANTILE sketch with an exact audit — the
+    * third sketch calibration beside HLL (distinct) and CMS
+    * (frequency): one (min, max, N) pass, one MAP-ONLY bucket-count
+    * pass into an `nBuckets`-row relation (mergeable across
+    * partitions/streams — the shape a telemetry pipeline keeps), and
+    * each quantile estimated as the RIGHT edge of the bucket holding
+    * its target rank — so estimate ≥ exact and the normalized error
+    * is ≤ 1/nBuckets + the bucket's mass skew, BY CONSTRUCTION. The
+    * audit joins [[Sampling.exactQuantiles]]' rank selection (value at
+    * floor(q·(N−1))) and reports (estimate − exact)/span.
+    *
+    * Scale: the corpus crosses the wire as nBuckets counters; the
+    * cumulative window and the per-q pick run over the bounded
+    * histogram relation only. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, nBuckets: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096, s"bad nBuckets: $nBuckets")
+    require(qs.nonEmpty && qs.forall(x => x >= 0.0 && x <= 1.0), s"$qs")
+    val vals = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    val mm = org.apache.spark.sql.functions.broadcast(
+      vals.agg(min("_v").as("lo"), max("_v").as("hi"),
+        count(lit(1)).as("n")))
+    val hist = vals.crossJoin(mm)
+      .select(when(col("hi") > col("lo"),
+          least(floor((col("_v") - col("lo")) /
+            (col("hi") - col("lo")) * nBuckets), lit(nBuckets - 1)))
+        .otherwise(lit(0)).cast("int").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    // bounded window: ≤ nBuckets rows
+    val cum = hist.withColumn("cum", sum("cnt").over(wc))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val est = qs.toDF("q").crossJoin(mm)
+      .withColumn("target",
+        (floor(col("q") * (col("n") - 1)) + 1).cast("long"))
+      .join(cum, col("cum") >= col("target")) // |qs|×nBuckets, bounded
+      .groupBy("q", "lo", "hi").agg(min("b").as("b"))
+      .withColumn("estimate", when(col("hi") > col("lo"),
+          col("lo") + (col("b") + 1).cast("double") *
+            (col("hi") - col("lo")) / nBuckets)
+        .otherwise(col("lo")))
+      .withColumn("span", when(col("hi") > col("lo"),
+        col("hi") - col("lo")).otherwise(lit(1.0)))
+    est.join(Sampling.exactQuantiles(df, valueCol, qs), "q")
+      .select(col("q"), col("value").as("exact"),
+        round(col("estimate"), 6).as("estimate"),
+        round((col("estimate") - col("value")) / col("span"), 6)
+          .as("err_norm"))
+      .orderBy("q")
+  }
+
   /** The CLOSED count-min tuning loop ([[cmsCalibration]] measures;
     * this SELECTS — the third closed loop beside dedup_tuned and
     * ann_tuned): sweep widths `wBitsGrid`, pick the SMALLEST width

@@ -150,6 +150,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantiles: estimates never undershoot the exact " +
+      "quantile and the normalized error honors the 1/nBuckets bound; " +
+      "a constant column degenerates cleanly") {
+    val vals = (1 to 1000).map(i => Tuple1((i * i % 997).toLong))
+      .toDF("x")
+    val rows = Sketch.histogramQuantiles(vals, "x", nBuckets = 128,
+        qs = Seq(0.1, 0.5, 0.9)).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (exact, est, err) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(est >= exact, s"undershoot at q=${r.getDouble(0)}: $r")
+      assert(err >= 0.0 && err <= 1.0 / 128 + 1e-6,
+        s"error above the bucket bound: $r")
+    }
+    val const = Seq.fill(50)(Tuple1(7L)).toDF("x")
+    val c = Sketch.histogramQuantiles(const, "x", nBuckets = 16,
+        qs = Seq(0.5)).collect()(0)
+    assert(c.getDouble(1) == 7.0 && c.getDouble(2) == 7.0 &&
+      c.getDouble(3) == 0.0, c.toString)
+  }
+
   test("cmsTuned: the tuned probe table at the selected width equals " +
       "the direct sketch at that width (modulo folds are exact), " +
       "never underestimates, and the selection is from the grid") {
