@@ -51,50 +51,97 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-speed calibration probes. Probe 1: a fixed, data-independent
+    // CPU-bound workload (sha256 over 2M synthetic rows, the dominant
+    // primitive of the hash-family queries). Host/VM speed varies across
+    // rounds; dividing totals by this number normalizes cross-round
+    // comparisons.
+    def probeSha2(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000)
+        .selectExpr("count(distinct sha2(cast(id as string), 256))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Probe 2, SHUFFLE-bound (r9 verdict item 1): the sha2 probe is pure
+    // CPU, so host contention that hits memory bandwidth / shuffle spill
+    // harder than raw compute (the profile of the tokenize-explode-
+    // groupBy BM25 family) is invisible to it — a contended-run record
+    // then over-penalizes exactly that family. This probe is a fixed
+    // explode+groupBy (2M exploded rows through one hash exchange), the
+    // same shape as Bm25.buildIndex's first stage. If cal_shuffle
+    // inflates while cal_sha2 holds, the run was shuffle-contended and
+    // tokenize-family numbers inherit it.
+    def probeShuffle(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000)
+        .selectExpr("explode(array(id,id+1,id+2,id+3,id+4,id+5,id+6,id+7,id+8,id+9)) t")
+        .groupBy((org.apache.spark.sql.functions.col("t") % 65536).as("k"))
+        .count().selectExpr("count(*)", "sum(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Optional comma-separated filter for fast local A/B iteration —
     // the driver never sets it, so driver runs always time the full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { n =>
+
+    // INTERLEAVED calibration (r10 verdict item 1): point probes at the
+    // END of the run cannot see a mid-run contention window — r8/r9/r10
+    // each needed a forensic session to separate host drift from plan
+    // regressions because the probes ran once after the suite. The probe
+    // pair now runs BEFORE the first query and again after every
+    // `probeEvery` queries, so each query is covered by the probe window
+    // it ran inside; a transient co-tenant stall shows up as an inflated
+    // window in calibration_series and the record adjudicates itself.
+    // ~11 windows x ~2s of probes adds ~25s of wall clock, none of it
+    // counted in any query's time or the suite total.
+    val probeEvery = 25
+    val series = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def runProbes(atIdx: Int): Unit =
+      series += ((atIdx, probeSha2(), probeShuffle()))
+
+    // warm the probe shapes untimed first — a cold first pair (codegen +
+    // JIT for sha2 / the exchange) reads ~3x its warm value and would
+    // make window 0 look contended in every record; one pair is not
+    // enough (JIT keeps tiering for 2-3 executions), so warm three
+    (1 to 3).foreach { _ => probeSha2(); probeShuffle() }
+    runProbes(0)
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % probeEvery == 0) runProbes(i)
       val ts = Seq(once(n), once(n), once(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    runProbes(names.size)
 
-    // Host-speed calibration: a fixed, data-independent workload (sha256
-    // over 2M synthetic rows, the dominant primitive of the hash-family
-    // queries). Host/VM speed varies across rounds; dividing totals by
-    // this number normalizes cross-round comparisons.
-    val calT0 = System.nanoTime()
-    spark.range(2000000)
-      .selectExpr("count(distinct sha2(cast(id as string), 256))").collect()
-    val calibration = (System.nanoTime() - calT0) / 1e9
-    // Second calibration probe, SHUFFLE-bound (r9 verdict item 1): the
-    // sha2 probe is pure CPU, so host contention that hits memory
-    // bandwidth / shuffle spill harder than raw compute (the profile of
-    // the tokenize-explode-groupBy BM25 family) is invisible to it — a
-    // contended-run record then over-penalizes exactly that family.
-    // This probe is a fixed explode+groupBy (2M exploded rows through
-    // one hash exchange), the same shape as Bm25.buildIndex's first
-    // stage. Comparing the two probes' drift across records NAMES
-    // contention: if cal_shuffle inflates while cal_sha2 holds, the run
-    // was shuffle-contended and tokenize-family numbers inherit it.
-    val calS0 = System.nanoTime()
-    spark.range(200000)
-      .selectExpr("explode(array(id,id+1,id+2,id+3,id+4,id+5,id+6,id+7,id+8,id+9)) t")
-      .groupBy((org.apache.spark.sql.functions.col("t") % 65536).as("k"))
-      .count().selectExpr("count(*)", "sum(count)").collect()
-    val calShuffle = (System.nanoTime() - calS0) / 1e9
+    // Headline calibration fields keep their names for cross-round
+    // normalization but are the series MEDIAN from r11 on — a point
+    // probe reports whatever instant it sampled; the median of ~11
+    // windows reports the run's typical host condition, which is what
+    // normalization wants. Per-window values live in calibration_series.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val calibration = median(series.map(_._2).toSeq)
+    val calShuffle = median(series.map(_._3).toSeq)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Probe timeline: entry k is the probe pair run just before query
+    // index `at` (the last entry, at = suite size, closes the final
+    // window). Query i ran between the entries bracketing i, so a
+    // contended window is attributable to exactly the queries inside it.
+    val seriesJson = series.map { case (at, s, sh) =>
+      s"""{"at":$at,"sha2":$s,"shuffle":$sh}"""
+    }.mkString("[", ",", "]")
     // Full-precision record. The driver keeps only the LAST 2000 chars
     // of stdout, and this line exceeds that window once the suite has
     // ~90 queries (r1-r4: the driver's parsed field was null every
     // round for exactly this reason) — so the calibration field goes
     // LAST (it survives the window) and a compact line follows.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery}"""
     println(full)
     // Compact final line, guaranteed inside the tail window. r6 proved
     // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
@@ -107,7 +154,12 @@ object Bench {
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val sfName = sfDir.split('/').last
-    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},"""
+    // compact series: two parallel arrays (2-decimal), ~12 entries each —
+    // enough to spot an inflated window from the stdout tail alone
+    val calSeriesCompact =
+      s""""cal_sha2_series":${series.map(e => f2(e._2)).mkString("[", ",", "]")},""" +
+      s""""cal_shuffle_series":${series.map(e => f2(e._3)).mkString("[", ",", "]")}"""
+    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"""
     val budget = 1400 - prefix.length - 60 // 60: closing + omitted field
     val sortedDesc = results.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

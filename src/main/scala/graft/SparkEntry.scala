@@ -2295,8 +2295,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val history = docs.filter(col("doc_id") % 10 < 8)
         .select(col("doc_id"), col("text"))
+      // arrival ids take a HIGH-BIT offset (not a fixed +100000 —
+      // ADVICE r10: once max(doc_id) >= 100000 an additive offset
+      // collides with standing ids, violating minhashIncremental's
+      // disjoint-ids contract); bit 40 clears any testdata sf and any
+      // plausible production id space below ~1.1e12
       val mutated = history.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((col("doc_id") + lit(1L << 40)).as("doc_id"),
           concat(col("text"),
             lit(" near duplicate arrival copy")).as("text"))
       val incoming = docs.filter(col("doc_id") % 10 >= 8)
@@ -4176,6 +4181,29 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // ---- T3's SUBTRACTIVE twin (VERDICT r10 #2 — the reference's
+    //      remove_documents path, bm25_sparse_indexer.py:466-510
+    //      decrements df/N/Σlen when docs leave the index): the full
+    //      corpus merges IN, then the doc_id%7==0 departures merge OUT
+    //      with their indexed text (df decrements, df=0 vocabulary
+    //      rows drop). Merge-out is exact because every statistic is a
+    //      sum, so the oracle is the batch recompute over the
+    //      SURVIVING corpus — deletes never force a rebuild ----
+    "t3_incremental_remove" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      var state = Sync.emptyBm25State(s)
+      state = Sync.mergeBm25Stats(state._1, state._2, docs,
+        "doc_id", "text")
+      state = Sync.removeBm25Stats(state._1, state._2,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val (termStats, globals) = state
+      termStats.crossJoin(broadcast(globals))
+        .select(col("term"), col("df"),
+          round(Bm25.idfCol(col("df"), col("n_docs")), 6).as("idf"),
+          col("n_docs"))
+        .orderBy("term")
+    }),
+
     // ---- T3 inside a REAL stream run: the same incremental BM25
     //      stats algebra, but fed by an actual file-source stream
     //      (3 staged parquet files, maxFilesPerTrigger=1 → 3 real
@@ -5033,12 +5061,81 @@ object SparkEntry {
       val deletes = docs.filter(col("doc_id") % 7 === 0)
         .select(lit("D").as("op"), col("doc_id"),
           lit(null).cast("long").as("n_chars"), lit(2L).as("seq"))
+      // insert ids high-bit offset like minhash_incremental's arrivals
+      // (ADVICE r10: +100000 collides once max(doc_id) >= 100000)
       val inserts = docs.filter(col("doc_id") % 5 === 3)
-        .select(lit("I").as("op"), (col("doc_id") + 100000L).as("doc_id"),
+        .select(lit("I").as("op"),
+          (col("doc_id") + lit(1L << 40)).as("doc_id"),
           col("n_chars"), lit(1L).as("seq"))
       val log = updates.unionByName(deletes).unionByName(inserts)
       Scd.applyChangelog(base, log, "doc_id", "seq", "op")
         .orderBy("doc_id")
+    }),
+
+    // ---- the INDEX-MAINTENANCE capstone (VERDICT r10 #2): CDC
+    //      changelog → index delta → swapped sidecar → search served
+    //      from the RESTORED artifacts. The changelog collapses to
+    //      latest-op per key (the cdc_apply struct-max, window-free);
+    //      every changed standing key merges OUT of the additive stats
+    //      with its OLD text (U = remove-then-add, D = remove) and
+    //      latest I/U payloads merge IN; postings rows delete by ONE
+    //      anti-join + append (per-doc-local, no other doc's rows
+    //      move). The maintained parts ride the atomic generation swap
+    //      and the search runs from the READ-BACK sidecars — the
+    //      oracle is a FULL BM25 recompute over the post-CDC corpus,
+    //      which the incremental path must match bit-exactly
+    //      (merge-out exactness: every statistic is a sum) ----
+    "cdc_reindex" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val updates = docs.filter(col("doc_id") % 5 === 0)
+        .select(lit("U").as("op"), col("doc_id"),
+          concat(col("text"), lit(" updated content block")).as("text"),
+          lit(1L).as("seq"))
+      val deletes = docs.filter(col("doc_id") % 7 === 0)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text"), lit(2L).as("seq"))
+      val inserts = docs.filter(col("doc_id") % 5 === 3)
+        .select(lit("I").as("op"),
+          (col("doc_id") + lit(1L << 40)).as("doc_id"),
+          col("text"), lit(1L).as("seq"))
+      val log = updates.unionByName(deletes).unionByName(inserts)
+      val latest = log.groupBy("doc_id")
+        .agg(max(struct(col("seq").as("_seq"), col("op").as("_op"),
+          col("text").as("_t"))).as("_m"))
+        .select(col("doc_id"), col("_m._op").as("op"),
+          col("_m._t").as("text"))
+      // departures leave with the text they were INDEXED with (the
+      // standing corpus lookup — the reference replays its stored
+      // per-doc term lists, bm25_sparse_indexer.py:466-510)
+      val removed = docs.join(latest.select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val added = latest.filter(col("op") =!= "D")
+        .select("doc_id", "text")
+      var state = Sync.emptyBm25State(s)
+      state = Sync.mergeBm25Stats(state._1, state._2, docs,
+        "doc_id", "text")
+      state = Sync.removeBm25Stats(state._1, state._2, removed,
+        "doc_id", "text")
+      state = Sync.mergeBm25Stats(state._1, state._2, added,
+        "doc_id", "text")
+      val posts = Bm25.postings(docs, "doc_id", "text")
+        .join(latest.select(col("doc_id").as("id")), Seq("id"),
+          "left_anti")
+        .unionByName(Bm25.postings(added, "doc_id", "text"))
+      val root = tempDirCleanedOnExit("graft-cdcidx").toString
+      graft.search.Ingest.reindexSwapRaw(s, posts, s"$root/postings")
+      graft.search.Ingest.reindexSwapRaw(s, state._1, s"$root/stats")
+      graft.search.Ingest.reindexSwapRaw(s, state._2, s"$root/globals")
+      val idx = Bm25.indexFromParts(
+        graft.search.Ingest.readCurrent(s, s"$root/postings"),
+        graft.search.Ingest.readCurrent(s, s"$root/stats"),
+        graft.search.Ingest.readCurrent(s, s"$root/globals"),
+        pinStats = true)
+      Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 20,
+          index = Some(idx))
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // ---- join-cardinality predictor (skew_probe's companion): exact
@@ -6812,6 +6909,13 @@ object SparkEntry {
          |SELECT term, df, round(idf, 6) AS idf, n_docs
          |FROM idf ORDER BY term""".stripMargin,
 
+    // merge-out exactness: the incremental remove must land on the
+    // batch recompute over the SURVIVING corpus (df=0 rows dropped)
+    "t3_incremental_remove" ->
+      s"""WITH ${bm25StatsCtes("", " WHERE doc_id % 7 <> 0")}
+         |SELECT term, df, round(idf, 6) AS idf, n_docs
+         |FROM idf ORDER BY term""".stripMargin,
+
     // the stream run must converge to the same snapshot as the batch
     // recompute over the union — order-independent merge is the
     // contract the real micro-batches exercise
@@ -8358,7 +8462,7 @@ object SparkEntry {
          |  SELECT doc_id AS id, text FROM documents
          |  WHERE doc_id % 10 >= 8
          |  UNION ALL
-         |  SELECT doc_id + 100000 AS id,
+         |  SELECT doc_id + 1099511627776 AS id,  -- 1<<40, see query
          |    text || ' near duplicate arrival copy' AS text
          |  FROM documents WHERE doc_id % 10 = 0),
          |${minhashSideCtes("inc", "in")},
@@ -9354,7 +9458,7 @@ object SparkEntry {
         |  SELECT 'D', doc_id, CAST(NULL AS BIGINT), 2
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT 'I', doc_id + 100000, n_chars, 1
+        |  SELECT 'I', doc_id + 1099511627776, n_chars, 1  -- 1<<40
         |  FROM documents WHERE doc_id % 5 = 3),
         |latest AS MATERIALIZED (
         |  SELECT doc_id, op, n_chars FROM (
@@ -9367,6 +9471,52 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, n_chars FROM latest WHERE op <> 'D'
         |ORDER BY doc_id""".stripMargin,
+
+    // the incremental index-maintenance path (merge-out + merge-in +
+    // postings anti-join/append, persisted and restored) must score
+    // IDENTICALLY to a full BM25 recompute over the post-CDC corpus —
+    // the same changelog collapse as cdc_apply's oracle, then the
+    // standard scores chain over the surviving snapshot
+    "cdc_reindex" ->
+      s"""WITH chlog AS (
+         |  SELECT 'U' AS op, doc_id,
+         |    text || ' updated content block' AS text, 1 AS seq
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT 'D', doc_id, CAST(NULL AS VARCHAR), 2
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT 'I', doc_id + 1099511627776, text, 1  -- 1<<40
+         |  FROM documents WHERE doc_id % 5 = 3),
+         |clatest AS MATERIALIZED (
+         |  SELECT doc_id, op, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY seq DESC) AS rn FROM chlog)
+         |  WHERE rn = 1),
+         |cdcnext AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM clatest)
+         |  UNION ALL
+         |  SELECT doc_id, text FROM clatest WHERE op <> 'D'),
+         |${bm25WeightsCtes("c", "", "cdcnext")},
+         |cqterms AS (
+         |  SELECT q.term, q.q_tf
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+         |cqweights AS (
+         |  SELECT cqterms.term,
+         |    CAST(cqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+         |  FROM cqterms JOIN cidf idf ON cqterms.term = idf.term
+         |  WHERE idf.idf > 0),
+         |cscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM cweights w JOIN cqweights qw ON w.term = qw.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM cscores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     // Σ f_L(k)·f_R(k) from the two count relations; the cut replays
     // as (contrib desc, key asc)

@@ -272,6 +272,58 @@ object Bm25 {
     Index(stats, docW)
   }
 
+  /** Raw postings (id, term, tf, doc_len) — the per-doc-LOCAL half of
+    * an index, which is what makes the index incrementally
+    * maintainable: a doc's postings depend only on its own text, so
+    * arrivals APPEND rows and departures DELETE rows (one anti-join on
+    * id) without touching any other doc's rows. The global half (df, N,
+    * Σlen → idf/avgdl) lives in the additive stats state
+    * ([[graft.streaming.Sync.mergeBm25Stats]] /
+    * [[graft.streaming.Sync.removeBm25Stats]]); [[indexFromParts]]
+    * reassembles a queryable [[Index]] from the two. Same
+    * single-tokenize scan shape as [[buildIndex]]'s first stage. */
+  def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        size(TextFunctions.tokensCol(col(textCol))).as("doc_len"),
+        col(textCol).as("_text"))
+      .select(col("id"), col("doc_len"),
+        explode(TextFunctions.tokensCol(col("_text"))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max("doc_len").as("doc_len"))
+
+  /** Reassemble a queryable [[Index]] from incrementally-maintained
+    * parts: `posts` (id, term, tf, doc_len) from [[postings]] (plus
+    * appends/deletes), `termStats` (term, df) and `globals` (n_docs,
+    * total_doc_len) from the additive merge/remove algebra. Bit-exact
+    * vs [[buildIndex]] over the same corpus: df/N/Σlen are integer
+    * sums (order-free), avg_doc_len is the same integer-valued
+    * division, and the idf/weight formulas are shared — so a search
+    * served from the maintained index equals one served from a full
+    * rebuild, the property the cdc_reindex oracle replays. */
+  def indexFromParts(posts: DataFrame, termStats: DataFrame,
+                     globals: DataFrame, p: Params = Default,
+                     pinStats: Boolean = false): Index = {
+    val g = broadcast(globals.select(col("n_docs"),
+      when(col("n_docs") > 0,
+        col("total_doc_len").cast("double") / col("n_docs").cast("double"))
+        .otherwise(lit(0.0)).as("avg_doc_len")))
+    val statsRaw = termStats.crossJoin(g)
+      .withColumn("idf", idfCol(col("df"), col("n_docs")))
+    val stats = if (pinStats) statsRaw.coalesce(1).cache() else statsRaw
+    val lengthNorm = when(col("avg_doc_len") > 0.0,
+      lit(1.0 - p.b) + lit(p.b) * col("doc_len").cast("double") / col("avg_doc_len"))
+      .otherwise(lit(1.0))
+    val docW = posts
+      .join(stats, "term")
+      .withColumn("weight",
+        col("idf") * (col("tf").cast("double") * lit(p.k1 + 1.0)) /
+          (col("tf").cast("double") + lit(p.k1) * lengthNorm))
+      .filter(col("weight") > 0.0)
+      .select(col("id"), col("term"), col("tf"), col("weight"))
+    Index(stats, docW)
+  }
+
   /** Sparse dot-product top-k — operator W2. Scores every doc sharing a
     * term with the query via a broadcast join on term (the query side is
     * tiny), then TakeOrderedAndProject for the top-k. Deterministic

@@ -430,7 +430,15 @@ object Dedup {
     * probes its ≤`bands` buckets, never the corpus. Ids must be
     * disjoint across the two relations (same contract as
     * exactIncremental's history).
-    * Output: (id_a incoming, id_b standing, jaccard ≥ threshold). */
+    * Output: (id_a incoming, id_b standing, jaccard ≥ threshold).
+    *
+    * Cache lifetime (ADVICE r10): the two shingle caches below live
+    * for the session — the repo's cache-and-forget bench convention
+    * (Spark's cache manager dedups by canonical plan, so repeated
+    * calls over the same inputs reuse one entry; eviction is LRU
+    * under storage-memory pressure). A long-lived driver invoking
+    * this over MANY DISTINCT inputs should unpersist the returned
+    * plan's caches between corpora. */
   def minhashIncremental(incoming: DataFrame, standing: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.8,

@@ -81,10 +81,20 @@ object Scd {
     * for unchanged keys never move.
     *
     * @param base  current snapshot: keyCol + payload columns
-    * @param log   changelog: keyCol, seqCol (monotone per key),
-    *              opCol ∈ {I, U, D}, and the SAME payload columns
-    *              (ignored for D rows)
-    * Output: the next snapshot, base's schema. */
+    * @param log   changelog: keyCol, seqCol (STRICTLY increasing —
+    *              i.e. unique — per key, the Debezium LSN/offset
+    *              contract), opCol ∈ {I, U, D}, and the SAME payload
+    *              columns (ignored for D rows)
+    * Output: the next snapshot, base's schema.
+    *
+    * Tie-break contract (ADVICE r10): with a UNIQUE seq per key the
+    * struct-max is totally ordered by `_seq` alone and the remaining
+    * struct fields never decide. If a caller violates uniqueness, the
+    * max falls through to lexicographic comparison of the op string
+    * and then the raw payload struct — deterministic IN SPARK but not
+    * a documented cross-engine semantic (a seq-DESC row_number oracle
+    * is nondeterministic on such ties), so duplicate seqs per key are
+    * OUT OF CONTRACT, not a supported ordering. */
   def applyChangelog(base: DataFrame, log: DataFrame, keyCol: String,
                      seqCol: String, opCol: String): DataFrame = {
     val payloadCols = base.columns.filterNot(_ == keyCol).toSeq

@@ -381,6 +381,45 @@ object Sync {
       Seq((0L, 0L)).toDF("n_docs", "total_doc_len"))
   }
 
+  /** Subtractive twin of [[mergeBm25Stats]] — the reference's
+    * `remove_documents` path (bm25_sparse_indexer.py:466-510 decrements
+    * df / doc-count / total-length when documents leave the index):
+    * departures DECREMENT df, N, and Σlen, and vocabulary rows whose df
+    * reaches 0 drop out. Because every statistic is a sum, merge-out is
+    * exact: remove(merge(S, B), B) = S for any batch B ⊆ the indexed
+    * corpus — no rebuild needed for deletes (J5 orphan cleanup, CDC D/U
+    * rows).
+    *
+    * Contract: `removed` must carry the EXACT text each doc was indexed
+    * with (the caller looks it up from the standing corpus/snapshot —
+    * the reference equivalently replays the stored per-doc term list),
+    * and removed ids must actually be indexed; removing a never-indexed
+    * doc would corrupt the counts (same contract as the reference,
+    * which silently skips unknown ids only because it stores term lists
+    * per doc). Scale shape: identical to the merge — one tokenize pass
+    * over the BATCH only, summed into the vocabulary-sized stats. */
+  def removeBm25Stats(termStats: DataFrame, globals: DataFrame,
+                      removed: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Bm25
+    val toks = Bm25.tokens(removed, idCol, textCol)
+    val lens = Bm25.docLengths(removed, idCol, textCol)
+    val negTerm = Bm25.termDocFreqs(toks)
+      .select(col("term"), (-col("df")).as("df"))
+    val newTerm = termStats.select(col("term"), col("df"))
+      .unionByName(negTerm)
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+    val negGlobal = lens.agg(
+      (-count("*")).cast("long").as("n_docs"),
+      (-coalesce(sum("doc_len"), lit(0L))).cast("long").as("total_doc_len"))
+    val newGlobal = globals.select(col("n_docs"), col("total_doc_len"))
+      .unionByName(negGlobal)
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_doc_len").cast("long").as("total_doc_len"))
+    (newTerm, newGlobal)
+  }
+
   // ---- T5: failure classification + retry backoff ----
 
   /** Retryable-error patterns — the single source of truth for both

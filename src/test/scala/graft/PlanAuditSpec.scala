@@ -521,13 +521,19 @@ class PlanAuditSpec extends SparkSpec {
       s"probe-set pruning or top-k heap missing:\n$p")
   }
 
-  test("suggest_prefix is ONE plan: a broadcast prefix equi-join into " +
-      "the bounded TopK aggregate — no per-prefix branches, no rank " +
-      "window") {
+  test("suggest_prefix compiles to one broadcast join PER DISTINCT " +
+      "PREFIX LENGTH into the bounded TopK aggregate — no per-prefix " +
+      "branches, no rank window (the bench prefixes share one length, " +
+      "so ITS plan is Union-free; the general contract is one join per " +
+      "length, not one per prefix — ADVICE r10 scoping)") {
     val p = plan("suggest_prefix")
     assert(!p.contains("windowspecdefinition"), s"rank window:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"prefix join not broadcast:\n$p")
+    // the bench query's prefixes are all length 2 → exactly one length
+    // group → no Union. This pin is specific to that fixture; a
+    // mixed-length prefix set legitimately unions one leg per length
+    // (see the mixed-length branch-count test below).
     assert(!p.contains("Union"), s"per-prefix plan branches:\n$p")
     assert(p.contains("ObjectHashAggregate"),
       s"TopK aggregate missing:\n$p")

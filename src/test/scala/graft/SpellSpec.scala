@@ -90,6 +90,23 @@ class SpellSpec extends SparkSpec {
     }
   }
 
+  test("suggest plan shape: broadcast-join legs grow with DISTINCT " +
+      "PREFIX LENGTHS, never with the prefix count (the scoped claim " +
+      "— ADVICE r10: a mixed-length set legitimately unions one leg " +
+      "per length; a single-length set is Union-free)") {
+    val vocab = Seq(("stark", 3L), ("query", 2L), ("basalt", 1L))
+      .toDF("term", "df")
+    def legs(prefixes: Seq[String]): Int = {
+      val p = Spell.suggest(vocab, prefixes, n = 2)
+        .queryExecution.executedPlan.toString
+      "BroadcastHashJoin".r.findAllIn(p).length
+    }
+    // five prefixes, ONE length -> one join, no per-prefix branches
+    assert(legs(Seq("st", "qu", "ba", "zz", "s!".take(2))) == 1)
+    // five prefixes, THREE lengths -> exactly three joins
+    assert(legs(Seq("s", "q", "st", "qu", "bas")) == 3)
+  }
+
   test("d=2 handles 1-char vocabulary terms (empty-string deletion " +
       "variants) without error") {
     val tiny = Seq(("a", 10L), ("ab", 5L)).toDF("term", "df")

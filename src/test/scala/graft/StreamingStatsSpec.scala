@@ -36,6 +36,64 @@ class StreamingStatsSpec extends SparkSpec {
     assert(incGlobal.getLong(1) == batchLens)
   }
 
+  test("merge-out is the exact inverse: remove(merge(S,B),B) = S, " +
+      "df=0 vocabulary rows drop, and removing EVERYTHING returns to " +
+      "the empty state (T3 remove — ref bm25_sparse_indexer " +
+      "remove_documents)") {
+    val standing = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry durian"), (4L, "")).toDF("doc_id", "text")
+    val leaving = standing.filter(col("doc_id") >= 3L)
+    var st = Sync.emptyBm25State(spark)
+    st = Sync.mergeBm25Stats(st._1, st._2, standing, "doc_id", "text")
+    val after = Sync.removeBm25Stats(st._1, st._2, leaving,
+      "doc_id", "text")
+    val gotTerm = after._1.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Bm25.corpusStats(standing.filter(col("doc_id") < 3L),
+        "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotTerm == expect, "survivor stats must equal the recompute")
+    assert(!gotTerm.contains("durian"), "df=0 row must drop")
+    val g = after._2.head()
+    assert(g.getLong(0) == 2L && g.getLong(1) == 5L)
+    // removing the survivors too lands exactly on the empty state
+    val zero = Sync.removeBm25Stats(after._1, after._2,
+      standing.filter(col("doc_id") < 3L), "doc_id", "text")
+    assert(zero._1.count() == 0L)
+    val zg = zero._2.head()
+    assert(zg.getLong(0) == 0L && zg.getLong(1) == 0L)
+  }
+
+  test("indexFromParts over maintained postings+stats scores " +
+      "bit-identically to a full buildIndex over the same corpus") {
+    val base = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry durian apple"), (4L, "durian fig"))
+      .toDF("doc_id", "text")
+    // departure: doc 2; arrival: doc 5 — maintain parts incrementally
+    val leaving = base.filter(col("doc_id") === 2L)
+    val arriving = Seq((5L, "fig apple cherry")).toDF("doc_id", "text")
+    val survivors = base.filter(col("doc_id") =!= 2L)
+      .unionByName(arriving)
+    var st = Sync.emptyBm25State(spark)
+    st = Sync.mergeBm25Stats(st._1, st._2, base, "doc_id", "text")
+    st = Sync.removeBm25Stats(st._1, st._2, leaving, "doc_id", "text")
+    st = Sync.mergeBm25Stats(st._1, st._2, arriving, "doc_id", "text")
+    val posts = Bm25.postings(base, "doc_id", "text")
+      .filter(col("id") =!= 2L)
+      .unionByName(Bm25.postings(arriving, "doc_id", "text"))
+    val maintained = Bm25.indexFromParts(posts, st._1, st._2)
+    val rebuilt = Bm25.buildIndex(survivors, "doc_id", "text")
+    def w(ix: Bm25.Index) = ix.docWeights
+      .select("id", "term", "tf", "weight").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(w(maintained) == w(rebuilt), "doc weights must be bit-equal")
+    def s(ix: Bm25.Index) = ix.stats
+      .select("term", "df", "idf").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(s(maintained) == s(rebuilt), "stats must be bit-equal")
+  }
+
   test("T3 runs inside a REAL stream: per-micro-batch merges converge " +
       "to the batch recompute") {
     val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
