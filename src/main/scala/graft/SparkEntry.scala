@@ -804,6 +804,16 @@ object SparkEntry {
     math.pow(2.0, (pb - np).toDouble)
   }
 
+  /** The ivf_tuned sweep grid — nprobe values over the 8-cell frozen
+    * quantizer, indexed by position (the cfg id both engines select
+    * over). Cost axis: the analytic probed fraction nprobe/nlist.
+    * Because a query's probe sets NEST as nprobe grows (top-1 ⊂ top-2
+    * ⊂ …), the MEASURED probed fraction is strictly monotone in nprobe
+    * too, so the analytic axis induces the same selection order the
+    * measured one would — no per-cell size collect needed. */
+  private val IvfTunedGrid: Seq[Int] = Seq(1, 2, 3, 4)
+  private val IvfTunedNlist: Int = 8
+
   private val int8FitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
@@ -838,12 +848,17 @@ object SparkEntry {
 
   /** Per-query probe sets for the ann_recall panel — same rule as
     * [[IvfOracleProbes]], parameterized by query id. */
-  private def annRecallOracleProbes(qid: Long): Seq[Int] = {
+  private def annRecallOracleProbes(qid: Long): Seq[Int] =
+    annRecallOracleProbesN(qid, 3)
+
+  /** [[annRecallOracleProbes]] at an arbitrary nprobe — the ivf_tuned
+    * sweep's per-config probe-set literals. */
+  private def annRecallOracleProbesN(qid: Long, np: Int): Seq[Int] = {
     val qv = queryVecNFor(org.apache.spark.sql.SparkSession.active,
       lastDir, qid)
     IvfOracleCentroids.zipWithIndex
       .map { case (c, i) => (VectorFunctions.dotS(qv, c), i) }
-      .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2)
+      .sortBy { case (s, i) => (-s, i) }.take(np).map(_._2)
   }
 
   private def PcaOracleFit: (Array[Double], Array[Double], Array[Double]) =
@@ -2692,6 +2707,60 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
     }),
 
+    // ---- the closed IVF tuning loop (VERDICT r10 #4 — ann_tuned's
+    //      coarse-quantizer sibling: ann_recall only MEASURES IVF's
+    //      nprobe; here the measurement SELECTS it and the search RUNS
+    //      with the pick): micro-averaged recall@10 (Σhits/Σk) per
+    //      nprobe ∈ {1,2,3,4} over the 3-query panel against pinned
+    //      exact top-10s; selection = among configs at recall ≥ 0.5,
+    //      the smallest probed fraction (nprobe/nlist — probe sets
+    //      nest, so the analytic axis orders like the measured one),
+    //      ties higher recall then lowest cfg id, floor-miss fallback
+    //      to highest recall (total rule, no data-dependent crash);
+    //      4-row selection collect; oracle replays sweep + selection +
+    //      tuned run from the same centroid literals ----
+    "ivf_tuned" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = ivfCentroidsFor(s, dir)
+      // pin each panel query's exact top-10 once — the |grid| recall
+      // legs otherwise re-run the exact scan per config (the ann_tuned
+      // precedent, measured ~45% there)
+      val exactByQid = AnnRecallQids.map { qid =>
+        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
+          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
+      }.toMap
+      val recalls = IvfTunedGrid.zipWithIndex.map { case (np, cfg) =>
+        AnnRecallQids.map { qid =>
+          val qv = queryVecNFor(s, dir, qid)
+          val approx = Knn.ivfTopK(e, "vec_id", "embedding", qv, 10,
+              centroids, nprobe = np)
+            .select(col("vec_id").as("a_id"))
+          exactByQid(qid)
+            .join(approx, col("vec_id") === col("a_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
+        .collect() // |grid| rows — the bounded selection collect
+      val rows = recalls.map { r =>
+        val cfg = r.getAs[Int]("cfg")
+        (cfg, r.getAs[Long]("th").toDouble / r.getAs[Long]("tk"))
+      }
+      val (bestCfg, bestMr) = rows.sortBy { case (cfg, mr) =>
+        (if (mr >= 0.5) 0 else 1,
+          if (mr >= 0.5) IvfTunedGrid(cfg).toDouble / IvfTunedNlist
+          else 0.0, -mr, cfg)
+      }.head
+      val np = IvfTunedGrid(bestCfg)
+      Knn.ivfTopK(e, "vec_id", "embedding", queryVecFor(s, dir), 10,
+          centroids, nprobe = np)
+        .select(lit(np).as("nprobe"),
+          round(lit(bestMr), 6).as("panel_recall"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
     // ---- BQ recall harness: recall@10 of the binary-quantized
     //      Hamming-shortlist path vs the exact scan over the same
     //      query panel — completes binary quantization's evaluation
@@ -2724,6 +2793,66 @@ object SparkEntry {
       val centroids = ivfBaseCentroidsFor(s, dir)
       Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
           nprobe = 3)
+        .select(col("vec_id"),
+          (col("vec_id") % 5 === 0).as("is_new"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- PERSISTED ANN index (VERDICT r10 #3 — bm25_index_persist's
+    //      vector sibling, S6's production shape end-to-end): the
+    //      frozen base quantizer's centroids AND the base assignments
+    //      persist through the atomic generation swap; the vec_id%5==0
+    //      arrivals are then assigned by READING BACK the restored
+    //      centroids (never a refit) and upserted as the next
+    //      assignments generation; the search serves entirely from the
+    //      read-back artifacts — an 8-row centroid collect picks the
+    //      probes, the probe filter prunes the restored assignments,
+    //      and only the shortlisted vectors are re-scored exactly.
+    //      Centroid doubles round-trip parquet bit-exactly, so the
+    //      result is IDENTICAL to ann_ivf_upsert's in-plan assignment
+    //      by design (the persist-proves-bit-exact pattern) ----
+    "ann_index_persist" -> ((s, dir) => {
+      lastDir = dir
+      val e = t(s, dir, "embeddings")
+      val root = stagedEventsCache.getOrElseUpdate(s"$dir#annidx", {
+        val r = tempDirCleanedOnExit("graft-annidx").toString
+        val centroids = ivfBaseCentroidsFor(s, dir)
+        import s.implicits._
+        val centDf = centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "c")
+        graft.search.Ingest.reindexSwapRaw(s, centDf, s"$r/centroids")
+        val baseAssign = Knn.ivfAssign(
+            e.filter(col("vec_id") % 5 =!= 0), "embedding", centroids)
+          .select(col("vec_id"), col("cluster_id"))
+        graft.search.Ingest.reindexSwapRaw(s, baseAssign, s"$r/assign")
+        // upsert-into-restored: arrivals assigned under the READ-BACK
+        // quantizer, swapped in as assignments gen-1
+        val restored = graft.search.Ingest
+          .readCurrent(s, s"$r/centroids")
+          .orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toArray).toSeq
+        val newAssign = Knn.ivfAssign(
+            e.filter(col("vec_id") % 5 === 0), "embedding", restored)
+          .select(col("vec_id"), col("cluster_id"))
+        graft.search.Ingest.reindexSwapRaw(s,
+          graft.search.Ingest.readCurrent(s, s"$r/assign")
+            .unionByName(newAssign),
+          s"$r/assign")
+        r
+      })
+      val cents = graft.search.Ingest
+        .readCurrent(s, s"$root/centroids")
+        .orderBy("cid").collect()
+        .map(_.getSeq[Double](1).toArray).toSeq
+      val qv = queryVecFor(s, dir)
+      val probes = Knn.nearestCentroids(qv, cents, 3)
+      val shortlist = graft.search.Ingest
+        .readCurrent(s, s"$root/assign")
+        .filter(col("cluster_id").isin(probes: _*))
+        .select("vec_id")
+      Knn.bruteForceTopK(e.join(shortlist, "vec_id"), "vec_id",
+          "embedding", qv, 10)
         .select(col("vec_id"),
           (col("vec_id") % 5 === 0).as("is_new"),
           round(col("score"), 6).as("score"))
@@ -6442,7 +6571,12 @@ object SparkEntry {
       "event_sequences_bucketed" -> m("event_sequences"),
       "churn_labels_bucketed" -> m("churn_labels"),
       "event_transitions_bucketed" -> m("event_transitions"),
-      "asof_join_forward_exec" -> m("asof_join_forward"))
+      "asof_join_forward_exec" -> m("asof_join_forward"),
+      // the persisted-and-restored ANN index must serve the upsert
+      // search IDENTICALLY to the in-plan assignment (the
+      // bm25_index_persist/bm25_topk precedent: a shared oracle is the
+      // bit-exactness proof, not a shortcut)
+      "ann_index_persist" -> m("ann_ivf_upsert"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -7785,6 +7919,86 @@ object SparkEntry {
          |runs AS (
          |  $runRows)
          |SELECT r.n_planes, r.probe_bits, round(s.mr, 6) AS panel_recall,
+         |  r.vec_id, round(r.raw, 6) AS score
+         |FROM runs r JOIN sel s ON r.cfg = s.cfg
+         |ORDER BY score DESC, vec_id""".stripMargin
+    },
+
+    // the closed IVF loop replayed end-to-end: per-config probe-set
+    // literals (pure functions of the fitted centroid literals + the
+    // panel query vectors, same rule as ann_recall's), per-config
+    // top-10 per panel query over the assigned relation, micro-avg
+    // recall from integer totals, the same total selection rule
+    // (recall floor → probed fraction → recall → cfg id), and the
+    // winning config's qid-0 run as the result
+    "ivf_tuned" -> {
+      val cvals = IvfOracleCentroids.zipWithIndex
+        .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+        .mkString(",\n    ")
+      def exCte(qid: Long): String =
+        s"""q_$qid AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = $qid),
+           |ex_$qid AS MATERIALIZED (
+           |  SELECT vec_id FROM (
+           |    SELECT e.vec_id,
+           |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |        q.qv) AS raw
+           |    FROM embeddings e, q_$qid q
+           |    ORDER BY raw DESC, e.vec_id LIMIT 10))""".stripMargin
+      def ivCte(cfg: Int, qid: Long): String = {
+        val np = IvfTunedGrid(cfg)
+        val probes = annRecallOracleProbesN(qid, np).mkString(", ")
+        s"""iv_${cfg}_$qid AS MATERIALIZED (
+           |  SELECT vec_id, raw FROM (
+           |    SELECT a.vec_id,
+           |      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |        q.qv) AS raw
+           |    FROM assigned a, q_$qid q WHERE a.cid IN ($probes)
+           |    ORDER BY raw DESC, a.vec_id LIMIT 10))""".stripMargin
+      }
+      val cfgs = IvfTunedGrid.indices
+      val ctes = (AnnRecallQids.map(exCte) ++
+        cfgs.flatMap(c => AnnRecallQids.map(q => ivCte(c, q))))
+        .mkString(",\n")
+      val recRows = cfgs.map { c =>
+        val tk = AnnRecallQids
+          .map(q => s"(SELECT count(*) FROM ex_$q)").mkString(" + ")
+        val th = AnnRecallQids
+          .map(q => s"(SELECT count(*) FROM ex_$q x JOIN iv_${c}_$q a " +
+            "USING (vec_id))").mkString(" + ")
+        s"SELECT $c AS cfg, " +
+          s"${IvfTunedGrid(c).toDouble / IvfTunedNlist} AS frac,\n" +
+          s"  CAST($tk AS BIGINT) AS tk, CAST($th AS BIGINT) AS th"
+      }.mkString("\nUNION ALL\n")
+      val runRows = cfgs.map { c =>
+        s"SELECT $c AS cfg, ${IvfTunedGrid(c)} AS nprobe, " +
+          s"vec_id, raw FROM iv_${c}_0"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cents AS (
+         |  SELECT cid, c FROM (VALUES
+         |    $cvals) AS t(cid, c)),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_inner_product(
+         |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |$ctes,
+         |rec AS MATERIALIZED (
+         |  $recRows),
+         |sel AS (
+         |  SELECT cfg, CAST(th AS DOUBLE) / tk AS mr FROM rec
+         |  ORDER BY
+         |    (CASE WHEN CAST(th AS DOUBLE) / tk >= 0.5 THEN 0
+         |      ELSE 1 END),
+         |    (CASE WHEN CAST(th AS DOUBLE) / tk >= 0.5 THEN frac
+         |      ELSE 0 END),
+         |    CAST(th AS DOUBLE) / tk DESC, cfg
+         |  LIMIT 1),
+         |runs AS (
+         |  $runRows)
+         |SELECT r.nprobe, round(s.mr, 6) AS panel_recall,
          |  r.vec_id, round(r.raw, 6) AS score
          |FROM runs r JOIN sel s ON r.cfg = s.cfg
          |ORDER BY score DESC, vec_id""".stripMargin

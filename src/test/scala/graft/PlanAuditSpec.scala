@@ -571,6 +571,33 @@ class PlanAuditSpec extends SparkSpec {
       "phrase/boolean gates should broadcast")
   }
 
+  test("r11 surface: ivf_tuned's FINAL plan is joinless (probe-set-" +
+      "pruned assignment scan + top-k heap, the ann_tuned discipline); " +
+      "ann_index_persist serves from the restored sidecars with the " +
+      "probe IN filter pruning the assignments scan, cartesian-free; " +
+      "cdc_reindex collapses window-free and scores broadcast-side") {
+    val iv = plan("ivf_tuned")
+    assert(!iv.contains("Join"), s"ivf_tuned should be joinless:\n$iv")
+    // a 1-probe pick compiles the isin to an equality filter (sf0.001
+    // selects nprobe=1), a multi-probe pick to IN — either way the
+    // probe filter must sit in the scan stage under the top-k heap
+    assert(iv.contains("TakeOrderedAndProject") &&
+      (iv.contains(" IN (") || iv.contains(".negi = ")),
+      s"probe-set pruning or top-k heap missing:\n$iv")
+    val ap = plan("ann_index_persist")
+    assert(!ap.contains("CartesianProduct"), ap)
+    assert(ap.contains("TakeOrderedAndProject"), s"top-k heap:\n$ap")
+    // the cluster_id probe filter must reach the restored assignments
+    // parquet scan (cluster-partitioned pruning at scale)
+    assert(ap.contains("PushedFilters: [In(cluster_id") ||
+      ap.contains("In(cluster_id"), s"probe filter not pushed:\n$ap")
+    val cr = plan("cdc_reindex")
+    assert(!cr.contains("windowspecdefinition"),
+      s"cdc_reindex latest-op used a window:\n$cr")
+    assert(!cr.contains("CartesianProduct"), cr)
+    assert(cr.contains("TakeOrderedAndProject"), s"top-k heap:\n$cr")
+  }
+
   test("bucketed sequences/next-event forms window by (key, bucket) " +
       "at the event level; key-only windows touch only the bucket " +
       "summary relation") {
