@@ -947,6 +947,53 @@ object SparkEntry {
        |FROM allm ORDER BY metric, k""".stripMargin
   }
 
+  /** The hierarchical (64,16) chunk relation as DuckDB CTEs — l0 =
+    * 64-word windows, l1 = 16-word children with the deterministic
+    * parent link L0_(g16 // 4); ends with CTEs `l0` and `l1` (plus
+    * `docs`/`words`/`pos`/`g` upstream). Shared by the chunk_hier
+    * oracle (the full relation) and search_parent_context (leaf BM25 +
+    * parent lookup). */
+  private val HierChunkCtes: String =
+    """docs AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+      |  FROM documents WHERE length(text) > 0),
+      |words AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
+      |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
+      |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
+      |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
+      |  FROM docs),
+      |pos AS (
+      |  SELECT doc_id, wi,
+      |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+      |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
+      |      - (length(w) + length(gap)) AS ws,
+      |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
+      |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
+      |  FROM words),
+      |g AS (
+      |  SELECT doc_id, wi, ws, we, wi // 16 AS g16, wi // 64 AS g64
+      |  FROM pos),
+      |l0 AS MATERIALIZED (
+      |  SELECT doc_id, 0 AS level,
+      |    doc_id || '_L0_' || g64 AS chunk_id,
+      |    CAST(NULL AS VARCHAR) AS parent_id,
+      |    CAST(g64 AS INT) AS chunk_index,
+      |    CAST(min(ws) AS INT) AS start_offset,
+      |    CAST(max(we) AS INT) AS end_offset,
+      |    CAST(count(*) AS INT) AS token_count
+      |  FROM g GROUP BY doc_id, g64),
+      |l1 AS MATERIALIZED (
+      |  SELECT doc_id, 1 AS level,
+      |    doc_id || '_L1_' || g16 AS chunk_id,
+      |    doc_id || '_L0_' || (g16 // 4) AS parent_id,
+      |    CAST(g16 AS INT) AS chunk_index,
+      |    CAST(min(ws) AS INT) AS start_offset,
+      |    CAST(max(we) AS INT) AS end_offset,
+      |    CAST(count(*) AS INT) AS token_count
+      |  FROM g GROUP BY doc_id, g16)""".stripMargin
+
   private def bm25QueryValues: String =
     TextFunctions.tokenize(SearchQuery)
       .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
@@ -1937,6 +1984,21 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // ---- the query-syntax grammar v2 (VERDICT r10 #6 — the remaining
+    //      Lucene-classic legs the engine already had operators for):
+    //      `"big data"~3` gates via the ORDERED within-3 proximity
+    //      pair (proximity_search's point-in-interval chain),
+    //      `spark^2` doubles that term's query weight (the Lucene
+    //      boost semantic), and +table/-error/hash compile exactly as
+    //      in search_query_syntax — one oracle replays the whole
+    //      composition ----
+    "search_query_syntax_prox" -> ((s, dir) =>
+      graft.search.QuerySyntax.search(t(s, dir, "documents"), "doc_id",
+          "text", "\"big data\"~3 +table -error spark^2 hash", k = 20)
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // ---- RECENCY-boosted ranking — the freshness knob (news/docs
     //      rankers multiply relevance by exponential time decay):
     //      score = BM25 · exp(−age/180d), boost applied to EVERY
@@ -2057,6 +2119,46 @@ object SparkEntry {
         .filter(col("cum_tokens") <= 400L)
         .select("context_pos", "doc_id", "score", "n_tokens", "cum_tokens")
         .orderBy("context_pos")
+    }),
+
+    // ---- PARENT-CONTEXT retrieval (VERDICT r10 #5 — the RAG
+    //      parent-document pattern the reference's hierarchical
+    //      chunker exists for, hierarchical_strategy.py:78-260 / W8):
+    //      hits rank at the FINE level (BM25 over the (64,16)
+    //      hierarchy's 16-word leaves — precise matching), context
+    //      serves from the level ABOVE via the deterministic
+    //      parent_id link (no join needed to DERIVE the link; the
+    //      result-set-bounded joins here only LOOK UP the ≤10 winners'
+    //      parents). Chunk text is the span substring on BOTH engines,
+    //      so leaf ranking replays exactly; composes with
+    //      rag_context_pack by packing parents, not leaves ----
+    "search_parent_context" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
+        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
+      val docText = docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("text").as("_doc_text"))
+      val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
+        .select(col("chunk_id"),
+          expr("substring(_doc_text, start_offset + 1, " +
+            "end_offset - start_offset)").as("chunk_text"))
+      val hits = Bm25.searchTopK(leaves, "chunk_id", "chunk_text",
+          SearchQuery, 10)
+        .select(col("id").as("chunk_id"),
+          round(col("score"), 6).as("score"))
+      val leafMeta = hier.filter(col("level") === 1)
+        .select(col("chunk_id"), col("parent_id"), col("doc_id"))
+      val parents = hier.filter(col("level") === 0)
+        .select(col("chunk_id").as("parent_id"),
+          col("start_offset").as("parent_start"),
+          col("end_offset").as("parent_end"),
+          col("token_count").as("parent_tokens"))
+      hits.join(leafMeta, "chunk_id")
+        .join(parents, "parent_id")
+        .select(col("chunk_id"), col("doc_id").cast("long").as("doc_id"),
+          col("score"), col("parent_id"), col("parent_start"),
+          col("parent_end"), col("parent_tokens"))
+        .orderBy(col("score").desc, col("chunk_id"))
     }),
 
     // ---- prefix AUTOCOMPLETE over the corpus vocabulary: top-3
@@ -7353,6 +7455,52 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id""".stripMargin
     },
 
+    // grammar v2: the proximity gate replays as an ordered within-3
+    // position-pair join over the keep-stop token stream, and the
+    // boost rides the query VALUES as a third column multiplying the
+    // term's query weight; gates otherwise identical to
+    // search_query_syntax's
+    "search_query_syntax_prox" -> {
+      val toks = sqlToksKeepStop("text")
+      val where = s""" WHERE doc_id IN (SELECT doc_id FROM pm)
+        |  AND doc_id IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('table')
+        |    GROUP BY doc_id HAVING count(DISTINCT tok) = 1)
+        |  AND doc_id NOT IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents)
+        |    WHERE tok IN ('error'))""".stripMargin
+      s"""WITH qtoked AS MATERIALIZED (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |    unnest(range(len($toks))) AS pos
+         |  FROM documents),
+         |pm AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM qtoked a JOIN qtoked b ON a.doc_id = b.doc_id
+         |  WHERE a.tok = 'big' AND b.tok = 'data'
+         |    AND b.pos - a.pos BETWEEN 1 AND 3),
+         |${bm25WeightsCtes("z", where)},
+         |zq AS (SELECT q.term, q.q_tf, q.boost
+         |  FROM (VALUES ('spark', 1, 2.0), ('hash', 1, 1.0))
+         |    AS q(term, q_tf, boost)),
+         |zqw AS (
+         |  SELECT zq.term,
+         |    CAST(zq.q_tf AS DOUBLE) * i.idf * zq.boost AS q_weight
+         |  FROM zq JOIN zidf i ON zq.term = i.term WHERE i.idf > 0),
+         |zscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM zweights w JOIN zqw qw ON w.term = qw.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM zscores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
     // the same exponential decay on every scored doc before the cut
     "search_recency_boost" ->
       s"""WITH $Bm25ScoresCtes,
@@ -11841,49 +11989,48 @@ object SparkEntry {
     // (word, following-gap) regex captures with a running-sum window.
     // Chunking.scala hierarchical() is the line-by-line reference.
     "chunk_hier" ->
-      """WITH docs AS (
-        |  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
-        |  FROM documents WHERE length(text) > 0),
-        |words AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 1)) AS w,
-        |    unnest(regexp_extract_all(text, '(\S+)(\s*)', 2)) AS gap,
-        |    unnest(range(len(regexp_extract_all(text, '\S+')))) AS wi,
-        |    length(regexp_extract(text, '^(\s*)', 1)) AS lead
-        |  FROM docs),
-        |pos AS (
-        |  SELECT doc_id, wi,
-        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
-        |      ORDER BY wi ROWS UNBOUNDED PRECEDING)
-        |      - (length(w) + length(gap)) AS ws,
-        |    lead + sum(length(w) + length(gap)) OVER (PARTITION BY doc_id
-        |      ORDER BY wi ROWS UNBOUNDED PRECEDING) - length(gap) AS we
-        |  FROM words),
-        |g AS (
-        |  SELECT doc_id, wi, ws, we, wi // 16 AS g16, wi // 64 AS g64
-        |  FROM pos),
-        |l0 AS (
-        |  SELECT doc_id, 0 AS level,
-        |    doc_id || '_L0_' || g64 AS chunk_id,
-        |    CAST(NULL AS VARCHAR) AS parent_id,
-        |    CAST(g64 AS INT) AS chunk_index,
-        |    CAST(min(ws) AS INT) AS start_offset,
-        |    CAST(max(we) AS INT) AS end_offset,
-        |    CAST(count(*) AS INT) AS token_count
-        |  FROM g GROUP BY doc_id, g64),
-        |l1 AS (
-        |  SELECT doc_id, 1 AS level,
-        |    doc_id || '_L1_' || g16 AS chunk_id,
-        |    doc_id || '_L0_' || (g16 // 4) AS parent_id,
-        |    CAST(g16 AS INT) AS chunk_index,
-        |    CAST(min(ws) AS INT) AS start_offset,
-        |    CAST(max(we) AS INT) AS end_offset,
-        |    CAST(count(*) AS INT) AS token_count
-        |  FROM g GROUP BY doc_id, g16)
+      s"""WITH $HierChunkCtes
         |SELECT doc_id, CAST(level AS INT) AS level, chunk_id, parent_id,
         |  chunk_index, start_offset, end_offset, token_count
         |FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1)
         |ORDER BY CAST(doc_id AS BIGINT), level, chunk_index""".stripMargin,
+
+    // leaf BM25 over the l1 chunk-span substrings (the same spans on
+    // both engines), top-10 cut, then the winners' parent rows looked
+    // up through the deterministic parent_id link
+    "search_parent_context" ->
+      s"""WITH $HierChunkCtes,
+         |${bm25WeightsCtes("h", "",
+          "(SELECT l1.chunk_id AS doc_id, substring(d.text, " +
+            "l1.start_offset + 1, l1.end_offset - l1.start_offset) " +
+            "AS text FROM l1 JOIN docs d USING (doc_id)) src")},
+         |hqterms AS (
+         |  SELECT q.term, q.q_tf
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+         |hqweights AS (
+         |  SELECT hqterms.term,
+         |    CAST(hqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+         |  FROM hqterms JOIN hidf idf ON hqterms.term = idf.term
+         |  WHERE idf.idf > 0),
+         |hscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM hweights w JOIN hqweights qw ON w.term = qw.term
+         |  GROUP BY w.doc_id),
+         |hhits AS (
+         |  SELECT doc_id AS chunk_id, round(score, 6) AS score FROM (
+         |    SELECT doc_id, score FROM hscores
+         |    ORDER BY score DESC, doc_id LIMIT 10))
+         |SELECT h.chunk_id, CAST(l1.doc_id AS BIGINT) AS doc_id,
+         |  h.score, l1.parent_id,
+         |  l0.start_offset AS parent_start,
+         |  l0.end_offset AS parent_end,
+         |  l0.token_count AS parent_tokens
+         |FROM hhits h
+         |JOIN l1 ON h.chunk_id = l1.chunk_id
+         |JOIN l0 ON l1.parent_id = l0.chunk_id
+         |ORDER BY h.score DESC, h.chunk_id""".stripMargin,
 
     // C4 semantic chunker, EXACT oracle in three phases that mirror
     // Chunking.scala semantic(): (1) sentence relation — the

@@ -466,7 +466,8 @@ object Bm25 {
   def searchBooleanTree(corpus: DataFrame, idCol: String, textCol: String,
       queryText: String, must: Seq[String], should: Seq[String],
       mustNot: Seq[String], shouldBoost: Double, k: Int,
-      p: Params = Default): DataFrame = {
+      p: Params = Default,
+      termBoosts: Map[String, Double] = Map.empty): DataFrame = {
     val toks = corpus.select(col(idCol).as("id"),
       explode(TextFunctions.tokensCol(col(textCol),
         removeStopwords = false)).as("tok"))
@@ -485,7 +486,16 @@ object Bm25 {
           .select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
     val idx = buildIndex(eligible, idCol, textCol, p, pinStats = true)
-    val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    val qW0 = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    // per-term query boosts (the Lucene `term^b` semantic: b multiplies
+    // that term's score contribution) — a bounded when-chain over the
+    // query-sized relation, fully codegen'd
+    val qW = if (termBoosts.isEmpty) qW0
+      else qW0.withColumn("q_weight",
+        termBoosts.toSeq.sortBy(_._1).foldLeft(col("q_weight")) {
+          case (acc, (t, b)) =>
+            when(col("term") === t, acc * lit(b)).otherwise(acc)
+        })
     val spark = corpus.sparkSession
     import spark.implicits._
     val q2 =

@@ -11,66 +11,104 @@ import graft.operators.{Bm25, Phrase}
   * (Lucene classic query parser semantics, reduced to the legs this
   * engine implements):
   *
-  *   - `"quoted words"` → an EXACT PHRASE gate ([[Phrase.phraseSearch]]
-  *     positional intersection)
-  *   - `+term`          → MUST gate (postings conjunction)
-  *   - `-term`          → MUST_NOT gate (postings anti-join)
-  *   - bare terms       → the BM25 scoring query
+  *   - `"quoted words"`   → an EXACT PHRASE gate
+  *     ([[Phrase.phraseSearch]] positional intersection)
+  *   - `"quoted words"~k` → a PROXIMITY ("sloppy phrase") gate:
+  *     consecutive word pairs each within k tokens, ordered
+  *     ([[Phrase.proximitySearch]] chained per pair — the ordered
+  *     within-k chain, a documented simplification of Lucene's
+  *     minimal-edit sloppy match; identical for 2-word phrases)
+  *   - `+term`            → MUST gate (postings conjunction)
+  *   - `-term`            → MUST_NOT gate (postings anti-join)
+  *   - `term^b`           → BOOSTED scoring term (b multiplies the
+  *     term's query weight — the Lucene boost semantic)
+  *   - bare terms         → the BM25 scoring query
   *
   * All gates apply BEFORE the cut (filter-then-rank — the
   * [[Bm25.searchBooleanTree]] semantics), with BM25 statistics over
   * the eligible corpus. The parse is a deterministic pure function of
   * the query string; execution composes existing operators, so the
   * scale posture is theirs (broadcast phrase words + one bounded
-  * shuffle per phrase, postings gates, one scoring pass).
+  * shuffle per phrase/pair gate, postings gates, one scoring pass).
   */
 object QuerySyntax {
 
-  /** The parsed tree: exact phrases (tokenized), must terms, must_not
-    * terms, and the bare scoring terms. */
-  final case class Parsed(phrases: Seq[Seq[String]], must: Seq[String],
-                          mustNot: Seq[String], terms: Seq[String])
+  /** The parsed tree: exact phrases (tokenized), sloppy phrases
+    * (tokenized, with their slop), must terms, must_not terms, the
+    * bare scoring terms, and per-term boosts (`term^b`; unboosted
+    * terms are absent from the map). */
+  final case class Parsed(phrases: Seq[Seq[String]],
+                          slops: Seq[(Seq[String], Int)],
+                          must: Seq[String], mustNot: Seq[String],
+                          terms: Seq[String],
+                          boosts: Map[String, Double])
 
+  private val QuotedSlopRe = "\"([^\"]*)\"~(\\d+)".r
   private val QuotedRe = "\"([^\"]*)\"".r
+  private val BoostRe = "^(.+)\\^(\\d+(?:\\.\\d+)?)$".r
 
-  /** Parse `"exact phrase" +must -not bare` syntax. Prefixed and
-    * quoted segments tokenize through the engine tokenizer (keep-stop,
-    * matching the gates' postings); a bare `+` or `-` with no word is
-    * ignored. */
+  /** Parse `"exact phrase" "near phrase"~k +must -not bare boosted^2`
+    * syntax. Prefixed and quoted segments tokenize through the engine
+    * tokenizer (keep-stop, matching the gates' postings); a bare `+`
+    * or `-` with no word is ignored; a slop phrase needs >= 2 tokens
+    * (fewer: it degrades to an exact-phrase gate, which a 0/1-token
+    * phrase trivially is). */
   def parse(q: String): Parsed = {
     require(q != null && q.trim.nonEmpty, "empty query")
-    val phrases = QuotedRe.findAllMatchIn(q).map(_.group(1)).toSeq
-      .map(p => TextFunctions.tokenize(p, removeStopwords = false))
-      .filter(_.nonEmpty)
-    val rest = QuotedRe.replaceAllIn(q, " ")
-    val raw = rest.split("\\s+").filter(_.nonEmpty).toSeq
     def toks(s: String): Seq[String] =
       TextFunctions.tokenize(s, removeStopwords = false)
+    val slops = QuotedSlopRe.findAllMatchIn(q)
+      .map(m => (toks(m.group(1)), m.group(2).toInt)).toSeq
+      .filter { case (ts, k) => ts.size >= 2 && k >= 1 }
+    val noSlop = QuotedSlopRe.replaceAllIn(q, " ")
+    val phrases = QuotedRe.findAllMatchIn(noSlop).map(_.group(1)).toSeq
+      .map(p => toks(p))
+      .filter(_.nonEmpty)
+    val rest = QuotedRe.replaceAllIn(noSlop, " ")
+    val raw = rest.split("\\s+").filter(_.nonEmpty).toSeq
     val must = raw.filter(t => t.startsWith("+") && t.length > 1)
       .flatMap(t => toks(t.substring(1)))
     val mustNot = raw.filter(t => t.startsWith("-") && t.length > 1)
       .flatMap(t => toks(t.substring(1)))
-    val bare = raw.filterNot(t => t.startsWith("+") || t.startsWith("-"))
-      .flatMap(toks)
-    Parsed(phrases, must.distinct, mustNot.distinct, bare.distinct)
+    val bareRaw = raw
+      .filterNot(t => t.startsWith("+") || t.startsWith("-"))
+    val boosts = bareRaw.collect { case BoostRe(w, b) =>
+      toks(w).map(t => t -> b.toDouble)
+    }.flatten.toMap
+    val bare = bareRaw.flatMap {
+      case BoostRe(w, _) => toks(w)
+      case t => toks(t)
+    }
+    Parsed(phrases, slops, must.distinct, mustNot.distinct,
+      bare.distinct, boosts)
   }
 
-  /** Compile + execute over a corpus: phrase gates first (each a
-    * left-semi join against the positional intersection), then the
-    * must/must_not/scoring tree. The query must carry at least one
-    * bare scoring term (a pure-filter query has no ranking signal). */
+  /** Compile + execute over a corpus: phrase and proximity gates first
+    * (each a left-semi join against its positional intersection /
+    * within-k pair chain), then the must/must_not/scoring tree with
+    * per-term boosts threaded into the query vector. The query must
+    * carry at least one bare scoring term (a pure-filter query has no
+    * ranking signal). */
   def search(docs: DataFrame, idCol: String, textCol: String,
              query: String, k: Int): DataFrame = {
     val p = parse(query)
     require(p.terms.nonEmpty,
       s"query '$query' has no bare scoring terms")
-    val gated = p.phrases.foldLeft(docs) { (d, ph) =>
+    val phraseGated = p.phrases.foldLeft(docs) { (d, ph) =>
       d.join(Phrase.phraseSearch(d, idCol, textCol, ph)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_semi")
     }
+    val gated = p.slops.foldLeft(phraseGated) { case (d, (ws, slop)) =>
+      ws.sliding(2).foldLeft(d) { case (dd, Seq(w1, w2)) =>
+        dd.join(Phrase.proximitySearch(dd, idCol, textCol, w1, w2, slop)
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_semi")
+      }
+    }
     Bm25.searchBooleanTree(gated, idCol, textCol,
       p.terms.mkString(" "), must = p.must, should = Nil,
-      mustNot = p.mustNot, shouldBoost = 0.0, k = k)
+      mustNot = p.mustNot, shouldBoost = 0.0, k = k,
+      termBoosts = p.boosts)
   }
 }
