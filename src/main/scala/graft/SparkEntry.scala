@@ -994,6 +994,34 @@ object SparkEntry {
       |    CAST(count(*) AS INT) AS token_count
       |  FROM g GROUP BY doc_id, g16)""".stripMargin
 
+  /** [[HierChunkCtes]] + leaf BM25 + the top-10 cut — ends with CTE
+    * `hhits(chunk_id, score)` (6-dp rounded after the cut). Shared by
+    * search_parent_context and rag_parent_pack. */
+  private lazy val ParentLeafHitsCtes: String =
+    s"""$HierChunkCtes,
+       |${bm25WeightsCtes("h", "",
+        "(SELECT l1.chunk_id AS doc_id, substring(d.text, " +
+          "l1.start_offset + 1, l1.end_offset - l1.start_offset) " +
+          "AS text FROM l1 JOIN docs d USING (doc_id)) src")},
+       |hqterms AS (
+       |  SELECT q.term, q.q_tf
+       |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+       |hqweights AS (
+       |  SELECT hqterms.term,
+       |    CAST(hqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
+       |  FROM hqterms JOIN hidf idf ON hqterms.term = idf.term
+       |  WHERE idf.idf > 0),
+       |hscores AS (
+       |  SELECT w.doc_id,
+       |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+       |      AS score
+       |  FROM hweights w JOIN hqweights qw ON w.term = qw.term
+       |  GROUP BY w.doc_id),
+       |hhits AS MATERIALIZED (
+       |  SELECT doc_id AS chunk_id, round(score, 6) AS score FROM (
+       |    SELECT doc_id, score FROM hscores
+       |    ORDER BY score DESC, doc_id LIMIT 10))""".stripMargin
+
   private def bm25QueryValues: String =
     TextFunctions.tokenize(SearchQuery)
       .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
@@ -2054,6 +2082,36 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // ---- MMR diversity re-rank (Carbonell–Goldstein 1998 — W5's
+    //      diversity sibling, the "don't show ten copies" knob):
+    //      top-20 BM25 candidates re-ranked by λ·rel − (1−λ)·max-sim-
+    //      to-picked over the mock-embedding cosines, greedy k=10.
+    //      The greedy is inherently sequential → driver-side over the
+    //      COLLECTED candidate-k-bounded set (20 rows — the tuning-
+    //      loop collect discipline); candidate generation stays
+    //      distributed. Step scores round 6-dp BEFORE each argmax so
+    //      every pick replays cross-engine ----
+    "search_mmr" -> ((s, dir) => {
+      import graft.operators.Mmr
+      val docs = t(s, dir, "documents")
+      val top = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 20)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("rel"))
+      val cands = docs.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("rel"),
+          TextFunctions.mockEmbeddingCol(col("text"), KnnTextDim).as("v"))
+        .collect() // bounded by the candidate clamp (20 rows)
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Double](2).toArray))
+        .sortBy(c => (-c._2, c._1)).toSeq
+      val sel = Mmr.select(cands, k = 10, lambda = 0.7,
+        oneMinusLambda = 0.3)
+      import s.implicits._
+      sel.toDF("rank", "doc_id", "rel", "mmr")
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("rel"), col("mmr"))
+        .orderBy("rank")
+    }),
+
     // ---- batch "related documents" precompute — more_like_this for
     //      EVERY doc (the nightly related-articles job), over 3-gram
     //      SHINGLES (the synthetic unigram vocabulary is ~30 terms,
@@ -2159,6 +2217,46 @@ object SparkEntry {
           col("score"), col("parent_id"), col("parent_start"),
           col("parent_end"), col("parent_tokens"))
         .orderBy(col("score").desc, col("chunk_id"))
+    }),
+
+    // ---- the parent-document RAG assembly end-to-end (the verdict's
+    //      "pack parents, not fine chunks"): leaf hits collapse to
+    //      their parents FIRST-HIT style (best child score per parent
+    //      — max over 6-dp-rounded scores, order-free), then the
+    //      64-token parents greedily pack the 400-token budget in
+    //      (best_score desc, parent_id) order — context windows built
+    //      from coherent parent spans instead of 16-word fragments ----
+    "rag_parent_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
+        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
+      val docText = docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("text").as("_doc_text"))
+      val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
+        .select(col("chunk_id"),
+          expr("substring(_doc_text, start_offset + 1, " +
+            "end_offset - start_offset)").as("chunk_text"))
+      val hits = Bm25.searchTopK(leaves, "chunk_id", "chunk_text",
+          SearchQuery, 10)
+        .select(col("id").as("chunk_id"),
+          round(col("score"), 6).as("score"))
+      val leafMeta = hier.filter(col("level") === 1)
+        .select(col("chunk_id"), col("parent_id"))
+      val bestPerParent = hits.join(leafMeta, "chunk_id")
+        .groupBy("parent_id").agg(max("score").as("best_score"))
+      val parents = hier.filter(col("level") === 0)
+        .select(col("chunk_id").as("parent_id"), col("doc_id"),
+          col("token_count").cast("long").as("n_tokens"))
+      val w = Window.orderBy(col("best_score").desc, col("parent_id"))
+      bestPerParent.join(parents, "parent_id")
+        .withColumn("context_pos", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+          sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= 400L)
+        .select(col("context_pos"), col("parent_id"),
+          col("doc_id").cast("long").as("doc_id"), col("best_score"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy("context_pos")
     }),
 
     // ---- prefix AUTOCOMPLETE over the corpus vocabulary: top-3
@@ -4475,6 +4573,46 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // ---- the REMOVE path inside a REAL stream (t3_incremental_
+    //      stats_stream's subtractive twin): two add batches then a
+    //      REMOVAL batch through the same mtime-ordered file source
+    //      (order matters here — a removal must follow its add, which
+    //      is exactly what the Debezium-style ordered log guarantees);
+    //      foreachBatch routes each homogeneous micro-batch to
+    //      merge/remove by its op column. Oracle = the recompute over
+    //      the surviving corpus (t3_incremental_remove's, verbatim) ----
+    "t3_incremental_remove_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val in = stagedEventsCache.getOrElseUpdate(s"$dir#t3rm", {
+        stageOrderedBatches("graft-t3rm", Seq(
+          docs.filter(col("doc_id") % 2 === 0).withColumn("op", lit("A")),
+          docs.filter(col("doc_id") % 2 === 1).withColumn("op", lit("A")),
+          docs.filter(col("doc_id") % 7 === 0).withColumn("op", lit("R"))))
+      })
+      val schema = docs.withColumn("op", lit("A")).schema
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-t3rmck")
+        .resolve("ck").toString
+      var state = Sync.emptyBm25State(s)
+      Sync.fileStreamForeachBatch(s, in, schema, ckpt,
+          onBatch = (batch, _) => {
+            val adds = batch.filter(col("op") === "A").drop("op")
+            val rems = batch.filter(col("op") === "R").drop("op")
+            var st = Sync.mergeBm25Stats(state._1, state._2, adds,
+              "doc_id", "text")
+            st = Sync.removeBm25Stats(st._1, st._2, rems,
+              "doc_id", "text")
+            state = (st._1.localCheckpoint(), st._2.localCheckpoint())
+          },
+          maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val (termStats, globals) = state
+      termStats.crossJoin(broadcast(globals))
+        .select(col("term"), col("df"),
+          round(Bm25.idfCol(col("df"), col("n_docs")), 6).as("idf"),
+          col("n_docs"))
+        .orderBy("term")
+    }),
+
     // ---- pipeline DAG execution with predicate routing (§3.3) ----
     "dag_pipeline" -> ((s, dir) => {
       import graft.pipeline.Dag
@@ -6678,7 +6816,12 @@ object SparkEntry {
       // search IDENTICALLY to the in-plan assignment (the
       // bm25_index_persist/bm25_topk precedent: a shared oracle is the
       // bit-exactness proof, not a shortcut)
-      "ann_index_persist" -> m("ann_ivf_upsert"))
+      "ann_index_persist" -> m("ann_ivf_upsert"),
+      // the streamed add/add/remove run must converge to the SAME
+      // surviving-corpus recompute as the batch remove — order-
+      // dependence of remove-after-add is exactly what the mtime-
+      // ordered fixture exercises
+      "t3_incremental_remove_stream" -> m("t3_incremental_remove"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -7529,6 +7672,59 @@ object SparkEntry {
          |SELECT facet, value, count(*) AS n FROM fac
          |GROUP BY facet, value
          |ORDER BY facet, value""".stripMargin,
+
+    // the MMR greedy replayed as a 10-step chained-CTE selection (the
+    // BPE-chain pattern): pairwise mock-vector dots precomputed over
+    // the 20-candidate set, each step's argmax on the 6-dp-rounded
+    // step score with id tie-break, selected set unioned forward
+    "search_mmr" -> {
+      val vcols = (0 until 8).map(i => s"r$i / nn AS v$i")
+        .mkString(", ")
+      val simExpr = (0 until 8).map(i => s"a.v$i * b.v$i")
+        .mkString(" + ")
+      val steps = (1 until 10).map { n =>
+        s""",
+           |rem$n AS (SELECT c.* FROM mcand c
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM selu${n - 1})),
+           |ms$n AS (
+           |  SELECT r.doc_id, max(p.sim) AS ms
+           |  FROM rem$n r JOIN mpsim p ON p.a = r.doc_id
+           |    AND p.b IN (SELECT doc_id FROM selu${n - 1})
+           |  GROUP BY r.doc_id),
+           |sc$n AS (
+           |  SELECT r.doc_id, r.rel,
+           |    round(0.7 * r.rel - 0.3 * coalesce(m.ms, 0.0), 6) AS mmr
+           |  FROM rem$n r LEFT JOIN ms$n m USING (doc_id)),
+           |sel$n AS MATERIALIZED (
+           |  SELECT ${n + 1} AS rank, doc_id, rel, mmr FROM sc$n
+           |  ORDER BY mmr DESC, doc_id LIMIT 1),
+           |selu$n AS MATERIALIZED (
+           |  SELECT * FROM selu${n - 1}
+           |  UNION ALL SELECT * FROM sel$n)""".stripMargin
+      }.mkString
+      s"""WITH $Bm25ScoresCtes,
+         |mtop AS MATERIALIZED (
+         |  SELECT doc_id, round(score, 6) AS rel FROM (
+         |    SELECT doc_id, score FROM bm25_scores
+         |    ORDER BY score DESC, doc_id LIMIT 20)),
+         |${mockVecCtes(
+            "(SELECT d.doc_id, d.text FROM documents d " +
+              "JOIN mtop USING (doc_id)) msrc",
+            "doc_id", "text", "m")},
+         |mvec AS MATERIALIZED (
+         |  SELECT doc_id, $vcols FROM mnrm),
+         |mcand AS MATERIALIZED (
+         |  SELECT doc_id, rel FROM mtop),
+         |mpsim AS MATERIALIZED (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, $simExpr AS sim
+         |  FROM mvec a JOIN mvec b ON a.doc_id <> b.doc_id),
+         |sel0 AS MATERIALIZED (
+         |  SELECT 1 AS rank, doc_id, rel, round(0.7 * rel, 6) AS mmr
+         |  FROM mcand ORDER BY mmr DESC, doc_id LIMIT 1),
+         |selu0 AS MATERIALIZED (SELECT * FROM sel0)$steps
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel, mmr
+         |FROM selu9 ORDER BY rank""".stripMargin
+    },
 
     // seed doc 1's top-10 weights (6-dp rounded BEFORE the cut) as the
     // query vector; standard sparse dot over every other doc
@@ -11999,29 +12195,7 @@ object SparkEntry {
     // both engines), top-10 cut, then the winners' parent rows looked
     // up through the deterministic parent_id link
     "search_parent_context" ->
-      s"""WITH $HierChunkCtes,
-         |${bm25WeightsCtes("h", "",
-          "(SELECT l1.chunk_id AS doc_id, substring(d.text, " +
-            "l1.start_offset + 1, l1.end_offset - l1.start_offset) " +
-            "AS text FROM l1 JOIN docs d USING (doc_id)) src")},
-         |hqterms AS (
-         |  SELECT q.term, q.q_tf
-         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
-         |hqweights AS (
-         |  SELECT hqterms.term,
-         |    CAST(hqterms.q_tf AS DOUBLE) * idf.idf AS q_weight
-         |  FROM hqterms JOIN hidf idf ON hqterms.term = idf.term
-         |  WHERE idf.idf > 0),
-         |hscores AS (
-         |  SELECT w.doc_id,
-         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
-         |      AS score
-         |  FROM hweights w JOIN hqweights qw ON w.term = qw.term
-         |  GROUP BY w.doc_id),
-         |hhits AS (
-         |  SELECT doc_id AS chunk_id, round(score, 6) AS score FROM (
-         |    SELECT doc_id, score FROM hscores
-         |    ORDER BY score DESC, doc_id LIMIT 10))
+      s"""WITH $ParentLeafHitsCtes
          |SELECT h.chunk_id, CAST(l1.doc_id AS BIGINT) AS doc_id,
          |  h.score, l1.parent_id,
          |  l0.start_offset AS parent_start,
@@ -12031,6 +12205,31 @@ object SparkEntry {
          |JOIN l1 ON h.chunk_id = l1.chunk_id
          |JOIN l0 ON l1.parent_id = l0.chunk_id
          |ORDER BY h.score DESC, h.chunk_id""".stripMargin,
+
+    // the same leaf hits collapsed to parents (max rounded child
+    // score — order-free), then the rag_context_pack greedy prefix
+    // over the parents' token counts
+    "rag_parent_pack" ->
+      s"""WITH $ParentLeafHitsCtes,
+         |ppar AS (
+         |  SELECT l1.parent_id, max(h.score) AS best_score
+         |  FROM hhits h JOIN l1 ON h.chunk_id = l1.chunk_id
+         |  GROUP BY l1.parent_id),
+         |ppk AS (
+         |  SELECT p.parent_id, CAST(l0.doc_id AS BIGINT) AS doc_id,
+         |    p.best_score,
+         |    CAST(l0.token_count AS BIGINT) AS n_tokens,
+         |    CAST(row_number() OVER
+         |      (ORDER BY p.best_score DESC, p.parent_id) AS BIGINT)
+         |      AS context_pos,
+         |    sum(CAST(l0.token_count AS BIGINT)) OVER
+         |      (ORDER BY p.best_score DESC, p.parent_id
+         |       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM ppar p JOIN l0 ON p.parent_id = l0.chunk_id)
+         |SELECT context_pos, parent_id, doc_id, best_score, n_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM ppk WHERE cum_tokens <= 400
+         |ORDER BY context_pos""".stripMargin,
 
     // C4 semantic chunker, EXACT oracle in three phases that mirror
     // Chunking.scala semantic(): (1) sentence relation — the
