@@ -2027,6 +2027,20 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // ---- grammar v2's FIELD leg — Lucene's `field:value` scoped to
+    //      keyword equality: `lang:en` filters the corpus BEFORE every
+    //      other gate (plain column equality — it pushes into the
+    //      parquet scan), BM25 stats over the filtered collection;
+    //      the field→column mapping is caller-declared and unknown
+    //      fields fail loudly ----
+    "search_query_syntax_field" -> ((s, dir) =>
+      graft.search.QuerySyntax.search(t(s, dir, "documents"), "doc_id",
+          "text", "lang:en +table -error spark hash", k = 20,
+          fieldCols = Map("lang" -> "lang", "source" -> "source"))
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // ---- RECENCY-boosted ranking — the freshness knob (news/docs
     //      rankers multiply relevance by exponential time decay):
     //      score = BM25 · exp(−age/180d), boost applied to EVERY
@@ -2110,6 +2124,51 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
           col("rel"), col("mmr"))
         .orderBy("rank")
+    }),
+
+    // ---- near-dup result COLLAPSE (the Elasticsearch field-collapse
+    //      idea generalized to content identity): a candidate is
+    //      suppressed when a near-dup neighbor ranks strictly better
+    //      among the candidates — the DOMINATED-SUPPRESSION rule (one
+    //      declarative pass; differs from the sequential greedy only
+    //      on sim chains a–b–c where the middle is itself suppressed).
+    //      Near-dup pairs come from the standard MinHash+verify run on
+    //      the CANDIDATE SET ONLY (50 docs — result-bounded, never the
+    //      corpus); suppressed rows carry their best dominator. The
+    //      corpus has no natural near-dups at sf0.01, so %10 shadow
+    //      docs with a mutated tail guarantee clusters at every sf ----
+    "search_collapse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shadows = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1L << 41)).as("doc_id"),
+          concat(col("text"),
+            lit(" collapsed duplicate variant")).as("text"))
+      val corpus = docs.unionByName(shadows)
+      val top = Bm25.searchTopK(corpus, "doc_id", "text", SearchQuery, 50)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+      val candDocs = corpus.join(broadcast(top.select("doc_id")), "doc_id")
+      val pairs = Dedup.minhashNearDups(candDocs, "doc_id", "text",
+          n = 3, numHashes = 16, bands = 8, threshold = 0.5,
+          hashFamily = Dedup.shaHashFamily)
+        .select(col("id_a"), col("id_b"))
+      val sym = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val dominators = sym
+        .join(top.select(col("doc_id").as("id_a"),
+          col("score").as("s_a")), "id_a")
+        .join(top.select(col("doc_id").as("id_b"),
+          col("score").as("s_b")), "id_b")
+        .filter(col("s_a") > col("s_b") ||
+          (col("s_a") === col("s_b") && col("id_a") < col("id_b")))
+      val bestDom = dominators
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(max(struct(col("s_a").as("_s"),
+          (-col("id_a")).as("_negi"))).as("_m"))
+        .select(col("doc_id"), (-col("_m._negi")).as("collapsed_into"))
+      top.join(bestDom, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("score"),
+          col("collapsed_into").isNull.as("kept"), col("collapsed_into"))
+        .orderBy(col("score").desc, col("doc_id"))
     }),
 
     // ---- batch "related documents" precompute — more_like_this for
@@ -3051,6 +3110,53 @@ object SparkEntry {
         .readCurrent(s, s"$root/assign")
         .filter(col("cluster_id").isin(probes: _*))
         .select("vec_id")
+      Knn.bruteForceTopK(e.join(shortlist, "vec_id"), "vec_id",
+          "embedding", qv, 10)
+        .select(col("vec_id"),
+          (col("vec_id") % 5 === 0).as("is_new"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- S6's upsert path as a REAL STREAM: the vec_id%5==0 arrivals
+    //      flow in three mtime-ordered micro-batches; each batch is
+    //      assigned under the FROZEN base quantizer inside foreachBatch
+    //      (assignment only — never a refit, the Qdrant-upsert
+    //      semantic) and appended to the standing assignments; the
+    //      probe search runs over the final state. The result must be
+    //      IDENTICAL to ann_ivf_upsert's batch assignment — the shared
+    //      oracle is the order-independence proof (assignment is
+    //      per-row, so any batch partitioning converges) ----
+    "streaming_ann_upsert" -> ((s, dir) => {
+      lastDir = dir
+      val e = t(s, dir, "embeddings")
+      val centroids = ivfBaseCentroidsFor(s, dir)
+      val arrivals = e.filter(col("vec_id") % 5 === 0)
+      val in = stagedEventsCache.getOrElseUpdate(s"$dir#annup", {
+        stageOrderedBatches("graft-annup", Seq(
+          arrivals.filter(col("vec_id") % 3 === 0),
+          arrivals.filter(col("vec_id") % 3 === 1),
+          arrivals.filter(col("vec_id") % 3 === 2)))
+      })
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-annupck")
+        .resolve("ck").toString
+      var assigns = Knn.ivfAssign(e.filter(col("vec_id") % 5 =!= 0),
+          "embedding", centroids)
+        .select(col("vec_id"), col("cluster_id"))
+        .localCheckpoint()
+      Sync.fileStreamForeachBatch(s, in, e.schema, ckpt,
+          onBatch = (batch, _) => {
+            assigns = assigns.unionByName(
+                Knn.ivfAssign(batch, "embedding", centroids)
+                  .select(col("vec_id"), col("cluster_id")))
+              .localCheckpoint()
+          },
+          maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val qv = queryVecFor(s, dir)
+      val probes = Knn.nearestCentroids(qv, centroids, 3)
+      val shortlist = assigns
+        .filter(col("cluster_id").isin(probes: _*)).select("vec_id")
       Knn.bruteForceTopK(e.join(shortlist, "vec_id"), "vec_id",
           "embedding", qv, 10)
         .select(col("vec_id"),
@@ -6821,7 +6927,11 @@ object SparkEntry {
       // surviving-corpus recompute as the batch remove — order-
       // dependence of remove-after-add is exactly what the mtime-
       // ordered fixture exercises
-      "t3_incremental_remove_stream" -> m("t3_incremental_remove"))
+      "t3_incremental_remove_stream" -> m("t3_incremental_remove"),
+      // per-row assignment is order-independent, so the streamed
+      // micro-batch upserts must land exactly on the batch
+      // assignment's search result
+      "streaming_ann_upsert" -> m("ann_ivf_upsert"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -7644,6 +7754,40 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id""".stripMargin
     },
 
+    // the field filter is a plain equality on the corpus relation —
+    // stats over the filtered collection, gates otherwise identical
+    "search_query_syntax_field" -> {
+      val toks = sqlToksKeepStop("text")
+      val where = s""" WHERE lang = 'en'
+        |  AND doc_id IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents
+        |      WHERE lang = 'en')
+        |    WHERE tok IN ('table')
+        |    GROUP BY doc_id HAVING count(DISTINCT tok) = 1)
+        |  AND doc_id NOT IN (
+        |    SELECT doc_id FROM (
+        |      SELECT doc_id, unnest($toks) AS tok FROM documents
+        |      WHERE lang = 'en')
+        |    WHERE tok IN ('error'))""".stripMargin
+      s"""WITH ${bm25WeightsCtes("f2", where)},
+         |f2q AS (SELECT q.term, q.q_tf
+         |  FROM (VALUES ('spark', 1), ('hash', 1)) AS q(term, q_tf)),
+         |f2qw AS (
+         |  SELECT f2q.term, CAST(f2q.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM f2q JOIN f2idf i ON f2q.term = i.term WHERE i.idf > 0),
+         |f2scores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM f2weights w JOIN f2qw qw ON w.term = qw.term
+         |  GROUP BY w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM (
+         |  SELECT doc_id, score FROM f2scores
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
     // the same exponential decay on every scored doc before the cut
     "search_recency_boost" ->
       s"""WITH $Bm25ScoresCtes,
@@ -7724,6 +7868,80 @@ object SparkEntry {
          |selu0 AS MATERIALIZED (SELECT * FROM sel0)$steps
          |SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel, mmr
          |FROM selu9 ORDER BY rank""".stripMargin
+    },
+
+    // the collapse replayed end-to-end: BM25 over the shadowed corpus,
+    // top-50 cut, the minhash+exact-jaccard pair machinery restricted
+    // to the candidate docs, symmetric domination, best dominator by
+    // (score desc, id asc)
+    "search_collapse" -> {
+      s"""WITH ccorp AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2199023255552,  -- 1<<41
+         |    text || ' collapsed duplicate variant'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |${bm25WeightsCtes("k", "", "ccorp")},
+         |kq AS (SELECT q.term, q.q_tf
+         |  FROM (VALUES $bm25QueryValues) AS q(term, q_tf)),
+         |kqw AS (
+         |  SELECT kq.term, CAST(kq.q_tf AS DOUBLE) * i.idf AS q_weight
+         |  FROM kq JOIN kidf i ON kq.term = i.term WHERE i.idf > 0),
+         |kscores AS (
+         |  SELECT w.doc_id,
+         |    list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+         |      AS score
+         |  FROM kweights w JOIN kqw qw ON w.term = qw.term
+         |  GROUP BY w.doc_id),
+         |ktop AS MATERIALIZED (
+         |  SELECT doc_id, round(score, 6) AS score FROM (
+         |    SELECT doc_id, score FROM kscores
+         |    ORDER BY score DESC, doc_id LIMIT 50)),
+         |cdocs AS (
+         |  SELECT c.doc_id AS id, c.text FROM ccorp c
+         |  JOIN ktop t ON c.doc_id = t.doc_id),
+         |${minhashSideCtes("cdocs", "cc")},
+         |ccands AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM banded_cc l JOIN banded_cc r
+         |    ON l.band = r.band AND l.band_val = r.band_val
+         |    AND l.id < r.id),
+         |csizes AS (SELECT id, count(*) AS n FROM sh_cc GROUP BY id),
+         |cinters AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM ccands c
+         |  JOIN sh_cc a ON a.id = c.id_a
+         |  JOIN sh_cc b ON b.id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |cpairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |        (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+         |    FROM ccands c
+         |    LEFT JOIN cinters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |    JOIN csizes sa ON sa.id = c.id_a
+         |    JOIN csizes sb ON sb.id = c.id_b)
+         |  WHERE jaccard >= 0.5),
+         |csym AS (
+         |  SELECT id_a, id_b FROM cpairs
+         |  UNION ALL SELECT id_b, id_a FROM cpairs),
+         |cdom AS (
+         |  SELECT s.id_b AS doc_id, a.score AS s_a, s.id_a AS dom
+         |  FROM csym s
+         |  JOIN ktop a ON s.id_a = a.doc_id
+         |  JOIN ktop b ON s.id_b = b.doc_id
+         |  WHERE a.score > b.score
+         |    OR (a.score = b.score AND s.id_a < s.id_b)),
+         |cbest AS (
+         |  SELECT doc_id, dom AS collapsed_into FROM (
+         |    SELECT doc_id, dom, row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY s_a DESC, dom) AS rn
+         |    FROM cdom) WHERE rn = 1)
+         |SELECT t.doc_id, t.score,
+         |  cb.collapsed_into IS NULL AS kept, cb.collapsed_into
+         |FROM ktop t LEFT JOIN cbest cb ON t.doc_id = cb.doc_id
+         |ORDER BY t.score DESC, t.doc_id""".stripMargin
     },
 
     // seed doc 1's top-10 weights (6-dp rounded BEFORE the cut) as the

@@ -22,6 +22,10 @@ import graft.operators.{Bm25, Phrase}
   *   - `-term`            → MUST_NOT gate (postings anti-join)
   *   - `term^b`           → BOOSTED scoring term (b multiplies the
   *     term's query weight — the Lucene boost semantic)
+  *   - `field:value`      → FIELD FILTER: equality on a keyword
+  *     column the caller maps via `fieldCols` (Lucene's field-scoped
+  *     term query, restricted to the keyword-equality case; unknown
+  *     fields fail loudly; negated fields are not supported)
   *   - bare terms         → the BM25 scoring query
   *
   * All gates apply BEFORE the cut (filter-then-rank — the
@@ -41,11 +45,13 @@ object QuerySyntax {
                           slops: Seq[(Seq[String], Int)],
                           must: Seq[String], mustNot: Seq[String],
                           terms: Seq[String],
-                          boosts: Map[String, Double])
+                          boosts: Map[String, Double],
+                          fields: Seq[(String, String)])
 
   private val QuotedSlopRe = "\"([^\"]*)\"~(\\d+)".r
   private val QuotedRe = "\"([^\"]*)\"".r
   private val BoostRe = "^(.+)\\^(\\d+(?:\\.\\d+)?)$".r
+  private val FieldRe = "^([A-Za-z_][A-Za-z0-9_]*):(.+)$".r
 
   /** Parse `"exact phrase" "near phrase"~k +must -not bare boosted^2`
     * syntax. Prefixed and quoted segments tokenize through the engine
@@ -70,8 +76,10 @@ object QuerySyntax {
       .flatMap(t => toks(t.substring(1)))
     val mustNot = raw.filter(t => t.startsWith("-") && t.length > 1)
       .flatMap(t => toks(t.substring(1)))
-    val bareRaw = raw
+    val (fieldRaw, bareRaw) = raw
       .filterNot(t => t.startsWith("+") || t.startsWith("-"))
+      .partition(t => FieldRe.findFirstIn(t).isDefined)
+    val fields = fieldRaw.collect { case FieldRe(f, v) => (f, v) }
     val boosts = bareRaw.collect { case BoostRe(w, b) =>
       toks(w).map(t => t -> b.toDouble)
     }.flatten.toMap
@@ -80,7 +88,7 @@ object QuerySyntax {
       case t => toks(t)
     }
     Parsed(phrases, slops, must.distinct, mustNot.distinct,
-      bare.distinct, boosts)
+      bare.distinct, boosts, fields.distinct)
   }
 
   /** Compile + execute over a corpus: phrase and proximity gates first
@@ -90,11 +98,21 @@ object QuerySyntax {
     * carry at least one bare scoring term (a pure-filter query has no
     * ranking signal). */
   def search(docs: DataFrame, idCol: String, textCol: String,
-             query: String, k: Int): DataFrame = {
+             query: String, k: Int,
+             fieldCols: Map[String, String] = Map.empty): DataFrame = {
     val p = parse(query)
     require(p.terms.nonEmpty,
       s"query '$query' has no bare scoring terms")
-    val phraseGated = p.phrases.foldLeft(docs) { (d, ph) =>
+    // field filters first: plain column equality pushes into the scan,
+    // shrinking every downstream gate and the BM25 corpus itself
+    // (filtered-collection stats, like every other gate here)
+    val fieldGated = p.fields.foldLeft(docs) { case (d, (f, v)) =>
+      require(fieldCols.contains(f),
+        s"unknown field '$f' in query '$query' " +
+          s"(known: ${fieldCols.keys.toSeq.sorted.mkString(", ")})")
+      d.filter(col(fieldCols(f)) === v)
+    }
+    val phraseGated = p.phrases.foldLeft(fieldGated) { (d, ph) =>
       d.join(Phrase.phraseSearch(d, idCol, textCol, ph)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_semi")

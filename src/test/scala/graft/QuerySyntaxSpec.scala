@@ -69,6 +69,25 @@ class QuerySyntaxSpec extends SparkSpec {
       s"boost should reorder: base=$base boosted=$boosted")
   }
 
+  test("field filters: `field:value` gates by declared column " +
+      "equality before everything else; unknown fields fail loudly") {
+    val p = QuerySyntax.parse("lang:en source:web spark")
+    assert(p.fields == Seq(("lang", "en"), ("source", "web")), p.fields)
+    assert(p.terms == Seq("spark"))
+    val docs = Seq(
+      (1L, "spark rows here", "en"),
+      (2L, "spark rows here", "de"),
+      (3L, "nothing relevant", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = QuerySyntax.search(docs, "doc_id", "text",
+        "lang:en spark", k = 10, fieldCols = Map("lang" -> "lang"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), got.toString)
+    intercept[IllegalArgumentException](
+      QuerySyntax.search(docs, "doc_id", "text", "nope:x spark",
+        k = 10, fieldCols = Map("lang" -> "lang")))
+  }
+
   test("search: phrase gate, must conjunction, and exclusion compose " +
       "filter-then-rank; a doc missing any gate never ranks") {
     val docs = Seq(
