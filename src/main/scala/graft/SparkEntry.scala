@@ -2278,6 +2278,45 @@ object SparkEntry {
         .orderBy(col("score").desc, col("chunk_id"))
     }),
 
+    // ---- MULTI-VECTOR late-interaction retrieval (the ColBERT
+    //      MaxSim shape, Khattab & Zaharia 2020, over chunk
+    //      granularity): each doc is represented by its 16-word leaf
+    //      chunk vectors; score(doc) = Σ_q max_chunk cos(q_vec,
+    //      chunk_vec) over the query's token vectors — fine-grained
+    //      matching BM25's bag-of-words and single-vector cosine both
+    //      miss. ONE aggregation pass: all |q| maxes ride the same
+    //      doc-keyed groupBy (map-side combined), summed in fixed
+    //      token order; at scale this is the standard late-interaction
+    //      plan (chunk vectors ⨝ broadcast query tokens) ----
+    "colbert_maxsim" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
+        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
+      val docText = docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("text").as("_doc_text"))
+      val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
+        .select(col("doc_id"),
+          expr("substring(_doc_text, start_offset + 1, " +
+            "end_offset - start_offset)").as("chunk_text"))
+      val qtoks = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val qvecs = qtoks.map(tk =>
+        TextFunctions.mockEmbeddingDouble(tk, KnnTextDim))
+      val withV = leaves.withColumn("v",
+        TextFunctions.mockEmbeddingCol(col("chunk_text"), KnnTextDim))
+      val aggs = qvecs.zipWithIndex.map { case (q, i) =>
+        max(VectorFunctions.dot(col("v"),
+          array(q.toIndexedSeq.map(lit): _*))).as(s"m$i")
+      }
+      val scored = withV.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val score = qvecs.indices.map(i => col(s"m$i")).reduce(_ + _)
+      scored
+        .select(col("doc_id").cast("long").as("doc_id"),
+          round(score, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- the parent-document RAG assembly end-to-end (the verdict's
     //      "pack parents, not fine chunks"): leaf hits collapse to
     //      their parents FIRST-HIT style (best child score per parent
@@ -2334,6 +2373,39 @@ object SparkEntry {
           Spell.vocabulary(t(s, dir, "documents"), "doc_id", "text"),
           Seq("st", "qu", "ba"), n = 3)
         .orderBy(col("prefix"), col("df").desc, col("suggestion"))
+    }),
+
+    // ---- next-WORD query suggestion (the other half of the
+    //      search-box suggest family: prefix completes the current
+    //      word, this continues the phrase): corpus bigram counts via
+    //      an in-plan zip of the token array with its own tail (one
+    //      narrow pass — the raw token stream never shuffles; only
+    //      the seed-filtered bigram counts do), top-3 continuations
+    //      per seed by (count desc, word asc) through the bounded
+    //      TopK aggregator ----
+    "suggest_next_word" -> ((s, dir) => {
+      import graft.operators.TopK
+      val seeds = Seq("customer", "data", "table")
+      val bg = t(s, dir, "documents")
+        .select(TextFunctions.tokensCol(col("text"),
+          removeStopwords = false).as("_t"))
+        // _t projected BELOW the transform so the tokenizer runs once
+        // per row, not once per element (the Bm25 generator trap)
+        .select(explode(expr(
+          "transform(slice(_t, 1, size(_t) - 1), " +
+            "(w, i) -> struct(w AS w1, element_at(_t, i + 2) AS w2))"))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val counted = bg.filter(col("w1").isin(seeds: _*))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      TopK.perGroup(
+          counted.select(col("w1").as("seed"),
+            col("w2").as("doc_id"), col("w2").as("chunk_id"),
+            col("n").cast("double").as("score")),
+          "seed", 3)
+        .select(col("seed"), col("chunk_id").as("suggestion"),
+          col("score").cast("long").as("n"))
+        .orderBy(col("seed"), col("n").desc, col("suggestion"))
     }),
 
     // ---- "did you mean" spelling correction (SymSpell symmetric
@@ -2794,6 +2866,26 @@ object SparkEntry {
           col("is_duplicate"), col("dup_of"),
           round(col("max_cosine"), 6).as("max_cosine"))
         .orderBy("vec_id")
+    }),
+
+    // ---- INCREMENTAL embedding near-dup — dedup_semantic's arrival
+    //      shape and minhash_incremental's dense sibling: arrivals
+    //      (vec_id%5==0) and the standing corpus both assign under the
+    //      FROZEN base quantizer; candidates = arrival-cells ⨝
+    //      standing-cells on cluster_id (never a union self-join), so
+    //      the standing side is a probeable cell-partitioned index at
+    //      scale; exact cosine verify ≥ 0.3 ----
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      lastDir = dir
+      val e = t(s, dir, "embeddings")
+      Dedup.semanticDedupIncremental(
+          e.filter(col("vec_id") % 5 === 0),
+          e.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", ivfBaseCentroidsFor(s, dir),
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"), col("cluster_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- ANN via LSH bucket restriction (hash-checked: the oracle
@@ -12424,6 +12516,56 @@ object SparkEntry {
          |JOIN l0 ON l1.parent_id = l0.chunk_id
          |ORDER BY h.score DESC, h.chunk_id""".stripMargin,
 
+    // bigram stream via the zipped positional unnest; top-3 per seed
+    // by (count desc, word asc)
+    "suggest_next_word" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS (SELECT $toks AS t FROM documents),
+         |bg AS (
+         |  SELECT unnest(t[1:len(t)-1]) AS w1,
+         |    unnest(t[2:len(t)]) AS w2
+         |  FROM toked),
+         |cnt AS (
+         |  SELECT w1 AS seed, w2, count(*) AS n FROM bg
+         |  WHERE w1 IN ('customer', 'data', 'table')
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT seed, w2, n, row_number() OVER
+         |    (PARTITION BY seed ORDER BY n DESC, w2) AS rn
+         |  FROM cnt)
+         |SELECT seed, w2 AS suggestion, CAST(n AS BIGINT) AS n
+         |FROM rk WHERE rn <= 3
+         |ORDER BY seed, n DESC, suggestion""".stripMargin
+    },
+
+    // per-chunk mock vectors from the l1 leaf substrings; |q| maxes in
+    // one GROUP BY, summed in the same fixed token order
+    "colbert_maxsim" -> {
+      val qtoks = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val qvecs = qtoks.map(tk =>
+        TextFunctions.mockEmbeddingDouble(tk, KnnTextDim))
+      val maxCols = qvecs.zipWithIndex.map { case (q, i) =>
+        s"max(${mockDotExpr(q)}) AS m$i"
+      }.mkString(",\n    ")
+      val sumExpr = qvecs.indices.map(i => s"m$i").mkString(" + ")
+      s"""WITH $HierChunkCtes,
+         |${mockVecCtes(
+          "(SELECT l1.doc_id AS doc_id, substring(d.text, " +
+            "l1.start_offset + 1, l1.end_offset - l1.start_offset) " +
+            "AS text FROM l1 JOIN docs d USING (doc_id)) cbsrc",
+          "doc_id", "text", "cb")},
+         |cbms AS (
+         |  SELECT doc_id,
+         |    $maxCols
+         |  FROM cbnrm GROUP BY doc_id)
+         |SELECT doc_id, score FROM (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    round($sumExpr, 6) AS score
+         |  FROM cbms
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
+
     // the same leaf hits collapsed to parents (max rounded child
     // score — order-free), then the rag_context_pack greedy prefix
     // over the parents' token counts
@@ -13058,6 +13200,38 @@ object SparkEntry {
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
              |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        // arrival-cells ⨝ standing-cells under the frozen BASE
+        // quantizer literals; exact cosine verify
+        "dedup_semantic_incremental" -> {
+          val cents = ivfFitCache.getOrElse(lastDir + "#base",
+            ivfBaseCentroidsFor(
+              org.apache.spark.sql.SparkSession.active, lastDir))
+          val cvals = cents.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS MATERIALIZED (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid)
+             |        AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1)
+             |SELECT id_a, id_b, cluster_id,
+             |  round(cosine, 6) AS cosine FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    CAST(a.cid AS INT) AS cluster_id,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |      CAST(b.embedding AS DOUBLE[])) AS cosine
+             |  FROM assigned a JOIN assigned b ON a.cid = b.cid
+             |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0)
+             |WHERE cosine >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin
         },
 
         "kmeans_cluster_stats" -> {

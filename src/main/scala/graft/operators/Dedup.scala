@@ -1075,6 +1075,34 @@ object Dedup {
       .select("id", "cluster_id", "is_duplicate", "dup_of", "max_cosine")
   }
 
+  /** Incremental embedding near-dup — [[semanticDedup]]'s arrival
+    * shape and [[minhashIncremental]]'s dense sibling: arrivals and
+    * the standing corpus are both assigned under a FROZEN coarse
+    * quantizer (assignment only — the standing side's cells are a
+    * materialized index at scale, partitioned by cluster_id), and the
+    * candidate join is arrival-cells ⨝ standing-cells on cluster_id —
+    * never a self-join of the union — so standing vectors surface
+    * only in cells an arrival lands in, and within-batch pairs are
+    * deliberately NOT emitted (run [[semanticDedup]] on the batch for
+    * those). Ids must be disjoint across the two relations.
+    * Output: (id_a arrival, id_b standing, cluster_id,
+    * cosine ≥ threshold). */
+  def semanticDedupIncremental(incoming: DataFrame, standing: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Array[Double]],
+      threshold: Double): DataFrame = {
+    val a = Knn.ivfAssign(
+        incoming.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")),
+        "vec_a", centroids)
+    val b = Knn.ivfAssign(
+        standing.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")),
+        "vec_b", centroids)
+    a.join(b, Seq("cluster_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cluster_id", "cosine")
+  }
+
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double = 0.95,
                         nPlanes: Int = 8, bands: Int = 1): DataFrame = {

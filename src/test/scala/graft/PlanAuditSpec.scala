@@ -596,6 +596,18 @@ class PlanAuditSpec extends SparkSpec {
       s"cdc_reindex latest-op used a window:\n$cr")
     assert(!cr.contains("CartesianProduct"), cr)
     assert(cr.contains("TakeOrderedAndProject"), s"top-k heap:\n$cr")
+    // colbert_maxsim: ALL |q| maxes ride ONE doc-keyed aggregation
+    // (map-side combined — HashAggregate on both sides of a single
+    // exchange), top-k through the heap, no rank window
+    val cb = plan("colbert_maxsim")
+    assert(!cb.contains("CartesianProduct") &&
+      !cb.contains("windowspecdefinition"), cb)
+    assert(cb.contains("TakeOrderedAndProject"), s"top-k heap:\n$cb")
+    // dedup_semantic_incremental: the candidate join is cluster-keyed
+    // (equi-join), never a cartesian of the union
+    val dsi = plan("dedup_semantic_incremental")
+    assert(!dsi.contains("CartesianProduct") &&
+      !dsi.contains("BroadcastNestedLoopJoin"), dsi)
   }
 
   test("bucketed sequences/next-event forms window by (key, bucket) " +
