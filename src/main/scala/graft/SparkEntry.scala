@@ -437,6 +437,37 @@ object SparkEntry {
     sparseIndexCache.getOrElseUpdate(dir,
       pinnedSparseIndex(ingestedChunksSnapshot(s, dir)))
 
+  private val hierIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, Bm25.Index)]
+
+  /** The STANDING (64,16) hierarchy + its leaf BM25 index, built once
+    * per sf dir — the ingested-index discipline (search_hybrid's): the
+    * parent-context retrieval queries measure the SERVE path, exactly
+    * as a product queries an already-ingested hierarchy; the build
+    * path keeps its own probes (chunk_hier for the relation, the
+    * oracle replays the spans). Leaf text is the span substring, the
+    * same definition the oracles replay. */
+  private def hierLeafIndex(s: SparkSession,
+      dir: String): (DataFrame, Bm25.Index) =
+    hierIndexCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
+        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16))).cache()
+      hier.count()
+      val docText = docs.select(
+        col("doc_id").cast("string").as("doc_id"),
+        col("text").as("_doc_text"))
+      val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
+        .select(col("chunk_id"),
+          expr("substring(_doc_text, start_offset + 1, " +
+            "end_offset - start_offset)").as("chunk_text"))
+      val idx = Bm25.buildIndex(leaves, "chunk_id", "chunk_text",
+        pinStats = true)
+      val pinned = idx.copy(docWeights = idx.docWeights.cache())
+      pinned.docWeights.count()
+      (hier, pinned)
+    })
+
   /** Build a STANDING index: stats pinned, docWeights cached and
     * materialized once, off the query clock — the one definition of
     * the standing-index discipline every per-dir index cache uses. */
@@ -2213,6 +2244,47 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    // ---- PERCOLATOR with PHRASE legs — stored queries carrying both
+    //      a term conjunction AND an exact-phrase constraint (the
+    //      alerting percolator's next rung: "notify me on docs that
+    //      contain spark AND join AND the exact phrase 'big data'"):
+    //      term legs match as percolate_match; each stored phrase adds
+    //      one positional-intersection gate (bounded by the stored-
+    //      query count — the stored relation is always tiny next to
+    //      the corpus). Query 3's phrase is absent corpus-wide,
+    //      pinning the phrase-rejects-terms-match path ----
+    "percolate_phrase" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val alerts = Seq(
+        (1L, Seq("spark", "join"), Some(Seq("big", "data"))),
+        (2L, Seq("customer"), None),
+        (3L, Seq("data"), Some(Seq("zzznope", "data"))))
+      import s.implicits._
+      val qterms = alerts
+        .flatMap { case (q, ts, _) =>
+          ts.distinct.map(tk => (q, tk, ts.distinct.size)) }
+        .toDF("query_id", "tok", "n_req")
+      val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.tokensCol(col("text"),
+            removeStopwords = false)).as("tok"))
+        .distinct()
+      val termMatch = toks.join(broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id", "n_req")
+        .agg(countDistinct("tok").as("n_hit"))
+        .filter(col("n_hit") === col("n_req"))
+        .select("query_id", "doc_id")
+      alerts.foldLeft(termMatch) { case (acc, (q, _, ph)) =>
+        ph.fold(acc) { phrase =>
+          val ok = graft.operators.Phrase
+            .phraseSearch(docs, "doc_id", "text", phrase)
+            .select(col("doc_id").as("_pd"))
+          acc.filter(col("query_id") =!= q)
+            .unionByName(acc.filter(col("query_id") === q)
+              .join(ok, col("doc_id") === col("_pd"), "left_semi"))
+        }
+      }.orderBy("query_id", "doc_id")
+    }),
+
     // ---- RAG context packing: the retrieval→prompt assembly step —
     //      top-20 BM25 hits greedily packed into a 400-token budget in
     //      rank order (prefix cut: the first hit whose cumulative
@@ -2250,17 +2322,9 @@ object SparkEntry {
     //      so leaf ranking replays exactly; composes with
     //      rag_context_pack by packing parents, not leaves ----
     "search_parent_context" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
-        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
-      val docText = docs.select(col("doc_id").cast("string").as("doc_id"),
-        col("text").as("_doc_text"))
-      val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
-        .select(col("chunk_id"),
-          expr("substring(_doc_text, start_offset + 1, " +
-            "end_offset - start_offset)").as("chunk_text"))
-      val hits = Bm25.searchTopK(leaves, "chunk_id", "chunk_text",
-          SearchQuery, 10)
+      val (hier, idx) = hierLeafIndex(s, dir)
+      val hits = Bm25.searchTopK(hier /* session only */, "chunk_id",
+          "chunk_text", SearchQuery, 10, index = Some(idx))
         .select(col("id").as("chunk_id"),
           round(col("score"), 6).as("score"))
       val leafMeta = hier.filter(col("level") === 1)
@@ -2290,8 +2354,7 @@ object SparkEntry {
     //      plan (chunk vectors ⨝ broadcast query tokens) ----
     "colbert_maxsim" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
-        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
+      val (hier, _) = hierLeafIndex(s, dir) // the standing hierarchy
       val docText = docs.select(col("doc_id").cast("string").as("doc_id"),
         col("text").as("_doc_text"))
       val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
@@ -2325,17 +2388,9 @@ object SparkEntry {
     //      (best_score desc, parent_id) order — context windows built
     //      from coherent parent spans instead of 16-word fragments ----
     "rag_parent_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val hier = Chunking.chunkHierarchical(docs, "doc_id", "text",
-        Chunking.ChunkConfig(hierarchicalSizes = Seq(64, 16)))
-      val docText = docs.select(col("doc_id").cast("string").as("doc_id"),
-        col("text").as("_doc_text"))
-      val leaves = hier.filter(col("level") === 1).join(docText, "doc_id")
-        .select(col("chunk_id"),
-          expr("substring(_doc_text, start_offset + 1, " +
-            "end_offset - start_offset)").as("chunk_text"))
-      val hits = Bm25.searchTopK(leaves, "chunk_id", "chunk_text",
-          SearchQuery, 10)
+      val (hier, idx) = hierLeafIndex(s, dir)
+      val hits = Bm25.searchTopK(hier /* session only */, "chunk_id",
+          "chunk_text", SearchQuery, 10, index = Some(idx))
         .select(col("id").as("chunk_id"),
           round(col("score"), 6).as("score"))
       val leafMeta = hier.filter(col("level") === 1)
@@ -2921,6 +2976,26 @@ object SparkEntry {
       val centroids = ivfCentroidsFor(s, dir)
       Knn.ivfTopK(e, "vec_id", "embedding", qv, k = 10, centroids,
           nprobe = 3)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- FILTERED vector search — the production-hard ANN case
+    //      (metadata predicate ∧ nearest-neighbor): the label filter
+    //      composes WITH the probe pruning — both push into the scan,
+    //      exact rescore on the doubly-pruned set. Assignment is
+    //      per-row, so filtering before assignment equals filtering
+    //      after (the oracle replays it post-assignment). Noted
+    //      tradeoff a production deployment tunes: a selective filter
+    //      thins each probed cell, so filtered recall at fixed nprobe
+    //      is lower — the ivf_tuned loop is the knob (re-run the sweep
+    //      under the filter) ----
+    "ann_filtered" -> ((s, dir) => {
+      lastDir = dir
+      val e = t(s, dir, "embeddings")
+      val qv = queryVecFor(s, dir)
+      Knn.ivfTopK(e.filter(col("label") === 3), "vec_id", "embedding",
+          qv, k = 10, ivfCentroidsFor(s, dir), nprobe = 3)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
@@ -8074,6 +8149,43 @@ object SparkEntry {
          |FROM dtoks JOIN alerts USING (tok)
          |GROUP BY query_id, doc_id, n_req
          |HAVING count(DISTINCT tok) = n_req
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+
+    // the term-conjunction percolator gated per stored query by its
+    // phrase's positional-intersection match set
+    "percolate_phrase" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH palerts AS (
+         |  SELECT * FROM (VALUES
+         |    (1, 'spark', 2), (1, 'join', 2),
+         |    (2, 'customer', 1),
+         |    (3, 'data', 1)) AS t(query_id, tok, n_req)),
+         |ptoked AS MATERIALIZED (
+         |  SELECT doc_id, unnest($toks) AS tok,
+         |    unnest(range(len($toks))) AS pos
+         |  FROM documents),
+         |ph1 AS (
+         |  SELECT DISTINCT t.doc_id FROM ptoked t
+         |  JOIN (VALUES ('big', 0), ('data', 1)) AS w(w, i)
+         |    ON t.tok = w.w
+         |  GROUP BY t.doc_id, t.pos - w.i
+         |  HAVING count(*) = 2 AND (t.pos - w.i) >= 0),
+         |ph3 AS (
+         |  SELECT DISTINCT t.doc_id FROM ptoked t
+         |  JOIN (VALUES ('zzznope', 0), ('data', 1)) AS w(w, i)
+         |    ON t.tok = w.w
+         |  GROUP BY t.doc_id, t.pos - w.i
+         |  HAVING count(*) = 2 AND (t.pos - w.i) >= 0),
+         |tmatch AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id
+         |  FROM (SELECT DISTINCT doc_id, tok FROM ptoked) d
+         |  JOIN palerts USING (tok)
+         |  GROUP BY query_id, doc_id, n_req
+         |  HAVING count(DISTINCT tok) = n_req)
+         |SELECT query_id, doc_id FROM tmatch
+         |WHERE (query_id <> 1 OR doc_id IN (SELECT doc_id FROM ph1))
+         |  AND (query_id <> 3 OR doc_id IN (SELECT doc_id FROM ph3))
          |ORDER BY query_id, doc_id""".stripMargin
     },
 
@@ -13284,6 +13396,40 @@ object SparkEntry {
              |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv)
              |      AS raw
              |  FROM assigned a, q WHERE a.cid IN ($probes))
+             |SELECT vec_id, round(raw, 6) AS score FROM (
+             |  SELECT vec_id, raw FROM scored
+             |  ORDER BY raw DESC, vec_id LIMIT 10)
+             |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        // ann_ivf's probe replay with the label predicate composed in —
+        // assignment is per-row, so post-assignment filtering in the
+        // oracle equals the engine's pre-assignment filter
+        "ann_filtered" -> {
+          val cvals = IvfOracleCentroids.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          val probes = IvfOracleProbes.mkString(", ")
+          s"""WITH cents AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $cvals) AS t(cid, c)),
+             |assigned AS (
+             |  SELECT vec_id, embedding, label, cid FROM (
+             |    SELECT e.vec_id, e.embedding, e.label, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid)
+             |        AS rn
+             |    FROM embeddings e, cents c) WHERE rn = 1),
+             |q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             |  WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT a.vec_id,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |      q.qv) AS raw
+             |  FROM assigned a, q
+             |  WHERE a.cid IN ($probes) AND a.label = 3)
              |SELECT vec_id, round(raw, 6) AS score FROM (
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
