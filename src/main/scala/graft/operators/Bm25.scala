@@ -351,6 +351,30 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Lucene-`explain`-style score decomposition for the top-`k` hits:
+    * every hit fans out to its per-term contribution
+    * weight(term, doc) · q_weight(term) — the additive terms of
+    * [[searchTopK]]'s score, which the returned `score` provably sums
+    * to (the oracle hash-checks both columns). The fan-out join is
+    * RESULT-SET-bounded: top-k ids ⨝ the (already query-term-filtered)
+    * docWeights ⨝ the broadcast query vector — explain costs one extra
+    * broadcast-bounded pass over k hit rows, never a second corpus
+    * scan. Output: (id, term, contribution, score), one row per
+    * hit × matched query term. */
+  def explainTopK(corpus: DataFrame, idCol: String, textCol: String,
+      queryText: String, k: Int, p: Params = Default): DataFrame = {
+    val idx = buildIndex(corpus, idCol, textCol, p, pinStats = true)
+    val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    val contribs = idx.docWeights.join(broadcast(qW), "term")
+      .select(col("id"), col("term"),
+        (col("weight") * col("q_weight")).as("contribution"))
+    val top = contribs.groupBy("id")
+      .agg(sparseScore(col("contribution"), col("term")).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+    contribs.join(top, "id")
+      .select("id", "term", "contribution", "score")
+  }
+
   /** BM25F — field-boosted ranking (Robertson & Zaragoza's "simple
     * BM25F": weighted term frequency wtf = Σ_f boost_f·tf_f and
     * weighted length norm over wlen = Σ_f boost_f·len_f, one

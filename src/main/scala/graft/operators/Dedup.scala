@@ -418,6 +418,62 @@ object Dedup {
         col("chunk_id").as("related_id"), col("score"))
   }
 
+  /** Asymmetric shingle CONTAINMENT (Broder 1997 defines both
+    * resemblance and containment; near-dup pipelines usually ship only
+    * the former): C(a→b) = |S(a)∩S(b)| / |S(a)|. A short excerpt
+    * lifted from a long source has Jaccard ≈ |S(excerpt)|/|S(source)|
+    * — invisible to every symmetric threshold — but containment ≈ 1;
+    * this pass is how a training-data pipeline catches quote-expansion
+    * and excerpt duplication that [[minhashNearDups]] structurally
+    * misses. Candidates come from the shingle postings self-join
+    * pruned to 2 ≤ df ≤ `maxDf` (the Σ df² ≤ maxDf·|postings| bound of
+    * [[relatedDocs]]) AND sharing ≥ `minShared` pruned shingles — the
+    * second gate is load-bearing at scale: a web corpus yields
+    * millions of pairs sharing ONE collision shingle, and running the
+    * exact verify on those would shuffle |pairs|·shingles-per-doc rows
+    * (measured 17 s → 1 s at sf0.1). The recall contract is therefore:
+    * a pair is detectable when the two docs share ≥ minShared
+    * discriminative (df ≤ maxDf) shingles — real excerpts share
+    * dozens. Survivors verify EXACTLY over the full shingle sets of
+    * candidate docs only ([[ngramJaccardFrom]]'s semi-join
+    * discipline). Output: directed pairs
+    * (id_a, id_b, n_inter, size_a, containment) with C(a→b) ≥
+    * `threshold`; containment is an exact integer ratio, so the value
+    * is engine-order-independent. */
+  def containment(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 50L,
+      threshold: Double = 0.8, minShared: Int = 3): DataFrame = {
+    require(maxDf >= 2, s"bad containment maxDf: $maxDf")
+    require(minShared >= 1, s"bad containment minShared: $minShared")
+    val sh = shingles(corpus, idCol, textCol, n)
+    val prunable = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("shingle")
+    val pruned = sh.join(prunable, "shingle")
+    val cands = pinPairs(
+      pruned.select(col("shingle"), col("id").as("id_a"))
+        .join(pruned.select(col("shingle"), col("id").as("id_b")),
+          "shingle")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= minShared)
+        .select("id_a", "id_b"))
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(candIds, Seq("id"), "left_semi")
+    val sizes = shc.groupBy("id").agg(count(lit(1)).as("size_a"))
+    val inters = cands
+      .join(shc.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(shc.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inters.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("size_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_inter", "size_a", "containment")
+  }
+
   /** Incremental MinHash near-dup — [[exactIncremental]]'s FUZZY
     * sibling, the production arrival shape: today's batch against the
     * standing corpus. Band keys for both sides; the candidate join is

@@ -261,4 +261,45 @@ object IrMetrics {
       .select(col("m.metric").as("metric"), col("m.k").as("k"),
         col("m.value").as("value"), col("m.n_queries").as("n_queries"))
   }
+
+  /** Paired significance between two rankers over the same query panel
+    * — the statistical guard every "ranker B beats ranker A" claim
+    * needs (Smucker, Allan & Carterette, CIKM 2007: the paired t-test
+    * is the recommended test for per-query IR metric deltas; the
+    * sign-test win/loss/tie counts ride along). Both runs evaluate
+    * through [[perQuery]] on ONE metric; per-query values quantize to
+    * a 1e-6 integer grid FIRST, so every sum below is an exact BIGINT
+    * — aggregation-order-independent on any engine at any scale — and
+    * the t statistic computes from those exact sums in one fixed-order
+    * expression: t = mean(d) / sqrt(var(d)/n), var the n−1 sample
+    * variance (a zero-variance panel reports t = 0). Runs:
+    * (query_id, rank, doc_id); one output row: (n_queries, mean_a,
+    * mean_b, mean_delta, t_stat, wins, losses, ties). */
+  def pairedSignificance(runA: DataFrame, runB: DataFrame,
+      qrels: DataFrame, metric: String = "ndcg",
+      k: Int = 10): DataFrame = {
+    def vals(run: DataFrame, out: String) =
+      perQuery(run, qrels, Seq(k))
+        .filter(col("metric") === metric)
+        .select(col("query_id"),
+          round(col("value") * 1e6, 0).cast("long").as(out))
+    val d = vals(runA, "qa").join(vals(runB, "qb"), "query_id")
+      .withColumn("d", col("qa") - col("qb"))
+    val sums = d.agg(count(lit(1)).as("n"),
+      sum("qa").as("sa"), sum("qb").as("sb"), sum("d").as("sd"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum(when(col("d") > 0, 1).otherwise(0)).as("wins"),
+      sum(when(col("d") < 0, 1).otherwise(0)).as("losses"),
+      sum(when(col("d") === 0, 1).otherwise(0)).as("ties"))
+    val nD = col("n").cast("double")
+    val sdD = col("sd").cast("double")
+    val varD = (col("sdd").cast("double") - sdD * sdD / nD) / (nD - 1)
+    sums.select(col("n").as("n_queries"),
+      (col("sa").cast("double") / 1e6 / nD).as("mean_a"),
+      (col("sb").cast("double") / 1e6 / nD).as("mean_b"),
+      (sdD / 1e6 / nD).as("mean_delta"),
+      when(varD > 0, (sdD / nD) / sqrt(varD / nD))
+        .otherwise(lit(0.0)).as("t_stat"),
+      col("wins"), col("losses"), col("ties"))
+  }
 }

@@ -156,6 +156,55 @@ object Knn {
     centroids
   }
 
+  /** Mutual (reciprocal) k-NN pairs within coarse-quantizer cells —
+    * the high-precision pair miner (Artetxe & Schwenk 2019 mine
+    * parallel text from mutual neighborhoods; the cell restriction is
+    * the SemDeDup discipline that keeps it web-scale): vectors assign
+    * under the FROZEN caller-supplied quantizer, each vector's
+    * neighbor list ranks WITHIN its cell by (cosine desc, id-string
+    * asc — the [[TopK]] contract), and a pair survives only when each
+    * side sits in the other's top `k`. Mutuality is the precision
+    * filter: a hub vector that merely sits near everything ranks high
+    * in many lists but rarely ranks ITS neighbors back. Never
+    * all-pairs — Σ|cell|² bounds candidates, each cell one shuffle
+    * partition at scale; the directed lists collapse through the
+    * bounded TopK aggregator (map-side partial top-k, no rank
+    * window), and the mutual check is a self-join of that n·k-bounded
+    * relation. Output: (id_a, id_b, cosine, rank_ab, rank_ba) with
+    * id_a < id_b numerically. */
+  def mutualTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[Array[Double]], k: Int): DataFrame = {
+    val assigned = ivfAssign(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", centroids).localCheckpoint() // two pair sides, one scan
+    val l = assigned.select(col("cluster_id"), col("id").as("a"),
+      col("vec").as("vec_a"))
+    val r = assigned.select(col("cluster_id"), col("id").as("b"),
+      col("vec").as("vec_b"))
+    val directed = l.join(r, Seq("cluster_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        V.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+    // n·k-bounded; pinned because both mutual-join sides consume it
+    val ranked = TopK.perGroup(directed.select(
+        col("a").cast("string").as("grp"),
+        col("b").cast("string").as("doc_id"),
+        col("b").cast("string").as("chunk_id"),
+        col("cosine").as("score")), "grp", k)
+      .select(col("grp").as("a"), col("chunk_id").as("b"),
+        col("rank"), col("score"))
+      .localCheckpoint()
+    val ab = ranked.select(col("a"), col("b"),
+      col("rank").as("rank_ab"), col("score").as("cosine"))
+    val ba = ranked.select(col("b").as("a"), col("a").as("b"),
+      col("rank").as("rank_ba"))
+    ab.join(ba, Seq("a", "b"))
+      .filter(col("a").cast("long") < col("b").cast("long"))
+      .select(col("a").cast("long").as("id_a"),
+        col("b").cast("long").as("id_b"),
+        col("cosine"), col("rank_ab"), col("rank_ba"))
+  }
+
   /** Tag every vector with its nearest centroid id (max dot — vectors
     * and centroids need not be normalized identically since ranking by
     * cosine within probes re-scores exactly). */

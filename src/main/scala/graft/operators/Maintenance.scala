@@ -67,4 +67,45 @@ object Maintenance {
       .withColumn("match_status",
         when(col("doc_id").isNotNull, lit("matched"))
           .otherwise(lit("unmatched")))
+
+  /** Sparse-index health report — the `_stats`/`_segments` readout
+    * every search deployment watches (postings skew decides sharding;
+    * df percentiles decide stopword/prune policy): corpus size, vocab
+    * size, postings count, token total, avgdl, the heaviest df and
+    * its p50/p90 over the vocabulary. One tokenize pass feeding two
+    * Zipf-bounded aggregations; the df percentiles ride
+    * [[Sampling.exactQuantiles]]'s two-phase distributed rank (never a
+    * whole-vocab window). avgdl is an exact integer ratio —
+    * engine-order-independent. Output: (metric, value) rows. */
+  def indexStats(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokensCol(col(textCol))).as("term"))
+    val lens = docs.select(
+      size(TextFunctions.tokensCol(col(textCol))).cast("long").as("len"))
+    val dfRel = toks.distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+        sum("len").as("total_tokens"))
+      .select(
+        col("n_docs").cast("double").as("n_docs"),
+        col("total_tokens").cast("double").as("total_tokens"),
+        (col("total_tokens").cast("double") /
+          col("n_docs").cast("double")).as("avgdl"))
+    val vocab = dfRel.agg(count(lit(1)).as("vocab_size"),
+        sum("df").as("n_postings"), max("df").as("max_df"))
+      .select(col("vocab_size").cast("double").as("vocab_size"),
+        col("n_postings").cast("double").as("n_postings"),
+        col("max_df").cast("double").as("max_df"))
+    def rows(src: DataFrame, names: Seq[String]) = names.map(n =>
+      src.select(lit(n).as("metric"), col(n).cast("double").as("value")))
+    val qs = Sampling.exactQuantiles(dfRel, "df", Seq(0.5, 0.9))
+      .select(concat(lit("df_p"),
+          (col("q") * 100).cast("int").cast("string")).as("metric"),
+        col("value"))
+    (rows(corpus, Seq("n_docs", "total_tokens", "avgdl")) ++
+      rows(vocab, Seq("vocab_size", "n_postings", "max_df")))
+      .reduce(_ unionByName _).unionByName(qs)
+  }
 }

@@ -96,4 +96,42 @@ object Rrf {
         fused.orderBy(col("score").desc, col(idCol)).limit(k)
     }
   }
+
+  /** CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994) — the
+    * SCORE-space alternative to RRF's rank-space fusion: each leg's
+    * candidate scores min–max normalize to [0,1] over ITS OWN candidate
+    * list, CombSUM adds them, CombMNZ further multiplies by the number
+    * of legs that returned the id (rewarding multi-evidence hits — Lee
+    * 1997 measured MNZ as the best of the Comb family). Normalization
+    * stats are one broadcast 1-row aggregate per leg; the leg merge is
+    * the same union + max-aggregation as [[fuse]] (never an
+    * un-broadcastable outer join); a constant-score leg (max = min)
+    * normalizes to 1.0 everywhere. Values are fixed-order arithmetic
+    * over per-leg min/max — engine-order-independent.
+    * Output: (idCol, combsum, combmnz, n_legs), top-k by
+    * (combmnz desc, id). */
+  def combSum(dense: DataFrame, sparse: DataFrame, idCol: String,
+              scoreCol: String, k: Int): DataFrame = {
+    def norm(df: DataFrame, out: String) = {
+      val stats = broadcast(df.agg(min(col(scoreCol)).as("__mn"),
+        max(col(scoreCol)).as("__mx")))
+      df.crossJoin(stats)
+        .select(col(idCol),
+          when(col("__mx") > col("__mn"),
+            (col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn")))
+            .otherwise(lit(1.0)).as(out))
+    }
+    val nullD = lit(null).cast("double")
+    val merged = norm(dense, "__nd").withColumn("__ns", nullD)
+      .unionByName(norm(sparse, "__ns").withColumn("__nd", nullD))
+      .groupBy(col(idCol))
+      .agg(max("__nd").as("__nd"), max("__ns").as("__ns"))
+    val nLegs = col("__nd").isNotNull.cast("int") +
+      col("__ns").isNotNull.cast("int")
+    val sum = coalesce(col("__nd"), lit(0.0)) +
+      coalesce(col("__ns"), lit(0.0))
+    merged.select(col(idCol), sum.as("combsum"),
+        (sum * nLegs.cast("double")).as("combmnz"), nLegs.as("n_legs"))
+      .orderBy(col("combmnz").desc, col(idCol)).limit(k)
+  }
 }

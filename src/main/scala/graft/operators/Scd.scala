@@ -108,4 +108,38 @@ object Scd {
       .unionByName(latest.filter(col("_op") =!= "D").drop("_op")
         .select(base.columns.map(col): _*))
   }
+
+  /** Incremental view maintenance of a (count, sum) aggregate under a
+    * before/after-image changelog — the self-maintainable-view case of
+    * the IVM literature (Gupta & Mumick 1995: SUM/COUNT views maintain
+    * from the delta alone, no base re-read): the materialized view
+    * `baseAgg(group, n_rows, sum_val)` merges with ONE aggregation
+    * over the changelog — per group, Δn = #I − #D and
+    * Δsum = Σ(after − before) with a missing image contributing 0
+    * (I has no before, D no after, U both). Base groups the log never
+    * touches pass through UNCHANGED — at scale that is the whole
+    * point: maintenance cost is O(|changelog|), not O(|base|); the
+    * merge is a broadcast-or-bucketed join on the group key. Groups
+    * whose count reaches 0 are dropped (the recompute would not emit
+    * them). Log rows: (opCol ∈ I/U/D, groupCol, beforeCol, afterCol)
+    * with before/after NULL where the image doesn't exist.
+    * Output: (group, n_rows, sum_val) — hash-comparable to a full
+    * recompute over the post-changelog state. */
+  def maintainCountSum(baseAgg: DataFrame, log: DataFrame,
+      groupCol: String, opCol: String, beforeCol: String,
+      afterCol: String): DataFrame = {
+    val delta = log.groupBy(col(groupCol))
+      .agg(
+        sum(when(col(opCol) === "I", 1)
+          .when(col(opCol) === "D", -1).otherwise(0)).as("_dn"),
+        sum(coalesce(col(afterCol), lit(0L)) -
+          coalesce(col(beforeCol), lit(0L))).as("_dsum"))
+    baseAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("_dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) +
+          coalesce(col("_dsum"), lit(0L))).as("sum_val"))
+      .filter(col("n_rows") > 0)
+  }
 }

@@ -88,6 +88,13 @@ object Spell {
       .select("input", "term", "df").distinct()
       .withColumn("dist", levenshtein(col("input"), col("term")))
       .filter(col("dist") <= maxDist)
+    bestPerInput(cands)
+  }
+
+  /** (dist asc, df desc, term asc) argmax per input over a candidate
+    * relation (input, term, df, dist) — three bounded aggregates, no
+    * rank window; shared by the SymSpell and phonetic paths. */
+  private def bestPerInput(cands: DataFrame): DataFrame = {
     val bestD = cands.groupBy("input").agg(min("dist").as("dist"))
     val atD = cands.join(bestD, Seq("input", "dist"))
     val bestDf = atD.groupBy("input", "dist").agg(max("df").as("df"))
@@ -95,6 +102,41 @@ object Spell {
       .groupBy("input", "dist", "df")
       .agg(min("term").as("suggestion"))
       .select("input", "suggestion", "df", "dist")
+  }
+
+  /** Phonetic bucket key: first letter + the first 3 consonants of the
+    * rest (vowels and y/h/w stripped) — the consonant-skeleton family
+    * of keys Zobel & Dart (1996) measured for approximate name
+    * matching. Every vowel-level typo (substitution, insertion,
+    * deletion) maps to its correction's bucket BY CONSTRUCTION. Pure
+    * string ops (substr + one regexp_replace), so the key computes
+    * identically on any engine. */
+  def phoneticKey(c: Column): Column =
+    concat(substring(c, 1, 1),
+      substring(regexp_replace(c.substr(lit(2), length(c)),
+        "[aeiouyhw]", ""), 1, 3))
+
+  /** Phonetic-key spell correction — [[didYouMean]]'s cheap sibling
+    * for the vowel-error class: candidates come from ONE equi-join on
+    * [[phoneticKey]] (the vocabulary carries one key row per term),
+    * where SymSpell-d materializes Σ C(len,≤d) deletion variants per
+    * side. The key join is coarse (all vowel patterns of a skeleton
+    * collide), so candidates verify with levenshtein ≤ `maxDist` and
+    * rank exactly like [[didYouMean]]: (dist asc, df desc, term asc).
+    * Output: (input, suggestion, df, dist); inputs with no candidate
+    * are absent. */
+  def phoneticCorrect(vocab: DataFrame, inputs: DataFrame,
+      inputCol: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3, s"bad maxDist: $maxDist")
+    val vk = vocab.select(col("term"), col("df"),
+      phoneticKey(col("term")).as("__pk"))
+    val qk = inputs.select(col(inputCol).as("input"),
+      phoneticKey(col(inputCol)).as("__pk"))
+    val cands = qk.join(vk, "__pk")
+      .select("input", "term", "df").distinct()
+      .withColumn("dist", levenshtein(col("input"), col("term")))
+      .filter(col("dist") <= maxDist)
+    bestPerInput(cands)
   }
 
   /** Prefix autocomplete as ONE JOIN PER DISTINCT PREFIX LENGTH
@@ -126,5 +168,53 @@ object Spell {
         "prefix", n)
       .select(col("prefix"), col("chunk_id").as("suggestion"),
         col("score").cast("long").as("df"))
+  }
+
+  /** Typo-tolerant autocomplete ([[suggest]]'s fuzzy sibling — the
+    * completion-suggester fuzzy mode every search box ships): a
+    * mistyped prefix corrects to the best VOCABULARY PREFIX within
+    * edit distance 1 — SymSpell's deletion-variant join run on the
+    * prefix space, where the candidate universe is the (much smaller)
+    * distinct-prefix relation, not the vocabulary — ranked by
+    * (dist asc, bucket df-mass desc, prefix asc); suggestions are then
+    * the corrected bucket's top-`n` terms by (df desc, term asc)
+    * through the bounded [[TopK]] aggregator. An exact prefix wins at
+    * dist 0 and passes through unchanged; inputs with no prefix within
+    * distance 1 are absent. Same-length prefixes only (the UI
+    * fires at fixed min-chars), so the variant join is ONE hash join.
+    * Output: (input, corrected_prefix, rank, suggestion, df). */
+  def suggestFuzzy(vocab: DataFrame, prefixes: Seq[String],
+      n: Int): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_.nonEmpty),
+      "bad prefixes")
+    val lens = prefixes.map(_.length).distinct
+    require(lens.size == 1, s"mixed prefix lengths: $lens")
+    val len = lens.head
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val pf = vocab.select(col("term").substr(1, len).as("vprefix"),
+      col("term"), col("df"))
+    val buckets = pf.groupBy("vprefix").agg(sum("df").as("pdf"))
+    val qv = prefixes.distinct.toDF("input")
+      .select(col("input"), explode(deletions(col("input"))).as("variant"))
+    val vv = buckets.select(col("vprefix"), col("pdf"),
+      explode(deletions(col("vprefix"))).as("variant"))
+    val cands = qv.join(vv, "variant")
+      .select("input", "vprefix", "pdf").distinct()
+      .withColumn("dist", levenshtein(col("input"), col("vprefix")))
+      .filter(col("dist") <= 1)
+    val bestD = cands.groupBy("input").agg(min("dist").as("dist"))
+    val atD = cands.join(bestD, Seq("input", "dist"))
+    val bestPdf = atD.groupBy("input", "dist").agg(max("pdf").as("pdf"))
+    val best = atD.join(bestPdf, Seq("input", "dist", "pdf"))
+      .groupBy("input", "dist", "pdf")
+      .agg(min("vprefix").as("vprefix"))
+    TopK.perGroup(best.join(pf, "vprefix")
+        .select(col("input").as("grp"), col("vprefix").as("doc_id"),
+          col("term").as("chunk_id"), col("df").cast("double").as("score")),
+        "grp", n)
+      .select(col("grp").as("input"),
+        col("doc_id").as("corrected_prefix"), col("rank"),
+        col("chunk_id").as("suggestion"), col("score").cast("long").as("df"))
   }
 }

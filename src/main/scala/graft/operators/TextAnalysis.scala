@@ -1031,4 +1031,38 @@ object TextAnalysis {
         round((lit(2.0) * col("sin") - (gc + lit(1.0)) * nt) /
           (gc * nt), 6).as("gini"))
   }
+
+  /** Class-based TF-IDF topic terms (Grootendorst 2022 — BERTopic's
+    * c-TF-IDF): treat each class (a source, a cluster, a language
+    * bucket) as ONE pseudo-document and weight
+    * W(t,c) = tf(t,c) · ln(1 + A / f(t)), where A is the average token
+    * count per class and f(t) the term's corpus-wide frequency — the
+    * per-class terms that survive are the ones that characterize the
+    * class against the rest of the corpus, i.e. its topic label.
+    * Tokens are the stopword-removed BM25 stream (stopwords would
+    * dominate raw tf). One tokenize pass, two bounded aggregations
+    * (vocab-sized, Zipf-bounded), a broadcast 1-row A; the per-class
+    * cut is the bounded [[TopK]] aggregator (score desc, term asc) —
+    * no rank window. Output: (class, rank, term, tf, score), top `k`
+    * terms per class. */
+  def classTfIdf(docs: DataFrame, classCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val tf = docs.select(col(classCol).cast("string").as("class"),
+        explode(TextFunctions.tokensCol(col(textCol))).as("term"))
+      .groupBy("class", "term").agg(count(lit(1)).as("tf"))
+    val f = tf.groupBy("term").agg(sum("tf").as("__f"))
+    val a = broadcast(tf.agg((sum("tf").cast("double") /
+      countDistinct("class").cast("double")).as("__a")))
+    val scored = tf.join(f, "term").crossJoin(a)
+      .select(col("class"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          log(lit(1.0) + col("__a") / col("__f").cast("double")))
+          .as("score"))
+    TopK.perGroup(scored.select(col("class").as("grp"),
+        col("tf").cast("string").as("doc_id"), col("term").as("chunk_id"),
+        col("score")), "grp", k)
+      .select(col("grp").as("class"), col("rank"),
+        col("chunk_id").as("term"), col("doc_id").cast("long").as("tf"),
+        col("score"))
+  }
 }

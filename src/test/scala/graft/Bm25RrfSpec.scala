@@ -173,4 +173,55 @@ class Bm25RrfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(2L), got.toString) // shares 3 of 4 seed terms
   }
+
+  test("explainTopK: per-term contributions sum exactly to the hit's " +
+      "score and match searchTopK's ranking") {
+    val c = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry banana"),
+      (3L, "apple date"),
+      (4L, "date fig grape")).toDF("doc_id", "text")
+    val expl = Bm25.explainTopK(c, "doc_id", "text", "apple banana", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    val top = Bm25.searchTopK(c, "doc_id", "text", "apple banana", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expl.map(_._1).toSet == top.keySet)
+    // score column carries the hit total on every fan-out row, and the
+    // contributions reassemble it (term-sorted sum = sparseScore order)
+    expl.groupBy(_._1).foreach { case (id, rows) =>
+      rows.foreach { case (_, _, _, s) => assert(s == top(id)) }
+      val sum = rows.sortBy(_._2).map(_._3).sum
+      assert(math.abs(sum - top(id)) < 1e-12, s"doc $id: $sum vs ${top(id)}")
+    }
+  }
+
+  test("combSum: per-leg min-max normalization, SUM adds, MNZ rewards " +
+      "multi-evidence, single-leg docs survive the merge") {
+    val dense = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0))
+      .toDF("doc_id", "score")
+    val sparse = Seq((1L, 4.0), (4L, 2.0), (5L, 0.0))
+      .toDF("doc_id", "score")
+    val got = Rrf.combSum(dense, sparse, "doc_id", "score", 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getInt(3))).toMap
+    // doc 1: dense (10-0)/10=1.0, sparse (4-0)/4=1.0 -> sum 2, mnz 4
+    assert(got(1L) == ((2.0, 4.0, 2)))
+    // doc 2: dense-only 0.5 -> mnz = 0.5 * 1
+    assert(got(2L) == ((0.5, 0.5, 1)))
+    // doc 4: sparse-only (2-0)/4 = 0.5
+    assert(got(4L) == ((0.5, 0.5, 1)))
+    // min-score docs normalize to 0 but still appear with n_legs=1
+    assert(got(3L) == ((0.0, 0.0, 1)) && got(5L) == ((0.0, 0.0, 1)))
+  }
+
+  test("combSum: a constant-score leg normalizes to 1.0 everywhere") {
+    val dense = Seq((1L, 7.0), (2L, 7.0)).toDF("doc_id", "score")
+    val sparse = Seq((1L, 3.0), (2L, 1.0)).toDF("doc_id", "score")
+    val got = Rrf.combSum(dense, sparse, "doc_id", "score", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 2.0 && got(2L) == 1.0)
+  }
 }

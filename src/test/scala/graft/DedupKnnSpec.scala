@@ -210,4 +210,59 @@ class DedupKnnSpec extends SparkSpec {
       assert(colToks(i) == TextFunctions.tokenize(t).toList, s"text: $t")
     }
   }
+
+  test("mutualTopK: only reciprocal pairs survive — a hub that ranks " +
+      "in everyone's list but ranks its own neighbors out is filtered") {
+    // one cell (single centroid). Geometry: a/b nearly parallel
+    // (mutual top-1); c/d nearly parallel (mutual); hub h is close-ish
+    // to ALL of a,b,c,d — with k=1 each vector's top-1 is its twin,
+    // never h, while h's top-1 is just one vector: no mutual pair
+    // involving h.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),        // a
+      (2L, Array(0.99f, 0.1f, 0.0f)),       // b ~ a
+      (3L, Array(0.0f, 1.0f, 0.0f)),        // c
+      (4L, Array(0.1f, 0.99f, 0.0f)),       // d ~ c
+      (5L, Array(0.6f, 0.6f, 0.0f)))        // hub
+      .toDF("vec_id", "embedding")
+    // all five vectors have positive coords -> everyone lands in the
+    // first cell (the second centroid exists only because the argmax
+    // needs >= 2 candidates)
+    val one = Seq(Array(1.0, 1.0, 1.0), Array(-1.0, -1.0, -1.0))
+    val got = Knn.mutualTopK(vecs, "vec_id", "embedding", one, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)), got.toString)
+  }
+
+  test("mutualTopK: pairs in different cells never meet; ranks are " +
+      "the within-cell positions") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(-0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val got = Knn.mutualTopK(vecs, "vec_id", "embedding", cents, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)), got.toString)
+    assert(got((1L, 2L)) == ((1, 1)) && got((3L, 4L)) == ((1, 1)))
+  }
+
+  test("indexStats reports the exact corpus/vocab arithmetic") {
+    import graft.operators.Maintenance
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Maintenance.indexStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") == 3.0 && got("total_tokens") == 9.0)
+    assert(got("avgdl") == 3.0)
+    assert(got("vocab_size") == 4.0)
+    // postings: alpha{1,3} beta{1,2,3} gamma{2,3} delta{3} = 8
+    assert(got("n_postings") == 8.0 && got("max_df") == 3.0)
+    // df sorted = [1,2,2,3]: p50 -> r=floor(.5*3)=1 -> 2; p90 -> r=2 -> 2
+    assert(got("df_p50") == 2.0 && got("df_p90") == 2.0)
+  }
 }

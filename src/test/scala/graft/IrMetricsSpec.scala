@@ -183,4 +183,45 @@ class IrMetricsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pairedSignificance: means, deltas, sign counts, and the " +
+      "paired t match a hand fold over the quantized per-query values") {
+    // 3 queries, single relevant doc each; ranker A hits rank 1 on
+    // q1/q2 and rank 2 on q3; ranker B hits rank 2, 3, 2.
+    val runA = Seq((1, 1, "a"), (1, 2, "x"), (2, 1, "b"), (2, 2, "x"),
+      (3, 1, "x"), (3, 2, "c")).toDF("query_id", "rank", "doc_id")
+    val runB = Seq((1, 1, "x"), (1, 2, "a"), (2, 1, "x"), (2, 2, "y"),
+      (2, 3, "b"), (3, 1, "x"), (3, 2, "c"))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1, "a", 1), (2, "b", 1), (3, "c", 1))
+      .toDF("query_id", "doc_id", "grade")
+    val row = IrMetrics.pairedSignificance(runA, runB, qrels,
+      "ndcg", 10).collect().head
+    // per-query nDCG@10 (idcg = 1): A = 1, 1, 1/log2(3);
+    // B = 1/log2(3), 1/2, 1/log2(3)
+    def q(v: Double) = math.round(v * 1e6)
+    val a = Seq(1.0, 1.0, 1.0 / (math.log(3) / math.log(2))).map(q)
+    val b = Seq(1.0 / (math.log(3) / math.log(2)), 0.5,
+      1.0 / (math.log(3) / math.log(2))).map(q)
+    val d = a.zip(b).map { case (x, y) => x - y }
+    val (n, sd, sdd) = (3.0, d.sum.toDouble, d.map(x => x * x).sum.toDouble)
+    val varD = (sdd - sd * sd / n) / (n - 1)
+    val tExp = (sd / n) / math.sqrt(varD / n)
+    assert(row.getLong(0) == 3)
+    assert(math.abs(row.getDouble(1) - a.sum / 1e6 / 3) < 1e-12) // mean_a
+    assert(math.abs(row.getDouble(2) - b.sum / 1e6 / 3) < 1e-12) // mean_b
+    assert(math.abs(row.getDouble(3) - sd / 1e6 / 3) < 1e-12)
+    assert(math.abs(row.getDouble(4) - tExp) < 1e-9, s"t ${row.getDouble(4)} vs $tExp")
+    assert(row.getLong(5) == 2 && row.getLong(6) == 0 &&
+      row.getLong(7) == 1) // A wins q1/q2, ties q3
+  }
+
+  test("pairedSignificance: identical runs report zero delta, zero t, " +
+      "all ties") {
+    val run = Seq((1, 1, "a"), (2, 1, "b")).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1, "a", 1), (2, "x", 1)).toDF("query_id", "doc_id", "grade")
+    val row = IrMetrics.pairedSignificance(run, run, qrels).collect().head
+    assert(row.getDouble(3) == 0.0 && row.getDouble(4) == 0.0)
+    assert(row.getLong(7) == 2)
+  }
 }

@@ -630,4 +630,58 @@ class PlanAuditSpec extends SparkSpec {
         s"$q has a bucket-free window:\n$p")
     }
   }
+
+  test("r11 wave 6: explain/fusion/LTR/containment/topics are " +
+      "cartesian-free; min-max stats ride 1-row broadcasts; top-k " +
+      "cuts stay heap-based; the topics cut is the TopK aggregate, " +
+      "not a rank window") {
+    for (q <- Seq("search_explain", "fuse_combsum", "search_ltr",
+        "dedup_containment", "ctfidf_topics", "spell_phonetic")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // the normalization stats of the fusion/LTR plans are declared
+    // 1-row broadcast cross joins — they must broadcast, and the
+    // candidate cuts must stay per-partition heaps
+    for (q <- Seq("fuse_combsum", "search_ltr")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"),
+        s"$q min-max stats not broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q top-k:\n$p")
+    }
+    // c-TF-IDF: the per-class cut is the bounded TopK aggregator
+    val ct = plan("ctfidf_topics")
+    assert(!ct.contains("windowspecdefinition"),
+      s"ctfidf_topics used a rank window:\n$ct")
+    assert(ct.contains("ObjectHashAggregate"),
+      s"ctfidf_topics TopK aggregate missing:\n$ct")
+    // phonetic spell: candidates come from ONE equi-join on the key —
+    // no nested-loop anywhere (the key join hashes)
+    val sp = plan("spell_phonetic")
+    assert(!sp.contains("BroadcastNestedLoopJoin"),
+      s"spell_phonetic nested-loop:\n$sp")
+  }
+
+  test("r11 wave 7: mutual-kNN / per-tenant ANN / IVM / index stats " +
+      "are cartesian-free; the per-tenant and mutual cuts are TopK " +
+      "aggregates, not rank windows; IVM maintenance never re-reads " +
+      "base rows (no second documents scan on the maintained side)") {
+    for (q <- Seq("knn_mutual", "ann_per_tenant", "ivm_agg",
+        "index_stats")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    for (q <- Seq("knn_mutual", "ann_per_tenant")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q used a rank window:\n$p")
+    }
+    // ann_per_tenant's cut is the TopK aggregate in ITS final plan;
+    // knn_mutual's TopK ran inside the localCheckpoint that pins the
+    // directed-list relation, so its final plan is just the bounded
+    // mutual self-join (window-free either way, asserted above)
+    assert(plan("ann_per_tenant").contains("ObjectHashAggregate"),
+      s"ann_per_tenant TopK aggregate missing:\n${plan("ann_per_tenant")}")
+  }
 }

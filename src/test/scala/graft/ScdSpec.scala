@@ -135,4 +135,54 @@ class ScdSpec extends SparkSpec {
       assert(got == exp, s"seed=$seed: got=$got exp=$exp")
     }
   }
+
+  test("maintainCountSum: I/U/D deltas apply, untouched groups pass " +
+      "through, groups reaching zero rows drop (the recompute " +
+      "equivalence)") {
+    val base = Seq(("a", 2L, 100L), ("b", 1L, 50L), ("c", 3L, 30L))
+      .toDF("grp", "n_rows", "sum_val")
+    val log = Seq(
+      ("I", "a", None, Some(10L)),        // a: 3 rows, 110
+      ("U", "a", Some(40L), Some(45L)),   // a: 115
+      ("D", "b", Some(50L), None),        // b: 0 rows -> dropped
+      ("I", "d", None, Some(7L)))         // d: new group from the log
+      .toDF("op", "grp", "before_val", "after_val")
+    val got = Scd.maintainCountSum(base, log, "grp", "op",
+        "before_val", "after_val")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("a" -> ((3L, 115L)), "c" -> ((3L, 30L)),
+      "d" -> ((1L, 7L))), got.toString)
+  }
+
+  test("maintainCountSum equals a recompute on a randomized base+log " +
+      "(seeded)") {
+    val rnd = new scala.util.Random(7)
+    val groups = Seq("g0", "g1", "g2", "g3")
+    val baseRows = (0 until 40).map(i =>
+      (i.toLong, groups(rnd.nextInt(4)), rnd.nextInt(100).toLong))
+    // log: delete %5, update %3 (not deleted), insert 10 new rows
+    val del = baseRows.filter(_._1 % 5 == 0)
+      .map(r => ("D", r._2, Some(r._3), None: Option[Long]))
+    val upd = baseRows.filter(r => r._1 % 3 == 0 && r._1 % 5 != 0)
+      .map(r => ("U", r._2, Some(r._3), Some(r._3 + 7L)))
+    val ins = (0 until 10).map(_ =>
+      ("I", groups(rnd.nextInt(4)), None: Option[Long],
+        Some(rnd.nextInt(100).toLong)))
+    val base = baseRows.map(r => (r._2, r._3)).toDF("grp", "v")
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"),
+        sum("v").as("sum_val"))
+    val got = Scd.maintainCountSum(base,
+        (del ++ upd ++ ins).toDF("op", "grp", "before_val", "after_val"),
+        "grp", "op", "before_val", "after_val")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // recompute over the post state
+    val post = baseRows.filter(_._1 % 5 != 0)
+      .map(r => (r._2, if (r._1 % 3 == 0) r._3 + 7L else r._3)) ++
+      ins.map(i => (i._2, i._4.get))
+    val exp = post.groupBy(_._1).view.mapValues(vs =>
+      (vs.size.toLong, vs.map(_._2).sum)).filter(_._2._1 > 0).toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
 }

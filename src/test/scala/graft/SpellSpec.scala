@@ -117,4 +117,61 @@ class SpellSpec extends SparkSpec {
     // "ab" at distance 1 (insertion) — df ranking picks "a" (10 > 5)
     assert(got("b") == (("a", 10L, 1)))
   }
+
+  test("phoneticKey: first letter + first 3 consonants of the rest; " +
+      "vowel substitutions/insertions/deletions are key-invariant") {
+    val keys = Seq("table", "tabel", "tuble", "tble", "taable",
+        "stream", "strem")
+      .toDF("t").select(Spell.phoneticKey(col("t")))
+      .collect().map(_.getString(0))
+    // all vowel-variants of "table" share key "tbl"
+    assert(keys.take(5).toSet == Set("tbl"))
+    assert(keys(5) == "strm" && keys(6) == "strm")
+  }
+
+  test("phoneticCorrect resolves a DOUBLE vowel error one bucket join " +
+      "— the case SymSpell d=1 structurally misses") {
+    val vocab = Seq(("table", 100L), ("tablet", 20L), ("stream", 50L))
+      .toDF("term", "df")
+    val inputs = Seq("tibli").toDF("q") // two vowel substitutions, d=2
+    val d1 = Spell.didYouMean(vocab, inputs, "q", maxDist = 1).collect()
+    assert(d1.isEmpty, d1.mkString(","))
+    val ph = Spell.phoneticCorrect(vocab, inputs, "q")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3))).toMap
+    assert(ph("tibli") == (("table", 100L, 2)))
+  }
+
+  test("phoneticCorrect ranks (dist asc, df desc, term asc) and drops " +
+      "candidates beyond maxDist despite a key collision") {
+    val vocab = Seq(
+      ("batch", 100L), ("botch", 40L),  // same key b+tc -> "btc"
+      ("baoticha", 999L))               // key "btc" too, but dist > 2
+      .toDF("term", "df")
+    val got = Spell.phoneticCorrect(vocab, Seq("butch").toDF("q"), "q")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3))).toMap
+    // batch and botch both at dist 1 -> df argmax picks batch
+    assert(got("butch") == (("batch", 100L, 1)))
+  }
+
+  test("suggestFuzzy: exact prefixes pass through at dist 0, typo'd " +
+      "prefixes correct to the heaviest bucket within distance 1, " +
+      "hopeless inputs are absent, suggestions rank (df desc, term)") {
+    val vocab = Seq(
+      ("spark", 100L), ("sparse", 80L), ("spartan", 5L),
+      ("table", 50L), ("stone", 7L)).toDF("term", "df")
+    val got = Spell.suggestFuzzy(vocab,
+        Seq("spar", "spak", "tabl", "zzzz"), n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2)) ->
+        (r.getString(1), r.getString(3), r.getLong(4))).toMap
+    // exact: dist 0, bucket "spar" = {spark 100, sparse 80, spartan 5}
+    assert(got(("spar", 1)) == (("spar", "spark", 100L)))
+    assert(got(("spar", 2)) == (("spar", "sparse", 80L)))
+    // one substitution away -> same bucket
+    assert(got(("spak", 1)) == (("spar", "spark", 100L)))
+    assert(got(("tabl", 1)) == (("tabl", "table", 50L)))
+    assert(!got.keySet.exists(_._1 == "zzzz"), got.toString)
+  }
 }
