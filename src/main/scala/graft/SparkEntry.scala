@@ -6933,6 +6933,30 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- CORI resource selection (Callan et al. 1995): rank the
+    //      COLLECTIONS before fanning out — the federated-search step
+    //      in front of search_multi_docs; belief from collection-level
+    //      df/cw statistics only, summed in term order ----
+    "collection_select" -> ((s, dir) =>
+      graft.operators.Cori.selectCollections(t(s, dir, "documents"),
+          "source", "doc_id", "text",
+          TextFunctions.tokenize(SearchQuery).distinct)
+        .select(col("collection"), col("n_terms"),
+          round(col("belief"), 6).as("belief"))
+        .orderBy(col("belief").desc, col("collection"))),
+
+    // ---- T5 span corruption (Raffel et al. 2020): deterministic
+    //      hash-placed denoising spans, sentinel in/out pairs — the
+    //      pretraining-objective prep, replayable by construction ----
+    "span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruption(t(s, dir, "documents"), "doc_id",
+          "text", every = 20, span = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_masked"), col("n_spans"),
+          round(col("noise_frac"), 6).as("noise_frac"),
+          col("inputs_text"), col("targets_text"))
+        .orderBy("doc_id")),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -14171,6 +14195,110 @@ object SparkEntry {
          |FROM (SELECT * FROM ffused
          |  ORDER BY score DESC, doc_id LIMIT 20) f, htsel sel
          |ORDER BY score DESC, f.doc_id""".stripMargin
+    },
+
+    // collection-level CORI belief: one tokenize pass, (collections x
+    // query terms) grid, p summed in term order
+    "collection_select" -> {
+      val toks = sqlToks("text")
+      val terms = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      val termVals = terms.map(t => s"('$t')").mkString(", ")
+      val termIn = terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ctoks AS MATERIALIZED (
+         |  SELECT source AS c, doc_id AS id, unnest($toks) AS term
+         |  FROM documents),
+         |cwrel AS (SELECT c, count(*) AS cw FROM ctoks GROUP BY c),
+         |cstats AS (
+         |  SELECT count(*) AS n_coll,
+         |    CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS avg_cw
+         |  FROM cwrel),
+         |qt AS (SELECT t FROM (VALUES $termVals) AS v(t)),
+         |dfrel AS (
+         |  SELECT c, term, count(*) AS df FROM (
+         |    SELECT DISTINCT c, id, term FROM ctoks
+         |    WHERE term IN ($termIn))
+         |  GROUP BY c, term),
+         |cfrel AS (SELECT term, count(*) AS cf FROM dfrel
+         |  GROUP BY term),
+         |grid AS (
+         |  SELECT w.c, w.cw, q.t AS term, f.cf,
+         |    coalesce(d.df, 0) AS df
+         |  FROM cwrel w CROSS JOIN qt q
+         |  JOIN cfrel f ON f.term = q.t
+         |  LEFT JOIN dfrel d ON d.c = w.c AND d.term = q.t),
+         |scored AS (
+         |  SELECT c, term,
+         |    0.4 + 0.6 *
+         |      (CAST(df AS DOUBLE) / (CAST(df AS DOUBLE) + 50.0 +
+         |        150.0 * CAST(cw AS DOUBLE) / s.avg_cw)) *
+         |      (ln((CAST(s.n_coll AS DOUBLE) + 0.5) /
+         |          CAST(cf AS DOUBLE)) /
+         |        ln(CAST(s.n_coll AS DOUBLE) + 1.0)) AS p
+         |  FROM grid, cstats s)
+         |SELECT c AS collection, count(*) AS n_terms,
+         |  round(list_sum(list(p ORDER BY term)) /
+         |    CAST(count(*) AS DOUBLE), 6) AS belief
+         |FROM scored GROUP BY c
+         |ORDER BY belief DESC, collection""".stripMargin
+    },
+
+    // the same sha-slice hash as the minhash oracles places the
+    // anchors; lag windows merge overlapping spans; sentinel pieces
+    // reassemble through ordered FILTERed lists
+    "span_corruption" -> {
+      val toks = sqlToksKeepStop("text")
+      val h = "('0x' || substr(sha256('0:' || CAST(doc_id AS VARCHAR)" +
+        " || ':' || CAST(pos AS VARCHAR)), 1, 8))::UBIGINT::BIGINT"
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toks AS tl FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest(range(len(tl)))::BIGINT AS pos,
+         |    unnest(tl) AS tok
+         |  FROM tk),
+         |anch AS (
+         |  SELECT doc_id, pos, tok, ($h % 20 = 0) AS anchor
+         |  FROM toks),
+         |msk AS (
+         |  SELECT doc_id, pos, tok,
+         |    (anchor OR coalesce(lag(anchor, 1) OVER w, false)
+         |      OR coalesce(lag(anchor, 2) OVER w, false)) AS masked
+         |  FROM anch
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |runs AS (
+         |  SELECT doc_id, pos, tok, masked,
+         |    (masked AND NOT coalesce(lag(masked, 1) OVER w, false))
+         |      AS run_start
+         |  FROM msk
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sent AS (
+         |  SELECT doc_id, pos, tok, masked, run_start,
+         |    sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS sent_id
+         |  FROM runs),
+         |pieces AS (
+         |  SELECT doc_id, pos, masked, run_start,
+         |    CASE WHEN run_start THEN
+         |        '<extra_id_' || CAST(sent_id AS VARCHAR) || '>'
+         |      WHEN masked THEN NULL ELSE tok END AS ip,
+         |    CASE WHEN run_start THEN
+         |        '<extra_id_' || CAST(sent_id AS VARCHAR) || '> ' || tok
+         |      WHEN masked THEN tok ELSE NULL END AS tp
+         |  FROM sent)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_masked,
+         |  CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spans,
+         |  round(CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS noise_frac,
+         |  coalesce(array_to_string(list(ip ORDER BY pos)
+         |    FILTER (WHERE ip IS NOT NULL), ' '), '') AS inputs_text,
+         |  coalesce(array_to_string(list(tp ORDER BY pos)
+         |    FILTER (WHERE tp IS NOT NULL), ' '), '') AS targets_text
+         |FROM pieces GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     "ir_metrics" ->

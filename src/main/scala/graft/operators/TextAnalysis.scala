@@ -1032,6 +1032,73 @@ object TextAnalysis {
           (gc * nt), 6).as("gini"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) with
+    * DETERMINISTIC span placement — the denoising-objective prep an
+    * LLM training pipeline runs over every document: anchor positions
+    * are chosen by a sha-derived hash (H(id:pos) mod `every` == 0 —
+    * expected noise density span/every, 15% at the 3/20 default), each
+    * anchor masks `span` consecutive tokens, overlapping spans merge
+    * into one run, and each contiguous run is replaced by <extra_id_k>
+    * in reading order; targets carry sentinel + the masked tokens.
+    * Hash-driven sampling instead of RNG sampling is what makes the
+    * op REPLAYABLE: any engine (and any re-run over a changed corpus)
+    * produces identical spans, which is also the property that makes
+    * decontamination and dedup of the corrupted corpus tractable.
+    * Operates on the normalized token stream (F1), not raw bytes.
+    *
+    * Scale shape: one tokenize pass; windows partition by DOCUMENT
+    * (bounded by doc length — the chunker convention); one per-doc
+    * reassembly aggregation. Output: (id, n_tokens, n_masked,
+    * n_spans, noise_frac, inputs_text, targets_text). */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      every: Int = 20, span: Int = 3): DataFrame = {
+    require(every >= 2 && span >= 1 && span < every,
+      s"bad corruption spec: $span/$every")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokensCol(col(textCol),
+        removeStopwords = false)).as(Seq("pos", "tok")))
+    val anchored = toks.withColumn("anchor",
+      Dedup.shaHashFamily(0, concat(col("id").cast("string"), lit(":"),
+        col("pos").cast("string"))) % every === 0)
+    val masked = anchored.withColumn("masked",
+      (0 until span).map(d =>
+        if (d == 0) col("anchor")
+        else coalesce(lag(col("anchor"), d).over(w), lit(false)))
+        .reduce(_ || _))
+      .withColumn("run_start", col("masked") &&
+        !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("sent_id",
+        sum(col("run_start").cast("int")).over(wCum) - 1)
+    val sentinel =
+      concat(lit("<extra_id_"), col("sent_id").cast("string"), lit(">"))
+    val inputPiece = when(col("run_start"), sentinel)
+      .when(col("masked"), lit(null).cast("string"))
+      .otherwise(col("tok"))
+    val targetPiece = when(col("run_start"),
+        concat(sentinel, lit(" "), col("tok")))
+      .when(col("masked"), col("tok"))
+      .otherwise(lit(null).cast("string"))
+    masked.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum(col("run_start").cast("long")).as("n_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(inputPiece.isNotNull,
+            struct(col("pos"), inputPiece.as("p"))))),
+          x => x.getField("p"))).as("inputs_text"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(targetPiece.isNotNull,
+            struct(col("pos"), targetPiece.as("p"))))),
+          x => x.getField("p"))).as("targets_text"))
+      .withColumn("noise_frac",
+        col("n_masked").cast("double") / col("n_tokens").cast("double"))
+      .select("id", "n_tokens", "n_masked", "n_spans", "noise_frac",
+        "inputs_text", "targets_text")
+  }
+
   /** Class-based TF-IDF topic terms (Grootendorst 2022 — BERTopic's
     * c-TF-IDF): treat each class (a source, a cluster, a language
     * bucket) as ONE pseudo-document and weight

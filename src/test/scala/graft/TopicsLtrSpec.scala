@@ -91,4 +91,68 @@ class TopicsLtrSpec extends SparkSpec {
       .collect().head.getDouble(4)
     assert(got == 0.7 * 1.0 + 0.2 * 0.5 + 0.1 * 0.25)
   }
+
+  test("spanCorruption: sentinels splice back to the original token " +
+      "stream; span counts and noise bounds hold on a varied corpus") {
+    import graft.functions.TextFunctions
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 20 + i * 3).map(j => s"word${(j * 7 + i) % 50}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .spanCorruption(docs, "doc_id", "text", every = 10, span = 3)
+      .collect()
+    assert(rows.length == 30)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { r =>
+      val (id, nTokens, nMasked, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (inputs, targets) = (r.getString(5), r.getString(6))
+      // every run masks at least one token (overlapping anchors merge
+      // runs, so a run can exceed `span`; doc-end truncation can
+      // shorten it — the splice equality below is the exact check)
+      assert(nMasked >= nSpans, s"doc $id")
+      assert(sentinel.findAllIn(inputs).size == nSpans, s"doc $id")
+      assert(sentinel.findAllIn(targets).size == nSpans, s"doc $id")
+      // splice targets into inputs at each sentinel -> original stream
+      val spanToks = scala.collection.mutable.Map.empty[Int, Seq[String]]
+      var cur = -1
+      targets.split(" ").filter(_.nonEmpty).foreach {
+        case s if s.startsWith("<extra_id_") =>
+          cur = sentinel.findFirstMatchIn(s).get.group(1).toInt
+          spanToks(cur) = Nil
+        case t => spanToks(cur) = spanToks(cur) :+ t
+      }
+      val spliced = inputs.split(" ").filter(_.nonEmpty).flatMap {
+        case s if s.startsWith("<extra_id_") =>
+          spanToks(sentinel.findFirstMatchIn(s).get.group(1).toInt)
+        case t => Seq(t)
+      }.toSeq
+      val orig = TextFunctions.tokenize(texts(id),
+        removeStopwords = false)
+      assert(spliced == orig, s"doc $id splice mismatch")
+      assert(nTokens == orig.size)
+    }
+    // the corpus-level density lands near span/every = 0.3
+    val frac = rows.map(_.getLong(2)).sum.toDouble /
+      rows.map(_.getLong(1)).sum
+    assert(frac > 0.15 && frac < 0.45, s"density $frac")
+  }
+
+  test("CORI: the collection holding the query terms outranks the " +
+      "term-free one, which sits exactly at the belief floor 0.4") {
+    import graft.operators.Cori
+    val docs = Seq(
+      ("phys", 1L, "quantum physics experiment quantum theory"),
+      ("phys", 2L, "quantum entanglement result"),
+      ("cook", 3L, "pasta sauce tomato basil"),
+      ("cook", 4L, "oven roast pepper salt"))
+      .toDF("source", "doc_id", "text")
+    val got = Cori.selectCollections(docs, "source", "doc_id", "text",
+        Seq("quantum"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("phys") > got("cook"), got.toString)
+    assert(got("cook") == 0.4) // df = 0 -> p = b exactly
+  }
 }
