@@ -6957,6 +6957,87 @@ object SparkEntry {
           col("inputs_text"), col("targets_text"))
         .orderBy("doc_id")),
 
+    // ---- team-draft interleaving (Radlinski et al. 2008), the
+    //      deterministic variant: the ONLINE ranker comparison beside
+    //      ir_significance's offline test — BM25 and the length prior
+    //      merge into one page per panel query, clicks (grade > 0)
+    //      credit the contributing team, verdict columns ride every
+    //      row ----
+    "eval_interleaving" -> ((s, dir) => {
+      import graft.operators.Interleave
+      val docs = t(s, dir, "documents")
+      val ilIdx = Bm25.buildIndex(docs, "doc_id", "text",
+        pinStats = true)
+      val runA = BenchQueries.map { case (qid, qtext) =>
+        Bm25.searchTopK(docs, "doc_id", "text", qtext, 10,
+            index = Some(ilIdx))
+          .select(lit(qid).cast("int").as("query_id"),
+            col("id").as("doc_id"), col("score"))
+      }.reduce(_ unionByName _)
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranksA = runA.withColumn("rank", row_number().over(wq))
+        .select("query_id", "rank", "doc_id")
+      val prior = docs.orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(10).select("doc_id", "n_chars")
+      val spark = s
+      import spark.implicits._
+      val ranksB = BenchQueries.map(_._1).toDF("query_id")
+        .select(col("query_id").cast("int").as("query_id"))
+        .crossJoin(prior)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .select("query_id", "rank", "doc_id")
+      val clicks = docs.filter(col("doc_id") % 4 =!= 0)
+        .select((col("doc_id") % 3 + 1).cast("int").as("query_id"),
+          col("doc_id"))
+      val il = Interleave.teamDraft(ranksA, ranksB, clicks, depth = 10)
+        .localCheckpoint() // list + verdict both consume it
+      il.join(Interleave.verdict(il), "query_id")
+        .orderBy("query_id", "pos")
+    }),
+
+    // ---- document-authority PageRank over the shared-shingle graph
+    //      (the related_docs edge relation: 2 <= df <= 50 pruned
+    //      postings, weight = shared shingle count, edges require
+    //      w >= 2 — single-shingle collisions are noise mass that
+    //      multiplies the iteration cost without centrality signal,
+    //      the containment minShared argument): the graph-centrality
+    //      curation signal — which documents sit at the center of the
+    //      corpus's duplication/quotation structure — via TextRank's
+    //      bit-stable iteration at the doc level ----
+    "related_pagerank" -> ((s, dir) => {
+      import graft.operators.{TextRank, TopK}
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val pruned = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= 2 && col("__df") <= 50)
+          .select("shingle"), "shingle")
+      val und = pruned.select(col("shingle"), col("id").as("x"))
+        .join(pruned.select(col("shingle"), col("id").as("y")),
+          "shingle")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("x").cast("string").as("a"),
+          col("y").cast("string").as("b"), col("w"))
+      // 4 iterations: the top-20 centrality ranking settles well
+      // before 8 at d = 0.85 (geometric convergence), and each RDD
+      // iteration carries a fixed scheduling floor the small graph
+      // can't amortize — keywords keeps 8 (word graphs are cheaper)
+      val scored = TextRank.pageRank(und, iterations = 4,
+          damping = 0.85)
+        .select(col("id"), round(col("score"), 6).as("score"))
+      TopK.perGroup(scored.select(lit("all").as("g"),
+          col("id").as("doc_id"), col("id").as("chunk_id"),
+          col("score")), "g", 20)
+        .select(col("rank"), col("chunk_id").cast("long").as("doc_id"),
+          col("score"))
+        .orderBy("rank")
+    }),
+
     // ---- IR metrics macro-averaged (A5) over a deterministic run ----
     "ir_metrics" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -14299,6 +14380,144 @@ object SparkEntry {
          |    FILTER (WHERE tp IS NOT NULL), ' '), '') AS targets_text
          |FROM pieces GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the draft replayed as `depth` chained MATERIALIZED state CTEs
+    // (the BPE-oracle discipline), parity baked per step; clicks and
+    // the credit verdict join back onto the unnested page
+    "eval_interleaving" -> {
+      val depth = 10
+      val legs = BenchQueries.map { case (qid, qtext) =>
+        s"""ilq${qid}w AS (
+           |  SELECT q.term, CAST(q.q_tf AS DOUBLE) * idf.idf AS q_weight
+           |  FROM (VALUES ${queryValuesFor(qtext)}) AS q(term, q_tf)
+           |  JOIN idf ON q.term = idf.term
+           |  WHERE idf.idf > 0),
+           |ilr$qid AS (
+           |  SELECT $qid AS query_id, doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM (
+           |    SELECT w.doc_id,
+           |      list_sum(list(w.weight * qw.q_weight ORDER BY w.term))
+           |        AS score
+           |    FROM weights w JOIN ilq${qid}w qw ON w.term = qw.term
+           |    GROUP BY w.doc_id
+           |    ORDER BY score DESC, doc_id LIMIT 10))""".stripMargin
+      }.mkString(",\n")
+      val runsA = BenchQueries.map(q => s"SELECT * FROM ilr${q._1}")
+        .mkString("\n  UNION ALL\n  ")
+      val qidVals = BenchQueries.map(q => s"(${q._1})").mkString(", ")
+      def pick(l: String) =
+        s"list_filter($l, x -> NOT list_contains(" +
+          s"list_transform(acc, y -> y.d), x))[1]"
+      val steps = (0 until depth).map { i =>
+        val (pl, pt, fl, ft) =
+          if (i % 2 == 0) ("la", "A", "lb", "B")
+          else ("lb", "B", "la", "A")
+        s"""s${i + 1} AS MATERIALIZED (
+           |  SELECT query_id, la, lb,
+           |    CASE WHEN pv IS NOT NULL
+           |      THEN list_append(acc, {'d': pv, 'team': '$pt'})
+           |    WHEN fv IS NOT NULL
+           |      THEN list_append(acc, {'d': fv, 'team': '$ft'})
+           |    ELSE acc END AS acc
+           |  FROM (
+           |    SELECT query_id, la, lb, acc,
+           |      ${pick(pl)} AS pv, ${pick(fl)} AS fv
+           |    FROM s$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $Bm25WeightsCtes,
+         |$legs,
+         |ila AS (
+         |  SELECT query_id, list(doc_id ORDER BY rank) AS la
+         |  FROM ($runsA) GROUP BY query_id),
+         |ilprior AS (
+         |  SELECT doc_id, n_chars FROM documents
+         |  ORDER BY n_chars DESC, doc_id LIMIT 10),
+         |ilb AS (
+         |  SELECT q.query_id, list(p.doc_id
+         |    ORDER BY p.n_chars DESC, p.doc_id) AS lb
+         |  FROM (VALUES $qidVals) AS q(query_id) CROSS JOIN ilprior p
+         |  GROUP BY q.query_id),
+         |s0 AS (
+         |  SELECT a.query_id, a.la, b.lb,
+         |    CAST([] AS STRUCT(d BIGINT, team VARCHAR)[]) AS acc
+         |  FROM ila a JOIN ilb b USING (query_id)),
+         |$steps,
+         |page AS (
+         |  SELECT query_id, unnest(range(len(acc)))::INT + 1 AS pos,
+         |    unnest(acc) AS e
+         |  FROM s$depth),
+         |clk AS (
+         |  SELECT CAST(doc_id % 3 + 1 AS INT) AS query_id, doc_id
+         |  FROM documents WHERE doc_id % 4 <> 0),
+         |pagerows AS MATERIALIZED (
+         |  SELECT p.query_id, p.pos, p.e.d AS doc_id, p.e.team AS team,
+         |    (c.doc_id IS NOT NULL) AS clicked
+         |  FROM page p LEFT JOIN clk c
+         |    ON c.query_id = p.query_id AND c.doc_id = p.e.d),
+         |ver AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN clicked AND team = 'A' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS credit_a,
+         |    CAST(sum(CASE WHEN clicked AND team = 'B' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS credit_b
+         |  FROM pagerows GROUP BY query_id)
+         |SELECT r.query_id, r.pos, r.doc_id, r.team, r.clicked,
+         |  v.credit_a, v.credit_b,
+         |  CASE WHEN v.credit_a > v.credit_b THEN 'A'
+         |       WHEN v.credit_b > v.credit_a THEN 'B'
+         |       ELSE 'tie' END AS winner
+         |FROM pagerows r JOIN ver v USING (query_id)
+         |ORDER BY query_id, pos""".stripMargin
+    },
+
+    // the textrank iteration replay at the DOCUMENT level: shingle
+    // edges (2 <= df <= 50, weight = shared count), 8 chained state
+    // CTEs, round-before-cut with the string-form tie-break
+    "related_pagerank" -> {
+      val toks = sqlToksKeepStop("text")
+      val iters = (1 to 4).map { i =>
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT e.v AS id, (1.0 - 0.85) + 0.85 * sum(e.frac * r.s)
+           |    AS s
+           |  FROM pre e JOIN pr${i - 1} r ON r.id = e.u GROUP BY e.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, unnest(
+         |    CASE WHEN len($toks) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, len($toks) - 2),
+         |      i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2]))
+         |    END) AS shingle
+         |  FROM documents),
+         |pruned AS MATERIALIZED (
+         |  SELECT sh.id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+         |        HAVING count(*) >= 2 AND count(*) <= 50) d
+         |    USING (shingle)),
+         |und AS MATERIALIZED (
+         |  SELECT a.id AS a, b.id AS b, count(*) AS w
+         |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle
+         |    AND a.id < b.id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |dirx AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, w FROM und
+         |  UNION ALL SELECT b AS u, a AS v, w FROM und),
+         |deg AS MATERIALIZED (
+         |  SELECT u, CAST(sum(w) AS BIGINT) AS du FROM dirx GROUP BY 1),
+         |pre AS MATERIALIZED (
+         |  SELECT d.u, d.v, CAST(d.w AS DOUBLE) / deg.du AS frac
+         |  FROM dirx d JOIN deg ON deg.u = d.u),
+         |pr0 AS MATERIALIZED (SELECT u AS id, 1.0 AS s FROM deg),
+         |$iters
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY round(s, 6) DESC, CAST(id AS VARCHAR)) AS INT)
+         |    AS rank,
+         |  id AS doc_id, round(s, 6) AS score
+         |FROM pr4
+         |ORDER BY rank
+         |LIMIT 20""".stripMargin
     },
 
     "ir_metrics" ->
