@@ -30,6 +30,21 @@ object SparkEntry {
     Tables.load(s, dir, name)
   }
 
+  /** The gopher_quality failure fixture (shared with
+    * filter_attribution): the synthetic docs mostly pass, so four
+    * %23 slices inject each failure class deterministically. */
+  private def gopherStaged(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 23 === 3,
+          lit("• the data\n• of the\n• and that\n• with have"))
+        .when(col("doc_id") % 23 === 4,
+          lit("the rest follows...\nmore to come…\nof and that have with"))
+        .when(col("doc_id") % 23 === 5,
+          concat(col("text"), lit(" ## ## ## ## ## ## ## ## ## ##")))
+        .when(col("doc_id") % 23 === 6,
+          lit("1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 the of"))
+        .otherwise(col("text")).as("text"))
+
   /** The sf dir the queries last ran against — the data-dependent
     * oracles (IVF centroids, PCA components) must fit on the SAME data
     * the dumped query results came from. Verify runs all queries before
@@ -230,6 +245,61 @@ object SparkEntry {
 
   private val Bm25StatsCtes = bm25StatsCtes()
   private val Bm25WeightsCtes = bm25WeightsCtes()
+
+  /** The gopher_quality staged fixture + per-doc signal chain, ending
+    * in CTE r(doc_id, nw, ml, sym, bl, el, al, nstop) — shared by the
+    * gopher_quality and filter_attribution oracles. */
+  private val gopherFlagsSqlCtes: String =
+    """staged AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 23 = 3 THEN '• the data' || chr(10) ||
+      |        '• of the' || chr(10) || '• and that' || chr(10) ||
+      |        '• with have'
+      |      WHEN doc_id % 23 = 4 THEN 'the rest follows...' || chr(10) ||
+      |        'more to come…' || chr(10) || 'of and that have with'
+      |      WHEN doc_id % 23 = 5 THEN text ||
+      |        ' ## ## ## ## ## ## ## ## ## ##'
+      |      WHEN doc_id % 23 = 6 THEN
+      |        '1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 the of'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'),
+      |      x -> length(x) > 0) AS words,
+      |    list_filter(list_transform(string_split(text, chr(10)),
+      |      l -> trim(l)), l -> length(l) > 0) AS lines
+      |  FROM staged),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS DOUBLE) AS nw,
+      |    greatest(CAST(len(words) AS DOUBLE), 1.0) AS safew,
+      |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))),
+      |      0) AS DOUBLE) AS wlen,
+      |    CAST(length(text) - length(replace(text, '#', ''))
+      |      AS DOUBLE) AS nhash,
+      |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+      |      + (length(text) - length(replace(text, '…', '')))
+      |      AS DOUBLE) AS nell,
+      |    CAST(len(list_filter(lines, l ->
+      |      substr(l, 1, 1) = '•' OR substr(l, 1, 1) = '-' OR
+      |      substr(l, 1, 1) = '*')) AS DOUBLE) AS nbullet,
+      |    CAST(len(list_filter(lines, l ->
+      |      (length(l) >= 3 AND substr(l, length(l) - 2, 3) = '...') OR
+      |      substr(l, length(l), 1) = '…')) AS DOUBLE) AS nelines,
+      |    greatest(CAST(len(lines) AS DOUBLE), 1.0) AS safel,
+      |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS DOUBLE) AS nalpha,
+      |    len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+      |      'have', 'with'], s -> list_contains(
+      |        list_transform(words, x -> lower(x)), s))) AS nstop
+      |  FROM w),
+      |r AS (
+      |  SELECT doc_id, nw, wlen / safew AS ml,
+      |    (nhash + nell) / safew AS sym, nbullet / safel AS bl,
+      |    nelines / safel AS el, nalpha / safew AS al, nstop
+      |  FROM sig)""".stripMargin
 
   /** BM25 search query used by bm25_topk / rrf_fuse / knn_text. */
   private val SearchQuery = "spark hash join stream data table"
@@ -3105,6 +3175,29 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("query_id", "dim")
     }),
 
+    // ---- IVF-PQ recall harness: recall@10 of the full compressed
+    //      path (3/8 probed cells -> ADC -> 50-shortlist exact refine)
+    //      against the exact scan, over the shared query panel — the
+    //      number that justifies serving from m-byte codes ----
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      lastDir = dir
+      val e = t(s, dir, "embeddings")
+      val centroids = ivfCentroidsFor(s, dir)
+      val cb = pqCodebookFor(s, dir)
+      AnnRecallQids.map { qid =>
+        val qv = queryVecNFor(s, dir, qid)
+        val exact = Knn.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+          .select(col("vec_id"))
+        val approx = Pq.ivfPqTopK(e, "vec_id", "embedding", qv, 10,
+            centroids, nprobe = 3, cb, shortlist = 50)
+          .select(col("vec_id").as("a_id"))
+        exact.join(approx, col("vec_id") === col("a_id"), "left")
+          .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+          .select(lit(qid).as("query_id"), col("k"), col("n_hits"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionByName _).orderBy("query_id")
+    }),
+
     // ---- LSH recall harness: recall@10 of single-probe vs
     //      MULTI-PROBE (2 flip bits → 4 of 16 buckets) against the
     //      exact scan over the same query panel — the measured number
@@ -3424,20 +3517,41 @@ object SparkEntry {
     //      doc, a symbol-spam doc, a numeric doc — while every other
     //      document keeps its natural text (whose word-count /
     //      stop-word variation exercises the remaining rules). ----
-    "gopher_quality" -> ((s, dir) => {
-      val staged = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 23 === 3,
-            lit("• the data\n• of the\n• and that\n• with have"))
-          .when(col("doc_id") % 23 === 4,
-            lit("the rest follows...\nmore to come…\nof and that have with"))
-          .when(col("doc_id") % 23 === 5,
-            concat(col("text"), lit(" ## ## ## ## ## ## ## ## ## ##")))
-          .when(col("doc_id") % 23 === 6,
-            lit("1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 the of"))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.gopherQuality(staged, "doc_id", "text")
+    "gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(gopherStaged(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // ---- filter attribution — the curation analytics every pipeline
+    //      owner asks for before tightening a rule: per Gopher rule,
+    //      how many docs it flags, how many it flags UNIQUELY (the
+    //      docs only that rule catches — its marginal contribution),
+    //      and its share of the removed set. ONE aggregation over the
+    //      per-doc flag relation, exploded to long format ----
+    "filter_attribution" -> ((s, dir) => {
+      val flags = TextAnalysis.gopherQuality(gopherStaged(s, dir),
+        "doc_id", "text")
+      val rules = Seq("word_count", "mean_word_len", "symbol_ratio",
+        "bullet_lines", "ellipsis_lines", "alpha_words", "stop_words")
+      val nfails = rules.map(r => (!col(s"pass_$r")).cast("int"))
+        .reduce(_ + _)
+      val aggs =
+        Seq(sum((nfails > 0).cast("long")).as("n_removed")) ++
+        rules.flatMap(r => Seq(
+          sum((!col(s"pass_$r")).cast("long")).as(s"fl_$r"),
+          sum(((!col(s"pass_$r")) && nfails === 1).cast("long"))
+            .as(s"un_$r")))
+      val row = flags.agg(aggs.head, aggs.tail: _*)
+      val structs = rules.map(r => struct(lit(r).as("rule"),
+        col(s"fl_$r").as("n_flagged"), col(s"un_$r").as("n_unique"),
+        round(col(s"fl_$r").cast("double") /
+          col("n_removed").cast("double"), 6).as("share_of_removed")))
+      row.select(explode(array(structs: _*)).as("m"))
+        .select(col("m.rule").as("rule"),
+          col("m.n_flagged").as("n_flagged"),
+          col("m.n_unique").as("n_unique"),
+          col("m.share_of_removed").as("share_of_removed"))
+        .orderBy("rule")
     }),
 
     // ---- DSIR importance resampling (Xie et al. 2023): target = the
@@ -12176,56 +12290,7 @@ object SparkEntry {
         |FROM j ORDER BY doc_id""".stripMargin,
 
     "gopher_quality" ->
-      """WITH staged AS (
-        |  SELECT doc_id,
-        |    CASE
-        |      WHEN doc_id % 23 = 3 THEN '• the data' || chr(10) ||
-        |        '• of the' || chr(10) || '• and that' || chr(10) ||
-        |        '• with have'
-        |      WHEN doc_id % 23 = 4 THEN 'the rest follows...' || chr(10) ||
-        |        'more to come…' || chr(10) || 'of and that have with'
-        |      WHEN doc_id % 23 = 5 THEN text ||
-        |        ' ## ## ## ## ## ## ## ## ## ##'
-        |      WHEN doc_id % 23 = 6 THEN
-        |        '1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 the of'
-        |      ELSE text END AS text
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'),
-        |      x -> length(x) > 0) AS words,
-        |    list_filter(list_transform(string_split(text, chr(10)),
-        |      l -> trim(l)), l -> length(l) > 0) AS lines
-        |  FROM staged),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(len(words) AS DOUBLE) AS nw,
-        |    greatest(CAST(len(words) AS DOUBLE), 1.0) AS safew,
-        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))),
-        |      0) AS DOUBLE) AS wlen,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      AS DOUBLE) AS nhash,
-        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
-        |      + (length(text) - length(replace(text, '…', '')))
-        |      AS DOUBLE) AS nell,
-        |    CAST(len(list_filter(lines, l ->
-        |      substr(l, 1, 1) = '•' OR substr(l, 1, 1) = '-' OR
-        |      substr(l, 1, 1) = '*')) AS DOUBLE) AS nbullet,
-        |    CAST(len(list_filter(lines, l ->
-        |      (length(l) >= 3 AND substr(l, length(l) - 2, 3) = '...') OR
-        |      substr(l, length(l), 1) = '…')) AS DOUBLE) AS nelines,
-        |    greatest(CAST(len(lines) AS DOUBLE), 1.0) AS safel,
-        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-        |      AS DOUBLE) AS nalpha,
-        |    len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
-        |      'have', 'with'], s -> list_contains(
-        |        list_transform(words, x -> lower(x)), s))) AS nstop
-        |  FROM w),
-        |r AS (
-        |  SELECT doc_id, nw, wlen / safew AS ml,
-        |    (nhash + nell) / safew AS sym, nbullet / safel AS bl,
-        |    nelines / safel AS el, nalpha / safew AS al, nstop
-        |  FROM sig)
+      s"""WITH $gopherFlagsSqlCtes
         |SELECT doc_id,
         |  CAST(nw AS BIGINT) AS n_words,
         |  round(ml, 6) AS mean_word_len,
@@ -12245,6 +12310,49 @@ object SparkEntry {
         |    sym <= 0.1 AND bl <= 0.9 AND el <= 0.3 AND al >= 0.8 AND
         |    nstop >= 2 AS gopher_pass
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // rule fail-flags from the shared gopher chain, one aggregation,
+    // 7 long-format rows
+    "filter_attribution" -> {
+      val rules = Seq(
+        ("alpha_words", "NOT (al >= 0.8)"),
+        ("bullet_lines", "NOT (bl <= 0.9)"),
+        ("ellipsis_lines", "NOT (el <= 0.3)"),
+        ("mean_word_len", "NOT (ml >= 3.0 AND ml <= 10.0)"),
+        ("stop_words", "NOT (nstop >= 2)"),
+        ("symbol_ratio", "NOT (sym <= 0.1)"),
+        ("word_count", "NOT (nw >= 50 AND nw <= 100000)"))
+      val flagCols = rules.map { case (n, e) => s"$e AS f_$n" }
+        .mkString(",\n    ")
+      val nf = rules.map { case (n, _) =>
+        s"(CASE WHEN f_$n THEN 1 ELSE 0 END)" }.mkString(" + ")
+      val aggCols = rules.map { case (n, _) =>
+        s"""CAST(sum(CASE WHEN f_$n THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fl_$n,
+           |    CAST(sum(CASE WHEN f_$n AND nf = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS un_$n""".stripMargin
+      }.mkString(",\n    ")
+      val rows = rules.map { case (n, _) =>
+        s"""SELECT '$n' AS rule, fl_$n AS n_flagged, un_$n AS n_unique,
+           |    round(CAST(fl_$n AS DOUBLE) / CAST(n_removed AS DOUBLE),
+           |      6) AS share_of_removed
+           |  FROM agg""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $gopherFlagsSqlCtes,
+         |flags AS (
+         |  SELECT doc_id,
+         |    $flagCols
+         |  FROM r),
+         |wide AS (SELECT *, $nf AS nf FROM flags),
+         |agg AS (
+         |  SELECT CAST(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_removed,
+         |    $aggCols
+         |  FROM wide)
+         |SELECT rule, n_flagged, n_unique, share_of_removed FROM (
+         |  $rows)
+         |ORDER BY rule""".stripMargin
+    },
 
     "pack_sequences" ->
       """WITH t AS (
@@ -15030,6 +15138,99 @@ object SparkEntry {
              |  SELECT vec_id, raw FROM scored
              |  ORDER BY raw DESC, vec_id LIMIT 10)
              |ORDER BY score DESC, vec_id""".stripMargin
+        },
+
+        // the ivfpq chain per panel query: codes encoded ONCE over the
+        // assigned table (query-independent), then per-qid probe gate,
+        // per-qid ADC table, shortlist, exact refine, recall vs exact
+        "ann_recall_ivfpq" -> {
+          val cb = pqCodebookFor(
+            org.apache.spark.sql.SparkSession.active, lastDir)
+          val cvals = (for {
+            s <- 0 until cb.m
+            j <- 0 until cb.k
+          } yield {
+            val c = cb.centroids(s)(j)
+            s"($s, $j, ${sqlDoubleList(c)}, ${c.map(x => x * x).sum})"
+          }).mkString(",\n    ")
+          val ivf = IvfOracleCentroids.zipWithIndex
+            .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
+            .mkString(",\n    ")
+          val perQ = AnnRecallQids.map { qid =>
+            val qv = queryVecNFor(
+              org.apache.spark.sql.SparkSession.active, lastDir, qid)
+            val table = Pq.adcTable(qv, cb)
+            val tvals = table.zipWithIndex
+              .map { case (t, s) => s"($s, ${sqlDoubleList(t)})" }
+              .mkString(",\n    ")
+            val probes = annRecallOracleProbes(qid).mkString(", ")
+            s"""q$qid AS (
+               |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+               |  FROM embeddings WHERE vec_id = $qid),
+               |exact$qid AS (
+               |  SELECT vec_id FROM (
+               |    SELECT e.vec_id, list_cosine_similarity(
+               |      CAST(e.embedding AS DOUBLE[]), q.qv) AS raw
+               |    FROM embeddings e, q$qid q
+               |    ORDER BY raw DESC, vec_id LIMIT 10)),
+               |adc$qid AS (
+               |  SELECT s, dt FROM (VALUES
+               |    $tvals) AS t(s, dt)),
+               |dists$qid AS (
+               |  SELECT co.vec_id,
+               |    list_sum(list(a.dt[co.code + 1] ORDER BY co.s))
+               |      AS adist
+               |  FROM qcodes co JOIN adc$qid a ON a.s = co.s
+               |  WHERE co.cid IN ($probes)
+               |  GROUP BY co.vec_id),
+               |short$qid AS (
+               |  SELECT vec_id FROM dists$qid
+               |  ORDER BY adist ASC, vec_id LIMIT 50),
+               |approx$qid AS (
+               |  SELECT vec_id FROM (
+               |    SELECT e.vec_id, list_cosine_similarity(
+               |      CAST(e.embedding AS DOUBLE[]), q.qv) AS raw
+               |    FROM embeddings e
+               |    JOIN short$qid sh ON sh.vec_id = e.vec_id, q$qid q
+               |    ORDER BY raw DESC, e.vec_id LIMIT 10)),
+               |rec$qid AS (
+               |  SELECT $qid AS query_id, count(*) AS k,
+               |    CAST(sum(CASE WHEN x.vec_id IN
+               |      (SELECT vec_id FROM approx$qid) THEN 1 ELSE 0 END)
+               |      AS BIGINT) AS n_hits
+               |  FROM exact$qid x)""".stripMargin
+          }.mkString(",\n")
+          val recUnion = AnnRecallQids
+            .map(q => s"SELECT * FROM rec$q")
+            .mkString("\n  UNION ALL\n  ")
+          s"""WITH ivfc AS (
+             |  SELECT cid, c FROM (VALUES
+             |    $ivf) AS t(cid, c)),
+             |qassigned AS MATERIALIZED (
+             |  SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_inner_product(
+             |          CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cid)
+             |        AS rn
+             |    FROM embeddings e, ivfc c) WHERE rn = 1),
+             |cents AS (
+             |  SELECT s, j, c, c2 FROM (VALUES
+             |    $cvals) AS t(s, j, c, c2)),
+             |qcodes AS MATERIALIZED (
+             |  SELECT vec_id, cid, s, j AS code FROM (
+             |    SELECT e.vec_id, e.cid, c.s, c.j,
+             |      row_number() OVER (PARTITION BY e.vec_id, c.s
+             |        ORDER BY 2 * list_inner_product(
+             |          list_slice(CAST(e.embedding AS DOUBLE[]),
+             |            c.s*8 + 1, c.s*8 + 8), c.c) - c.c2 DESC,
+             |          c.j) AS rn
+             |    FROM qassigned e, cents c) WHERE rn = 1),
+             |$perQ
+             |SELECT query_id, k, n_hits,
+             |  CAST(n_hits AS DOUBLE) / k AS recall FROM (
+             |  $recUnion)
+             |ORDER BY query_id""".stripMargin
         },
 
         // ann_pq_refine's chain with ONE extra gate up front: codes
