@@ -465,6 +465,24 @@ object SparkEntry {
           .filter(col("vec_id") % 5 =!= 0),
         "vec_id", "embedding", 64, k = 8, iters = 2))
 
+  /** Quantizer for the MUTUAL-kNN candidate structure: cell count
+    * scales with the corpus (k = max(8, ⌈n/256⌉), the FAISS-style
+    * bounded-cell-size rule) so Σ|cell|² stays LINEAR in n — the 10×
+    * scale probe measured the fixed-8-cell wiring at ratio 150
+    * (quadratic: cells grow linearly, pairs quadratically), exactly
+    * the failure class the probe exists to catch. At the verify sf
+    * (n ≤ 2048) this resolves to the shared 8-cell fit, so the oracle
+    * literals are unchanged. */
+  private def mutualCentroidsFor(s: SparkSession,
+      dir: String): Seq[Array[Double]] =
+    ivfFitCache.getOrElseUpdate(dir + "#mutual", {
+      val n = Tables.load(s, dir, "embeddings").count() // 1-value
+      val k = math.max(8, math.ceil(n / 256.0).toInt)
+      if (k == 8) ivfCentroidsFor(s, dir)
+      else Knn.ivfFit(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", 64, k = k, iters = 2)
+    })
+
   private val pqFitCache =
     scala.collection.concurrent.TrieMap.empty[String, Pq.Codebook]
 
@@ -5475,6 +5493,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet perplexity bucketing (Wenzek et al. 2020): score
+    //      every document against a bigram LM trained on the CLEAN
+    //      REFERENCE slice (lang = 'en' here; Wikipedia in the paper),
+    //      then split each language into head/middle/tail by
+    //      per-language perplexity TERCILES — the standard
+    //      quality-stratification step before mixing training data.
+    //      Terciles are VALUE thresholds from the exact two-phase
+    //      quantile rank (never a per-lang window), compared on the
+    //      6-dp-rounded bits so the boundary replays cross-engine ----
+    "ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("lang") === "en")
+      val scored = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+          ref, "text")
+        .filter(col("n_bigrams") > 0)
+        .select(col("id"), round(col("bits_per_bigram"), 6).as("bits"))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      val th = Sampling.groupedQuantiles(
+        scored.select(col("lang"), col("bits")), "lang", "bits",
+        Seq(1.0 / 3, 2.0 / 3))
+      val t1 = th.filter(col("q") < 0.5)
+        .select(col("group").as("lang"), col("value").as("t1"))
+      val t2 = th.filter(col("q") > 0.5)
+        .select(col("group").as("lang"), col("value").as("t2"))
+      scored.join(broadcast(t1), "lang").join(broadcast(t2), "lang")
+        .withColumn("bucket",
+          when(col("bits") <= col("t1"), "head")
+            .when(col("bits") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("bits"), 6).as("min_bits"),
+          round(max("bits"), 6).as("max_bits"))
+        .orderBy("lang", "bucket")
+    }),
+
     // ---- PMI collocations over the adjacent-bigram stream: three
     //      map-side-combinable counts on ONE tokenize pass,
     //      Zipf-bounded marginal joins, minCount pruning BEFORE the
@@ -6863,7 +6917,7 @@ object SparkEntry {
     "knn_mutual" -> ((s, dir) => {
       lastDir = dir
       Knn.mutualTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          ivfCentroidsFor(s, dir), k = 5)
+          mutualCentroidsFor(s, dir), k = 5)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cosine"),
           col("rank_ab"), col("rank_ba"))
@@ -10551,6 +10605,64 @@ object SparkEntry {
          |  round(pow(2.0, s.bits), 4) AS perplexity
          |FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the lm_perplexity chain with the LM counts restricted to the
+    // en reference slice (LEFT joins + add-k handle unseen bigrams),
+    // per-lang tercile value thresholds via the exact rank rule over
+    // the ROUNDED bits, bucket aggregation
+    "ccnet_buckets" -> {
+      val toks = sqlToksKeepStop("text")
+      s"""WITH toked AS MATERIALIZED (
+         |  SELECT doc_id AS id, lang, $toks AS t FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT id,
+         |    unnest(t[1:len(t)-1]) AS w1,
+         |    unnest(t[2:len(t)]) AS w2
+         |  FROM toked WHERE len(t) >= 2),
+         |refbg AS MATERIALIZED (
+         |  SELECT unnest(t[1:len(t)-1]) AS w1,
+         |    unnest(t[2:len(t)]) AS w2
+         |  FROM toked WHERE lang = 'en' AND len(t) >= 2),
+         |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM refbg
+         |  GROUP BY 1, 2),
+         |pc AS (SELECT w1, count(*) AS c_w1 FROM refbg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v_size FROM (
+         |  SELECT unnest(t) AS tok FROM toked WHERE lang = 'en')),
+         |scored AS (
+         |  SELECT b.id, round(
+         |    -sum(log2((coalesce(bgc.c_bg, 0) + 0.5) /
+         |      (coalesce(pc.c_w1, 0) + 0.5 * v_size))) / count(*), 6)
+         |    AS bits
+         |  FROM bg b
+         |  LEFT JOIN bgc USING (w1, w2)
+         |  LEFT JOIN pc USING (w1)
+         |  CROSS JOIN v
+         |  GROUP BY b.id),
+         |sl AS (
+         |  SELECT s.id, s.bits, d.lang,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY s.bits) - 1 AS r
+         |  FROM scored s JOIN documents d ON d.doc_id = s.id),
+         |nl AS (SELECT lang, count(*) AS c FROM sl GROUP BY lang),
+         |th1 AS (
+         |  SELECT sl.lang, sl.bits AS t1 FROM sl JOIN nl USING (lang)
+         |  WHERE sl.r = CAST(floor((1.0 / 3) * (nl.c - 1)) AS BIGINT)),
+         |th2 AS (
+         |  SELECT sl.lang, sl.bits AS t2 FROM sl JOIN nl USING (lang)
+         |  WHERE sl.r = CAST(floor((2.0 / 3) * (nl.c - 1)) AS BIGINT)),
+         |bucketed AS (
+         |  SELECT sl.lang,
+         |    CASE WHEN sl.bits <= t1.t1 THEN 'head'
+         |         WHEN sl.bits <= t2.t2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    sl.bits
+         |  FROM sl JOIN th1 t1 USING (lang) JOIN th2 t2 USING (lang))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  round(min(bits), 6) AS min_bits,
+         |  round(max(bits), 6) AS max_bits
+         |FROM bucketed GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin
     },
 
     // same panel/signature CTEs as dedup_calibration; each config's
@@ -14723,7 +14835,9 @@ object SparkEntry {
         // (cosine desc, id-STRING asc — the TopK contract), mutual =
         // the top-5 relation self-joined with swapped keys
         "knn_mutual" -> {
-          val cvals = IvfOracleCentroids.zipWithIndex
+          val cvals = mutualCentroidsFor(
+              org.apache.spark.sql.SparkSession.active, lastDir)
+            .zipWithIndex
             .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }
             .mkString(",\n    ")
           s"""WITH cents AS (

@@ -136,7 +136,10 @@ object Knn {
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(r => toDouble(r.getSeq[Any](0))).toSeq
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(vectors, vecCol, centroids)
+      val assigned =
+        if (centroids.size > RelationalAssignThreshold)
+          ivfAssignByKey(vectors, idCol, vecCol, centroids)
+        else ivfAssign(vectors, vecCol, centroids)
       val sums = assigned
         .select(col("cluster_id"), posexplode(col(vecCol)))
         .groupBy("cluster_id", "pos")
@@ -170,13 +173,19 @@ object Knn {
     * partition at scale; the directed lists collapse through the
     * bounded TopK aggregator (map-side partial top-k, no rank
     * window), and the mutual check is a self-join of that n·k-bounded
-    * relation. Output: (id_a, id_b, cosine, rank_ab, rank_ba) with
-    * id_a < id_b numerically. */
+    * relation. CALLER CONTRACT: the centroid count must scale with
+    * the corpus (k ≈ n/256 keeps cells bounded) — a FIXED quantizer
+    * makes cells grow linearly and Σ|cell|² quadratically (the 10×
+    * scale probe measured ratio 150 with 8 fixed cells). Output:
+    * (id_a, id_b, cosine, rank_ab, rank_ba) with id_a < id_b
+    * numerically. */
   def mutualTopK(vectors: DataFrame, idCol: String, vecCol: String,
                  centroids: Seq[Array[Double]], k: Int): DataFrame = {
-    val assigned = ivfAssign(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", centroids).localCheckpoint() // two pair sides, one scan
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned = (if (centroids.size > RelationalAssignThreshold)
+        ivfAssignByKey(base, "id", "vec", centroids)
+      else ivfAssign(base, "vec", centroids))
+      .localCheckpoint() // two pair sides, one scan
     val l = assigned.select(col("cluster_id"), col("id").as("a"),
       col("vec").as("vec_a"))
     val r = assigned.select(col("cluster_id"), col("id").as("b"),
@@ -203,6 +212,34 @@ object Knn {
       .select(col("a").cast("long").as("id_a"),
         col("b").cast("long").as("id_b"),
         col("cosine"), col("rank_ab"), col("rank_ba"))
+  }
+
+  /** Above this many centroids the assignment runs relationally: the
+    * k-struct `greatest` expression grows generated code linearly in k
+    * (k ≈ 200 measured as an interpreted-fallback cliff), where the
+    * exploded-centroid join keeps ONE codegen'd dot expression at any
+    * k. */
+  val RelationalAssignThreshold = 16
+
+  /** [[ivfAssign]] for LARGE centroid counts (requires a unique key
+    * column): centroids become a broadcast RELATION, each (vector,
+    * centroid) row scores one codegen'd dot, and the per-key
+    * max(struct(score, -cid)) replays ivfAssign's exact
+    * lowest-index-on-ties argmax — same values, scale-stable codegen.
+    * The k-fold row blowup stays map-side (broadcast join + partial
+    * max before the shuffle). */
+  def ivfAssignByKey(vectors: DataFrame, keyCol: String, vecCol: String,
+                     centroids: Seq[Array[Double]]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("__cid", "__cvec")
+    vectors.crossJoin(broadcast(cents))
+      .groupBy(col(keyCol))
+      .agg(max(struct(V.dot(col(vecCol), col("__cvec")).as("s"),
+          (-col("__cid")).as("negi"))).as("__m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(keyCol), col(vecCol), (-col("__m.negi")).as("cluster_id"))
   }
 
   /** Tag every vector with its nearest centroid id (max dot — vectors
