@@ -1977,6 +1977,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // ---- MaxScore dynamic pruning (Turtle & Flood 1995): the same
+    //      top-20 as bm25_topk — the SHARED oracle is the output-
+    //      identity proof — with the order-sensitive scoring shuffle
+    //      restricted to docs whose score upper bound reaches the
+    //      phase-1 threshold ----
+    "bm25_maxscore" -> ((s, dir) => {
+      Bm25.searchTopKMaxScore(t(s, dir, "documents"), "doc_id", "text",
+          SearchQuery, 20)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ---- boolean MUST_NOT search: BM25 ranking with a negated-term
     //      exclusion — docs containing any excluded term are dropped
     //      by a postings anti-join BEFORE the cut (so the page fills
@@ -7778,7 +7790,11 @@ object SparkEntry {
       // the streamed per-batch IVM folds must converge to the same
       // post-changelog recompute as the one-shot batch maintenance —
       // the refresh-loop equivalence
-      "streaming_ivm" -> m("ivm_agg"))
+      "streaming_ivm" -> m("ivm_agg"),
+      // MaxScore pruning is an OPTIMIZATION, not a semantic: the
+      // pruned search must produce bm25_topk's exact top-20 — the
+      // shared oracle is the soundness proof
+      "bm25_maxscore" -> m("bm25_topk"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -375,6 +375,58 @@ object Bm25 {
       .select("id", "term", "contribution", "score")
   }
 
+  /** MaxScore-pruned top-k (Turtle & Flood 1995 — the dynamic-pruning
+    * family WAND belongs to), batch formulation: output-IDENTICAL to
+    * [[searchTopK]] — the shared oracle is the identity proof — while
+    * the expensive term-ordered scoring aggregation runs over a
+    * PRUNED candidate set. Phase 1 computes, per matching doc in ONE
+    * map-side-combinable pass, its best single-term contribution
+    * (`best1`, a LOWER bound on its full score) and its upper bound
+    * `ubDoc` = Σ over contained terms of the term's max contribution;
+    * θ = the k-th best `best1` then lower-bounds the k-th best full
+    * score, so docs with ubDoc < θ provably cannot reach the top k
+    * and are dropped BEFORE the full scoring pass. In an inverted-
+    * index engine the win is skipped postings I/O; in the Spark batch
+    * shape it is SHUFFLE VOLUME — phase 1 is max/sum partial-agg
+    * (combinable), and the order-sensitive sparseScore shuffle then
+    * carries survivor postings only. Soundness: full ≥ best1 per doc
+    * and full ≤ ubDoc per doc, so kth(full) ≥ kth(best1) = θ and any
+    * pruned doc has full ≤ ubDoc < θ.
+    *
+    * Data-shape caveat (measured, NOTES r11): the win requires a Zipf
+    * vocabulary where most matching docs contain FEW of the query's
+    * terms. On the synthetic bench corpus (≈31 unigram terms, every
+    * doc matches nearly every term) the survivor set ≈ the matching
+    * set and the extra phase costs more than it saves — the checked
+    * row exists for the identity proof; deploy the pruning on
+    * long-tail corpora. */
+  def searchTopKMaxScore(corpus: DataFrame, idCol: String,
+      textCol: String, queryText: String, k: Int,
+      p: Params = Default): DataFrame = {
+    val idx = buildIndex(corpus, idCol, textCol, p, pinStats = true)
+    val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
+    // matching postings feed phase 1 AND the survivor scoring —
+    // bounded by postings of query terms; pinned for the two passes
+    val contribs = idx.docWeights.join(broadcast(qW), "term")
+      .select(col("id"), col("term"),
+        (col("weight") * col("q_weight")).as("c"))
+      .cache()
+    val ub = contribs.groupBy("term").agg(max("c").as("__ub"))
+    val pass1 = contribs.join(broadcast(ub), "term")
+      .groupBy("id")
+      .agg(max("c").as("__best1"), sum("__ub").as("__ubDoc"))
+    val theta = broadcast(pass1
+      .orderBy(col("__best1").desc, col("id")).limit(k)
+      .agg(min("__best1").as("__theta")))
+    val survivors = pass1.crossJoin(theta)
+      .filter(col("__ubDoc") >= col("__theta")).select("id")
+    contribs.join(survivors, "id")
+      .groupBy("id")
+      .agg(sparseScore(col("c"), col("term")).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** BM25F — field-boosted ranking (Robertson & Zaragoza's "simple
     * BM25F": weighted term frequency wtf = Σ_f boost_f·tf_f and
     * weighted length norm over wlen = Σ_f boost_f·len_f, one

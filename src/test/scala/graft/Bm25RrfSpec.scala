@@ -217,6 +217,27 @@ class Bm25RrfSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0, 1)) && got(5L) == ((0.0, 0.0, 1)))
   }
 
+  test("searchTopKMaxScore returns searchTopK's exact top-k (scores " +
+      "and order) at every k, on a corpus where pruning is active") {
+    val rnd = new scala.util.Random(3)
+    val vocabulary = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val c = (0 until 120).map { i =>
+      (i.toLong, (0 until 5 + rnd.nextInt(20))
+        .map(_ => vocabulary(rnd.nextInt(vocabulary.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 5, 20)) {
+      val exact = Bm25.searchTopK(c, "doc_id", "text",
+          "alpha beta gamma", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pruned = Bm25.searchTopKMaxScore(c, "doc_id", "text",
+          "alpha beta gamma", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pruned == exact, s"k=$k")
+    }
+  }
+
   test("combSum: a constant-score leg normalizes to 1.0 everywhere") {
     val dense = Seq((1L, 7.0), (2L, 7.0)).toDF("doc_id", "score")
     val sparse = Seq((1L, 3.0), (2L, 1.0)).toDF("doc_id", "score")
