@@ -460,7 +460,9 @@ object Dedup {
         .select("id_a", "id_b"))
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
-    val shc = sh.join(candIds, Seq("id"), "left_semi")
+    // three consumers (sizes + both intersection sides) — the
+    // ngramJaccardFrom pin, same rationale
+    val shc = sh.join(candIds, Seq("id"), "left_semi").cache()
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("size_a"))
     val inters = cands
       .join(shc.select(col("id").as("id_a"), col("shingle")), "id_a")
