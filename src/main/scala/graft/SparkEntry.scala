@@ -7190,11 +7190,14 @@ object SparkEntry {
     "related_pagerank" -> ((s, dir) => {
       import graft.operators.{TextRank, TopK}
       val docs = t(s, dir, "documents")
-      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      // sh feeds the df prune AND the postings join; pruned feeds both
+      // self-join sides — pin both (the containment-pin lesson: each
+      // unpinned consumer re-runs the tokenize+shingle plan)
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
       val pruned = sh.join(
         sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") >= 2 && col("__df") <= 50)
-          .select("shingle"), "shingle")
+          .select("shingle"), "shingle").cache()
       val und = pruned.select(col("shingle"), col("id").as("x"))
         .join(pruned.select(col("shingle"), col("id").as("y")),
           "shingle")

@@ -445,11 +445,14 @@ object Dedup {
       threshold: Double = 0.8, minShared: Int = 3): DataFrame = {
     require(maxDf >= 2, s"bad containment maxDf: $maxDf")
     require(minShared >= 1, s"bad containment minShared: $minShared")
-    val sh = shingles(corpus, idCol, textCol, n)
+    // sh feeds the df prune, the postings join, and the exact verify;
+    // pruned feeds both candidate self-join sides — pin both (each
+    // unpinned consumer re-runs the tokenize+shingle plan)
+    val sh = shingles(corpus, idCol, textCol, n).cache()
     val prunable = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("shingle")
-    val pruned = sh.join(prunable, "shingle")
+    val pruned = sh.join(prunable, "shingle").cache()
     val cands = pinPairs(
       pruned.select(col("shingle"), col("id").as("id_a"))
         .join(pruned.select(col("shingle"), col("id").as("id_b")),
