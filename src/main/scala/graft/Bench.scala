@@ -83,7 +83,18 @@ object Bench {
     // Optional comma-separated filter for fast local A/B iteration —
     // the driver never sets it, so driver runs always time the full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Seeded DETERMINISTIC shuffle of the run order (VERDICT r11 #2):
+    // alphabetical order put whole query FAMILIES (ann_*, streaming_*)
+    // inside single probe windows, so a contention window mapped to an
+    // alphabet neighborhood and family-wide "regressions" were
+    // indistinguishable from one bad window. The seed is fixed (and
+    // recorded in the JSON), so every record — builder or driver —
+    // times the same order and windows stay comparable across records,
+    // while family members scatter across windows.
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .map(_.toLong).getOrElse(12L)
+    val names = new scala.util.Random(orderSeed).shuffle(
+      SparkEntry.queries.keys.toSeq.sorted)
       .filter(n => only.forall(_.contains(n)))
 
     // INTERLEAVED calibration (r10 verdict item 1): point probes at the
@@ -106,6 +117,26 @@ object Bench {
     // make window 0 look contended in every record; one pair is not
     // enough (JIT keeps tiering for 2-3 executions), so warm three
     (1 to 3).foreach { _ => probeSha2(); probeShuffle() }
+    // Warm the FIXTURE INPUTS untimed (VERDICT r11 #2 — the head blind
+    // spot): the probes above warm the probe shapes, but the first
+    // queries' parquet bytes (footer parse + page cache) and the scan
+    // codegen per schema were still cold, so the driver's r11 record
+    // ran window 0 at 1.38x the builder's values (ann family 4-7.6x)
+    // while probe 0 read fastest-of-run — a stretch the interleaved
+    // probes structurally cannot adjudicate. One full-column scan of
+    // every fixture table pulls the bytes into the OS page cache and
+    // compiles a representative whole-stage scan per schema, off the
+    // clock. (Per-query min-of-3 already absorbs first-touch standing
+    // cache builds; this covers the inputs those builds read.)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tb =>
+      try {
+        val df = Tables.load(spark, sfDir, tb)
+        df.select(org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(org.apache.spark.sql.functions.col): _*).as("h"))
+          .agg(org.apache.spark.sql.functions.sum("h")).collect()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     runProbes(0)
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) runProbes(i)
@@ -141,7 +172,7 @@ object Bench {
     // ~90 queries (r1-r4: the driver's parsed field was null every
     // round for exactly this reason) — so the calibration field goes
     // LAST (it survives the window) and a compact line follows.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed}"""
     println(full)
     // Compact final line, guaranteed inside the tail window. r6 proved
     // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
@@ -159,7 +190,7 @@ object Bench {
     val calSeriesCompact =
       s""""cal_sha2_series":${series.map(e => f2(e._2)).mkString("[", ",", "]")},""" +
       s""""cal_shuffle_series":${series.map(e => f2(e._3)).mkString("[", ",", "]")}"""
-    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"""
+    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"order_seed":$orderSeed,"""
     val budget = 1400 - prefix.length - 60 // 60: closing + omitted field
     val sortedDesc = results.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -188,6 +188,18 @@ object Bm25 {
     * also let Spark reuse the shuffle exchanges). */
   final case class Index(stats: DataFrame, docWeights: DataFrame)
 
+  /** The standing relations a SERVING deployment keeps beside its
+    * [[Index]] so filtered/boolean searches never re-tokenize the
+    * corpus (the reference keeps persistent per-collection sparse
+    * index files — ref packages/vecpipe/sparse.py — and serves every
+    * request from them):
+    *  - `posts`: `(id, term, tf, doc_len)` from [[postings]] (default
+    *    tokenizer, stopwords removed) — feeds [[indexFromPostings]]
+    *    for eligible-corpus statistics
+    *  - `gateToks`: DISTINCT keep-stopword `(id, tok)` — feeds the
+    *    must/must_not postings gates, whose terms may be stopwords */
+  final case class Standing(posts: DataFrame, gateToks: DataFrame)
+
   /** @param pinStats cache the (vocabulary-sized) stats relation in a
     *   single partition BEFORE deriving docWeights, so (a) repeated
     *   searches over the same corpus reuse one entry via the cache
@@ -223,6 +235,35 @@ object Bm25 {
         explode(TextFunctions.tokensCol(col("_text"))).as("term"))
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), max("doc_len").as("doc_len"))
+    indexFromTf(corpus, idCol, tfRows, p, pinStats)
+  }
+
+  /** Assemble an [[Index]] from a STANDING postings relation (the
+    * [[postings]] schema `(id, term, tf, doc_len)`) instead of
+    * re-tokenizing the corpus — the serve-path primitive behind the
+    * filtered-collection searches: gates shrink the corpus, and the
+    * eligible index derives from the standing postings restricted to
+    * the eligible ids (one left-semi join), never a second tokenize
+    * pass. Bit-exact vs [[buildIndex]] over the same corpus: the
+    * restricted postings ARE the eligible corpus's tf rows (a doc's
+    * postings depend only on its own text), n_docs counts the corpus
+    * relation itself (zero-token docs included, matching buildIndex's
+    * column-pruned count), and every downstream formula is shared via
+    * [[indexFromTf]]. */
+  def indexFromPostings(corpus: DataFrame, idCol: String,
+      posts: DataFrame, p: Params = Default,
+      pinStats: Boolean = false): Index = {
+    val restricted = posts.join(
+      corpus.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    indexFromTf(corpus, idCol, restricted, p, pinStats)
+  }
+
+  /** The shared assembly half of [[buildIndex]] /
+    * [[indexFromPostings]]: globals, df/idf stats, and doc weights
+    * from a `(id, term, tf, doc_len)` tf relation plus the corpus
+    * relation (needed only for the zero-token-inclusive doc count). */
+  private def indexFromTf(corpus: DataFrame, idCol: String,
+      tfRows: DataFrame, p: Params, pinStats: Boolean): Index = {
     // N counts ALL docs (zero-token docs too) from a column-pruned scan
     // with no tokenize; total token count folds out of tf's existing
     // shuffle (zero-token docs contribute nothing to either sum). The
@@ -362,8 +403,10 @@ object Bm25 {
     * scan. Output: (id, term, contribution, score), one row per
     * hit × matched query term. */
   def explainTopK(corpus: DataFrame, idCol: String, textCol: String,
-      queryText: String, k: Int, p: Params = Default): DataFrame = {
-    val idx = buildIndex(corpus, idCol, textCol, p, pinStats = true)
+      queryText: String, k: Int, p: Params = Default,
+      index: Option[Index] = None): DataFrame = {
+    val idx = index.getOrElse(buildIndex(corpus, idCol, textCol, p,
+      pinStats = true))
     val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
     val contribs = idx.docWeights.join(broadcast(qW), "term")
       .select(col("id"), col("term"),
@@ -402,15 +445,20 @@ object Bm25 {
     * long-tail corpora. */
   def searchTopKMaxScore(corpus: DataFrame, idCol: String,
       textCol: String, queryText: String, k: Int,
-      p: Params = Default): DataFrame = {
-    val idx = buildIndex(corpus, idCol, textCol, p, pinStats = true)
+      p: Params = Default, index: Option[Index] = None): DataFrame = {
+    val idx = index.getOrElse(buildIndex(corpus, idCol, textCol, p,
+      pinStats = true))
     val qW = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
     // matching postings feed phase 1 AND the survivor scoring —
-    // bounded by postings of query terms; pinned for the two passes
+    // bounded by postings of query terms; localCheckpoint (not cache)
+    // for the two passes: the blocks are ContextCleaner-released when
+    // the plan is collected, so repeated query invocations in a
+    // long-lived session don't accumulate pinned storage (the
+    // spanDedup cache-lifetime discipline)
     val contribs = idx.docWeights.join(broadcast(qW), "term")
       .select(col("id"), col("term"),
         (col("weight") * col("q_weight")).as("c"))
-      .cache()
+      .localCheckpoint()
     val ub = contribs.groupBy("term").agg(max("c").as("__ub"))
     val pass1 = contribs.join(broadcast(ub), "term")
       .groupBy("id")
@@ -543,10 +591,20 @@ object Bm25 {
       queryText: String, must: Seq[String], should: Seq[String],
       mustNot: Seq[String], shouldBoost: Double, k: Int,
       p: Params = Default,
-      termBoosts: Map[String, Double] = Map.empty): DataFrame = {
-    val toks = corpus.select(col(idCol).as("id"),
-      explode(TextFunctions.tokensCol(col(textCol),
-        removeStopwords = false)).as("tok"))
+      termBoosts: Map[String, Double] = Map.empty,
+      standing: Option[Standing] = None): DataFrame = {
+    // standing serve path: gates probe the standing DISTINCT keep-stop
+    // (id, tok) relation of the FULL corpus — sound because a doc's
+    // membership in a gate set depends only on its own tokens, and the
+    // semi/anti joins against `corpus` discard ids outside the (possibly
+    // pre-gated) input — and the eligible index derives from the
+    // standing postings (indexFromPostings), so a filtered search costs
+    // zero tokenize passes
+    val toks = standing.map(st =>
+        st.gateToks.select(col("id"), col("tok"))
+      ).getOrElse(corpus.select(col(idCol).as("id"),
+        explode(TextFunctions.tokensCol(col(textCol),
+          removeStopwords = false)).as("tok")))
     val afterNot =
       if (mustNot.isEmpty) corpus
       else corpus.join(
@@ -561,7 +619,11 @@ object Bm25 {
           .filter(col("__nm") === must.distinct.size)
           .select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
-    val idx = buildIndex(eligible, idCol, textCol, p, pinStats = true)
+    val idx = standing match {
+      case Some(st) =>
+        indexFromPostings(eligible, idCol, st.posts, p, pinStats = true)
+      case None => buildIndex(eligible, idCol, textCol, p, pinStats = true)
+    }
     val qW0 = queryTermWeights(idx.stats, queryText, corpus.sparkSession)
     // per-term query boosts (the Lucene `term^b` semantic: b multiplies
     // that term's score contribution) — a bounded when-chain over the

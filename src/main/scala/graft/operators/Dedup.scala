@@ -452,12 +452,17 @@ object Dedup {
     require(minShared >= 1, s"bad containment minShared: $minShared")
     // sh feeds the df prune, the postings join, and the exact verify;
     // pruned feeds both candidate self-join sides — pin both (each
-    // unpinned consumer re-runs the tokenize+shingle plan)
-    val sh = shingles(corpus, idCol, textCol, n).cache()
+    // unpinned consumer re-runs the tokenize+shingle plan).
+    // localCheckpoint, not cache() (ADVICE r11): a per-call cache of a
+    // corpus-sized relation is never unpersisted and accumulates
+    // pinned storage across invocations in a long-lived session; the
+    // checkpoint's blocks are ContextCleaner-released once the plan is
+    // garbage-collected (the duplicatedSubstrings discipline)
+    val sh = shingles(corpus, idCol, textCol, n).localCheckpoint()
     val prunable = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("shingle")
-    val pruned = sh.join(prunable, "shingle").cache()
+    val pruned = sh.join(prunable, "shingle").localCheckpoint()
     val cands = pinPairs(
       pruned.select(col("shingle"), col("id").as("id_a"))
         .join(pruned.select(col("shingle"), col("id").as("id_b")),
@@ -469,8 +474,9 @@ object Dedup {
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     // three consumers (sizes + both intersection sides) — the
-    // ngramJaccardFrom pin, same rationale
-    val shc = sh.join(candIds, Seq("id"), "left_semi").cache()
+    // ngramJaccardFrom pin, same rationale (and the same
+    // ContextCleaner-released checkpoint lifetime)
+    val shc = sh.join(candIds, Seq("id"), "left_semi").localCheckpoint()
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("size_a"))
     val inters = cands
       .join(shc.select(col("id").as("id_a"), col("shingle")), "id_a")
@@ -1103,10 +1109,14 @@ object Dedup {
     * Scale shape: one shuffle on cluster_id, then per-cluster pairwise
     * — k·(n/k)² work in the balanced case, the published trick that
     * makes embedding dedup feasible at corpus scale (SemDeDup runs 50k
-    * clusters over LAION). Pick k so n/k stays bounded (the analog of
-    * [[embeddingPlanesFor]]); a skewed cluster shows up as one big
-    * task, mitigable by splitting hot clusters with a salt on id
-    * ranges — never by falling back to all-pairs.
+    * clusters over LAION). Fit the quantizer with
+    * [[graft.operators.Knn.scaledCellCount]] cells (k = max(8,
+    * ⌈n/256⌉) — the DEFAULT every pairwise-within-cell consumer uses;
+    * a fixed k makes cells grow linearly and the pair count
+    * quadratically, the failure the 10× scale probe measured at ratio
+    * 150 on mutualTopK). A skewed cluster shows up as one big task,
+    * mitigable by splitting hot clusters with a salt on id ranges —
+    * never by falling back to all-pairs.
     *
     * Output: (id, cluster_id, is_duplicate, dup_of, max_cosine) where
     * dup_of is the LOWEST qualifying earlier id and max_cosine the

@@ -26,19 +26,28 @@ import graft.functions.TextFunctions
   */
 object Phrase {
 
-  /** @return one row per matching document:
+  /** @param standingPostings an optional STANDING positional-postings
+    *        relation `(doc_id, pos, tok)` (tokenized with the same
+    *        `removeStopwords` setting) — the positional half of a
+    *        persisted index, so the serve path skips the corpus
+    *        re-tokenize. Matching is per-doc-local, so a full-corpus
+    *        relation is sound even for a pre-gated `docs` input as
+    *        long as the caller intersects the result with its ids.
+    * @return one row per matching document:
     *         (doc_id, n_matches, first_pos), 0-based token positions. */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String],
-                   removeStopwords: Boolean = false): DataFrame = {
+                   removeStopwords: Boolean = false,
+                   standingPostings: Option[DataFrame] = None): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val spark = docs.sparkSession
     import spark.implicits._
     val words = broadcast(
       phrase.zipWithIndex.toDF("w", "i"))
-    val postings = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFunctions.tokensCol(col(textCol),
-        removeStopwords = removeStopwords)).as(Seq("pos", "tok")))
+    val postings = standingPostings.getOrElse(
+      docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokensCol(col(textCol),
+          removeStopwords = removeStopwords)).as(Seq("pos", "tok"))))
     postings.join(words, col("tok") === col("w"))
       .select(col("doc_id"), (col("pos") - col("i")).as("start"))
       .groupBy("doc_id", "start").agg(count(lit(1)).as("n"))
@@ -61,11 +70,13 @@ object Phrase {
     * Output: (doc_id, n_pairs, min_gap) per matching doc. */
   def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
                       w1: String, w2: String, slop: Int,
-                      removeStopwords: Boolean = false): DataFrame = {
+                      removeStopwords: Boolean = false,
+                      standingPostings: Option[DataFrame] = None): DataFrame = {
     require(slop >= 1, s"bad slop: $slop")
-    val postings = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFunctions.tokensCol(col(textCol),
-        removeStopwords = removeStopwords)).as(Seq("pos", "tok")))
+    val postings = standingPostings.getOrElse(
+      docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokensCol(col(textCol),
+          removeStopwords = removeStopwords)).as(Seq("pos", "tok"))))
     val lefts = postings.filter(col("tok") === w1)
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("w_start"),
         (col("pos") + slop + 1).cast("long").as("w_end"),

@@ -99,7 +99,8 @@ object QuerySyntax {
     * ranking signal). */
   def search(docs: DataFrame, idCol: String, textCol: String,
              query: String, k: Int,
-             fieldCols: Map[String, String] = Map.empty): DataFrame = {
+             fieldCols: Map[String, String] = Map.empty,
+             standing: Option[Standing] = None): DataFrame = {
     val p = parse(query)
     require(p.terms.nonEmpty,
       s"query '$query' has no bare scoring terms")
@@ -112,14 +113,22 @@ object QuerySyntax {
           s"(known: ${fieldCols.keys.toSeq.sorted.mkString(", ")})")
       d.filter(col(fieldCols(f)) === v)
     }
+    // standing serve path: every phrase/proximity gate probes the
+    // full-corpus positional postings (per-doc-local matching — the
+    // left-semi join against the gated relation discards out-of-scope
+    // ids), and the boolean tree derives eligible statistics from the
+    // standing postings instead of re-tokenizing
+    val posToks = standing.map(_.posToks)
     val phraseGated = p.phrases.foldLeft(fieldGated) { (d, ph) =>
-      d.join(Phrase.phraseSearch(d, idCol, textCol, ph)
+      d.join(Phrase.phraseSearch(d, idCol, textCol, ph,
+          standingPostings = posToks)
           .select(col("doc_id").as(idCol)),
         Seq(idCol), "left_semi")
     }
     val gated = p.slops.foldLeft(phraseGated) { case (d, (ws, slop)) =>
       ws.sliding(2).foldLeft(d) { case (dd, Seq(w1, w2)) =>
-        dd.join(Phrase.proximitySearch(dd, idCol, textCol, w1, w2, slop)
+        dd.join(Phrase.proximitySearch(dd, idCol, textCol, w1, w2, slop,
+            standingPostings = posToks)
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_semi")
       }
@@ -127,6 +136,13 @@ object QuerySyntax {
     Bm25.searchBooleanTree(gated, idCol, textCol,
       p.terms.mkString(" "), must = p.must, should = Nil,
       mustNot = p.mustNot, shouldBoost = 0.0, k = k,
-      termBoosts = p.boosts)
+      termBoosts = p.boosts, standing = standing.map(_.bm25))
   }
+
+  /** The standing relations the serve path keeps beside the corpus
+    * (built once per collection, off the query clock):
+    * [[Bm25.Standing]] for the postings gates + eligible statistics,
+    * plus `posToks` — the keep-stopword positional postings
+    * `(doc_id, pos, tok)` behind phrase/proximity gates. */
+  final case class Standing(bm25: Bm25.Standing, posToks: DataFrame)
 }
