@@ -2409,9 +2409,15 @@ object SparkEntry {
     //      docs with a mutated tail guarantee clusters at every sf ----
     "search_collapse" -> ((s, dir) => {
       val corpus = collapseCorpus(s, dir)
+      // pin the 50-row candidate page: FOUR consumers (the candidate
+      // semi-join, both dominator score legs, the final left join)
+      // would otherwise each re-run the scoring aggregation over the
+      // standing docWeights — bounded eager checkpoint, released by
+      // the ContextCleaner
       val top = Bm25.searchTopK(corpus, "doc_id", "text", SearchQuery, 50,
           index = Some(collapseIndex(s, dir)))
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .localCheckpoint()
       val candDocs = corpus.join(broadcast(top.select("doc_id")), "doc_id")
       val pairs = Dedup.minhashNearDups(candDocs, "doc_id", "text",
           n = 3, numHashes = 16, bands = 8, threshold = 0.5,
@@ -3514,12 +3520,22 @@ object SparkEntry {
         qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
           queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
       }.toMap
+      // encode ONCE per m and pin: the codes column is query-
+      // independent, and without the pin every (config, qid) sweep leg
+      // re-runs the full per-subspace argmax encode over the corpus
+      // (|grid|·|panel| = 12 encodes instead of 2 — measured as the
+      // dominant cost of the sweep). adcTopK reuses a present `codes`
+      // column by contract.
+      val encodedByM = PqTunedGrid.map(_._1).distinct.map { m =>
+        m -> Pq.encode(e.select(col("vec_id"), col("embedding")),
+          "embedding", pqCodebookForM(s, dir, m)).cache()
+      }.toMap
       val recalls = PqTunedGrid.zipWithIndex.map { case ((m, sl), cfg) =>
         val cb = pqCodebookForM(s, dir, m)
         AnnRecallQids.map { qid =>
           val qv = queryVecNFor(s, dir, qid)
-          val approx = Pq.refinedTopK(e, "vec_id", "embedding", qv, 10,
-              cb, shortlist = sl)
+          val approx = Pq.refinedTopK(encodedByM(m), "vec_id",
+              "embedding", qv, 10, cb, shortlist = sl)
             .select(col("vec_id").as("a_id"))
           exactByQid(qid)
             .join(approx, col("vec_id") === col("a_id"), "left")
@@ -3540,7 +3556,8 @@ object SparkEntry {
           -mr, cfg)
       }.head
       val (mSel, slSel) = PqTunedGrid(bestCfg)
-      Pq.refinedTopK(e, "vec_id", "embedding", queryVecFor(s, dir), 10,
+      Pq.refinedTopK(encodedByM(mSel), "vec_id", "embedding",
+          queryVecFor(s, dir), 10,
           pqCodebookForM(s, dir, mSel), shortlist = slSel)
         .select(lit(mSel).as("m"), lit(slSel).as("shortlist"),
           round(lit(bestMr), 6).as("panel_recall"),

@@ -451,18 +451,20 @@ object Dedup {
     require(maxDf >= 2, s"bad containment maxDf: $maxDf")
     require(minShared >= 1, s"bad containment minShared: $minShared")
     // sh feeds the df prune, the postings join, and the exact verify;
-    // pruned feeds both candidate self-join sides — pin both (each
-    // unpinned consumer re-runs the tokenize+shingle plan).
-    // localCheckpoint, not cache() (ADVICE r11): a per-call cache of a
-    // corpus-sized relation is never unpersisted and accumulates
-    // pinned storage across invocations in a long-lived session; the
-    // checkpoint's blocks are ContextCleaner-released once the plan is
-    // garbage-collected (the duplicatedSubstrings discipline)
-    val sh = shingles(corpus, idCol, textCol, n).localCheckpoint()
+    // pruned feeds both candidate self-join sides; shc three verify
+    // consumers — pin all three (each unpinned consumer re-runs the
+    // tokenize+shingle plan; the pin sweep measured 4× on this shape).
+    // Cache LIFETIME (ADVICE r11): the caches live only for THIS
+    // call — the result is eagerly checkpointed below with the caches
+    // hot, then all three are unpersisted before returning, so a
+    // long-lived session accumulates nothing. (An eager checkpoint
+    // per relation instead would serialize three materialization jobs
+    // — measured slower than letting the final action pipeline them.)
+    val sh = shingles(corpus, idCol, textCol, n).cache()
     val prunable = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("shingle")
-    val pruned = sh.join(prunable, "shingle").localCheckpoint()
+    val pruned = sh.join(prunable, "shingle").cache()
     val cands = pinPairs(
       pruned.select(col("shingle"), col("id").as("id_a"))
         .join(pruned.select(col("shingle"), col("id").as("id_b")),
@@ -474,20 +476,27 @@ object Dedup {
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     // three consumers (sizes + both intersection sides) — the
-    // ngramJaccardFrom pin, same rationale (and the same
-    // ContextCleaner-released checkpoint lifetime)
-    val shc = sh.join(candIds, Seq("id"), "left_semi").localCheckpoint()
+    // ngramJaccardFrom pin, same rationale and the same call-scoped
+    // lifetime
+    val shc = sh.join(candIds, Seq("id"), "left_semi").cache()
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("size_a"))
     val inters = cands
       .join(shc.select(col("id").as("id_a"), col("shingle")), "id_a")
       .join(shc.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inters.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+    // eager checkpoint: the (pair-bounded) result materializes NOW,
+    // with the caches hot; the caches then release immediately
+    val out = inters.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
       .withColumn("containment",
         col("n_inter").cast("double") / col("size_a").cast("double"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "n_inter", "size_a", "containment")
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    pruned.unpersist(blocking = false)
+    shc.unpersist(blocking = false)
+    out
   }
 
   /** Incremental MinHash near-dup — [[exactIncremental]]'s FUZZY
