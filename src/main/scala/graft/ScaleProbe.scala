@@ -35,7 +35,12 @@ object ScaleProbe {
     "textrank_keywords", "q2_join_agg", "compact_zorder",
     "streaming_join", "ann_ivf", "curation_pipeline",
     "minhash_incremental", "cdc_reindex", "bench_eval",
-    "search_after").mkString(",")
+    "search_after",
+    // every PAIR-GENERATING operator belongs in the default panel —
+    // the class where a fixed quantizer/config hides a quadratic
+    // (knn_mutual's ratio-150 catch, r11)
+    "knn_mutual", "dedup_semantic", "dedup_semantic_incremental",
+    "dedup_containment", "ann_pq_tuned").mkString(",")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

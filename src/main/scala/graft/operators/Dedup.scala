@@ -1140,9 +1140,13 @@ object Dedup {
     // corpus-sized relation for the session; checkpoint blocks are
     // released by the ContextCleaner once the result is dropped (the
     // same lifetime pattern connectedComponents uses).
-    val assigned = Knn.ivfAssign(
+    // ivfAssignAuto: the corpus-scaled quantizer can cross the
+    // k-struct codegen cliff (scale probe r12: ratio 24 at 10× via
+    // the struct-max form at k=79; relational assignment restored
+    // the linear profile)
+    val assigned = Knn.ivfAssignAuto(
       vectors.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", centroids).localCheckpoint()
+      "id", "vec", centroids).localCheckpoint()
     val l = assigned.select(col("cluster_id"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val r = assigned.select(col("cluster_id"), col("id").as("id_b"),
@@ -1175,12 +1179,12 @@ object Dedup {
   def semanticDedupIncremental(incoming: DataFrame, standing: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Array[Double]],
       threshold: Double): DataFrame = {
-    val a = Knn.ivfAssign(
+    val a = Knn.ivfAssignAuto(
         incoming.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")),
-        "vec_a", centroids)
-    val b = Knn.ivfAssign(
+        "id_a", "vec_a", centroids)
+    val b = Knn.ivfAssignAuto(
         standing.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")),
-        "vec_b", centroids)
+        "id_b", "vec_b", centroids)
     a.join(b, Seq("cluster_id"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")))

@@ -202,9 +202,7 @@ object Knn {
       s"mutualTopK requires an integral id column; '$idCol' is " +
         vectors.schema(idCol).dataType.typeName)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val assigned = (if (centroids.size > RelationalAssignThreshold)
-        ivfAssignByKey(base, "id", "vec", centroids)
-      else ivfAssign(base, "vec", centroids))
+    val assigned = ivfAssignAuto(base, "id", "vec", centroids)
       .localCheckpoint() // two pair sides, one scan
     val l = assigned.select(col("cluster_id"), col("id").as("a"),
       col("vec").as("vec_a"))
@@ -261,6 +259,22 @@ object Knn {
         first(col(vecCol)).as(vecCol))
       .select(col(keyCol), col(vecCol), (-col("__m.negi")).as("cluster_id"))
   }
+
+  /** [[ivfAssign]] with automatic dispatch (r12 — the scale probe
+    * measured dedup_semantic at ratio 24 on 10× data because the
+    * corpus-scaled quantizer crossed the k-struct `greatest` codegen
+    * cliff while still assigning through the struct-max form):
+    * relational above [[RelationalAssignThreshold]] centroids,
+    * struct-max below. Identical values including the
+    * lowest-index-on-ties rule (the ivfAssignByKey equivalence
+    * property test covers both, duplicate centroids included).
+    * Requires a unique key column, which every corpus-scaled caller
+    * has. */
+  def ivfAssignAuto(vectors: DataFrame, keyCol: String, vecCol: String,
+                    centroids: Seq[Array[Double]]): DataFrame =
+    if (centroids.size > RelationalAssignThreshold)
+      ivfAssignByKey(vectors, keyCol, vecCol, centroids)
+    else ivfAssign(vectors, vecCol, centroids)
 
   /** Tag every vector with its nearest centroid id (max dot — vectors
     * and centroids need not be normalized identically since ranking by
