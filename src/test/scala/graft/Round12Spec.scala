@@ -136,6 +136,25 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("serving-path discipline: the online-search composites read " +
+      "the STANDING cached index (InMemoryTableScan), never a per-" +
+      "query corpus re-tokenize") {
+    val dir = "/root/testdata/sf0.001"
+    // bm25_topk serves from docsTextIndex: the executed plan must scan
+    // the cached docWeights, and the only Generate (explode) nodes
+    // allowed are beneath the cache build, not in the per-query plan
+    // (search_collapse's final plan scans its CHECKPOINTED candidate
+    // page instead — the standing index sits beneath the checkpoint —
+    // so it is asserted via its bench profile, not here)
+    for (q <- Seq("bm25_topk", "search_prf", "search_snippets",
+        "search_fallback_correct", "search_ltr")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"$q does not serve from the standing cache:\n$p")
+    }
+  }
+
   test("ann_pq_tuned: serving plan keeps the broadcast shortlist " +
       "semi-join and the top-k heap; config comes from the grid") {
     val df = SparkEntry.queries("ann_pq_tuned")(
