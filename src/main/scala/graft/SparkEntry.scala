@@ -3530,12 +3530,40 @@ object SparkEntry {
         m -> Pq.encode(e.select(col("vec_id"), col("embedding")),
           "embedding", pqCodebookForM(s, dir, m)).cache()
       }.toMap
+      // ONE ADC ranking + ONE exact-cosine refine per (m, qid),
+      // shared by every shortlist config: shortlists NEST (top-30 by
+      // (adist, id) ⊂ top-50 under the same total order), so config
+      // (m, sl)'s leg is exactly "top-10 by (cosine desc, id) among
+      // the sl-prefix" of the shared 50-row refined relation —
+      // |m|·|panel| = 6 corpus passes instead of |grid|·|panel| = 12
+      // ADC rankings + 12 refines (measured ~40% of the sweep)
+      val maxSl = PqTunedGrid.map(_._2).max
+      val refinedByMq = (for {
+        m <- PqTunedGrid.map(_._1).distinct
+        qid <- AnnRecallQids
+      } yield {
+        val qv = queryVecNFor(s, dir, qid)
+        val short = Pq.adcTopK(encodedByM(m), "vec_id", "embedding",
+          qv, maxSl, pqCodebookForM(s, dir, m))
+        val q = array(qv.toIndexedSeq.map(lit): _*)
+        // adist rank rides along so a smaller shortlist is a filter
+        val w = Window.orderBy(col("adist").asc, col("vec_id"))
+        val refined = t(s, dir, "embeddings")
+          .join(broadcast(short), "vec_id")
+          .select(col("vec_id"), col("adist"),
+            VectorFunctions.cosine(col("embedding"), q).as("cosine"))
+          .withColumn("sl_rank", row_number().over(w))
+          .cache() // maxSl rows — the exactByQid panel-cache idiom
+                   // (6 eager checkpoints would serialize 6 extra
+                   // materialization jobs; a 50-row cache is bounded)
+        (m, qid) -> refined
+      }).toMap
       val recalls = PqTunedGrid.zipWithIndex.map { case ((m, sl), cfg) =>
-        val cb = pqCodebookForM(s, dir, m)
         AnnRecallQids.map { qid =>
-          val qv = queryVecNFor(s, dir, qid)
-          val approx = Pq.refinedTopK(encodedByM(m), "vec_id",
-              "embedding", qv, 10, cb, shortlist = sl)
+          val approx = refinedByMq((m, qid))
+            .filter(col("sl_rank") <= sl)
+            .orderBy(col("cosine").desc, col("vec_id"))
+            .limit(10)
             .select(col("vec_id").as("a_id"))
           exactByQid(qid)
             .join(approx, col("vec_id") === col("a_id"), "left")

@@ -59,6 +59,17 @@ class Round12Spec extends SparkSpec {
       Bm25.postings(corpus, "doc_id", "text"))
     assert(f1.stats.collect().toSet == f2.stats.collect().toSet)
     assert(f1.docWeights.collect().toSet == f2.docWeights.collect().toSet)
+    // zero-token docs: absent from postings but MUST count toward
+    // n_docs/avgdl (buildIndex counts them from the corpus relation;
+    // indexFromPostings must replicate, not infer N from posting keys)
+    val withEmpty = corpus.unionByName(
+      Seq((99L, ""), (100L, "   ")).toDF("doc_id", "text"))
+    val z1 = Bm25.buildIndex(withEmpty, "doc_id", "text")
+    val z2 = Bm25.indexFromPostings(withEmpty, "doc_id",
+      Bm25.postings(withEmpty, "doc_id", "text"))
+    assert(z1.stats.collect().toSet == z2.stats.collect().toSet)
+    assert(z1.docWeights.collect().toSet == z2.docWeights.collect().toSet)
+    assert(z1.stats.select("n_docs").head().getLong(0) == 10L)
   }
 
   test("searchBooleanTree standing path equals the inline path") {
