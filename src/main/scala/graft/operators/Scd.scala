@@ -106,7 +106,7 @@ object Scd {
         col("_m._p.*"))
     base.join(latest.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(latest.filter(col("_op") =!= "D").drop("_op")
-        .select(base.columns.map(col): _*))
+        .select(base.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Incremental view maintenance of a (count, sum) aggregate under a

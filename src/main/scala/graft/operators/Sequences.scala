@@ -175,7 +175,8 @@ object Sequences {
       .withColumn("__next",
         when(col("__rn") === col("__cnt"), col("__next_bucket_first"))
           .otherwise(col("__next_in")))
-    joined.select(ev.columns.filterNot(_.startsWith("__")).map(col) ++
+    joined.select(ev.columns.toIndexedSeq
+      .filterNot(_.startsWith("__")).map(col) ++
       carryCols.map(c => col(s"__next.$c").as(s"next_$c")): _*)
   }
 }
