@@ -3525,7 +3525,11 @@ object SparkEntry {
       // re-runs the full per-subspace argmax encode over the corpus
       // (|grid|·|panel| = 12 encodes instead of 2 — measured as the
       // dominant cost of the sweep). adcTopK reuses a present `codes`
-      // column by contract.
+      // column by contract. Cache lifetime is deliberately the
+      // SESSION: the codes relation IS the compressed index a PQ
+      // deployment persists (m bytes/vector — the artifact, not an
+      // intermediate), and the cache manager serves every invocation
+      // from one canonical-plan entry per (dir, m).
       val encodedByM = PqTunedGrid.map(_._1).distinct.map { m =>
         m -> Pq.encode(e.select(col("vec_id"), col("embedding")),
           "embedding", pqCodebookForM(s, dir, m)).cache()
