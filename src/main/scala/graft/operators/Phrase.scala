@@ -57,6 +57,56 @@ object Phrase {
         min("start").cast("long").as("first_pos"))
   }
 
+  /** ALL phrase + proximity gates of one query evaluated in ONE pass
+    * over a positional-postings relation `(doc_id, pos, tok)` — the
+    * stage-fusion form of chaining [[phraseSearch]] /
+    * [[proximitySearch]] semi-joins (r12: each chained gate paid its
+    * own shuffle + scheduling floor; fused, the word-filtered
+    * postings shuffle ONCE on doc_id and every verdict is an in-row
+    * bounded array predicate). Semantics are exactly the chained
+    * gates':
+    *
+    *  - exact phrase `ws`: ∃ start ∈ pos(ws₀) with ws_i at start+i
+    *    ∀i — provably the (doc, start)-vote count == |ws| rule of
+    *    [[phraseSearch]] (for fixed start, slot i can only be voted
+    *    by the token at start+i)
+    *  - slop phrase `(ws, k)`: every consecutive pair (w1, w2) has
+    *    some p2 ∈ pos(w2) with p1 + 1 ≤ p2 ≤ p1 + k for some
+    *    p1 ∈ pos(w1) — [[proximitySearch]]'s ordered within-k
+    *    interval, AND-chained like the caller's sequential semi-joins
+    *    (per-doc-local verdicts, so chained restriction ≡ conjunction)
+    *
+    * Per-doc position lists are word-frequency-bounded; the exists/
+    * array_contains predicates are codegen'd collection ops. Output:
+    * one `doc_id` row per doc passing ALL gates. */
+  def gateIds(postings: DataFrame, phrases: Seq[Seq[String]],
+              slops: Seq[(Seq[String], Int)]): DataFrame = {
+    require(phrases.nonEmpty || slops.nonEmpty, "no gates")
+    val words = (phrases.flatten ++ slops.flatMap(_._1)).distinct
+    def pcol(w: String) = col(s"__p${words.indexOf(w)}")
+    val wordCols = words.zipWithIndex.map { case (w, i) =>
+      sort_array(collect_list(when(col("tok") === w, col("pos"))))
+        .as(s"__p$i")
+    }
+    val perDoc = postings.filter(col("tok").isin(words: _*))
+      .groupBy(col("doc_id"))
+      .agg(wordCols.head, wordCols.tail: _*)
+    val phraseOk = phrases.map { ph =>
+      exists(pcol(ph.head), s =>
+        ph.zipWithIndex.tail.map { case (w, i) =>
+          array_contains(pcol(w), s + i)
+        }.foldLeft(lit(true))(_ && _))
+    }
+    val slopOk = slops.flatMap { case (ws, slop) =>
+      ws.sliding(2).collect { case Seq(w1, w2) =>
+        exists(pcol(w1), a =>
+          exists(pcol(w2), b => b >= a + 1 && b <= a + slop))
+      }
+    }
+    perDoc.filter((phraseOk ++ slopOk).reduce(_ && _))
+      .select(col("doc_id"))
+  }
+
   /** Proximity ("sloppy phrase") search: documents where `w2` occurs
     * within `slop` tokens AFTER `w1` (ordered, gap in [1, slop]) —
     * Manning IR's positional within-k query. Rather than the naive

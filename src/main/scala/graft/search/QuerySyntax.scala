@@ -113,31 +113,36 @@ object QuerySyntax {
           s"(known: ${fieldCols.keys.toSeq.sorted.mkString(", ")})")
       d.filter(col(fieldCols(f)) === v)
     }
-    // standing serve path: every phrase/proximity gate probes the
-    // full-corpus positional postings (per-doc-local matching — the
-    // left-semi join against the gated relation discards out-of-scope
-    // ids), and the boolean tree derives eligible statistics from the
-    // standing postings instead of re-tokenizing
-    val posToks = standing.map(_.posToks)
-    val phraseGated = p.phrases.foldLeft(fieldGated) { (d, ph) =>
-      d.join(Phrase.phraseSearch(d, idCol, textCol, ph,
-          standingPostings = posToks)
-          .select(col("doc_id").as(idCol)),
-        Seq(idCol), "left_semi")
-    }
-    // NOTE (r12, measured): do NOT eagerly pin the gated id set here.
-    // The boolean tree does consume its corpus several times, but the
-    // planner's ReuseExchange already dedupes the gate chain's
-    // canonically-identical exchanges across those consumers, and an
-    // eager localCheckpoint costs a full extra materialization job per
-    // invocation (A/B'd: 0.94 → 1.84 s on search_query_syntax).
-    val gated = p.slops.foldLeft(phraseGated) { case (d, (ws, slop)) =>
-      ws.sliding(2).foldLeft(d) { case (dd, Seq(w1, w2)) =>
-        dd.join(Phrase.proximitySearch(dd, idCol, textCol, w1, w2, slop,
-            standingPostings = posToks)
+    // standing serve path: ALL phrase/proximity gates fuse into ONE
+    // pass over the standing positional postings (Phrase.gateIds —
+    // per-doc-local verdicts, so the single conjunctive pass equals
+    // the chained semi-joins), and the boolean tree derives eligible
+    // statistics from the standing postings instead of re-tokenizing.
+    // NOTE (r12, measured): do NOT eagerly pin the gated id set —
+    // ReuseExchange already dedupes the gate subtree across the
+    // boolean tree's consumers, and an eager localCheckpoint costs a
+    // full extra materialization job per invocation (A/B'd:
+    // 0.94 → 1.84 s on search_query_syntax).
+    val gated = standing match {
+      case Some(st) if p.phrases.nonEmpty || p.slops.nonEmpty =>
+        fieldGated.join(
+          Phrase.gateIds(st.posToks, p.phrases, p.slops)
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_semi")
-      }
+      case _ =>
+        val phraseGated = p.phrases.foldLeft(fieldGated) { (d, ph) =>
+          d.join(Phrase.phraseSearch(d, idCol, textCol, ph)
+              .select(col("doc_id").as(idCol)),
+            Seq(idCol), "left_semi")
+        }
+        p.slops.foldLeft(phraseGated) { case (d, (ws, slop)) =>
+          ws.sliding(2).foldLeft(d) { case (dd, Seq(w1, w2)) =>
+            dd.join(
+              Phrase.proximitySearch(dd, idCol, textCol, w1, w2, slop)
+                .select(col("doc_id").as(idCol)),
+              Seq(idCol), "left_semi")
+          }
+        }
     }
     Bm25.searchBooleanTree(gated, idCol, textCol,
       p.terms.mkString(" "), must = p.must, should = Nil,

@@ -102,6 +102,36 @@ class Round12Spec extends SparkSpec {
     assert(x1 == x2 && x1.nonEmpty)
   }
 
+  test("fused gateIds equals the chained phrase/proximity semi-join " +
+      "gates (the QuerySyntax standing path's single-pass form)") {
+    val posts = corpus.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokensCol(col("text"),
+        removeStopwords = false)).as(Seq("pos", "tok")))
+    val phrases = Seq(Seq("big", "data"))
+    val slops = Seq((Seq("spark", "table"), 3))
+    // chained form: phrase gate then proximity gate, each a semi-join
+    val chained = corpus
+      .join(Phrase.phraseSearch(corpus, "doc_id", "text", phrases.head)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(Phrase.proximitySearch(corpus, "doc_id", "text",
+          "spark", "table", slop = 3)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fused = Phrase.gateIds(posts, phrases, slops)
+      .collect().map(_.getLong(0)).toSet
+    assert(fused == chained && fused.nonEmpty)
+    // phrase-only and slop-only degenerate forms
+    assert(Phrase.gateIds(posts, phrases, Nil)
+      .collect().map(_.getLong(0)).toSet ==
+      Phrase.phraseSearch(corpus, "doc_id", "text", phrases.head)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(Phrase.gateIds(posts, Nil, slops)
+      .collect().map(_.getLong(0)).toSet ==
+      Phrase.proximitySearch(corpus, "doc_id", "text", "spark", "table",
+          slop = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("pageRank driver fold is bit-identical to the distributed RDD " +
       "loop (order-free fixed-point accumulation)") {
     // a graph with a hub, a chain, and a triangle — uneven degrees so
