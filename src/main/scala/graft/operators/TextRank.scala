@@ -128,7 +128,21 @@ object TextRank {
     // once per consumer — measured as the dominant cost of the
     // document-graph caller
     val undPinned = und.localCheckpoint()
-    if (undPinned.count() <= driverFoldMaxEdges)
+    // gate the fold on BOTH an edge count and an estimated byte
+    // budget (ADVICE r12): the 1M-edge ≈ 100 MB estimate assumed
+    // short vertex ids, but long string keys (e.g. shingle text)
+    // multiply the collected size several-fold — so measure the
+    // actual key bytes over the pinned relation (one cheap agg) and
+    // refuse the driver path when the collect would exceed the
+    // tuning-loop budget, long ids or not
+    val gate = undPinned.agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col(undPinned.columns(0))) +
+          length(col(undPinned.columns(1)))), lit(0L)).as("chars"))
+      .head()
+    val edgeCount = gate.getLong(0)
+    // 2 bytes/char (JVM String) + ~64 B/edge of tuple+map overhead
+    val estBytes = gate.getLong(1) * 2 + edgeCount * 64
+    if (edgeCount <= driverFoldMaxEdges && estBytes <= DriverFoldMaxBytes)
       return pageRankDriverFold(undPinned, iterations, damping)
     // both directions; frac = w_uv / wdeg(u) precomputed once
     val directed = undPinned.as[(String, String, Long)].rdd
@@ -165,6 +179,14 @@ object TextRank {
     * 100 TB document graph exceeds this by orders of magnitude and
     * takes the distributed loop. */
   val DriverFoldMaxEdges = 1000000L
+
+  /** Estimated-byte companion bound for the fold (ADVICE r12): the
+    * edge-count bound alone under-protects when vertex ids are long
+    * strings, so the dispatch also estimates the collected size from
+    * the measured key lengths and refuses the driver path above
+    * ~192 MB — inside a default 1 GiB driver with the usual
+    * `maxResultSize` headroom. */
+  val DriverFoldMaxBytes = 192L * 1024 * 1024
 
   /** The bounded-size fold — see [[pageRank]]'s fast-path contract.
     * Same expressions, same exact-long accumulation, same output
