@@ -115,7 +115,8 @@ object TextRank {
     * loop runs unchanged. */
   def pageRank(und: DataFrame, iterations: Int = 8,
                damping: Double = 0.85,
-               driverFoldMaxEdges: Long = DriverFoldMaxEdges): DataFrame = {
+               driverFoldMaxEdges: Long = DriverFoldMaxEdges,
+               driverFoldMaxBytes: Long = DriverFoldMaxBytes): DataFrame = {
     require(iterations >= 1 && damping > 0.0 && damping < 1.0,
       s"bad pageRank spec: $iterations/$damping")
     val spark = und.sparkSession
@@ -142,7 +143,7 @@ object TextRank {
     val edgeCount = gate.getLong(0)
     // 2 bytes/char (JVM String) + ~64 B/edge of tuple+map overhead
     val estBytes = gate.getLong(1) * 2 + edgeCount * 64
-    if (edgeCount <= driverFoldMaxEdges && estBytes <= DriverFoldMaxBytes)
+    if (edgeCount <= driverFoldMaxEdges && estBytes <= driverFoldMaxBytes)
       return pageRankDriverFold(undPinned, iterations, damping)
     // both directions; frac = w_uv / wdeg(u) precomputed once
     val directed = undPinned.as[(String, String, Long)].rdd
