@@ -40,7 +40,14 @@ object ScaleProbe {
     // the class where a fixed quantizer/config hides a quadratic
     // (knn_mutual's ratio-150 catch, r11)
     "knn_mutual", "dedup_semantic", "dedup_semantic_incremental",
-    "dedup_containment", "ann_pq_tuned").mkString(",")
+    "dedup_containment", "ann_pq_tuned",
+    // the STREAMING family (VERDICT r12 #5): their state bounds —
+    // eviction output-neutrality, windows x 256 HLL registers,
+    // interval-join buffer retention — were spec'd but never measured
+    // at scale; a 10x event stream probes the per-batch state-store
+    // commit path with 10x rows through the same watermark windows
+    "streaming_join_outer", "streaming_distinct_window",
+    "streaming_dedup_ttl").mkString(",")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
