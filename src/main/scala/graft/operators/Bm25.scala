@@ -605,20 +605,35 @@ object Bm25 {
       ).getOrElse(corpus.select(col(idCol).as("id"),
         explode(TextFunctions.tokensCol(col(textCol),
           removeStopwords = false)).as("tok")))
-    val afterNot =
-      if (mustNot.isEmpty) corpus
-      else corpus.join(
-        toks.filter(col("tok").isin(mustNot.distinct: _*))
-          .select(col("id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
+    // gate fusion (r13): when BOTH families are present, one pass over
+    // the gate-token relation computes the must-conjunction count AND
+    // the banned flag per doc — semi-join(must-sat ∧ ¬banned) equals
+    // the old anti-then-semi chain (per-doc-local predicates compose),
+    // for one gate shuffle instead of two. A must-only / mustNot-only
+    // query keeps its single-relation form (the anti-join is the only
+    // sound shape when no positive gate exists — absent docs must
+    // PASS a pure must_not).
     val eligible =
-      if (must.isEmpty) afterNot
-      else afterNot.join(
-        toks.filter(col("tok").isin(must.distinct: _*))
-          .groupBy("id").agg(countDistinct("tok").as("__nm"))
-          .filter(col("__nm") === must.distinct.size)
-          .select(col("id").as(idCol)),
-        Seq(idCol), "left_semi")
+      if (must.isEmpty && mustNot.isEmpty) corpus
+      else if (must.isEmpty)
+        corpus.join(
+          toks.filter(col("tok").isin(mustNot.distinct: _*))
+            .select(col("id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      else {
+        val gateWords = (must ++ mustNot).distinct
+        val verdicts = toks.filter(col("tok").isin(gateWords: _*))
+          .groupBy("id")
+          .agg(
+            countDistinct(when(col("tok").isin(must.distinct: _*),
+              col("tok"))).as("__nm"),
+            coalesce(max(when(col("tok").isin(mustNot.distinct: _*),
+              lit(1))), lit(0)).as("__banned"))
+          .filter(col("__nm") === must.distinct.size &&
+            col("__banned") === 0)
+          .select(col("id").as(idCol))
+        corpus.join(verdicts, Seq(idCol), "left_semi")
+      }
     val idx = standing match {
       case Some(st) =>
         indexFromPostings(eligible, idCol, st.posts, p, pinStats = true)

@@ -78,11 +78,26 @@ object Phrase {
     *
     * Per-doc position lists are word-frequency-bounded; the exists/
     * array_contains predicates are codegen'd collection ops. Output:
-    * one `doc_id` row per doc passing ALL gates. */
+    * one `doc_id` row per doc passing ALL gates.
+    *
+    * `must`/`mustNot` (r13) fold the BOOLEAN membership gates into the
+    * SAME pass — a must word's verdict is a non-empty position list, a
+    * must_not word's an empty one — so a query like
+    * `"big data"~3 +table -error` pays ONE doc_id shuffle for its
+    * whole gate tree instead of one per gate family. Soundness
+    * requires at least one POSITIVE gate (phrase, slop, or must):
+    * docs containing none of the gate words are absent from the
+    * aggregated relation, which is correct exactly when absence
+    * implies failing a positive gate. A pure must_not query must use
+    * the anti-join form instead. */
   def gateIds(postings: DataFrame, phrases: Seq[Seq[String]],
-              slops: Seq[(Seq[String], Int)]): DataFrame = {
-    require(phrases.nonEmpty || slops.nonEmpty, "no gates")
-    val words = (phrases.flatten ++ slops.flatMap(_._1)).distinct
+              slops: Seq[(Seq[String], Int)],
+              must: Seq[String] = Nil,
+              mustNot: Seq[String] = Nil): DataFrame = {
+    require(phrases.nonEmpty || slops.nonEmpty || must.nonEmpty,
+      "no positive gates — absent docs would be wrongly excluded")
+    val words = (phrases.flatten ++ slops.flatMap(_._1) ++ must ++
+      mustNot).distinct
     def pcol(w: String) = col(s"__p${words.indexOf(w)}")
     val wordCols = words.zipWithIndex.map { case (w, i) =>
       sort_array(collect_list(when(col("tok") === w, col("pos"))))
@@ -103,7 +118,10 @@ object Phrase {
           exists(pcol(w2), b => b >= a + 1 && b <= a + slop))
       }
     }
-    perDoc.filter((phraseOk ++ slopOk).reduce(_ && _))
+    val mustOk = must.distinct.map(w => size(pcol(w)) > 0)
+    val mustNotOk = mustNot.distinct.map(w => size(pcol(w)) === 0)
+    perDoc.filter((phraseOk ++ slopOk ++ mustOk ++ mustNotOk)
+        .reduce(_ && _))
       .select(col("doc_id"))
   }
 

@@ -113,20 +113,29 @@ object QuerySyntax {
           s"(known: ${fieldCols.keys.toSeq.sorted.mkString(", ")})")
       d.filter(col(fieldCols(f)) === v)
     }
-    // standing serve path: ALL phrase/proximity gates fuse into ONE
-    // pass over the standing positional postings (Phrase.gateIds —
+    // standing serve path: ALL gates — phrase, proximity, AND the
+    // boolean +must/-must_not memberships (r13) — fuse into ONE pass
+    // over the standing positional postings (Phrase.gateIds —
     // per-doc-local verdicts, so the single conjunctive pass equals
-    // the chained semi-joins), and the boolean tree derives eligible
-    // statistics from the standing postings instead of re-tokenizing.
+    // the chained semi/anti-joins; the positional relation is the
+    // same keep-stopword tokenize as the membership relation, so the
+    // membership verdicts are identical). The boolean tree then
+    // receives an already-fully-gated corpus (must/mustNot = Nil) and
+    // derives eligible statistics from the standing postings — the
+    // whole query pays one gate shuffle, one stats derivation, one
+    // scoring pass.
     // NOTE (r12, measured): do NOT eagerly pin the gated id set —
     // ReuseExchange already dedupes the gate subtree across the
     // boolean tree's consumers, and an eager localCheckpoint costs a
     // full extra materialization job per invocation (A/B'd:
     // 0.94 → 1.84 s on search_query_syntax).
+    val fusedBoolGates = standing.isDefined &&
+      (p.phrases.nonEmpty || p.slops.nonEmpty)
     val gated = standing match {
-      case Some(st) if p.phrases.nonEmpty || p.slops.nonEmpty =>
+      case Some(st) if fusedBoolGates =>
         fieldGated.join(
-          Phrase.gateIds(st.posToks, p.phrases, p.slops)
+          Phrase.gateIds(st.posToks, p.phrases, p.slops,
+              must = p.must, mustNot = p.mustNot)
             .select(col("doc_id").as(idCol)),
           Seq(idCol), "left_semi")
       case _ =>
@@ -145,8 +154,10 @@ object QuerySyntax {
         }
     }
     Bm25.searchBooleanTree(gated, idCol, textCol,
-      p.terms.mkString(" "), must = p.must, should = Nil,
-      mustNot = p.mustNot, shouldBoost = 0.0, k = k,
+      p.terms.mkString(" "),
+      must = if (fusedBoolGates) Nil else p.must, should = Nil,
+      mustNot = if (fusedBoolGates) Nil else p.mustNot,
+      shouldBoost = 0.0, k = k,
       termBoosts = p.boosts, standing = standing.map(_.bm25))
   }
 

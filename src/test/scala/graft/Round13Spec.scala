@@ -104,6 +104,82 @@ class Round13Spec extends SparkSpec {
     assert(viaRdd.toSeq == viaFold.toSeq && viaRdd.length == 3)
   }
 
+  test("gateIds fuses must/mustNot membership verdicts bit-equal to " +
+      "the chained semi/anti-join gates") {
+    val posts = corpus.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokensCol(col("text"),
+        removeStopwords = false)).as(Seq("pos", "tok")))
+    val phrases = Seq(Seq("big", "data"))
+    val must = Seq("table")
+    val mustNot = Seq("error")
+    // chained form: phrase gate, then must membership, then anti-join
+    val hasTok = (w: String) => posts.filter(col("tok") === w)
+      .select("doc_id").distinct()
+    val chained = corpus
+      .join(graft.operators.Phrase
+          .phraseSearch(corpus, "doc_id", "text", phrases.head)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(hasTok("table"), Seq("doc_id"), "left_semi")
+      .join(hasTok("error"), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fused = graft.operators.Phrase
+      .gateIds(posts, phrases, Nil, must = must, mustNot = mustNot)
+      .collect().map(_.getLong(0)).toSet
+    assert(fused == chained && fused.nonEmpty)
+    // a positive gate is REQUIRED — pure must_not would wrongly
+    // exclude docs containing none of the gate words
+    intercept[IllegalArgumentException] {
+      graft.operators.Phrase.gateIds(posts, Nil, Nil,
+        mustNot = Seq("error"))
+    }
+  }
+
+  test("searchBooleanTree's fused must+mustNot gate equals the " +
+      "anti-then-semi chain, and the standing QuerySyntax path " +
+      "equals the inline path") {
+    // old chain replicated by hand: anti-join banned, semi-join must
+    val toks = corpus.select(col("doc_id").as("id"),
+      explode(graft.functions.TextFunctions.tokensCol(col("text"),
+        removeStopwords = false)).as("tok"))
+    val banned = toks.filter(col("tok") === "error")
+      .select(col("id").as("doc_id")).distinct()
+    val mustSat = toks.filter(col("tok") === "table")
+      .groupBy("id").agg(countDistinct("tok").as("n"))
+      .filter(col("n") === 1).select(col("id").as("doc_id"))
+    val oldEligible = corpus
+      .join(banned, Seq("doc_id"), "left_anti")
+      .join(mustSat, Seq("doc_id"), "left_semi")
+    val viaOld = Bm25.searchBooleanTree(oldEligible, "doc_id", "text",
+        "spark hash", must = Nil, should = Nil, mustNot = Nil,
+        shouldBoost = 0.0, k = 5)
+      .select(col("id"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFused = Bm25.searchBooleanTree(corpus, "doc_id", "text",
+        "spark hash", must = Seq("table"), should = Nil,
+        mustNot = Seq("error"), shouldBoost = 0.0, k = 5)
+      .select(col("id"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaFused == viaOld && viaFused.nonEmpty)
+
+    // end-to-end: the standing path (ALL gates in one gateIds pass)
+    // equals the inline path row-for-row
+    val posts = Bm25.postings(corpus, "doc_id", "text")
+    val gates = toks.distinct()
+    val postoks = corpus.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokensCol(col("text"),
+        removeStopwords = false)).as(Seq("pos", "tok")))
+    val q = "\"big data\"~3 +table -error spark^2 hash"
+    def run(st: Option[QuerySyntax.Standing]) =
+      QuerySyntax.search(corpus, "doc_id", "text", q, k = 5,
+          standing = st)
+        .select(col("id"), round(col("score"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val standing = run(Some(QuerySyntax.Standing(
+      Bm25.Standing(posts, gates), postoks)))
+    val inline = run(None)
+    assert(standing == inline && standing.nonEmpty)
+  }
+
   test("mutualTopK accepts every declared integral id type") {
     val centroids = Seq(Array.fill(4)(0.0), Array.fill(4)(1.0))
     Seq("int", "bigint", "smallint", "tinyint").foreach { tpe =>
