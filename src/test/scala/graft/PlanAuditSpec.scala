@@ -684,4 +684,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("ann_per_tenant").contains("ObjectHashAggregate"),
       s"ann_per_tenant TopK aggregate missing:\n${plan("ann_per_tenant")}")
   }
+
+  test("r13 gate fusion: the query-syntax gate tree plans as ONE " +
+      "positional-postings aggregate — boolean gates never plan " +
+      "their own pass; searchBooleanTree fuses must+mustNot") {
+    // prox query: phrases+slops+must+mustNot all fused into gateIds'
+    // per-doc aggregate (__p0..) — the boolean gates' own aggregate
+    // columns (__nm / __banned) must be ABSENT from the plan
+    val p = plan("search_query_syntax_prox")
+    assert(p.contains("__p0"), s"fused gate aggregate missing:\n$p")
+    assert(!p.contains("__nm") && !p.contains("__banned"),
+      s"boolean gates planned their own pass despite fusion:\n$p")
+    // boolean tree (no phrases): must+mustNot fuse into ONE gate
+    // aggregate carrying both verdict columns
+    val bt = plan("search_boolean_tree")
+    assert(bt.contains("__nm") && bt.contains("__banned"),
+      s"fused boolean gate aggregate missing:\n$bt")
+  }
 }
