@@ -575,7 +575,10 @@ object Bm25 {
     *                 HAVING, then a left-semi join — not |must| joins);
     *                 must terms gate, they do not score (the reference
     *                 semantic: filters are orthogonal to ranking)
-    *  - `mustNot`  — the postings ANTI-join (search_boolean's leg)
+    *  - `mustNot`  — the postings ANTI-join (search_boolean's leg);
+    *                 when must is ALSO present the two gate families
+    *                 fuse into ONE postings aggregation (r13 — the
+    *                 banned flag rides the must-count pass)
     *  - `should`   — optional-term BOOST: each should term joins the
     *                 query vector at `shouldBoost · idf(t)` — it raises
     *                 the score of docs containing it but never changes
