@@ -180,6 +180,41 @@ class Round13Spec extends SparkSpec {
     assert(standing == inline && standing.nonEmpty)
   }
 
+  test("fused gateIds equals the chained gates on seeded-random " +
+      "corpora and gate trees (the property form of the equivalence)") {
+    val rnd = new scala.util.Random(13L)
+    val vocabWords = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    (1 to 6).foreach { trial =>
+      val docs = (1L to 40L).map { id =>
+        val n = 3 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val posts = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokensCol(col("text"),
+          removeStopwords = false)).as(Seq("pos", "tok")))
+      val ph = Seq(vocabWords(rnd.nextInt(4)), vocabWords(rnd.nextInt(4)))
+      val must = Seq(vocabWords(4 + rnd.nextInt(2)))
+      val mustNot = Seq(vocabWords(6 + rnd.nextInt(2)))
+      val hasTok = (w: String) => posts.filter(col("tok") === w)
+        .select("doc_id").distinct()
+      val chained = docs
+        .join(graft.operators.Phrase
+            .phraseSearch(docs, "doc_id", "text", ph)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(hasTok(must.head), Seq("doc_id"), "left_semi")
+        .join(hasTok(mustNot.head), Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val fused = graft.operators.Phrase
+        .gateIds(posts, Seq(ph), Nil, must = must, mustNot = mustNot)
+        .collect().map(_.getLong(0)).toSet
+      assert(fused == chained,
+        s"trial $trial: phrase=$ph must=$must mustNot=$mustNot " +
+          s"fused=$fused chained=$chained")
+    }
+  }
+
   test("mutualTopK accepts every declared integral id type") {
     val centroids = Seq(Array.fill(4)(0.0), Array.fill(4)(1.0))
     Seq("int", "bigint", "smallint", "tinyint").foreach { tpe =>
