@@ -612,10 +612,10 @@ object Bm25 {
     // the gate-token relation computes the must-conjunction count AND
     // the banned flag per doc — semi-join(must-sat ∧ ¬banned) equals
     // the old anti-then-semi chain (per-doc-local predicates compose),
-    // for one gate shuffle instead of two. A must-only / mustNot-only
-    // query keeps its single-relation form (the anti-join is the only
-    // sound shape when no positive gate exists — absent docs must
-    // PASS a pure must_not).
+    // for one gate shuffle instead of two. A must-only query plans
+    // only the __nm aggregate; a mustNot-only query keeps its
+    // anti-join form (the only sound shape when no positive gate
+    // exists — absent docs must PASS a pure must_not).
     val eligible =
       if (must.isEmpty && mustNot.isEmpty) corpus
       else if (must.isEmpty)
@@ -625,15 +625,22 @@ object Bm25 {
           Seq(idCol), "left_anti")
       else {
         val gateWords = (must ++ mustNot).distinct
-        val verdicts = toks.filter(col("tok").isin(gateWords: _*))
+        val gated = toks.filter(col("tok").isin(gateWords: _*))
           .groupBy("id")
-          .agg(
-            countDistinct(when(col("tok").isin(must.distinct: _*),
-              col("tok"))).as("__nm"),
-            coalesce(max(when(col("tok").isin(mustNot.distinct: _*),
-              lit(1))), lit(0)).as("__banned"))
-          .filter(col("__nm") === must.distinct.size &&
-            col("__banned") === 0)
+        // must-only: the gate filter already restricted toks to must
+        // words, so the conjunction count alone decides — no vestigial
+        // __banned aggregate over an empty isin (ADVICE r13)
+        val verdicts = (if (mustNot.isEmpty)
+            gated.agg(countDistinct(col("tok")).as("__nm"))
+              .filter(col("__nm") === must.distinct.size)
+          else
+            gated.agg(
+              countDistinct(when(col("tok").isin(must.distinct: _*),
+                col("tok"))).as("__nm"),
+              coalesce(max(when(col("tok").isin(mustNot.distinct: _*),
+                lit(1))), lit(0)).as("__banned"))
+              .filter(col("__nm") === must.distinct.size &&
+                col("__banned") === 0))
           .select(col("id").as(idCol))
         corpus.join(verdicts, Seq(idCol), "left_semi")
       }
