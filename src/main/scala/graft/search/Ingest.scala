@@ -89,23 +89,68 @@ object Ingest {
 
   /** The pointer-flip half of [[reindexSwap]], factored so any writer
     * (collection-partitioned chunks, layout-partitioned compactions)
-    * rides the same atomic swap. */
+    * rides the same atomic swap.
+    *
+    * CONCURRENT-WRITER guard (VERDICT r13 #7): generation numbers are
+    * allocated as max(pointer, retained dirs, standing claims) + 1 and
+    * then CLAIMED via a `gen-N.CLAIM` marker created with
+    * `Files.createFile` — atomic create-new, succeeds for exactly one
+    * caller. Two writers racing on the same root therefore either see
+    * each other's claim during allocation (and take disjoint numbers —
+    * both complete, each generation single-writer, last pointer flip
+    * wins as with any last-writer-wins store) or tie on the same
+    * candidate, in which case the loser fails LOUDLY at the claim
+    * instead of silently interleaving its files with the winner's.
+    * The marker (not the generation directory itself) carries the
+    * mutex because Spark's overwrite-mode writer deletes and recreates
+    * the target directory, which would briefly release a
+    * directory-based claim mid-write. Allocating past retained dirs
+    * also means a rolled-back pointer (time travel) never overwrites
+    * retained history: the next write takes a FRESH number. */
   private def swapPointer(tableRoot: String)(
       write: String => Unit): String = {
     val fs = new java.io.File(tableRoot)
     fs.mkdirs()
     val current = new java.io.File(fs, "CURRENT")
-    val gen = if (current.exists())
+    val ptrGen = if (current.exists())
       new String(java.nio.file.Files.readAllBytes(current.toPath)).trim
-        .stripPrefix("gen-").toInt + 1
-    else 0
-    val target = s"$tableRoot/gen-$gen"
+        .stripPrefix("gen-").toInt
+    else -1
+    val taken = Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName)
+      .collect {
+        case n if n.startsWith("gen-") && n.endsWith(".CLAIM") =>
+          n.stripPrefix("gen-").stripSuffix(".CLAIM").toInt
+        case n if n.startsWith("gen-") && !n.contains(".") =>
+          n.stripPrefix("gen-").toInt
+      }
+    val gen = ((ptrGen +: taken).max) + 1
+    val target = claimGeneration(tableRoot, gen)
     write(target)
     val tmp = new java.io.File(fs, "CURRENT.tmp")
     java.nio.file.Files.writeString(tmp.toPath, s"gen-$gen")
     java.nio.file.Files.move(tmp.toPath, current.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
+  /** Atomically claim generation `gen` under `tableRoot` (create-new
+    * marker file — exactly one caller succeeds) and return the
+    * generation's target path. Package-private so the two-writer-race
+    * spec can exercise the mutex primitive directly. */
+  private[graft] def claimGeneration(tableRoot: String, gen: Int): String = {
+    val target = s"$tableRoot/gen-$gen"
+    try java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$target.CLAIM"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"generation gen-$gen under $tableRoot is already claimed: " +
+            "another writer holds it (concurrent reindex on the same " +
+            "root), or a previous writer crashed before flipping " +
+            s"CURRENT — remove $target.CLAIM to recover")
+    }
     target
   }
 
@@ -199,6 +244,11 @@ object Ingest {
         st.iterator().asScala.toSeq
       }.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists)
+      // the generation's writer-claim marker goes with it (hygiene —
+      // gen numbers are never reused, so this is cleanup, not a
+      // mutex release)
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(tableRoot, s"gen-$g.CLAIM").toPath)
     }
     doomed
   }

@@ -47,14 +47,74 @@ class GenerationsSpec extends SparkSpec {
       new java.io.File(root, "CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Ingest.reindexSwap(spark, docs(6), root) // gen-3 exists -> gen-3? no: next = cur+1 = 3
-    // after repoint to gen-2, the next swap writes gen-3 (overwrite
-    // mode makes this safe); vacuum keep=1 must still spare CURRENT
+    // after a pointer ROLLBACK to gen-2, the next swap must allocate a
+    // FRESH number past the retained gen-3 — never overwrite retained
+    // history (the r14 allocation rule: max(pointer, dirs, claims)+1)
+    Ingest.reindexSwap(spark, docs(6), root)
+    assert(Ingest.readCurrent(spark, root).count() == 6)
+    assert(Ingest.readGeneration(spark, root, 3).count() == 4)
+    assert(Ingest.listGenerations(root) == Seq(2, 3, 4))
     val del2 = Ingest.vacuumGenerations(root, keep = 1)
-    assert(!del2.contains(3) || Ingest.listGenerations(root).contains(3))
+    assert(del2 == Seq(2, 3))
     val cur = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(root, "CURRENT").toPath)).trim
     assert(Ingest.listGenerations(root)
       .contains(cur.stripPrefix("gen-").toInt))
   }
+
+  test("two-writer race (VERDICT r13 #7): the claim mutex makes a tie " +
+      "fail loudly, and overlapping writers take disjoint generations " +
+      "with single-writer content") {
+    val root = freshRoot()
+    // the mutex primitive: exactly one claimant per generation number
+    Ingest.claimGeneration(root, 5)
+    val ex = intercept[IllegalStateException] {
+      Ingest.claimGeneration(root, 5)
+    }
+    assert(ex.getMessage.contains("already claimed"))
+    java.nio.file.Files.delete(
+      new java.io.File(root, "gen-5.CLAIM").toPath)
+
+    // end-to-end interleave: writer A claims its generation and blocks
+    // mid-write; writer B starts while A is in flight. B must see A's
+    // claim, take the NEXT number, and complete — both generations end
+    // up single-writer, no silent file interleave, pointer at one of
+    // them.
+    val root2 = freshRoot()
+    Ingest.reindexSwap(spark, docs(1), root2) // gen-0, both racers read it
+    // latches live in the companion object: a closure-captured latch
+    // would have to serialize with the task
+    val aDf = docs(7).coalesce(1) // ONE blocked task, so writer B's job
+                                  // still finds free local[32] slots
+    var aTarget: String = null
+    val writerA = new Thread(() => {
+      aTarget = Ingest.reindexSwapRaw(spark, aDf.mapPartitions { it =>
+        // executor-side block: the claim is already on disk when the
+        // task runs, so the latch models a long in-flight write
+        GenerationsSpec.aClaimed.countDown()
+        GenerationsSpec.aRelease.await()
+        it
+      }(org.apache.spark.sql.Encoders.row(aDf.schema)), root2)
+    })
+    writerA.start()
+    GenerationsSpec.aClaimed.await()
+    val bTarget = Ingest.reindexSwapRaw(spark, docs(9), root2) // writer B
+    GenerationsSpec.aRelease.countDown()
+    writerA.join()
+    assert(aTarget != bTarget, "racing writers must take disjoint generations")
+    assert(spark.read.parquet(aTarget).count() == 7)
+    assert(spark.read.parquet(bTarget).count() == 9)
+    assert(Ingest.listGenerations(root2) == Seq(0, 1, 2))
+    val cur2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root2, "CURRENT").toPath)).trim
+    assert(Seq("gen-1", "gen-2").contains(cur2),
+      s"pointer must land on one racer's generation, got $cur2")
+  }
+}
+
+/** Latch holder for the two-writer race test — object fields reach
+  * executor tasks by classloading, not closure serialization. */
+object GenerationsSpec {
+  val aClaimed = new java.util.concurrent.CountDownLatch(1)
+  val aRelease = new java.util.concurrent.CountDownLatch(1)
 }
