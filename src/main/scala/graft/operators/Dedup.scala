@@ -366,8 +366,21 @@ object Dedup {
   def minhashNearDupsFrom(sh: DataFrame, numHashes: Int, bands: Int,
                           threshold: Double,
                           hashFamily: (Int, Column) => Column =
-                            xxHashFamily): DataFrame = {
-    val sigs = minhashSignaturesFrom(sh, numHashes, hashFamily)
+                            xxHashFamily): DataFrame =
+    minhashNearDupsFromSigs(sh,
+      minhashSignaturesFrom(sh, numHashes, hashFamily), numHashes,
+      bands, threshold)
+
+  /** [[minhashNearDupsFrom]] against PRECOMPUTED signatures — the
+    * online-serving shape of near-dup collapse: signatures are
+    * corpus-deterministic, so a deployment computes them at INDEX
+    * time and stores them beside the postings; query time pays only
+    * banding + verify over the (bounded) id set the caller passed.
+    * `sh` and `sigs` must cover the same ids (typically both filtered
+    * to a candidate page of a standing corpus-wide relation). */
+  def minhashNearDupsFromSigs(sh: DataFrame, sigs: DataFrame,
+                              numHashes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
     // pin the candidate relation: ngramJaccardFrom references its pair
     // argument three times (candidate-id semi-filter, intersection join,
     // final join) — uncached, the LSH banding self-join re-evaluates per

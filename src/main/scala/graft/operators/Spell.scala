@@ -78,13 +78,35 @@ object Spell {
     * to |vocab|·len^d rows but still shuffles ONCE on the variant
     * key — never a vocabulary scan per input. */
   def didYouMean(vocab: DataFrame, inputs: DataFrame,
-                 inputCol: String, maxDist: Int): DataFrame = {
+                 inputCol: String, maxDist: Int): DataFrame =
+    didYouMeanFromVariants(vocabVariants(vocab, maxDist), inputs,
+      inputCol, maxDist)
+
+  /** The vocabulary-side deletion-variant relation (term, df, variant)
+    * at depth `maxDist` — corpus-deterministic: this IS the
+    * precomputed delete dictionary Garbe's symmetric-delete algorithm
+    * builds offline, so a serving layer pins it standing (the r13
+    * standing-fit rule) instead of re-expanding the vocabulary per
+    * request. */
+  def vocabVariants(vocab: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, s"bad maxDist: $maxDist")
-    val vx = vocab.select(col("term"), col("df"),
-        explode(deletionsDepth(col("term"), maxDist)).as("variant"))
+    vocab.select(col("term"), col("df"),
+      explode(deletionsDepth(col("term"), maxDist)).as("variant"))
+  }
+
+  /** [[didYouMean]] against a prebuilt [[vocabVariants]] relation —
+    * the standing-dictionary serve path. `maxDist` must match the
+    * depth the variants were built at (it bounds the exact-verify
+    * filter; a deeper dictionary would admit farther candidates). */
+  def didYouMeanFromVariants(vocabVars: DataFrame, inputs: DataFrame,
+                             inputCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3, s"bad maxDist: $maxDist")
     val qx = inputs.select(col(inputCol).as("input"),
         explode(deletionsDepth(col(inputCol), maxDist)).as("variant"))
-    val cands = qx.join(vx, "variant")
+    // inputs are request-sized by contract — broadcasting their
+    // variants keeps the dictionary probe map-side (no shuffle of the
+    // standing variant relation per lookup)
+    val cands = broadcast(qx).join(vocabVars, "variant")
       .select("input", "term", "df").distinct()
       .withColumn("dist", levenshtein(col("input"), col("term")))
       .filter(col("dist") <= maxDist)
@@ -92,17 +114,19 @@ object Spell {
   }
 
   /** (dist asc, df desc, term asc) argmax per input over a candidate
-    * relation (input, term, df, dist) — three bounded aggregates, no
-    * rank window; shared by the SymSpell and phonetic paths. */
-  private def bestPerInput(cands: DataFrame): DataFrame = {
-    val bestD = cands.groupBy("input").agg(min("dist").as("dist"))
-    val atD = cands.join(bestD, Seq("input", "dist"))
-    val bestDf = atD.groupBy("input", "dist").agg(max("df").as("df"))
-    atD.join(bestDf, Seq("input", "dist", "df"))
-      .groupBy("input", "dist", "df")
-      .agg(min("term").as("suggestion"))
-      .select("input", "suggestion", "df", "dist")
-  }
+    * relation (input, term, df, dist) — ONE bounded struct-min
+    * aggregate (r14: the previous three-aggregate/two-join chain cost
+    * five scheduling-floor stages per lookup for the same values):
+    * min over struct(dist, −df, term) IS the lexicographic rule, and
+    * the trailing df field can never decide — (input, term) is unique
+    * after the caller's distinct, so a (dist, −df, term) tie implies
+    * the same row. Shared by the SymSpell and phonetic paths. */
+  private def bestPerInput(cands: DataFrame): DataFrame =
+    cands.groupBy("input")
+      .agg(min(struct(col("dist"), (-col("df")).as("_negdf"),
+        col("term"), col("df"))).as("_b"))
+      .select(col("input"), col("_b.term").as("suggestion"),
+        col("_b.df").as("df"), col("_b.dist").as("dist"))
 
   /** Phonetic bucket key: first letter + the first 3 consonants of the
     * rest (vowels and y/h/w stripped) — the consonant-skeleton family
