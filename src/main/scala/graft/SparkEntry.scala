@@ -519,12 +519,16 @@ object SparkEntry {
   private val PqTunedGrid: Seq[(Int, Int)] =
     Seq((4, 30), (4, 50), (8, 30), (8, 50))
 
-  /** Standing per-dir (cfg, panel_recall) pick for ann_pq_tuned — the
-    * dedup_tuned standing-fit pattern: sweep inputs are
-    * corpus-deterministic, so selection is a memoized fit and only
-    * the tuned run serves on the query clock. */
+  /** Standing per-dir (cfg, panel_recall, selected encoded codes) for
+    * ann_pq_tuned — the dedup_tuned standing-fit pattern: sweep inputs
+    * are corpus-deterministic, so selection is a memoized fit and only
+    * the tuned run serves on the query clock. The SELECTED m's encoded
+    * relation is stored in the fit itself (ADVICE r13): the serving
+    * path reads this handle directly instead of rebuilding the codes
+    * plan and relying on canonical-plan cache identity, and the
+    * non-selected m's codes are unpersisted at selection time. */
   private val pqTunedFitCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Int, Double)]
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Double, DataFrame)]
 
   /** Standing per-dir (cfg, w_dense, sum_ndcg_micro) pick for
     * hybrid_tuned — same standing-fit rationale. */
@@ -537,6 +541,231 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, (Int, Double)]
   private val ivfTunedFitCache =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Double)]
+
+  /** The standing ann_tuned selection fit (r13): sweep + selection
+    * memoized per dir; only the tuned run is on the query clock. The
+    * oracle still replays sweep + selection + run. Extracted from the
+    * query closure (r14) so the fit-sidecar writer can force it. */
+  private def annTunedFit(s: SparkSession, dir: String): (Int, Double) =
+    annTunedFitCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      // pin each panel query's 10-row exact top-10 ONCE — the 12
+      // unioned recall legs otherwise re-run the full exact scan per
+      // grid config (4× per qid; measured ~2× on the whole query)
+      val exactByQid = AnnRecallQids.map { qid =>
+        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
+          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
+      }.toMap
+      val recalls = AnnTunedGrid.zipWithIndex.map { case ((np, pb), cfg) =>
+        AnnRecallQids.map { qid =>
+          val qv = queryVecNFor(s, dir, qid)
+          val approx = Knn.lshTopKMultiProbe(e, "vec_id", "embedding",
+              qv, 10, nPlanes = np, probeBits = pb)
+            .select(col("vec_id").as("a_id"))
+          exactByQid(qid)
+            .join(approx, col("vec_id") === col("a_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
+        .collect() // 4 rows — the bounded selection collect
+      // panel-scoped pins end with the selection (the ADVICE r12
+      // ann_pq_tuned lifetime rule)
+      exactByQid.values.foreach(_.unpersist(blocking = false))
+      val rows = recalls.map { r =>
+        val cfg = r.getAs[Int]("cfg")
+        val mr = r.getAs[Long]("th").toDouble / r.getAs[Long]("tk")
+        (cfg, mr)
+      }
+      rows.sortBy { case (cfg, mr) =>
+        (if (mr >= 0.5) 0 else 1,
+          if (mr >= 0.5) annTunedFrac(cfg) else 0.0, -mr, cfg)
+      }.head
+    })
+
+  /** The standing ivf_tuned selection fit — see [[annTunedFit]]. */
+  private def ivfTunedFit(s: SparkSession, dir: String): (Int, Double) =
+    ivfTunedFitCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val centroids = ivfCentroidsFor(s, dir)
+      // pin each panel query's exact top-10 once — the |grid| recall
+      // legs otherwise re-run the exact scan per config (the ann_tuned
+      // precedent, measured ~45% there)
+      val exactByQid = AnnRecallQids.map { qid =>
+        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
+          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
+      }.toMap
+      val recalls = IvfTunedGrid.zipWithIndex.map { case (np, cfg) =>
+        AnnRecallQids.map { qid =>
+          val qv = queryVecNFor(s, dir, qid)
+          val approx = Knn.ivfTopK(e, "vec_id", "embedding", qv, 10,
+              centroids, nprobe = np)
+            .select(col("vec_id").as("a_id"))
+          exactByQid(qid)
+            .join(approx, col("vec_id") === col("a_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
+        .collect() // |grid| rows — the bounded selection collect
+      exactByQid.values.foreach(_.unpersist(blocking = false))
+      val rows = recalls.map { r =>
+        val cfg = r.getAs[Int]("cfg")
+        (cfg, r.getAs[Long]("th").toDouble / r.getAs[Long]("tk"))
+      }
+      rows.sortBy { case (cfg, mr) =>
+        (if (mr >= 0.5) 0 else 1,
+          if (mr >= 0.5) IvfTunedGrid(cfg).toDouble / IvfTunedNlist
+          else 0.0, -mr, cfg)
+      }.head
+    })
+
+  /** The standing ann_pq_tuned selection fit — see [[annTunedFit]].
+    * Returns (cfg, panel_recall, the SELECTED m's pinned encoded
+    * codes): the fit owns the serving artifact (ADVICE r13), so the
+    * serving path reads this handle directly and the losing m's codes
+    * are released at selection time. */
+  private def pqTunedFit(s: SparkSession,
+      dir: String): (Int, Double, DataFrame) =
+    pqTunedFitCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val exactByQid = AnnRecallQids.map { qid =>
+        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
+          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
+      }.toMap
+      // encode ONCE per m and pin: the codes column is query-
+      // independent, and without the pin every (config, qid) sweep leg
+      // re-runs the full per-subspace argmax encode over the corpus
+      // (|grid|·|panel| = 12 encodes instead of 2 — measured as the
+      // dominant cost of the sweep). adcTopK reuses a present `codes`
+      // column by contract. The SELECTED m's codes stay pinned for the
+      // session — they ARE the compressed index a PQ deployment
+      // persists; the losing m's codes unpersist at selection below.
+      val encodedByM = PqTunedGrid.map(_._1).distinct.map { m =>
+        m -> Pq.encode(e.select(col("vec_id"), col("embedding")),
+          "embedding", pqCodebookForM(s, dir, m)).cache()
+      }.toMap
+      // ONE ADC ranking + ONE exact-cosine refine per (m, qid),
+      // shared by every shortlist config: shortlists NEST (top-30 by
+      // (adist, id) ⊂ top-50 under the same total order), so config
+      // (m, sl)'s leg is exactly "top-10 by (cosine desc, id) among
+      // the sl-prefix" of the shared 50-row refined relation —
+      // |m|·|panel| = 6 corpus passes instead of |grid|·|panel| = 12
+      // ADC rankings + 12 refines (measured ~40% of the sweep)
+      val maxSl = PqTunedGrid.map(_._2).max
+      val refinedByMq = (for {
+        m <- PqTunedGrid.map(_._1).distinct
+        qid <- AnnRecallQids
+      } yield {
+        val qv = queryVecNFor(s, dir, qid)
+        val short = Pq.adcTopK(encodedByM(m), "vec_id", "embedding",
+          qv, maxSl, pqCodebookForM(s, dir, m))
+        val q = array(qv.toIndexedSeq.map(lit): _*)
+        // adist rank rides along so a smaller shortlist is a filter
+        val w = Window.orderBy(col("adist").asc, col("vec_id"))
+        val refined = t(s, dir, "embeddings")
+          .join(broadcast(short), "vec_id")
+          .select(col("vec_id"), col("adist"),
+            VectorFunctions.cosine(col("embedding"), q).as("cosine"))
+          .withColumn("sl_rank", row_number().over(w))
+          .cache() // maxSl rows — the exactByQid panel-cache idiom
+                   // (6 eager checkpoints would serialize 6 extra
+                   // materialization jobs; a 50-row cache is bounded)
+        (m, qid) -> refined
+      }).toMap
+      val recalls = PqTunedGrid.zipWithIndex.map { case ((m, sl), cfg) =>
+        AnnRecallQids.map { qid =>
+          val approx = refinedByMq((m, qid))
+            .filter(col("sl_rank") <= sl)
+            .orderBy(col("cosine").desc, col("vec_id"))
+            .limit(10)
+            .select(col("vec_id").as("a_id"))
+          exactByQid(qid)
+            .join(approx, col("vec_id") === col("a_id"), "left")
+            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
+            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
+        .collect() // |grid| rows — the bounded selection collect
+      // panel-scoped caches end with the selection collect (ADVICE
+      // r12 — the Dedup.containment call-scoped lifetime): the tuned
+      // serving run reads only the standing selected codes, so the
+      // exact-top-10 pins and per-(m,qid) refined relations would
+      // otherwise accumulate in the cache manager per call
+      exactByQid.values.foreach(_.unpersist(blocking = false))
+      refinedByMq.values.foreach(_.unpersist(blocking = false))
+      val rows = recalls.map { r =>
+        val cfg = r.getAs[Int]("cfg")
+        (cfg, r.getAs[Long]("th").toDouble / r.getAs[Long]("tk"))
+      }
+      val (cfgPick, mrPick) = rows.sortBy { case (cfg, mr) =>
+        (if (mr >= 0.5) 0 else 1,
+          if (mr >= 0.5) PqTunedGrid(cfg)._1 else 0,
+          if (mr >= 0.5) PqTunedGrid(cfg)._2 else 0,
+          -mr, cfg)
+      }.head
+      // the fit OWNS the serving artifact (ADVICE r13): keep only the
+      // selected m's codes pinned — the compressed index a PQ
+      // deployment would persist — and release the losing m's codes
+      // instead of leaving them in the cache manager for the session
+      val mPick = PqTunedGrid(cfgPick)._1
+      encodedByM.foreach { case (m, df) =>
+        if (m != mPick) df.unpersist(blocking = false) }
+      (cfgPick, mrPick, encodedByM(mPick))
+    })
+
+  /** The hybrid_tuned wDense sweep grid. */
+  private val HybridTunedGrid: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0)
+
+  /** The standing hybrid_tuned selection fit — see [[annTunedFit]].
+    * Returns (cfg, w_dense, sum_ndcg_micro). */
+  private def hybridTunedFit(s: SparkSession,
+      dir: String): (Int, Double, Long) =
+    hybridTunedFitCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val spark = s
+      import spark.implicits._
+      // ONE STANDING index serves all panel legs AND the final run —
+      // without this, every searchTopK call re-tokenizes the corpus
+      val htIdx = docsTextIndex(s, dir)
+      val qrels = docs.select(
+        (col("doc_id") % 3 + 1).cast("int").as("query_id"),
+        col("doc_id"), (col("doc_id") % 4).cast("int").as("grade"))
+      val sparseLegs = BenchQueries.map { case (qid, qtext) =>
+        Bm25.searchTopK(docs, "doc_id", "text", qtext, 50,
+            index = Some(htIdx))
+          .select(lit(qid).cast("int").as("query_id"),
+            col("id").as("doc_id"), col("score"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val prior = docs.orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+      val denseLegs = BenchQueries.map(_._1).toDF("query_id")
+        .select(col("query_id").cast("int").as("query_id"))
+        .crossJoin(prior).localCheckpoint()
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      // the sweep: |grid| bounded fusions over the pinned legs; each
+      // panel total is ONE 1-row selection collect (the tuning-loop
+      // collect discipline)
+      val totals = HybridTunedGrid.zipWithIndex.map { case (w, i) =>
+        val fused = Rrf.fuse(denseLegs, sparseLegs, "doc_id", "score",
+          k = 20, queryCol = Some("query_id"), wDense = w,
+          wSparse = 1.0 - w)
+        val runs = fused.withColumn("rank", row_number().over(wq))
+          .select("query_id", "rank", "doc_id")
+        val sumMicro = IrMetrics.perQuery(runs, qrels, Seq(10))
+          .filter(col("metric") === "ndcg")
+          .agg(sum(round(col("value") * 1e6, 0).cast("long")))
+          .head().getLong(0)
+        (i, sumMicro)
+      }
+      val cfg = totals.maxBy { case (i, m) => (m, -i) }._1
+      (cfg, HybridTunedGrid(cfg), totals(cfg)._2)
+    })
 
   private val chunksSnapshotCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -814,6 +1043,18 @@ object SparkEntry {
       graft.operators.Spell.vocabulary(t(s, dir, "documents"),
         "doc_id", "text"))
 
+  /** Standing SymSpell delete dictionary at depth `maxDist` (VERDICT
+    * r13 #4): the vocabulary-side deletion-variant relation is
+    * corpus-deterministic — Garbe's algorithm precomputes exactly this
+    * offline — so the spell/fallback serving rows probe a pinned
+    * dictionary instead of re-expanding the vocabulary per request.
+    * `fallback_index_persist` deliberately does NOT use it: its point
+    * is pricing the read-back + refit path. */
+  private def docsVocabVariants(s: SparkSession, dir: String,
+      maxDist: Int): DataFrame =
+    standingRel(s"$dir#spellvx$maxDist")(
+      graft.operators.Spell.vocabVariants(docsVocab(s, dir), maxDist))
+
   /** Standing BM25 index over the raw documents table (doc_id, text),
     * derived from [[docsPostings]] — stats pinned, docWeights cached
     * and materialized off the query clock. Every full-corpus
@@ -851,14 +1092,106 @@ object SparkEntry {
   private def searchIdxRoot(s: SparkSession, dir: String): String =
     stagedEventsCache.getOrElseUpdate(s"$dir#searchidx", {
       val r = tempDirCleanedOnExit("graft-searchidx").toString
-      graft.search.Ingest.reindexSwapRaw(s, docsPostings(s, dir),
-        s"$r/postings")
-      graft.search.Ingest.reindexSwapRaw(s, docsGateToks(s, dir),
-        s"$r/gatetoks")
-      graft.search.Ingest.reindexSwapRaw(s, docsPosToks(s, dir),
-        s"$r/postoks")
-      graft.search.Ingest.reindexSwapRaw(s, docsVocab(s, dir),
-        s"$r/vocab")
+      writeSearchSidecars(s, dir, r)
+      r
+    })
+
+  /** Write the four standing search sidecars to `root` — shared by
+    * [[searchIdxRoot]] (session-temp generations) and the
+    * [[ColdStart]] tool, which writes them to a PERSISTENT root so a
+    * fresh JVM can serve from them (VERDICT r13 #6). */
+  def writeSearchSidecars(s: SparkSession, dir: String,
+      root: String): Unit = {
+    graft.search.Ingest.reindexSwapRaw(s, docsPostings(s, dir),
+      s"$root/postings")
+    graft.search.Ingest.reindexSwapRaw(s, docsGateToks(s, dir),
+      s"$root/gatetoks")
+    graft.search.Ingest.reindexSwapRaw(s, docsPosToks(s, dir),
+      s"$root/postoks")
+    graft.search.Ingest.reindexSwapRaw(s, docsVocab(s, dir),
+      s"$root/vocab")
+  }
+
+  /** The query-syntax capstone served PURELY from read-back sidecars
+    * under `root` — the serving body of `search_index_persist`,
+    * factored so [[ColdStart]] can run it in a fresh JVM. */
+  def queryFromSearchSidecars(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val restored = graft.search.QuerySyntax.Standing(
+      Bm25.Standing(
+        graft.search.Ingest.readCurrent(s, s"$root/postings"),
+        graft.search.Ingest.readCurrent(s, s"$root/gatetoks")),
+      graft.search.Ingest.readCurrent(s, s"$root/postoks"))
+    graft.search.QuerySyntax.search(t(s, dir, "documents"), "doc_id",
+        "text", "\"big data\"~3 +table -error spark^2 hash", k = 20,
+        standing = Some(restored))
+      .select(col("id").as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Persist the five tuned-loop FITS as on-disk sidecars (VERDICT
+    * r13 #2): the r13 standing fits are session TrieMaps — a restart
+    * refits everything — while the reference persists per-collection
+    * index params and artifacts across restarts
+    * (shared/managers/qdrant_manager.py:57-66; vecpipe/sparse.py).
+    * Three parquet sidecars ride [[Ingest.reindexSwapRaw]]'s atomic
+    * pointer flip, once per session: `picks` (one (loop, param,
+    * value) row per selected knob — LSH banding, LSH probing config,
+    * IVF nprobe, PQ (m, shortlist), hybrid fusion weight, each with
+    * its panel evidence), `ivf_centroids` (the coarse quantizer), and
+    * `pq_codebooks` (every grid m's codebook). The `*_fit_persist`
+    * rows serve from the READ-BACK files — hash-equal to their cached
+    * twins via shared oracles, the same durability proof the search
+    * sidecars got in r13. */
+  private def tunedFitRoot(s: SparkSession, dir: String): String =
+    stagedEventsCache.getOrElseUpdate(s"$dir#fitidx", {
+      val r = tempDirCleanedOnExit("graft-fitidx").toString
+      val (annCfg, annMr) = annTunedFit(s, dir)
+      val (np, pb) = AnnTunedGrid(annCfg)
+      val (ivfCfg, ivfMr) = ivfTunedFit(s, dir)
+      val (pqCfg, pqMr, _) = pqTunedFit(s, dir)
+      val (mSel, slSel) = PqTunedGrid(pqCfg)
+      val (hCfg, wSel, hNdcg) = hybridTunedFit(s, dir)
+      val (bands, rpb) = dedupBandPick(s, dir)
+      val spark = s
+      import spark.implicits._
+      val picks = Seq(
+        ("ann_tuned", "cfg", annCfg.toDouble),
+        ("ann_tuned", "n_planes", np.toDouble),
+        ("ann_tuned", "probe_bits", pb.toDouble),
+        ("ann_tuned", "panel_recall", annMr),
+        ("ivf_tuned", "cfg", ivfCfg.toDouble),
+        ("ivf_tuned", "nprobe", IvfTunedGrid(ivfCfg).toDouble),
+        ("ivf_tuned", "panel_recall", ivfMr),
+        ("ann_pq_tuned", "cfg", pqCfg.toDouble),
+        ("ann_pq_tuned", "m", mSel.toDouble),
+        ("ann_pq_tuned", "shortlist", slSel.toDouble),
+        ("ann_pq_tuned", "panel_recall", pqMr),
+        ("hybrid_tuned", "cfg", hCfg.toDouble),
+        ("hybrid_tuned", "w_dense", wSel),
+        ("hybrid_tuned", "sum_ndcg_micro", hNdcg.toDouble),
+        ("dedup_tuned", "bands", bands.toDouble),
+        ("dedup_tuned", "rows_per_band", rpb.toDouble))
+        .toDF("loop", "param", "value")
+      graft.search.Ingest.reindexSwapRaw(s, picks.coalesce(1),
+        s"$r/picks")
+      val centRows = ivfCentroidsFor(s, dir).zipWithIndex.flatMap {
+        case (c, cell) => c.zipWithIndex.map { case (v, p) =>
+          (cell, p, v) }
+      }.toDF("cell", "pos", "v")
+      graft.search.Ingest.reindexSwapRaw(s, centRows.coalesce(1),
+        s"$r/ivf_centroids")
+      val cbRows = PqTunedGrid.map(_._1).distinct.flatMap { m =>
+        val cb = pqCodebookForM(s, dir, m)
+        for {
+          sub <- 0 until cb.m
+          j <- 0 until cb.k
+          (v, p) <- cb.centroids(sub)(j).zipWithIndex.toSeq
+        } yield (m, cb.dim, cb.k, sub, j, p, v)
+      }.toDF("m", "dim", "k", "sub", "j", "pos", "v")
+      graft.search.Ingest.reindexSwapRaw(s, cbRows.coalesce(1),
+        s"$r/pq_codebooks")
       r
     })
 
@@ -884,6 +1217,21 @@ object SparkEntry {
       pinned.docWeights.count()
       pinned
     })
+
+  /** Standing minhash SIGNATURES of the collapse collection (VERDICT
+    * r13 #4): signatures are corpus-deterministic — a deployment
+    * computes them at index time and stores them beside the postings
+    * (one numHashes-long array per doc, the artifact that makes
+    * query-time collapse candidate-bounded). The verify SHINGLES are
+    * deliberately NOT standing: re-shingling the ≤ candidate_k page
+    * per request is cheaper than scanning a corpus-sized pinned
+    * shingle relation (measured: the 12M-row cache scan cost more
+    * than the 50-doc explode it replaced). */
+  private def collapseSigs(s: SparkSession, dir: String): DataFrame =
+    standingRel(s"$dir#collapsesigs")(
+      Dedup.minhashSignaturesFrom(
+        Dedup.shingles(collapseCorpus(s, dir), "doc_id", "text", 3),
+        16, Dedup.shaHashFamily))
 
   /** Standing per-collection indexes for the multi-collection twin
     * (each parity half is its own collection with its own corpus
@@ -1522,6 +1870,26 @@ object SparkEntry {
       val (sh, sweep) = lshSweep(s, dir)
       (sh, sweep.localCheckpoint())
     })
+
+  /** The dedup_tuned banding selection off the standing sweep — among
+    * configs with recall >= 0.9 at the j>=0.5 truth line, the fewest
+    * false candidates (ties: fewest bands). A bounded 1-row collect,
+    * shared by the query and the fit-sidecar writer.
+    * headOption, not (0): if NO banding config reaches the recall bar
+    * the bare index would throw AIOOBE while the DuckDB oracle (scalar
+    * subquery over an empty `best`) returned empty — fail loudly with
+    * the actual contract violation instead (ADVICE r9). */
+  private def dedupBandPick(s: SparkSession, dir: String): (Int, Int) = {
+    val sweep = lshSweepFit(s, dir)._2
+    val best = sweep.filter(col("recall") >= 0.9)
+      .orderBy(col("n_false_cands"), col("bands"))
+      .limit(1).collect().headOption.getOrElse(throw new
+        IllegalStateException(
+          "dedup_tuned: no LSH banding config reaches recall >= 0.9 " +
+          "at the j>=0.5 truth line — the sweep grid cannot satisfy " +
+          "the declared recall floor on this corpus"))
+    (best.getAs[Int]("bands"), best.getAs[Int]("rows_per_band"))
+  }
 
   // =====================================================================
   // Queries
@@ -2187,20 +2555,8 @@ object SparkEntry {
     //      means surviving a restart, not a session cache. The oracle
     //      is search_query_syntax_prox's, unchanged: the shared oracle
     //      is the round-trip bit-exactness proof ----
-    "search_index_persist" -> ((s, dir) => {
-      val root = searchIdxRoot(s, dir)
-      val restored = graft.search.QuerySyntax.Standing(
-        Bm25.Standing(
-          graft.search.Ingest.readCurrent(s, s"$root/postings"),
-          graft.search.Ingest.readCurrent(s, s"$root/gatetoks")),
-        graft.search.Ingest.readCurrent(s, s"$root/postoks"))
-      graft.search.QuerySyntax.search(t(s, dir, "documents"), "doc_id",
-          "text", "\"big data\"~3 +table -error spark^2 hash", k = 20,
-          standing = Some(restored))
-        .select(col("id").as("doc_id"),
-          round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-    }),
+    "search_index_persist" -> ((s, dir) =>
+      queryFromSearchSidecars(s, dir, searchIdxRoot(s, dir))),
 
     // ---- the VOCABULARY sidecar twin: spell-corrected fallback
     //      search served from the read-back vocab + postings sidecars
@@ -2545,10 +2901,26 @@ object SparkEntry {
           index = Some(collapseIndex(s, dir)))
         .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
         .localCheckpoint()
-      val candDocs = corpus.join(broadcast(top.select("doc_id")), "doc_id")
-      val pairs = Dedup.minhashNearDups(candDocs, "doc_id", "text",
-          n = 3, numHashes = 16, bands = 8, threshold = 0.5,
-          hashFamily = Dedup.shaHashFamily)
+      // near-dup detection probes the STANDING signature artifact
+      // filtered to the candidate page (VERDICT r13 #4): signatures
+      // live in the index at serving time, so the per-request work is
+      // banding + verify over ≤ candidate_k ids — the verify shingles
+      // come from re-shingling just the candidate docs (see
+      // [[collapseSigs]] for why they are not standing)
+      val candIds = broadcast(top.select(col("doc_id").as("id")))
+      val candDocs = corpus.join(
+        candIds.select(col("id").as("doc_id")), "doc_id")
+      // both verify inputs are ≤ candidate_k-sized — eagerly pin them
+      // so the banding SELF-join (two refs) and the verify's three
+      // refs all broadcast 50-row checkpoints instead of re-running
+      // the standing-relation probes per reference (measured: the
+      // unpinned form cost ~2.5 s of re-evaluated 32-partition joins)
+      val shCand = Dedup.shingles(candDocs, "doc_id", "text", 3)
+        .localCheckpoint()
+      val sigsCand = collapseSigs(s, dir).join(candIds, "id")
+        .localCheckpoint()
+      val pairs = Dedup.minhashNearDupsFromSigs(shCand, sigsCand,
+          numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       val sym = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -2841,7 +3213,8 @@ object SparkEntry {
         .orderBy(col("df").desc, col("term")).limit(10)
         .select(concat(col("term").substr(lit(1), lit(1)),
           col("term").substr(lit(3), length(col("term")))).as("q"))
-      Spell.didYouMean(vocab, inputs, "q").orderBy("input")
+      Spell.didYouMeanFromVariants(docsVocabVariants(s, dir, 1),
+        inputs, "q", maxDist = 1).orderBy("input")
     }),
 
     // ---- "did you mean" at edit distance 2 (VERDICT r9 #5 — the
@@ -2862,7 +3235,8 @@ object SparkEntry {
         .select(concat(col("term").substr(lit(1), lit(1)),
           col("term").substr(lit(3), lit(1)),
           col("term").substr(lit(5), length(col("term")))).as("q"))
-      Spell.didYouMean(vocab, inputs, "q", maxDist = 2).orderBy("input")
+      Spell.didYouMeanFromVariants(docsVocabVariants(s, dir, 2),
+        inputs, "q", maxDist = 2).orderBy("input")
     }),
 
     // ---- zero-result RECOVERY composite (the search-box fallback a
@@ -2880,8 +3254,12 @@ object SparkEntry {
         .orderBy(col("df").desc, col("term")).limit(3)
         .select(concat(col("term").substr(lit(1), lit(1)),
           col("term").substr(lit(3), length(col("term")))).as("q"))
-      // bounded 3-row collect — the corrected query is request-sized
-      val corrected = Spell.didYouMean(vocab, inputs, "q")
+      // bounded 3-row collect — the corrected query is request-sized;
+      // correction probes the STANDING delete dictionary (VERDICT r13
+      // #4: the per-request vocabulary re-expansion was this row's
+      // only over-threshold cost)
+      val corrected = Spell.didYouMeanFromVariants(
+          docsVocabVariants(s, dir, 1), inputs, "q", maxDist = 1)
         .orderBy("input").select("suggestion")
         .collect().map(_.getString(0))
       val cq = corrected.mkString(" ")
@@ -3536,41 +3914,7 @@ object SparkEntry {
       // STANDING per-dir selection fit (r13 — the dedup_tuned
       // pattern): sweep + selection memoized, tuned run on the clock;
       // the oracle still replays sweep + selection + run.
-      val (bestCfg, bestMr) = annTunedFitCache.getOrElseUpdate(dir, {
-      // pin each panel query's 10-row exact top-10 ONCE — the 12
-      // unioned recall legs otherwise re-run the full exact scan per
-      // grid config (4× per qid; measured ~2× on the whole query)
-      val exactByQid = AnnRecallQids.map { qid =>
-        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
-          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
-      }.toMap
-      val recalls = AnnTunedGrid.zipWithIndex.map { case ((np, pb), cfg) =>
-        AnnRecallQids.map { qid =>
-          val qv = queryVecNFor(s, dir, qid)
-          val approx = Knn.lshTopKMultiProbe(e, "vec_id", "embedding",
-              qv, 10, nPlanes = np, probeBits = pb)
-            .select(col("vec_id").as("a_id"))
-          exactByQid(qid)
-            .join(approx, col("vec_id") === col("a_id"), "left")
-            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
-            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
-        }.reduce(_ unionByName _)
-      }.reduce(_ unionByName _)
-        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
-        .collect() // 4 rows — the bounded selection collect
-      // panel-scoped pins end with the selection (the ADVICE r12
-      // ann_pq_tuned lifetime rule)
-      exactByQid.values.foreach(_.unpersist(blocking = false))
-      val rows = recalls.map { r =>
-        val cfg = r.getAs[Int]("cfg")
-        val mr = r.getAs[Long]("th").toDouble / r.getAs[Long]("tk")
-        (cfg, mr)
-      }
-      rows.sortBy { case (cfg, mr) =>
-        (if (mr >= 0.5) 0 else 1,
-          if (mr >= 0.5) annTunedFrac(cfg) else 0.0, -mr, cfg)
-      }.head
-      })
+      val (bestCfg, bestMr) = annTunedFit(s, dir)
       val (np, pb) = AnnTunedGrid(bestCfg)
       Knn.lshTopKMultiProbe(e, "vec_id", "embedding",
           queryVecFor(s, dir), 10, nPlanes = np, probeBits = pb)
@@ -3597,39 +3941,7 @@ object SparkEntry {
       val centroids = ivfCentroidsFor(s, dir)
       // STANDING per-dir selection fit (r13 — the dedup_tuned
       // pattern); the oracle still replays sweep + selection + run.
-      val (bestCfg, bestMr) = ivfTunedFitCache.getOrElseUpdate(dir, {
-      // pin each panel query's exact top-10 once — the |grid| recall
-      // legs otherwise re-run the exact scan per config (the ann_tuned
-      // precedent, measured ~45% there)
-      val exactByQid = AnnRecallQids.map { qid =>
-        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
-          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
-      }.toMap
-      val recalls = IvfTunedGrid.zipWithIndex.map { case (np, cfg) =>
-        AnnRecallQids.map { qid =>
-          val qv = queryVecNFor(s, dir, qid)
-          val approx = Knn.ivfTopK(e, "vec_id", "embedding", qv, 10,
-              centroids, nprobe = np)
-            .select(col("vec_id").as("a_id"))
-          exactByQid(qid)
-            .join(approx, col("vec_id") === col("a_id"), "left")
-            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
-            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
-        }.reduce(_ unionByName _)
-      }.reduce(_ unionByName _)
-        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
-        .collect() // |grid| rows — the bounded selection collect
-      exactByQid.values.foreach(_.unpersist(blocking = false))
-      val rows = recalls.map { r =>
-        val cfg = r.getAs[Int]("cfg")
-        (cfg, r.getAs[Long]("th").toDouble / r.getAs[Long]("tk"))
-      }
-      rows.sortBy { case (cfg, mr) =>
-        (if (mr >= 0.5) 0 else 1,
-          if (mr >= 0.5) IvfTunedGrid(cfg).toDouble / IvfTunedNlist
-          else 0.0, -mr, cfg)
-      }.head
-      })
+      val (bestCfg, bestMr) = ivfTunedFit(s, dir)
       val np = IvfTunedGrid(bestCfg)
       Knn.ivfTopK(e, "vec_id", "embedding", queryVecFor(s, dir), 10,
           centroids, nprobe = np)
@@ -3655,7 +3967,6 @@ object SparkEntry {
     //      same per-m codebook literals ----
     "ann_pq_tuned" -> ((s, dir) => {
       lastDir = dir
-      val e = t(s, dir, "embeddings")
       // STANDING per-dir selection fit (r13 — the dedup_tuned
       // standing-band-fit medicine, VERDICT r12 #3's pattern applied
       // to the compression loop): the sweep's inputs are
@@ -3663,98 +3974,86 @@ object SparkEntry {
       // the (m, shortlist) pick is a FIT memoized per dir; only the
       // tuned serving run stays on the query clock. The oracle still
       // replays encode + sweep + selection + run.
-      val (bestCfg, bestMr) = pqTunedFitCache.getOrElseUpdate(dir, {
-      val exactByQid = AnnRecallQids.map { qid =>
-        qid -> Knn.bruteForceTopK(e, "vec_id", "embedding",
-          queryVecNFor(s, dir, qid), 10).select("vec_id").cache()
-      }.toMap
-      // encode ONCE per m and pin: the codes column is query-
-      // independent, and without the pin every (config, qid) sweep leg
-      // re-runs the full per-subspace argmax encode over the corpus
-      // (|grid|·|panel| = 12 encodes instead of 2 — measured as the
-      // dominant cost of the sweep). adcTopK reuses a present `codes`
-      // column by contract. Cache lifetime is deliberately the
-      // SESSION: the codes relation IS the compressed index a PQ
-      // deployment persists (m bytes/vector — the artifact, not an
-      // intermediate), and the cache manager serves every invocation
-      // from one canonical-plan entry per (dir, m).
-      val encodedByM = PqTunedGrid.map(_._1).distinct.map { m =>
-        m -> Pq.encode(e.select(col("vec_id"), col("embedding")),
-          "embedding", pqCodebookForM(s, dir, m)).cache()
-      }.toMap
-      // ONE ADC ranking + ONE exact-cosine refine per (m, qid),
-      // shared by every shortlist config: shortlists NEST (top-30 by
-      // (adist, id) ⊂ top-50 under the same total order), so config
-      // (m, sl)'s leg is exactly "top-10 by (cosine desc, id) among
-      // the sl-prefix" of the shared 50-row refined relation —
-      // |m|·|panel| = 6 corpus passes instead of |grid|·|panel| = 12
-      // ADC rankings + 12 refines (measured ~40% of the sweep)
-      val maxSl = PqTunedGrid.map(_._2).max
-      val refinedByMq = (for {
-        m <- PqTunedGrid.map(_._1).distinct
-        qid <- AnnRecallQids
-      } yield {
-        val qv = queryVecNFor(s, dir, qid)
-        val short = Pq.adcTopK(encodedByM(m), "vec_id", "embedding",
-          qv, maxSl, pqCodebookForM(s, dir, m))
-        val q = array(qv.toIndexedSeq.map(lit): _*)
-        // adist rank rides along so a smaller shortlist is a filter
-        val w = Window.orderBy(col("adist").asc, col("vec_id"))
-        val refined = t(s, dir, "embeddings")
-          .join(broadcast(short), "vec_id")
-          .select(col("vec_id"), col("adist"),
-            VectorFunctions.cosine(col("embedding"), q).as("cosine"))
-          .withColumn("sl_rank", row_number().over(w))
-          .cache() // maxSl rows — the exactByQid panel-cache idiom
-                   // (6 eager checkpoints would serialize 6 extra
-                   // materialization jobs; a 50-row cache is bounded)
-        (m, qid) -> refined
-      }).toMap
-      val recalls = PqTunedGrid.zipWithIndex.map { case ((m, sl), cfg) =>
-        AnnRecallQids.map { qid =>
-          val approx = refinedByMq((m, qid))
-            .filter(col("sl_rank") <= sl)
-            .orderBy(col("cosine").desc, col("vec_id"))
-            .limit(10)
-            .select(col("vec_id").as("a_id"))
-          exactByQid(qid)
-            .join(approx, col("vec_id") === col("a_id"), "left")
-            .agg(count(lit(1)).as("k"), count(col("a_id")).as("n_hits"))
-            .select(lit(cfg).as("cfg"), col("k"), col("n_hits"))
-        }.reduce(_ unionByName _)
-      }.reduce(_ unionByName _)
-        .groupBy("cfg").agg(sum("k").as("tk"), sum("n_hits").as("th"))
-        .collect() // |grid| rows — the bounded selection collect
-      // panel-scoped caches end with the selection collect (ADVICE
-      // r12 — the Dedup.containment call-scoped lifetime): the tuned
-      // serving run below reads only the standing encodedByM codes,
-      // so the exact-top-10 pins and per-(m,qid) refined relations
-      // would otherwise accumulate in the cache manager per call
-      exactByQid.values.foreach(_.unpersist(blocking = false))
-      refinedByMq.values.foreach(_.unpersist(blocking = false))
-      val rows = recalls.map { r =>
-        val cfg = r.getAs[Int]("cfg")
-        (cfg, r.getAs[Long]("th").toDouble / r.getAs[Long]("tk"))
-      }
-      rows.sortBy { case (cfg, mr) =>
-        (if (mr >= 0.5) 0 else 1,
-          if (mr >= 0.5) PqTunedGrid(cfg)._1 else 0,
-          if (mr >= 0.5) PqTunedGrid(cfg)._2 else 0,
-          -mr, cfg)
-      }.head
-      })
+      val (bestCfg, bestMr, encodedSel) = pqTunedFit(s, dir)
       val (mSel, slSel) = PqTunedGrid(bestCfg)
-      // the serving-path codes: same canonical plan as the fit's
-      // encodedByM entry, so the cache manager serves the standing
-      // compressed-index artifact — no re-encode on the query clock
-      val encodedSel = Pq.encode(e.select(col("vec_id"),
-        col("embedding")), "embedding",
-        pqCodebookForM(s, dir, mSel)).cache()
+      // serving path reads the fit's own encoded handle — no plan
+      // rebuild, no reliance on canonical-plan cache identity
       Pq.refinedTopK(encodedSel, "vec_id", "embedding",
           queryVecFor(s, dir), 10,
           pqCodebookForM(s, dir, mSel), shortlist = slSel)
         .select(lit(mSel).as("m"), lit(slSel).as("shortlist"),
           round(lit(bestMr), 6).as("panel_recall"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- PERSISTED tuned-loop fit (VERDICT r13 #2): the PQ serving
+    //      search run entirely from the READ-BACK fit sidecars — the
+    //      (m, shortlist) pick AND the selected m's codebook restored
+    //      from the on-disk parquet written through the blue/green
+    //      flip, the corpus re-encoded with the restored codebook, ADC
+    //      + exact refine served with the restored operating point.
+    //      The shared ann_pq_tuned oracle is the round-trip
+    //      bit-exactness proof; the re-encode is ON the query clock —
+    //      that restart cost is the point (the session-cached twin
+    //      serves from the standing codes). ----
+    "ann_pq_fit_persist" -> ((s, dir) => {
+      val root = tunedFitRoot(s, dir)
+      val picks = graft.search.Ingest.readCurrent(s, s"$root/picks")
+        .filter(col("loop") === "ann_pq_tuned").collect()
+        .map(r => r.getAs[String]("param") -> r.getAs[Double]("value"))
+        .toMap // bounded: one row per persisted knob
+      val mSel = picks("m").toInt
+      val slSel = picks("shortlist").toInt
+      val mr = picks("panel_recall")
+      val cbRows = graft.search.Ingest
+        .readCurrent(s, s"$root/pq_codebooks")
+        .filter(col("m") === mSel).collect() // m·k·dsub doubles — tiny
+      val dim = cbRows.head.getAs[Int]("dim")
+      val k = cbRows.head.getAs[Int]("k")
+      val dsub = dim / mSel
+      val vals = cbRows.map(r => ((r.getAs[Int]("sub"),
+        r.getAs[Int]("j"), r.getAs[Int]("pos")),
+        r.getAs[Double]("v"))).toMap
+      val cb = Pq.Codebook(dim, mSel, k, (0 until mSel).map(sub =>
+        (0 until k).toIndexedSeq.map(j =>
+          Array.tabulate(dsub)(p => vals((sub, j, p))))))
+      val encoded = Pq.encode(t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")), "embedding", cb)
+      Pq.refinedTopK(encoded, "vec_id", "embedding",
+          queryVecFor(s, dir), 10, cb, shortlist = slSel)
+        .select(lit(mSel).as("m"), lit(slSel).as("shortlist"),
+          round(lit(mr), 6).as("panel_recall"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- the IVF sidecar twin: nprobe pick + coarse-quantizer
+    //      centroids restored from the fit sidecars, the tuned IVF
+    //      search served with them — with ann_pq_fit_persist this
+    //      reads back all three fit artifacts; shared ivf_tuned
+    //      oracle pins the round-trip ----
+    "ivf_fit_persist" -> ((s, dir) => {
+      val root = tunedFitRoot(s, dir)
+      val picks = graft.search.Ingest.readCurrent(s, s"$root/picks")
+        .filter(col("loop") === "ivf_tuned").collect()
+        .map(r => r.getAs[String]("param") -> r.getAs[Double]("value"))
+        .toMap
+      val np = picks("nprobe").toInt
+      val mr = picks("panel_recall")
+      val centRows = graft.search.Ingest
+        .readCurrent(s, s"$root/ivf_centroids").collect() // k·dim — tiny
+      val byCell = centRows.groupBy(_.getAs[Int]("cell"))
+      val centroids = (0 until byCell.size).map { c =>
+        val rows = byCell(c)
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("v"))
+        arr
+      }
+      Knn.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryVecFor(s, dir), 10, centroids, nprobe = np)
+        .select(lit(np).as("nprobe"),
+          round(lit(mr), 6).as("panel_recall"),
           col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
@@ -6029,20 +6328,8 @@ object SparkEntry {
     //      #3) — selection inputs are corpus-deterministic, so only
     //      the tuned dedup RUN is on the query clock ----
     "dedup_tuned" -> ((s, dir) => {
-      val (sh, sweep) = lshSweepFit(s, dir)
-      // headOption, not (0): if NO banding config reaches the recall
-      // bar the bare index would throw AIOOBE while the DuckDB oracle
-      // (scalar subquery over an empty `best`) returned empty — fail
-      // loudly with the actual contract violation instead (ADVICE r9)
-      val best = sweep.filter(col("recall") >= 0.9)
-        .orderBy(col("n_false_cands"), col("bands"))
-        .limit(1).collect().headOption.getOrElse(throw new
-          IllegalStateException(
-            "dedup_tuned: no LSH banding config reaches recall >= 0.9 " +
-            "at the j>=0.5 truth line — the sweep grid cannot satisfy " +
-            "the declared recall floor on this corpus"))
-      val (b, r) = (best.getAs[Int]("bands"),
-        best.getAs[Int]("rows_per_band"))
+      val sh = lshSweepFit(s, dir)._1
+      val (b, r) = dedupBandPick(s, dir)
       // the tuned run REUSES the sweep's checkpointed shingles — the
       // corpus is tokenized once across sweep + selection + dedup
       Dedup.minhashNearDupsFrom(sh, numHashes = 16, bands = b,
@@ -6990,6 +7277,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming CHECKPOINT RECOVERY (VERDICT r13 #1) — the core
+    //      durability semantic no other streaming row exercises: the
+    //      stateful TTL-dedup stream processes batches 1–2, the query
+    //      STOPS, and a brand-NEW query started on the SAME checkpoint
+    //      finishes batch 3 (the reference's continuous sync resumes
+    //      from its cursor across process restarts —
+    //      vecpipe/document_tracker.py:70-142,
+    //      webui/tasks/sync_dispatcher.py). The sink is a parquet FILE
+    //      sink — the fault-tolerant sink whose metadata log gives
+    //      exactly-once across the restart (the memory sink can't
+    //      recover) — and both runs scope state to the same 4 shuffle
+    //      partitions, since store count is fixed in the checkpoint.
+    //      Hash-equality with the single-run twin (shared
+    //      streaming_dedup_ttl oracle) proves resumed == uninterrupted;
+    //      batch-3 duplicates whose canonical arrived BEFORE the stop
+    //      prove state was RESTORED, not recomputed (an empty store
+    //      would make them fresh canonicals and drop the rows). ----
+    "streaming_restart_resume" -> ((s, dir) => {
+      val staged = stagedDocBatches(s, dir)
+      val root = tempDirCleanedOnExit("graft-srestart")
+      val in = root.resolve("in")
+      val outP = root.resolve("out"); val ck = root.resolve("ck")
+      java.nio.file.Files.createDirectories(in)
+      val batchFiles = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(staged))) {
+          _.iterator().asScala.toSeq
+        }.filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(p =>
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      // arrival = copy into the stream's input dir, mtime preserved so
+      // the source's mod-time batching keeps the staged order
+      def arrive(f: java.nio.file.Path): Unit =
+        java.nio.file.Files.copy(f, in.resolve(f.getFileName),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(in.toString)
+          .withColumn("ts_utc", timestamp_micros(
+            lit(1600000000000000L) + col("doc_id") * 1000000L))
+          .withWatermark("ts_utc", "10 seconds")
+        val out = Sync.streamingDupReportsTtl(stream, "doc_id", "text",
+          "ts_utc", horizonUs = 50L * 1000000L)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = out.writeStream.outputMode("append").format("parquet")
+            .option("path", outP.toString)
+            .option("checkpointLocation", ck.toString).start()
+          q.processAllAvailable(); q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      arrive(batchFiles(0)); arrive(batchFiles(1))
+      runOnce() // batches 1–2, then STOP
+      arrive(batchFiles(2))
+      runOnce() // NEW query, SAME checkpoint: state + sink log resume
+      s.read.parquet(outP.toString)
+        .select("doc_id", "first_doc_id").orderBy("doc_id")
+    }),
+
     // ---- stream-stream event-time INTERVAL join, REALLY streamed:
     //      clicks attributed to purchases within the following hour.
     //      Both legs are watermarked file streams over the same
@@ -7358,9 +7707,16 @@ object SparkEntry {
     "search_ltr" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val qTerms = TextFunctions.tokenize(SearchQuery).distinct.sorted
+      // pin the 50-row candidate page (the search_collapse
+      // discipline): the two minMaxNorm stats broadcasts, the cover
+      // semi-join, and the final join otherwise EACH re-run the BM25
+      // scoring aggregation over the standing docWeights (VERDICT r13
+      // #4 — this row's over-threshold cost was ~4 re-scores, not the
+      // features)
       val cands = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery, 50,
           index = Some(docsTextIndex(s, dir)))
         .withColumnRenamed("id", "doc_id")
+        .localCheckpoint()
       val withLen = Ltr.minMaxNorm(
         Ltr.minMaxNorm(cands, "score", "f_bm25")
           .join(docs.select("doc_id", "n_chars"), "doc_id"),
@@ -7521,54 +7877,13 @@ object SparkEntry {
     //      config and its panel evidence ride every output row ----
     "hybrid_tuned" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val grid = Seq(0.25, 0.5, 0.75, 1.0)
-      val spark = s
-      import spark.implicits._
-      // ONE STANDING index serves all panel legs AND the final run —
-      // without this, every searchTopK call re-tokenizes the corpus
       val htIdx = docsTextIndex(s, dir)
       // STANDING per-dir selection fit (r13 — the dedup_tuned
       // pattern): panel legs, sweep, and max-nDCG selection are
       // corpus-deterministic, so they run once per dir; only the
       // tuned fusion serves on the query clock. The oracle still
       // replays legs + sweep + selection + run.
-      val (bestCfg, wSel, bestNdcg) =
-        hybridTunedFitCache.getOrElseUpdate(dir, {
-      val qrels = docs.select(
-        (col("doc_id") % 3 + 1).cast("int").as("query_id"),
-        col("doc_id"), (col("doc_id") % 4).cast("int").as("grade"))
-      val sparseLegs = BenchQueries.map { case (qid, qtext) =>
-        Bm25.searchTopK(docs, "doc_id", "text", qtext, 50,
-            index = Some(htIdx))
-          .select(lit(qid).cast("int").as("query_id"),
-            col("id").as("doc_id"), col("score"))
-      }.reduce(_ unionByName _).localCheckpoint()
-      val prior = docs.orderBy(col("n_chars").desc, col("doc_id"))
-        .limit(50)
-        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
-      val denseLegs = BenchQueries.map(_._1).toDF("query_id")
-        .select(col("query_id").cast("int").as("query_id"))
-        .crossJoin(prior).localCheckpoint()
-      val wq = Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("doc_id"))
-      // the sweep: |grid| bounded fusions over the pinned legs; each
-      // panel total is ONE 1-row selection collect (the tuning-loop
-      // collect discipline)
-      val totals = grid.zipWithIndex.map { case (w, i) =>
-        val fused = Rrf.fuse(denseLegs, sparseLegs, "doc_id", "score",
-          k = 20, queryCol = Some("query_id"), wDense = w,
-          wSparse = 1.0 - w)
-        val runs = fused.withColumn("rank", row_number().over(wq))
-          .select("query_id", "rank", "doc_id")
-        val sumMicro = IrMetrics.perQuery(runs, qrels, Seq(10))
-          .filter(col("metric") === "ndcg")
-          .agg(sum(round(col("value") * 1e6, 0).cast("long")))
-          .head().getLong(0)
-        (i, sumMicro)
-      }
-      val cfg = totals.maxBy { case (i, m) => (m, -i) }._1
-      (cfg, grid(cfg), totals(cfg)._2)
-      })
+      val (bestCfg, wSel, bestNdcg) = hybridTunedFit(s, dir)
       val dense = docs
         .select(col("doc_id"), col("n_chars").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(50)
@@ -8259,6 +8574,16 @@ object SparkEntry {
       // bit-exactness proof (VERDICT r12 #4)
       "search_index_persist" -> m("search_query_syntax_prox"),
       "fallback_index_persist" -> m("search_fallback_correct"),
+      // stop-and-resume from the checkpoint must emit EXACTLY the
+      // uninterrupted run's set (VERDICT r13 #1): the shared oracle is
+      // the durability proof — restored state + the file sink's
+      // exactly-once log, not a recompute
+      "streaming_restart_resume" -> m("streaming_dedup_ttl"),
+      // the persisted tuned-loop fits must serve IDENTICALLY to their
+      // session-cached twins (VERDICT r13 #2): read-back picks +
+      // codebook / centroids, shared oracles as the round-trip proof
+      "ann_pq_fit_persist" -> m("ann_pq_tuned"),
+      "ivf_fit_persist" -> m("ivf_tuned"),
       // the streamed add/add/remove run must converge to the SAME
       // surviving-corpus recompute as the batch remove — order-
       // dependence of remove-after-add is exactly what the mtime-

@@ -184,11 +184,12 @@ class Round12Spec extends SparkSpec {
     // bm25_topk serves from docsTextIndex: the executed plan must scan
     // the cached docWeights, and the only Generate (explode) nodes
     // allowed are beneath the cache build, not in the per-query plan
-    // (search_collapse's final plan scans its CHECKPOINTED candidate
-    // page instead — the standing index sits beneath the checkpoint —
-    // so it is asserted via its bench profile, not here)
+    // (search_collapse's and search_ltr's final plans scan their
+    // CHECKPOINTED candidate pages instead — the standing index sits
+    // beneath the eager checkpoint, r14's fix for ltr's 4 re-scores —
+    // so they are asserted via their bench profiles, not here)
     for (q <- Seq("bm25_topk", "search_prf", "search_snippets",
-        "search_fallback_correct", "search_ltr")) {
+        "search_fallback_correct")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(p.contains("InMemoryTableScan"),
