@@ -105,9 +105,13 @@ object Bench {
     // `probeEvery` queries, so each query is covered by the probe window
     // it ran inside; a transient co-tenant stall shows up as an inflated
     // window in calibration_series and the record adjudicates itself.
-    // ~11 windows x ~2s of probes adds ~25s of wall clock, none of it
-    // counted in any query's time or the suite total.
-    val probeEvery = 25
+    // r14 (VERDICT r13 #3): probes densified 25 → 10. The r13 driver
+    // record carried a 5-row 2-4x contention cluster at positions
+    // 127-144 whose BOTH endpoint probes read clean — a burst shorter
+    // than the probe spacing is invisible. ~31 windows x ~2s of
+    // probes adds ~60s of wall clock, none of it counted in any
+    // query's time or the suite total.
+    val probeEvery = 10
     val series = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     def runProbes(atIdx: Int): Unit =
       series += ((atIdx, probeSha2(), probeShuffle()))
@@ -143,23 +147,33 @@ object Bench {
         } catch { case scala.util.control.NonFatal(_) => () }
       }
     runProbes(0)
+    // Adaptive tail budget (VERDICT r13 #3): extra samples are no
+    // longer gated on sub-second magnitude — the r13 driver record
+    // showed the suite's most EXPENSIVE rows get misreported by
+    // contention windows (related_docs 3.65x, two rounds running)
+    // while only cheap rows had resample protection. Any row whose
+    // three runs spread >1.5x resamples, and the added wall-time is
+    // capped suite-wide so a systematically contended run degrades to
+    // plain min-of-3 rather than doubling its own length.
+    val ExtraWallCapSec = 90.0
+    var extraWall = 0.0
+    val resampled = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) runProbes(i)
       val ts = Seq(once(n), once(n), once(n))
       val best =
         if (ts.exists(_ < 0)) -1.0
-        // Adaptive tail (VERDICT r12 #6): sub-second rows are
-        // scheduling-noise-dominated — a transient co-tenant gap can
-        // inflate all three back-to-back runs of a 0.1-0.3 s query
-        // (remove_source read 4.98x in the r12 driver record's
-        // contended head). When the three runs DISAGREE (max > 1.5x
-        // min) and the row is sub-second, take two more samples; the
-        // extra cost is bounded by construction (only sub-second,
-        // only noisy rows) and the min stays the reported statistic.
-        else if (ts.min < 1.0 && ts.max > ts.min * 1.5)
-          // an extra run that ERRORS (-1) must not become the min
-          (ts.min +: Seq(once(n), once(n)).filter(_ >= 0)).min
-        else ts.min
+        else if (ts.max > ts.min * 1.5 && extraWall < ExtraWallCapSec) {
+          resampled += n
+          val t0 = System.nanoTime()
+          val extras = Seq(once(n), once(n))
+          extraWall += (System.nanoTime() - t0) / 1e9
+          // an extra run that ERRORS marks the row failed, exactly
+          // like a base-run error (ADVICE r13: a query failing on 2
+          // of 5 runs must not report a timing)
+          if (extras.exists(_ < 0)) -1.0
+          else (ts ++ extras).min
+        } else ts.min
       n -> best
     }
     runProbes(names.size)
@@ -191,7 +205,17 @@ object Bench {
     // ~90 queries (r1-r4: the driver's parsed field was null every
     // round for exactly this reason) — so the calibration field goes
     // LAST (it survives the window) and a compact line follows.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed}"""
+    // methodology marker (ADVICE r13): records cut under different
+    // measurement rules must not be compared row-to-row as if the
+    // rules were constant — r13 moved tuned-loop sweeps off the clock
+    // and resampled sub-second noisy rows; r14 resamples ANY noisy row
+    // under a wall cap and densifies probes to every 10. The field
+    // names the rule set; `resampled` lists the rows whose value is a
+    // min-of-5 so cross-record row comparisons can see it.
+    val methodology = "r14"
+    val resampledJson = resampled.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","resampled":$resampledJson}"""
     println(full)
     // Compact final line, guaranteed inside the tail window. r6 proved
     // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
@@ -209,7 +233,7 @@ object Bench {
     val calSeriesCompact =
       s""""cal_sha2_series":${series.map(e => f2(e._2)).mkString("[", ",", "]")},""" +
       s""""cal_shuffle_series":${series.map(e => f2(e._3)).mkString("[", ",", "]")}"""
-    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"order_seed":$orderSeed,"""
+    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","n_resampled":${resampled.size},"""
     val budget = 1400 - prefix.length - 60 // 60: closing + omitted field
     val sortedDesc = results.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]

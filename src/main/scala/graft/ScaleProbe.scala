@@ -47,7 +47,13 @@ object ScaleProbe {
     // at scale; a 10x event stream probes the per-batch state-store
     // commit path with 10x rows through the same watermark windows
     "streaming_join_outer", "streaming_distinct_window",
-    "streaming_dedup_ttl").mkString(",")
+    "streaming_dedup_ttl",
+    // the persisted-sidecar read-back paths and the held-out tuned
+    // quality filter (VERDICT r13 #5): their r13 probe numbers were
+    // one-off NOTES entries — panel membership keeps the read-back
+    // and holdout paths under standing scale coverage
+    "search_index_persist", "fallback_index_persist",
+    "quality_tuned").mkString(",")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
