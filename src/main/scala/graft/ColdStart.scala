@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cold-start serving measurement (VERDICT r13 #6): the
+  * `*_index_persist` rows read back sidecars inside a WARM session —
+  * a production restart also pays JVM + session + first-parquet-read
+  * cost. This tool splits the pipeline across two JVMs so the serve
+  * half starts genuinely cold:
+  *
+  *   runMain graft.ColdStart write <sfDir> <root>   # persist sidecars
+  *   runMain graft.ColdStart serve <sfDir> <root>   # fresh JVM serves
+  *
+  * `serve` prints one JSON line attributing the cold path:
+  * jvm_to_main (JVM+sbt launch to main entry), session_up (Spark
+  * local[32] session build), first_query (scan + codegen + the
+  * query, all cold), warm_query (same query again — the steady-state
+  * serving floor). tools/cold_start.sh shells both and records the
+  * end-to-end wall. */
+object ColdStart {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ColdStart write|serve <sfDir> <root>")
+    val (mode, sfDir, root) = (args(0), args(1), args(2))
+    val jvmStart = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    val mainEntryMs = System.currentTimeMillis() - jvmStart
+    val t0 = System.nanoTime()
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sessionSec = (System.nanoTime() - t0) / 1e9
+    mode match {
+      case "write" =>
+        SparkEntry.writeSearchSidecars(spark, sfDir, root)
+        println(s"[coldstart] sidecars written to $root")
+      case "serve" =>
+        val q0 = System.nanoTime()
+        val n1 = SparkEntry.queryFromSearchSidecars(spark, sfDir, root)
+          .count()
+        val firstSec = (System.nanoTime() - q0) / 1e9
+        val q1 = System.nanoTime()
+        val n2 = SparkEntry.queryFromSearchSidecars(spark, sfDir, root)
+          .count()
+        val warmSec = (System.nanoTime() - q1) / 1e9
+        require(n1 == n2 && n1 > 0, s"serve mismatch: $n1 vs $n2")
+        println(f"""[coldstart] {"jvm_to_main_sec":${mainEntryMs / 1000.0}%.2f,"session_up_sec":$sessionSec%.2f,"first_query_sec":$firstSec%.2f,"warm_query_sec":$warmSec%.2f,"rows":$n1}""")
+      case other => sys.error(s"unknown mode: $other")
+    }
+    spark.stop()
+  }
+}
