@@ -10,13 +10,18 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.ColdStart write <sfDir> <root>   # persist sidecars
   *   runMain graft.ColdStart serve <sfDir> <root>   # fresh JVM serves
+  *   runMain graft.ColdStart serve-pinned <sfDir> <root>
   *
   * `serve` prints one JSON line attributing the cold path:
   * jvm_to_main (JVM+sbt launch to main entry), session_up (Spark
   * local[32] session build), first_query (scan + codegen + the
   * query, all cold), warm_query (same query again — the steady-state
-  * serving floor). tools/cold_start.sh shells both and records the
-  * end-to-end wall. */
+  * serving floor). `serve-pinned` is the production restart recipe:
+  * pin each restored sidecar (cache + count) BEFORE the first
+  * request, so the first query already serves at the session-cached
+  * rows' cost — the pin time is the restart's warm-up budget, paid
+  * once, off every request's clock. tools/cold_start.sh shells all
+  * three and records the end-to-end wall. */
 object ColdStart {
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
@@ -51,6 +56,26 @@ object ColdStart {
         val warmSec = (System.nanoTime() - q1) / 1e9
         require(n1 == n2 && n1 > 0, s"serve mismatch: $n1 vs $n2")
         println(f"""[coldstart] {"jvm_to_main_sec":${mainEntryMs / 1000.0}%.2f,"session_up_sec":$sessionSec%.2f,"first_query_sec":$firstSec%.2f,"warm_query_sec":$warmSec%.2f,"rows":$n1}""")
+      case "serve-pinned" =>
+        val p0 = System.nanoTime()
+        Seq("postings", "gatetoks", "postoks", "vocab").foreach { sc =>
+          val df = graft.search.Ingest.readCurrent(spark, s"$root/$sc")
+            .cache()
+          df.count()
+          // register under the path so queryFromSearchSidecars's
+          // readCurrent plans hit the cache by canonical-plan identity
+        }
+        val pinSec = (System.nanoTime() - p0) / 1e9
+        val q0 = System.nanoTime()
+        val n1 = SparkEntry.queryFromSearchSidecars(spark, sfDir, root)
+          .count()
+        val firstSec = (System.nanoTime() - q0) / 1e9
+        val q1 = System.nanoTime()
+        val n2 = SparkEntry.queryFromSearchSidecars(spark, sfDir, root)
+          .count()
+        val warmSec = (System.nanoTime() - q1) / 1e9
+        require(n1 == n2 && n1 > 0, s"serve mismatch: $n1 vs $n2")
+        println(f"""[coldstart] {"jvm_to_main_sec":${mainEntryMs / 1000.0}%.2f,"session_up_sec":$sessionSec%.2f,"pin_sec":$pinSec%.2f,"first_query_sec":$firstSec%.2f,"warm_query_sec":$warmSec%.2f,"rows":$n1}""")
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
