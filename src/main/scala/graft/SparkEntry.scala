@@ -1195,6 +1195,16 @@ object SparkEntry {
       r
     })
 
+  /** Read one loop's persisted knob rows back from the fit sidecars —
+    * a bounded collect (one row per knob), shared by every
+    * `*_fit_persist` serving row. */
+  private def readFitPicks(s: SparkSession, root: String,
+      loop: String): Map[String, Double] =
+    graft.search.Ingest.readCurrent(s, s"$root/picks")
+      .filter(col("loop") === loop).collect()
+      .map(r => r.getAs[String]("param") -> r.getAs[Double]("value"))
+      .toMap
+
   /** The search_collapse corpus (documents ∪ mutated shadow docs) and
     * its standing index — the collapse query serves like any other
     * online search: from a persisted collection, not an in-plan
@@ -3999,10 +4009,7 @@ object SparkEntry {
     //      serves from the standing codes). ----
     "ann_pq_fit_persist" -> ((s, dir) => {
       val root = tunedFitRoot(s, dir)
-      val picks = graft.search.Ingest.readCurrent(s, s"$root/picks")
-        .filter(col("loop") === "ann_pq_tuned").collect()
-        .map(r => r.getAs[String]("param") -> r.getAs[Double]("value"))
-        .toMap // bounded: one row per persisted knob
+      val picks = readFitPicks(s, root, "ann_pq_tuned")
       val mSel = picks("m").toInt
       val slSel = picks("shortlist").toInt
       val mr = picks("panel_recall")
@@ -4035,10 +4042,7 @@ object SparkEntry {
     //      oracle pins the round-trip ----
     "ivf_fit_persist" -> ((s, dir) => {
       val root = tunedFitRoot(s, dir)
-      val picks = graft.search.Ingest.readCurrent(s, s"$root/picks")
-        .filter(col("loop") === "ivf_tuned").collect()
-        .map(r => r.getAs[String]("param") -> r.getAs[Double]("value"))
-        .toMap
+      val picks = readFitPicks(s, root, "ivf_tuned")
       val np = picks("nprobe").toInt
       val mr = picks("panel_recall")
       val centRows = graft.search.Ingest
@@ -4056,6 +4060,63 @@ object SparkEntry {
           round(lit(mr), 6).as("panel_recall"),
           col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- the LSH-probing sidecar twin: (n_planes, probe_bits)
+    //      restored from the picks, the multiprobe search served with
+    //      them (the hyperplane family is a deterministic function of
+    //      n_planes, so the restored config reconstructs the identical
+    //      index) — shared ann_tuned oracle ----
+    "ann_fit_persist" -> ((s, dir) => {
+      val picks = readFitPicks(s, tunedFitRoot(s, dir), "ann_tuned")
+      val (np, pb) = (picks("n_planes").toInt, picks("probe_bits").toInt)
+      Knn.lshTopKMultiProbe(t(s, dir, "embeddings"), "vec_id",
+          "embedding", queryVecFor(s, dir), 10, nPlanes = np,
+          probeBits = pb)
+        .select(lit(np).as("n_planes"), lit(pb).as("probe_bits"),
+          round(lit(picks("panel_recall")), 6).as("panel_recall"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
+
+    // ---- the fusion-weight sidecar twin: w_dense restored from the
+    //      picks, the hybrid fusion served with it — with this and the
+    //      dedup twin below, ALL FIVE tuned loops serve from
+    //      restart-durable fits; shared hybrid_tuned oracle ----
+    "hybrid_fit_persist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val picks = readFitPicks(s, tunedFitRoot(s, dir), "hybrid_tuned")
+      val wSel = picks("w_dense")
+      val dense = docs
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      val sparse = Bm25.searchTopK(docs, "doc_id", "text", SearchQuery,
+          50, index = Some(docsTextIndex(s, dir)))
+        .withColumnRenamed("id", "doc_id")
+      Rrf.fuse(dense, sparse, "doc_id", "score", k = 20,
+          wDense = wSel, wSparse = 1.0 - wSel)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("_dense_rank"), col("_sparse_rank"),
+          lit(picks("cfg").toInt).as("cfg_id"), lit(wSel).as("w_dense"),
+          lit(1.0 - wSel).as("w_sparse"),
+          lit(picks("sum_ndcg_micro").toLong).as("sum_ndcg_micro"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- the banding sidecar twin: (bands, rows_per_band) restored
+    //      from the picks, the tuned near-dup run served with them
+    //      over the standing sweep shingles — shared dedup_tuned
+    //      oracle ----
+    "dedup_fit_persist" -> ((s, dir) => {
+      val picks = readFitPicks(s, tunedFitRoot(s, dir), "dedup_tuned")
+      val (b, r) = (picks("bands").toInt, picks("rows_per_band").toInt)
+      Dedup.minhashNearDupsFrom(lshSweepFit(s, dir)._1, numHashes = 16,
+          bands = b, threshold = 0.5,
+          hashFamily = Dedup.shaHashFamily)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- BQ recall harness: recall@10 of the binary-quantized
@@ -8584,6 +8645,9 @@ object SparkEntry {
       // codebook / centroids, shared oracles as the round-trip proof
       "ann_pq_fit_persist" -> m("ann_pq_tuned"),
       "ivf_fit_persist" -> m("ivf_tuned"),
+      "ann_fit_persist" -> m("ann_tuned"),
+      "hybrid_fit_persist" -> m("hybrid_tuned"),
+      "dedup_fit_persist" -> m("dedup_tuned"),
       // the streamed add/add/remove run must converge to the SAME
       // surviving-corpus recompute as the batch remove — order-
       // dependence of remove-after-add is exactly what the mtime-

@@ -136,7 +136,10 @@ class Round14Spec extends SparkSpec {
     assume(new java.io.File(dir).isDirectory)
     for ((persist, cached) <- Seq(
         "ann_pq_fit_persist" -> "ann_pq_tuned",
-        "ivf_fit_persist" -> "ivf_tuned")) {
+        "ivf_fit_persist" -> "ivf_tuned",
+        "ann_fit_persist" -> "ann_tuned",
+        "hybrid_fit_persist" -> "hybrid_tuned",
+        "dedup_fit_persist" -> "dedup_tuned")) {
       val a = SparkEntry.queries(persist)(spark, dir)
       val b = SparkEntry.queries(cached)(spark, dir)
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
