@@ -161,9 +161,19 @@ object Bench {
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) runProbes(i)
       val ts = Seq(once(n), once(n), once(n))
+      // Resample on WARM-RUN disagreement only (runs 2-3): run 1 of
+      // any row that first-touches a standing artifact is build +
+      // query by design (min-of-3 exists to absorb exactly that), so
+      // a spread test including run 1 would resample every
+      // first-touch row and burn the wall cap on uncontended builds
+      // before a genuinely contended row later in the order needs it.
+      // A transient that inflates only run 1 leaves a clean min in
+      // runs 2-3 (no resample needed); one that reaches runs 2-3
+      // shows as their disagreement and triggers the tail.
+      val warm = ts.drop(1)
       val best =
         if (ts.exists(_ < 0)) -1.0
-        else if (ts.max > ts.min * 1.5 && extraWall < ExtraWallCapSec) {
+        else if (warm.max > warm.min * 1.5 && extraWall < ExtraWallCapSec) {
           resampled += n
           val t0 = System.nanoTime()
           val extras = Seq(once(n), once(n))

@@ -79,8 +79,12 @@ object Spell {
     * key — never a vocabulary scan per input. */
   def didYouMean(vocab: DataFrame, inputs: DataFrame,
                  inputCol: String, maxDist: Int): DataFrame =
+    // no broadcast hint: the general operator accepts arbitrary-sized
+    // inputs (its pre-r14 contract) — AQE still broadcasts a small
+    // side at runtime; the serving rows pass request-sized inputs
+    // through the FromVariants path with the hint on
     didYouMeanFromVariants(vocabVariants(vocab, maxDist), inputs,
-      inputCol, maxDist)
+      inputCol, maxDist, broadcastInputs = false)
 
   /** The vocabulary-side deletion-variant relation (term, df, variant)
     * at depth `maxDist` — corpus-deterministic: this IS the
@@ -97,16 +101,21 @@ object Spell {
   /** [[didYouMean]] against a prebuilt [[vocabVariants]] relation —
     * the standing-dictionary serve path. `maxDist` must match the
     * depth the variants were built at (it bounds the exact-verify
-    * filter; a deeper dictionary would admit farther candidates). */
+    * filter; a deeper dictionary would admit farther candidates).
+    * `broadcastInputs` (default true) marks the inputs side as
+    * request-sized so the dictionary probe stays map-side — a caller
+    * correcting a CORPUS-sized inputs relation must pass false, or
+    * the driver-side broadcast build of |inputs|·len^maxDist variant
+    * rows can exceed the broadcast/driver memory limits the old
+    * shuffle form never hit. */
   def didYouMeanFromVariants(vocabVars: DataFrame, inputs: DataFrame,
-                             inputCol: String, maxDist: Int): DataFrame = {
+                             inputCol: String, maxDist: Int,
+                             broadcastInputs: Boolean = true): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, s"bad maxDist: $maxDist")
     val qx = inputs.select(col(inputCol).as("input"),
         explode(deletionsDepth(col(inputCol), maxDist)).as("variant"))
-    // inputs are request-sized by contract — broadcasting their
-    // variants keeps the dictionary probe map-side (no shuffle of the
-    // standing variant relation per lookup)
-    val cands = broadcast(qx).join(vocabVars, "variant")
+    val cands = (if (broadcastInputs) broadcast(qx) else qx)
+      .join(vocabVars, "variant")
       .select("input", "term", "df").distinct()
       .withColumn("dist", levenshtein(col("input"), col("term")))
       .filter(col("dist") <= maxDist)

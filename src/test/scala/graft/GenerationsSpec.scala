@@ -82,8 +82,11 @@ class GenerationsSpec extends SparkSpec {
     // them.
     val root2 = freshRoot()
     Ingest.reindexSwap(spark, docs(1), root2) // gen-0, both racers read it
-    // latches live in the companion object: a closure-captured latch
-    // would have to serialize with the task
+    // latches live in the companion object (a closure-captured latch
+    // would have to serialize with the task) and are RESET here so a
+    // re-run of this body in one JVM still exercises the interleave
+    // instead of sailing through already-open latches
+    GenerationsSpec.reset()
     val aDf = docs(7).coalesce(1) // ONE blocked task, so writer B's job
                                   // still finds free local[32] slots
     var aTarget: String = null
@@ -98,9 +101,13 @@ class GenerationsSpec extends SparkSpec {
     })
     writerA.start()
     GenerationsSpec.aClaimed.await()
-    val bTarget = Ingest.reindexSwapRaw(spark, docs(9), root2) // writer B
-    GenerationsSpec.aRelease.countDown()
-    writerA.join()
+    // release A even if writer B throws — an un-counted latch would
+    // otherwise hang the suite at join() with no timeout
+    val bTarget =
+      try Ingest.reindexSwapRaw(spark, docs(9), root2) // writer B
+      finally GenerationsSpec.aRelease.countDown()
+    writerA.join(120000)
+    assert(!writerA.isAlive, "writer A did not finish after release")
     assert(aTarget != bTarget, "racing writers must take disjoint generations")
     assert(spark.read.parquet(aTarget).count() == 7)
     assert(spark.read.parquet(bTarget).count() == 9)
@@ -113,8 +120,13 @@ class GenerationsSpec extends SparkSpec {
 }
 
 /** Latch holder for the two-writer race test — object fields reach
-  * executor tasks by classloading, not closure serialization. */
+  * executor tasks by classloading, not closure serialization; reset()
+  * makes the one-shot latches per-run. */
 object GenerationsSpec {
-  val aClaimed = new java.util.concurrent.CountDownLatch(1)
-  val aRelease = new java.util.concurrent.CountDownLatch(1)
+  @volatile var aClaimed = new java.util.concurrent.CountDownLatch(1)
+  @volatile var aRelease = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    aClaimed = new java.util.concurrent.CountDownLatch(1)
+    aRelease = new java.util.concurrent.CountDownLatch(1)
+  }
 }

@@ -14,3 +14,4 @@ sbt -batch "runMain graft.ColdStart serve $SF $ROOT" | grep coldstart
 T1=$(date +%s.%N)
 echo "[coldstart] serve-invocation wall including sbt: $(awk "BEGIN{printf \"%.1f\", $T1-$T0}")s"
 sbt -batch "runMain graft.ColdStart serve-pinned $SF $ROOT" | grep coldstart
+sbt -batch "runMain graft.ColdStart serve-prewarmed $SF $ROOT" | grep coldstart
