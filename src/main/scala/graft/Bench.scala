@@ -222,7 +222,10 @@ object Bench {
     // under a wall cap and densifies probes to every 10. The field
     // names the rule set; `resampled` lists the rows whose value is a
     // min-of-5 so cross-record row comparisons can see it.
-    val methodology = "r14"
+    // r14.1 = the warm-run-only resample trigger (r14 proper tested
+    // spread across all three runs, which tripped on every
+    // first-touch standing build)
+    val methodology = "r14.1"
     val resampledJson = resampled.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","resampled":$resampledJson}"""
