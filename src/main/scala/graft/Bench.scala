@@ -140,10 +140,16 @@ object Bench {
           "lineitem", "events", "documents", "embeddings").foreach { tb =>
         try {
           val df = Tables.load(spark, sfDir, tb)
+          // aggregate with MAX, not SUM: under Spark 4's default ANSI
+          // mode, summing 64-bit hashes overflows LONG and the thrown
+          // SparkArithmeticException was silently caught here — the
+          // fixture warm ran for ~0 of the 10 tables (r15 found nine
+          // ARITHMETIC_OVERFLOW task failures in this loop's stages).
+          // max() forces the same full-column scan with no overflow.
           df.select(org.apache.spark.sql.functions.xxhash64(
               df.columns.toIndexedSeq
                 .map(org.apache.spark.sql.functions.col): _*).as("h"))
-            .agg(org.apache.spark.sql.functions.sum("h")).collect()
+            .agg(org.apache.spark.sql.functions.max("h")).collect()
         } catch { case scala.util.control.NonFatal(_) => () }
       }
     runProbes(0)
@@ -158,6 +164,11 @@ object Bench {
     val ExtraWallCapSec = 90.0
     var extraWall = 0.0
     val resampled = scala.collection.mutable.ArrayBuffer.empty[String]
+    // rows whose base three runs succeeded but whose OPTIONAL extra
+    // samples errored (ADVICE r14: a flake in an optional extra must
+    // not discard a valid min-of-3 — the row keeps ts.min and the
+    // flake is recorded here instead of overwriting the timing)
+    val extraErrored = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) runProbes(i)
       val ts = Seq(once(n), once(n), once(n))
@@ -178,15 +189,69 @@ object Bench {
           val t0 = System.nanoTime()
           val extras = Seq(once(n), once(n))
           extraWall += (System.nanoTime() - t0) / 1e9
-          // an extra run that ERRORS marks the row failed, exactly
-          // like a base-run error (ADVICE r13: a query failing on 2
-          // of 5 runs must not report a timing)
-          if (extras.exists(_ < 0)) -1.0
+          // extras are OPTIONAL samples: an extra that errors is
+          // recorded in extra_errored but the row keeps its valid
+          // min over the runs that succeeded (base three + any good
+          // extras). A base-run error still reports -1 above.
+          if (extras.exists(_ < 0)) { extraErrored += n; ts.min }
           else (ts ++ extras).min
         } else ts.min
       n -> best
     }
     runProbes(names.size)
+
+    // PROBE-GATED DEFERRED RETRY (VERDICT r14 #1, methodology r15):
+    // the warm-run resample trigger cannot catch a contention burst
+    // LONGER than a row's five runs — all runs inside the window agree
+    // with each other at the inflated value, so no resample fires
+    // (r14 driver record: related_docs 10.69 vs 2.15 committed at
+    // position 249, enclosing probes 3.56/10.02 vs 1.3 median). The
+    // probes already SEE the burst; act on it: any successful row
+    // whose enclosing probe pair read >1.5x the run's median
+    // calibration (either probe type) is re-queued once at suite end,
+    // most-inflated-first, under its own wall cap, reporting
+    // min(original, retries) — a retry contaminated by a NEW burst can
+    // only be ignored, never raise a value — plus a `retried` flag.
+    val RetryWallCapSec = 60.0
+    val medSha = {
+      val s = series.map(_._2).toSeq.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medShf = {
+      val s = series.map(_._3).toSeq.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def probeDirty(e: (Int, Double, Double)): Boolean =
+      e._2 > medSha * 1.5 || e._3 > medShf * 1.5
+    def windowDirty(i: Int): Boolean = {
+      val wi = i / probeEvery
+      // probes bracket query i at series indices wi and wi+1 (the
+      // final probe closes the last window); a short suite under
+      // SPARK_GRAFT_BENCH_ONLY may have fewer entries — guard both
+      probeDirty(series(math.min(wi, series.size - 1))) ||
+        probeDirty(series(math.min(wi + 1, series.size - 1)))
+    }
+    var retryWall = 0.0
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retriedValues = results.zipWithIndex
+      .collect { case ((n, v), i) if v >= 0 && windowDirty(i) => (n, v) }
+      .sortBy { case (_, v) => -v }
+      .flatMap { case (n, v) =>
+        if (retryWall >= RetryWallCapSec) None
+        else {
+          val t0 = System.nanoTime()
+          val rs = Seq(once(n), once(n)).filter(_ >= 0)
+          retryWall += (System.nanoTime() - t0) / 1e9
+          retried += n
+          // retries are opportunistic: if both error, keep the original
+          if (rs.isEmpty) None else Some(n -> math.min(v, rs.min))
+        }
+      }.toMap
+    val finalResults = results.map { case (n, v) =>
+      n -> retriedValues.getOrElse(n, v)
+    }
 
     // Headline calibration fields keep their names for cross-round
     // normalization but are the series MEDIAN from r11 on — a point
@@ -200,9 +265,9 @@ object Bench {
     val calibration = median(series.map(_._2).toSeq)
     val calShuffle = median(series.map(_._3).toSeq)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     // Probe timeline: entry k is the probe pair run just before query
     // index `at` (the last entry, at = suite size, closes the final
     // window). Query i ran between the entries bracketing i, so a
@@ -225,10 +290,19 @@ object Bench {
     // r14.1 = the warm-run-only resample trigger (r14 proper tested
     // spread across all three runs, which tripped on every
     // first-touch standing build)
-    val methodology = "r14.1"
+    // r15 = r14.1 + probe-gated deferred retry (rows inside a dirty
+    // probe window re-queued once at suite end, min(original, retry),
+    // listed in `retried`) + fixture warm actually running (the ANSI
+    // overflow fix) + optional-extra errors no longer discarding a
+    // valid min-of-3 (listed in `extra_errored`)
+    val methodology = "r15"
     val resampledJson = resampled.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","resampled":$resampledJson}"""
+    val retriedJson = retried.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val extraErroredJson = extraErrored.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","resampled":$resampledJson,"retried":$retriedJson,"extra_errored":$extraErroredJson}"""
     println(full)
     // Compact final line, guaranteed inside the tail window. r6 proved
     // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
@@ -246,9 +320,9 @@ object Bench {
     val calSeriesCompact =
       s""""cal_sha2_series":${series.map(e => f2(e._2)).mkString("[", ",", "]")},""" +
       s""""cal_shuffle_series":${series.map(e => f2(e._3)).mkString("[", ",", "]")}"""
-    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","n_resampled":${resampled.size},"""
+    val prefix = s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfName","calibration_sha2m_sec":${f2(calibration)},"calibration_shuffle_sec":${f2(calShuffle)},$calSeriesCompact,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","n_resampled":${resampled.size},"n_retried":${retried.size},"""
     val budget = 1400 - prefix.length - 60 // 60: closing + omitted field
-    val sortedDesc = results.sortBy { case (_, v) => -v }
+    val sortedDesc = finalResults.sortBy { case (_, v) => -v }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var budgetFull = false
@@ -261,7 +335,7 @@ object Bench {
         kept += entry; used += entry.length + 1
       } else budgetFull = true
     }
-    val omitted = results.size - kept.size
+    val omitted = finalResults.size - kept.size
     // field stays named "queries" (the driver contract's key); the
     // subset is the slowest-first prefix, with the elision counted
     println(prefix +

@@ -35,9 +35,13 @@ object ColdStart {
       .getRuntimeMXBean.getStartTime
     val mainEntryMs = System.currentTimeMillis() - jvmStart
     val t0 = System.nanoTime()
+    // honor SPARK_GRAFT_CPUS like Bench/Verify (ADVICE r14: a
+    // hardcoded local[32] silently measures a different parallelism
+    // than the bench it is compared against when cut on another host)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "64k")
       .config("spark.sql.session.timeZone", "UTC")

@@ -94,10 +94,65 @@ object Prof {
       }
       spark.stop(); return
     }
+    // r15 related_docs shape A/B, interleaved so host drift hits all
+    // variants equally: old string-keyed fresh plan vs sid-encoded
+    // fresh plan vs sid-encoded over a pinned standing postings
+    // relation.
+    if (sys.env.get("PROF_RELATED_BREAKDOWN").contains("1")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Bm25, Dedup, TopK}
+      val docs = Tables.load(spark, sfDir, "documents")
+      def oldShape() = {
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        val nDocs = broadcast(docs.agg(count(lit(1)).as("__n")))
+        val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= 2 && col("__df") <= 50)
+        val w = sh.join(dfRel, "shingle").crossJoin(nDocs)
+          .select(col("shingle"), col("id"),
+            log(col("__n").cast("double") / col("__df").cast("double"))
+              .as("__w"))
+        val scored = w.select(col("shingle"), col("id").as("id_a"),
+            col("__w"))
+          .join(w.select(col("shingle"), col("id").as("id_b")), "shingle")
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(round(Bm25.sparseScore(col("__w"), col("shingle")), 6)
+            .as("score"))
+        TopK.perGroup(scored.select(col("id_a").cast("string").as("grp"),
+            col("id_b").cast("string").as("doc_id"),
+            col("id_b").cast("string").as("chunk_id"), col("score")),
+            "grp", 3)
+      }
+      val standing = Dedup.relatedPostings(docs, "doc_id", "text").cache()
+      time("standing w build") { standing.count() }
+      for (pass <- 1 to 3) {
+        println(s"--- related pass $pass ---")
+        time("old string fresh") { oldShape().count() }
+        time("new sid fresh") {
+          Dedup.relatedDocs(docs, "doc_id", "text").count() }
+        time("new sid standing") {
+          Dedup.relatedDocsFrom(standing, 3).count() }
+      }
+      spark.stop(); return
+    }
+
+    // PROF_EXPLAIN=<dir>: after the timed runs (standing caches warm,
+    // so the plan is the steady-state serve plan), write each query's
+    // explain("formatted") to <dir>/<name>.txt — the r15 plan-evidence
+    // channel (plans/r15/*_before.txt / *_after.txt).
+    val explainDir = sys.env.get("PROF_EXPLAIN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       for (i <- 1 to runs)
         time(s"$name run$i") { fn(spark, sfDir).count() }
+      explainDir.foreach { d =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     spark.stop()
   }

@@ -381,11 +381,22 @@ object Dedup {
   def minhashNearDupsFromSigs(sh: DataFrame, sigs: DataFrame,
                               numHashes: Int, bands: Int,
                               threshold: Double): DataFrame = {
+    // cheap guard (ADVICE r14): a stale or mismatched standing
+    // signature artifact must fail LOUDLY, not silently mis-band —
+    // every signature array must be numHashes wide. A map-side
+    // assert_true filter costs one size() per row inside codegen (no
+    // extra job, unlike a collect probe); minhashBandKeys already
+    // validates bands | numHashes.
+    val checked = sigs.filter(org.apache.spark.sql.functions.assert_true(
+      org.apache.spark.sql.functions.size(col("signature")) ===
+        numHashes,
+      lit(s"precomputed signature width != numHashes=$numHashes " +
+        "(stale or mismatched standing artifact)")).isNull)
     // pin the candidate relation: ngramJaccardFrom references its pair
     // argument three times (candidate-id semi-filter, intersection join,
     // final join) — uncached, the LSH banding self-join re-evaluates per
     // reference (r4: dedup_minhash 3.4s→7.9s for exactly this)
-    val cands = pinPairs(minhashCandidates(sigs, numHashes, bands))
+    val cands = pinPairs(minhashCandidates(checked, numHashes, bands))
     ngramJaccardFrom(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -406,27 +417,55 @@ object Dedup {
     * contract). Output: (src_id, rank, related_id, score) as strings/
     * int/double, top `k` per doc. */
   def relatedDocs(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxDf: Long = 50L, k: Int = 3): DataFrame = {
-    require(maxDf >= 2 && k >= 1, s"bad relatedDocs spec: $maxDf/$k")
-    // NOTE (r11 pin sweep): measured — pinning sh/w here does NOT move
-    // the needle (2.4 → 2.5 s at sf0.1): this plan's duplicate
-    // exchanges already reuse, and the pair-scoring aggregation
-    // dominates. Left unpinned deliberately; see Dedup.containment for
-    // the shape where the pin wins 4×.
+      n: Int = 3, maxDf: Long = 50L, k: Int = 3): DataFrame =
+    relatedDocsFrom(relatedPostings(corpus, idCol, textCol, n, maxDf), k)
+
+  /** The df-pruned, idf-WEIGHTED, dictionary-ENCODED shingle postings
+    * relation [[relatedDocsFrom]] scores over: (sid, id, __w) with
+    * __w = ln(N/df) and `sid` the rank of the shingle in ascending
+    * shingle order ([[Sampling.globalRank]] — the sparseVectors
+    * two-phase discipline, never a global window). The encoding is a
+    * MONOTONE bijection, so ordering by sid IS ordering by shingle —
+    * the pair aggregation's order-sensitive float sum is unchanged
+    * bit-for-bit — while the self-join key and the per-pair collected
+    * structs carry 8-byte longs instead of 3-word strings (r15: the
+    * pair scoring was the row's dominant cost; narrower structs cut
+    * its shuffle AND its per-group sort). The relation is
+    * corpus-deterministic — an index-time artifact a deployment
+    * computes once (the collapseSigs precedent), which is why it is
+    * factored apart from the scoring. */
+  def relatedPostings(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 50L): DataFrame = {
+    require(maxDf >= 2, s"bad relatedPostings maxDf: $maxDf")
     val sh = shingles(corpus, idCol, textCol, n)
     val nDocs = broadcast(corpus.agg(count(lit(1)).as("__n")))
     val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
-    val w = sh.join(dfRel, "shingle").crossJoin(nDocs)
-      .select(col("shingle"), col("id"),
+    val sidRel = graft.operators.Sampling.globalRank(
+      dfRel, Seq("shingle"), "sid")
+    sh.join(sidRel, "shingle").crossJoin(nDocs)
+      .select(col("sid"), col("id"),
         log(col("__n").cast("double") / col("__df").cast("double"))
           .as("__w"))
-    val scored = w.select(col("shingle"), col("id").as("id_a"),
-        col("__w"))
-      .join(w.select(col("shingle"), col("id").as("id_b")), "shingle")
+  }
+
+  /** [[relatedDocs]] over a precomputed [[relatedPostings]] relation —
+    * the standing-artifact serve path (VERDICT r14 #6). Pair score =
+    * Σ __w over shared shingles summed in sid (= shingle) order and
+    * 6-dp rounded BEFORE the bounded [[TopK]] per-doc cut — never a
+    * per-doc rank window. Rank ties break on the STRING form of the
+    * related id (the TopK contract).
+    * NOTE (r11 pin sweep, still true of this shape): the self-join's
+    * duplicate exchanges reuse, and the pair-scoring aggregation
+    * dominates — the caller pins `w` for cross-invocation reuse, not
+    * for intra-plan reuse. */
+  def relatedDocsFrom(w: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"bad relatedDocsFrom k: $k")
+    val scored = w.select(col("sid"), col("id").as("id_a"), col("__w"))
+      .join(w.select(col("sid"), col("id").as("id_b")), "sid")
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(round(Bm25.sparseScore(col("__w"), col("shingle")), 6)
+      .agg(round(Bm25.sparseScore(col("__w"), col("sid")), 6)
         .as("score"))
     TopK.perGroup(scored.select(col("id_a").cast("string").as("grp"),
         col("id_b").cast("string").as("doc_id"),

@@ -102,15 +102,17 @@ object Spell {
     * the standing-dictionary serve path. `maxDist` must match the
     * depth the variants were built at (it bounds the exact-verify
     * filter; a deeper dictionary would admit farther candidates).
-    * `broadcastInputs` (default true) marks the inputs side as
-    * request-sized so the dictionary probe stays map-side — a caller
-    * correcting a CORPUS-sized inputs relation must pass false, or
+    * `broadcastInputs` (default FALSE — the safe shuffle form is what
+    * an uninformed caller gets, ADVICE r14) marks the inputs side as
+    * request-sized so the dictionary probe stays map-side; the
+    * request-sized serving call sites pass true explicitly. A caller
+    * correcting a CORPUS-sized inputs relation must keep false, or
     * the driver-side broadcast build of |inputs|·len^maxDist variant
     * rows can exceed the broadcast/driver memory limits the old
     * shuffle form never hit. */
   def didYouMeanFromVariants(vocabVars: DataFrame, inputs: DataFrame,
                              inputCol: String, maxDist: Int,
-                             broadcastInputs: Boolean = true): DataFrame = {
+                             broadcastInputs: Boolean = false): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, s"bad maxDist: $maxDist")
     val qx = inputs.select(col(inputCol).as("input"),
         explode(deletionsDepth(col(inputCol), maxDist)).as("variant"))

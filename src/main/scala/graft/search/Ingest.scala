@@ -124,8 +124,56 @@ object Ingest {
         case n if n.startsWith("gen-") && !n.contains(".") =>
           n.stripPrefix("gen-").toInt
       }
-    val gen = ((ptrGen +: taken).max) + 1
-    val target = claimGeneration(tableRoot, gen)
+    // Monotonic HIGH-WATER mark (VERDICT r14 #5): max(pointer, dirs,
+    // claims)+1 alone can REUSE a generation number after a
+    // time-travel rollback followed by an aggressive vacuum (vacuum
+    // deletes both the gen dirs and their claim markers above the
+    // rolled-back pointer) — a stale reader holding the old gen path
+    // would then silently see new data. The HIGHWATER file records
+    // the highest number ever claimed and joins the allocation max,
+    // so numbers are truly never reused.
+    val hwFile = new java.io.File(fs, "HIGHWATER")
+    def readHw(): Int =
+      if (hwFile.exists())
+        new String(java.nio.file.Files.readAllBytes(hwFile.toPath))
+          .trim.toInt
+      else -1
+    // Bounded allocate-and-retry on claim collision (ADVICE r14): two
+    // writers that both listed the root before either claimed compute
+    // the same candidate; the loser re-lists (the winner's CLAIM is
+    // now visible) and takes the next number instead of failing its
+    // whole reindex job. After `MaxClaimRetries` straight collisions
+    // the final attempt's loud failure propagates (a pathological
+    // writer storm should fail, not spin).
+    val MaxClaimRetries = 5
+    def claimNext(attempt: Int): (Int, String) = {
+      val listed = Option(fs.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getName)
+        .collect {
+          case n if n.startsWith("gen-") && n.endsWith(".CLAIM") =>
+            n.stripPrefix("gen-").stripSuffix(".CLAIM").toInt
+          case n if n.startsWith("gen-") && !n.contains(".") =>
+            n.stripPrefix("gen-").toInt
+        }
+      val gen = ((ptrGen +: readHw() +: (taken ++ listed)).max) + 1
+      try gen -> claimGeneration(tableRoot, gen)
+      catch {
+        case _: IllegalStateException if attempt < MaxClaimRetries =>
+          claimNext(attempt + 1)
+      }
+    }
+    val (gen, target) = claimNext(1)
+    // advance HIGHWATER right after the claim (write-if-greater via
+    // tmp + atomic move; the CLAIM marker itself covers the narrow
+    // window between two concurrent writers' read-max-write, since
+    // markers outlive the write and vacuum runs much later)
+    if (gen > readHw()) {
+      val hwTmp = new java.io.File(fs, "HIGHWATER.tmp")
+      java.nio.file.Files.writeString(hwTmp.toPath, gen.toString)
+      java.nio.file.Files.move(hwTmp.toPath, hwFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     write(target)
     val tmp = new java.io.File(fs, "CURRENT.tmp")
     java.nio.file.Files.writeString(tmp.toPath, s"gen-$gen")
@@ -245,11 +293,27 @@ object Ingest {
       }.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists)
       // the generation's writer-claim marker goes with it (hygiene —
-      // gen numbers are never reused, so this is cleanup, not a
-      // mutex release)
+      // gen numbers are never reused thanks to the HIGHWATER mark, so
+      // this is cleanup, not a mutex release)
       java.nio.file.Files.deleteIfExists(
         new java.io.File(tableRoot, s"gen-$g.CLAIM").toPath)
     }
+    // ORPHAN claim markers (ADVICE r14): a writer that crashed between
+    // claimGeneration and its pointer flip leaves a gen-N.CLAIM with
+    // no directory that nothing ever reclaimed. Drop markers with no
+    // matching directory whose number is below the pointer — they
+    // cannot belong to an in-flight writer (a live writer's target is
+    // allocated ABOVE the pointer), and the HIGHWATER mark keeps the
+    // number from being reused either way.
+    Option(new java.io.File(tableRoot).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("gen-") && n.endsWith(".CLAIM") =>
+        n.stripPrefix("gen-").stripSuffix(".CLAIM").toInt }
+      .filter(g => g < cur &&
+        !new java.io.File(tableRoot, s"gen-$g").exists())
+      .foreach(g => java.nio.file.Files.deleteIfExists(
+        new java.io.File(tableRoot, s"gen-$g.CLAIM").toPath))
     doomed
   }
 }

@@ -62,6 +62,63 @@ class GenerationsSpec extends SparkSpec {
       .contains(cur.stripPrefix("gen-").toInt))
   }
 
+  test("generation numbers are NEVER reused (VERDICT r14 #5): rollback " +
+      "+ vacuum-all-above still allocates a fresh number via HIGHWATER") {
+    val root = freshRoot()
+    for (n <- Seq(1, 2, 3)) Ingest.reindexSwap(spark, docs(n), root)
+    // roll the pointer back to gen-0 (time travel) ...
+    val tmp = new java.io.File(root, "CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, "gen-0")
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // ... then remove EVERYTHING above it: vacuum reclaims gen-1 (it
+    // always spares the newest + CURRENT), and gen-2 — dir AND claim
+    // marker — goes the way an external cleanup / crashed host would
+    // take it. This is the exact state that let
+    // max(pointer, dirs, claims)+1 re-allocate an old number.
+    val deleted = Ingest.vacuumGenerations(root, keep = 1)
+    assert(deleted == Seq(1))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq
+      }.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists)
+    }
+    rmTree(new java.io.File(root, "gen-2").toPath)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(root, "gen-2.CLAIM").toPath)
+    assert(Ingest.listGenerations(root) == Seq(0))
+    // the next swap must take a number no stale reader has ever seen
+    Ingest.reindexSwap(spark, docs(9), root)
+    assert(Ingest.listGenerations(root) == Seq(0, 3))
+    assert(Ingest.readCurrent(spark, root).count() == 9)
+  }
+
+  test("orphan claim markers below the pointer are reclaimed by " +
+      "vacuum; the number still never comes back (ADVICE r14)") {
+    val root = freshRoot()
+    for (n <- Seq(1, 2)) Ingest.reindexSwap(spark, docs(n), root)
+    // simulate a writer that crashed between claim and pointer flip:
+    // gen-0's claim marker survives but its directory is gone — a
+    // marker BELOW the pointer with no matching directory
+    val orphan = new java.io.File(root, "gen-0.CLAIM")
+    assert(orphan.exists()) // writer 0's real claim
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq
+      }.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists)
+    }
+    rmTree(new java.io.File(root, "gen-0").toPath)
+    Ingest.vacuumGenerations(root, keep = 2)
+    assert(!orphan.exists())
+    // HIGHWATER still prevents reuse of any number ever claimed
+    Ingest.reindexSwap(spark, docs(7), root)
+    assert(Ingest.listGenerations(root) == Seq(1, 2))
+  }
+
   test("two-writer race (VERDICT r13 #7): the claim mutex makes a tie " +
       "fail loudly, and overlapping writers take disjoint generations " +
       "with single-writer content") {
