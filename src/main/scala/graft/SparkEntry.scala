@@ -1276,6 +1276,17 @@ object SparkEntry {
     * because the driver runs queries serially on this session; a
     * concurrent caller would need a cloned session (`s.newSession()`)
     * instead. */
+  /** Per-stream state parallelism (one state store per shuffle
+    * partition per stateful operator per micro-batch): a deployment
+    * sizes this by state VOLUME; the staged fixtures' state is tiny,
+    * so the local default optimizes store-commit I/O, and the knob
+    * stays an env parameter (never a function of the host's core
+    * count) so the driver's lower-core bench run measures the same
+    * stream layout. r14 measured 8→4 at −10% on the join rows; the
+    * r15 A/B of 4 vs 2 is recorded in OPTIMIZATION_r15.md. */
+  private val StreamStateParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+
   private def runStreamToTable(s: SparkSession, out: DataFrame,
       prefix: String, dir: String,
       outputMode: String = "append"): DataFrame = {
@@ -1283,7 +1294,7 @@ object SparkEntry {
     val name = prefix + "_" + Integer.toHexString(dir.hashCode)
     s.catalog.dropTempView(name)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStateParts)
     try {
       val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(name).option("checkpointLocation", ck).start()
@@ -4574,15 +4585,37 @@ object SparkEntry {
         RangePred("p_xy", Some(120.0), Some(180.0),
           Some(40.0), Some(60.0)))
       def rewriteAndAudit(layoutKeys: Seq[String], name: String) = {
+        // each layout rides its OWN blue/green root: the two passes
+        // compact the same source relation independently (neither
+        // reads the other's output), and a shared root would force
+        // them sequential — two writers flipping one CURRENT pointer
+        // cannot be overlapped without one audit reading the other's
+        // layout
+        val r = s"$root/$name"
         Ingest.reindexSwapLayout(s,
-          Ingest.compactWithLayout(withZ, layoutKeys, 64), root)
-        val disk = Ingest.readCurrent(s, root) // pins THIS generation
+          Ingest.compactWithLayout(withZ, layoutKeys, 64), r)
+        val disk = Ingest.readCurrent(s, r) // pins THIS generation
         Layout.auditZoneMaps(
           Layout.fileZoneMaps(disk, "file", "value", "user_id"),
           name, preds)
       }
-      val before = rewriteAndAudit(Seq("event_id"), "natural")
-      val after = rewriteAndAudit(Seq("zkey", "event_id"), "zorder")
+      // the two rewrite+audit passes are independent jobs — overlap
+      // them (guide §2.6): wall = max(pass) instead of sum; the audits
+      // themselves are lazy files-sized relations read by the final
+      // action after both writes completed
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (before, after) = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fb = scala.concurrent.Future {
+          rewriteAndAudit(Seq("event_id"), "natural") }
+        val fa = scala.concurrent.Future {
+          rewriteAndAudit(Seq("zkey", "event_id"), "zorder") }
+        (scala.concurrent.Await.result(fb,
+          scala.concurrent.duration.Duration.Inf),
+         scala.concurrent.Await.result(fa,
+           scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
       before.unionByName(after).orderBy("layout", "predicate")
     }),
 
@@ -6820,9 +6853,28 @@ object SparkEntry {
           "left_anti")
         .unionByName(Bm25.postings(added, "doc_id", "text"))
       val root = tempDirCleanedOnExit("graft-cdcidx").toString
-      graft.search.Ingest.reindexSwapRaw(s, posts, s"$root/postings")
-      graft.search.Ingest.reindexSwapRaw(s, state._1, s"$root/stats")
-      graft.search.Ingest.reindexSwapRaw(s, state._2, s"$root/globals")
+      // the three sidecar writes are INDEPENDENT jobs on disjoint
+      // roots — submit them from a small thread pool so the later
+      // writes' tasks back-fill executors freed by the big postings
+      // write's tail instead of queueing behind it (guide §2.6
+      // overlap-independent-jobs; Spark schedules concurrent actions
+      // FIFO, which is exactly the back-fill behavior wanted)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val writes = Seq(
+          "postings" -> posts, "stats" -> state._1,
+          "globals" -> state._2
+        ).map { case (name, df) =>
+          scala.concurrent.Future {
+            graft.search.Ingest.reindexSwapRaw(s, df, s"$root/$name")
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val idx = Bm25.indexFromParts(
         graft.search.Ingest.readCurrent(s, s"$root/postings"),
         graft.search.Ingest.readCurrent(s, s"$root/stats"),
@@ -6901,14 +6953,28 @@ object SparkEntry {
         RangePred("p_y", None, None, Some(40.0), Some(60.0)),
         RangePred("p_xy", Some(120.0), Some(180.0),
           Some(40.0), Some(60.0)))
-      Seq(
-        Layout.skippingAudit(withZ, "natural", Seq("event_id"),
-          "value", "user_id", 64, preds),
-        Layout.skippingAudit(withZ, "value_sorted",
-          Seq("value", "event_id"), "value", "user_id", 64, preds),
-        Layout.skippingAudit(withZ, "zorder", Seq("zkey", "event_id"),
-          "value", "user_id", 64, preds))
-        .reduce(_ unionByName _)
+      // the three layout audits are independent (each simulates its
+      // own file cut over the same source); each pays an EAGER
+      // globalRank localCheckpoint — overlap them (guide §2.6) so the
+      // eager materializations back-fill each other's task tails
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val audits = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fs = Seq(
+          ("natural", Seq("event_id")),
+          ("value_sorted", Seq("value", "event_id")),
+          ("zorder", Seq("zkey", "event_id"))
+        ).map { case (name, keys) =>
+          scala.concurrent.Future {
+            Layout.skippingAudit(withZ, name, keys,
+              "value", "user_id", 64, preds)
+          }
+        }
+        fs.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+      audits.reduce(_ unionByName _)
         .orderBy("layout", "predicate")
     }),
 
@@ -7397,7 +7463,7 @@ object SparkEntry {
         val out = Sync.streamingDupReportsTtl(stream, "doc_id", "text",
           "ts_utc", horizonUs = 50L * 1000000L)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", StreamStateParts)
         try {
           val q = out.writeStream.outputMode("append").format("parquet")
             .option("path", outP.toString)
@@ -7712,12 +7778,14 @@ object SparkEntry {
     //      every "ranker B beats ranker A" bench claim needs ----
     "ir_significance" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val runA = BenchQueries.map { case (qid, qtext) =>
-        Bm25.searchTopK(docs, "doc_id", "text", qtext, 20,
-            index = Some(docsTextIndex(s, dir)))
-          .select(lit(qid).as("query_id"), col("id").as("doc_id"),
-            col("score"))
-      }.reduce(_ unionByName _)
+      // ONE multi-query plan instead of 11 unioned searchTopK legs
+      // (r15): per-query top-20 sets and scores are identical
+      // (searchTopKMulti preserves the fold order and the
+      // (score desc, id) cut tie-break); the pinned doc-weight
+      // relation is scanned once, not once per leg
+      val runA = Bm25.searchTopKMulti(BenchQueries, 20,
+          docsTextIndex(s, dir), s)
+        .select(col("query_id"), col("id").as("doc_id"), col("score"))
       val wq = Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id"))
       val ranksA = runA.withColumn("rank", row_number().over(wq))
@@ -8007,13 +8075,10 @@ object SparkEntry {
     "eval_interleaving" -> ((s, dir) => {
       import graft.operators.Interleave
       val docs = t(s, dir, "documents")
-      val ilIdx = docsTextIndex(s, dir)
-      val runA = BenchQueries.map { case (qid, qtext) =>
-        Bm25.searchTopK(docs, "doc_id", "text", qtext, 10,
-            index = Some(ilIdx))
-          .select(lit(qid).cast("int").as("query_id"),
-            col("id").as("doc_id"), col("score"))
-      }.reduce(_ unionByName _)
+      // one multi-query plan, not 11 unioned legs (see ir_significance)
+      val runA = Bm25.searchTopKMulti(BenchQueries, 10,
+          docsTextIndex(s, dir), s)
+        .select(col("query_id"), col("id").as("doc_id"), col("score"))
       val wq = Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id"))
       val ranksA = runA.withColumn("rank", row_number().over(wq))

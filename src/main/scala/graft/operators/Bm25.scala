@@ -392,6 +392,45 @@ object Bm25 {
       .limit(k)
   }
 
+  /** [[searchTopK]] for MANY queries in ONE plan (r15): the
+    * union-of-per-query-searchTopK harness shape scanned the pinned
+    * doc-weight relation once PER LEG and carried an 11-leg plan
+    * through Catalyst per invocation; this is [[BenchmarkRunner]]'s
+    * one-join multi-query form surfaced as an operator. Per-query
+    * results are IDENTICAL to searchTopK's: q_weight = tf_q · idf over
+    * the same stats, the per-(query, doc) score is the same
+    * term-ordered [[sparseScore]] fold, and the top-k cut's
+    * (score desc, id asc) tie-break is preserved through
+    * [[TopK.perGroup]]'s string compare by riding a ZERO-PADDED id key
+    * (ids must be non-negative longs — padding makes string order =
+    * numeric order). Output: (query_id, id, score), the top ≤ k rows
+    * per query, unordered (callers rank with their own windows, as
+    * they did over the unioned form). */
+  def searchTopKMulti(queries: Seq[(Int, String)], k: Int, index: Index,
+                      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.flatMap { case (qid, qt) =>
+      TextFunctions.tokenize(qt).groupBy(identity).view.mapValues(_.size)
+        .toSeq.map { case (term, n) => (qid, term, n) }
+    }
+    val qW = qRows.toDF("query_id", "term", "q_tf")
+      .join(index.stats.select("term", "idf"), "term")
+      .filter(col("idf") > 0.0)
+      .select(col("query_id"), col("term"),
+        (col("q_tf").cast("double") * col("idf")).as("q_weight"))
+    val scored = index.docWeights.join(broadcast(qW), "term")
+      .groupBy("query_id", "id")
+      .agg(sparseScore(col("weight") * col("q_weight"), col("term"))
+        .as("score"))
+    TopK.perGroup(scored.select(
+        col("query_id").cast("string").as("grp"),
+        col("id").cast("string").as("doc_id"),
+        format_string("%019d", col("id")).as("chunk_id"),
+        col("score")), "grp", k)
+      .select(col("grp").cast("int").as("query_id"),
+        col("doc_id").cast("long").as("id"), col("score"))
+  }
+
   /** Lucene-`explain`-style score decomposition for the top-`k` hits:
     * every hit fans out to its per-term contribution
     * weight(term, doc) · q_weight(term) — the additive terms of

@@ -516,6 +516,13 @@ object Dedup {
     val prunable = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select("shingle")
+    // NOTE (r15, measured negative): dictionary-encoding the pruned
+    // shingles to rank longs before this self-join (the
+    // relatedPostings trick) was tried and REVERTED — globalRank's
+    // eager range pass + checkpoint over the pruned vocabulary cost
+    // more than the narrower join key saved (16→30 stages, warm task
+    // time 47 s → 69 s). relatedPostings wins because its encode runs
+    // ONCE into a standing artifact; here it would run per call.
     val pruned = sh.join(prunable, "shingle").cache()
     val cands = pinPairs(
       pruned.select(col("shingle"), col("id").as("id_a"))
