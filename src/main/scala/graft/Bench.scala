@@ -22,8 +22,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val suiteT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // WALL-BUDGET GUARD (VERDICT r15 #1b): the driver runs the bench in
+    // a bounded window (r15's 8-core scaling run hit rc=124 — timed out,
+    // zero scaling data). The bench must DEGRADE rather than die: when
+    // the run is pacing past the budget, rows drop from min-of-3 to
+    // min-of-2 (then min-of-1 in extremis), resampling stops, and the
+    // deferred-retry phase only spends what is left. The budget is wall
+    // time of THIS process, conservative vs the driver's outer window
+    // (which also pays sbt/JVM startup).
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(2700.0)
+    def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -169,9 +181,36 @@ object Bench {
     // not discard a valid min-of-3 — the row keeps ts.min and the
     // flake is recorded here instead of overwriting the timing)
     val extraErrored = scala.collection.mutable.ArrayBuffer.empty[String]
+    // rows that ran fewer than three base runs under budget pressure
+    // (value is still a min over the runs that did execute)
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+    // budget pacing baseline: elapsed at the first query, so the fixed
+    // warm-up cost (probe warm + fixture warm, ~1-2 min) is a constant
+    // in the projection, not multiplied by n/i — the first cut of this
+    // guard projected from process start and wrongly degraded 8 rows
+    // in a run that finished at 36% of budget (one of them a
+    // first-touch fit row whose single run then reported the BUILD)
+    val loopT0 = System.nanoTime()
+    def loopElapsed: Double = (System.nanoTime() - loopT0) / 1e9
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i > 0 && i % probeEvery == 0) runProbes(i)
-      val ts = Seq(once(n), once(n), once(n))
+      // projected suite total = elapsed so far + per-row average over
+      // rows FINISHED extrapolated to the remainder; only trusted once
+      // 20 rows have finished (early averages are noise). min-of-2
+      // under projected overrun or past 80% of budget; min-of-1 is the
+      // ABSOLUTE endgame only (a first-touch row's single run reports
+      // its standing build, so 1-run rows are a last resort, never a
+      // pacing choice).
+      val projected =
+        if (i < 20) 0.0
+        else elapsedSec + loopElapsed * (names.size - i).toDouble / i
+      val nRuns =
+        if (elapsedSec > budgetSec * 0.92) 1
+        else if (projected > budgetSec * 0.95 ||
+                 elapsedSec > budgetSec * 0.8) 2
+        else 3
+      if (nRuns < 3) degraded += n
+      val ts = Seq.fill(nRuns)(once(n))
       // Resample on WARM-RUN disagreement only (runs 2-3): run 1 of
       // any row that first-touches a standing artifact is build +
       // query by design (min-of-3 exists to absorb exactly that), so
@@ -184,7 +223,9 @@ object Bench {
       val warm = ts.drop(1)
       val best =
         if (ts.exists(_ < 0)) -1.0
-        else if (warm.max > warm.min * 1.5 && extraWall < ExtraWallCapSec) {
+        else if (warm.size >= 2 && warm.max > warm.min * 1.5 &&
+                 extraWall < ExtraWallCapSec &&
+                 elapsedSec < budgetSec * 0.8) {
           resampled += n
           val t0 = System.nanoTime()
           val extras = Seq(once(n), once(n))
@@ -212,7 +253,9 @@ object Bench {
     // most-inflated-first, under its own wall cap, reporting
     // min(original, retries) — a retry contaminated by a NEW burst can
     // only be ignored, never raise a value — plus a `retried` flag.
-    val RetryWallCapSec = 60.0
+    // The retry phase spends at most 60s, and never past the wall budget
+    val RetryWallCapSec =
+      math.max(0.0, math.min(60.0, budgetSec * 0.97 - elapsedSec))
     val medSha = {
       val s = series.map(_._2).toSeq.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -223,8 +266,28 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Dirty-window denominator (VERDICT r15 #2): gating on the run's own
+    // median is SELF-REFERENTIAL — on a uniformly contended run the
+    // median itself is inflated (r15: 2.71 vs the 1.32-1.46 clean-window
+    // records), so only 3 rows retried while dozens sat in bursts. The
+    // denominator is now max(run median, absolute clean-window floor)
+    // where the floor comes from the r12-r14 committed records' clean
+    // calibrations (sha2 1.3-1.5, shuffle ~0.5-0.55): a uniformly 2x
+    // contended run now retries its whole inflated tail (bounded by the
+    // retry wall cap, most-inflated-first), while a clean run still
+    // retries ~0. The floor scales with the core count contract: the
+    // committed floors were measured at 32 cores and the probes are
+    // fixed-size parallel jobs, so a low-core driver scaling run has a
+    // proportionally slower clean probe — without the scale factor every
+    // window of an 8-core run would read "dirty" and the retry phase
+    // would burn its cap re-measuring clean rows.
+    val coreScale = 32.0 / math.max(1, cpus.toInt)
+    val FloorSha = 1.4 * coreScale
+    val FloorShf = 0.55 * coreScale
+    val gateSha = math.max(medSha, FloorSha) * 1.5
+    val gateShf = math.max(medShf, FloorShf) * 1.5
     def probeDirty(e: (Int, Double, Double)): Boolean =
-      e._2 > medSha * 1.5 || e._3 > medShf * 1.5
+      e._2 > gateSha || e._3 > gateShf
     def windowDirty(i: Int): Boolean = {
       val wi = i / probeEvery
       // probes bracket query i at series indices wi and wi+1 (the
@@ -275,11 +338,15 @@ object Bench {
     val seriesJson = series.map { case (at, s, sh) =>
       s"""{"at":$at,"sha2":$s,"shuffle":$sh}"""
     }.mkString("[", ",", "]")
-    // Full-precision record. The driver keeps only the LAST 2000 chars
-    // of stdout, and this line exceeds that window once the suite has
-    // ~90 queries (r1-r4: the driver's parsed field was null every
-    // round for exactly this reason) — so the calibration field goes
-    // LAST (it survives the window) and a compact line follows.
+    // Full-precision record. From r16 on this is the FINAL stdout line
+    // (VERDICT r15 #1a): the driver has been unable to parse any bench
+    // record since r12 (`parsed: null`, PERF.per_query empty) because
+    // the compact 1400-char line elides most queries
+    // (`queries_omitted: 275` at r15) — per-query judging then requires
+    // archaeology on BENCH_LOCAL.json. The compact line still prints
+    // FIRST (it serves the stdout-tail eyeball channel), the full
+    // single-line record prints last, and BENCH_LOCAL.json keeps the
+    // same full record as the file-channel backup.
     // methodology marker (ADVICE r13): records cut under different
     // measurement rules must not be compared row-to-row as if the
     // rules were constant — r13 moved tuned-loop sweeps off the clock
@@ -295,23 +362,25 @@ object Bench {
     // listed in `retried`) + fixture warm actually running (the ANSI
     // overflow fix) + optional-extra errors no longer discarding a
     // valid min-of-3 (listed in `extra_errored`)
-    val methodology = "r15"
+    // r16 = r15 + wall-budget guard (rows degrade to min-of-2/1 under
+    // budget pressure, listed in `degraded`; resample/retry stop first)
+    // + retry gate on max(run median, absolute clean floor) instead of
+    // the self-referential run median + full record as the final line
+    val methodology = "r16"
     val resampledJson = resampled.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val retriedJson = retried.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val extraErroredJson = extraErrored.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","resampled":$resampledJson,"retried":$retriedJson,"extra_errored":$extraErroredJson}"""
-    println(full)
-    // Compact final line, guaranteed inside the tail window. r6 proved
-    // a >=0.1s filter is NOT a bound — at sf0.1 ~100 queries clear it
-    // and the "compact" line itself blew the 2000-char window, so the
-    // driver's parsed field stayed null. Bound it by CONSTRUCTION
-    // instead: slowest queries first, stop when the serialized line
-    // would exceed ~1400 chars (window minus the trailing sbt banner,
-    // with slack), and say how many were elided. Full per-query data
-    // is the line above + BENCH_LOCAL.json.
+    val degradedJson = degraded.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sha2m_sec":$calibration,"calibration_shuffle_sec":$calShuffle,"calibration_series":$seriesJson,"probe_every":$probeEvery,"order_seed":$orderSeed,"methodology":"$methodology","resampled":$resampledJson,"retried":$retriedJson,"extra_errored":$extraErroredJson,"degraded":$degradedJson,"budget_sec":$budgetSec,"wall_sec":$elapsedSec}"""
+    // Compact line (printed FIRST, ahead of the full record): a ~1400
+    // char slowest-first digest for reading the run from a truncated
+    // stdout tail. Bounded by CONSTRUCTION: slowest queries first, stop
+    // when the serialized line would exceed the budget, count the
+    // elision. The authoritative record is the full line below it.
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val sfName = sfDir.split('/').last
@@ -340,10 +409,8 @@ object Bench {
     // subset is the slowest-first prefix, with the elision counted
     println(prefix +
       s""""queries":${kept.mkString("{", ",", "}")},"queries_omitted":$omitted}""")
-    // Also persist the full-precision record to a file in the repo so
-    // nothing ever has to recover it from a truncated stdout tail
-    // (sbt's "[success]" banner trails the compact line, so even a
-    // last-line parser can miss it).
+    // Persist the full-precision record to a file in the repo so nothing
+    // ever has to recover it from a truncated stdout tail.
     // anchor beside this class's source tree when launched from the
     // repo (sbt runs from the project root), overridable for other cwds
     val benchPath = java.nio.file.Paths.get(
@@ -354,6 +421,10 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not persist $benchPath: $e")
     }
+    // FINAL stdout line: the full un-truncated record (VERDICT r15 #1a —
+    // the driver parses the bench from stdout; the elided compact line
+    // left PERF.per_query empty since r12)
+    println(full)
     spark.stop()
   }
 }

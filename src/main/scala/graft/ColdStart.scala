@@ -51,7 +51,10 @@ object ColdStart {
     val sessionSec = (System.nanoTime() - t0) / 1e9
     mode match {
       case "write" =>
-        SparkEntry.writeSearchSidecars(spark, sfDir, root)
+        // all serving sidecars: the four search artifacts + the
+        // related-docs weighted postings + the five tuned-loop fits
+        // (VERDICT r15 #7 — the restart must not re-derive any of them)
+        SparkEntry.writeServingSidecars(spark, sfDir, root)
         println(s"[coldstart] sidecars written to $root")
       case "serve" =>
         val q0 = System.nanoTime()
@@ -63,7 +66,28 @@ object ColdStart {
           .count()
         val warmSec = (System.nanoTime() - q1) / 1e9
         require(n1 == n2 && n1 > 0, s"serve mismatch: $n1 vs $n2")
-        println(f"""[coldstart] {"jvm_to_main_sec":${mainEntryMs / 1000.0}%.2f,"session_up_sec":$sessionSec%.2f,"first_query_sec":$firstSec%.2f,"warm_query_sec":$warmSec%.2f,"rows":$n1}""")
+        // related_docs + the ivf fit twin from READ-BACK sidecars in
+        // this same fresh JVM (VERDICT r15 #7): first = cold parquet
+        // read + codegen + query; warm = steady-state serve. Row
+        // counts print so a run can be checked count-equal against
+        // the in-session warm twins (related_docs: 1500 at sf0.1).
+        val r0 = System.nanoTime()
+        val nr1 = SparkEntry.relatedFromSidecars(spark, root).count()
+        val relFirstSec = (System.nanoTime() - r0) / 1e9
+        val r1 = System.nanoTime()
+        val nr2 = SparkEntry.relatedFromSidecars(spark, root).count()
+        val relWarmSec = (System.nanoTime() - r1) / 1e9
+        require(nr1 == nr2 && nr1 > 0, s"related mismatch: $nr1 vs $nr2")
+        val f0 = System.nanoTime()
+        val nf1 = SparkEntry.ivfFitQueryFromSidecars(spark, sfDir, root)
+          .count()
+        val fitFirstSec = (System.nanoTime() - f0) / 1e9
+        val f1 = System.nanoTime()
+        val nf2 = SparkEntry.ivfFitQueryFromSidecars(spark, sfDir, root)
+          .count()
+        val fitWarmSec = (System.nanoTime() - f1) / 1e9
+        require(nf1 == nf2 && nf1 > 0, s"fit serve mismatch: $nf1 vs $nf2")
+        println(f"""[coldstart] {"jvm_to_main_sec":${mainEntryMs / 1000.0}%.2f,"session_up_sec":$sessionSec%.2f,"first_query_sec":$firstSec%.2f,"warm_query_sec":$warmSec%.2f,"rows":$n1,"related_first_sec":$relFirstSec%.2f,"related_warm_sec":$relWarmSec%.2f,"related_rows":$nr1,"fit_first_sec":$fitFirstSec%.2f,"fit_warm_sec":$fitWarmSec%.2f,"fit_rows":$nf1}""")
       case "serve-prewarmed" =>
         // the full production restart recipe: pin each sidecar, then
         // run ONE throwaway query off the request clock (JIT +

@@ -14,9 +14,12 @@ object ExplainTool {
     val suffix = sys.env.getOrElse("EXPLAIN_SUFFIX", "")
     val names = sys.env.getOrElse("EXPLAIN_QUERIES", "related_docs")
       .split(',').toSeq
+    // same parallelism contract as Bench/Verify/ColdStart so captured
+    // plans match the parallelism of the runs they are evidence for
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -12,9 +12,12 @@ object Prof {
     val names = sys.env.getOrElse("PROF_QUERIES", "search_collapse")
       .split(',').toSeq
     val runs = sys.env.getOrElse("PROF_RUNS", "4").toInt
+    // same parallelism contract as Bench/Verify/ColdStart so scratch
+    // numbers stay comparable to the channels they are judged against
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -134,6 +137,35 @@ object Prof {
           Dedup.relatedDocsFrom(standing, 3).count() }
       }
       spark.stop(); return
+    }
+
+    // PROF_STREAM_PROGRESS=1: attach a StreamingQueryListener that
+    // prints every micro-batch's durationMs attribution (addBatch /
+    // getBatch / queryPlanning / walCommit / commitOffsets / trigger)
+    // and state-operator metrics — the per-batch breakdown VERDICT r15
+    // #5 asks for on streaming_join_outer. Listeners are session-
+    // global, so the declared query runs unmodified.
+    if (sys.env.get("PROF_STREAM_PROGRESS").contains("1")) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          import scala.jdk.CollectionConverters._
+          val dur = p.durationMs.asScala.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          val st = p.stateOperators.map(so =>
+            s"(rows=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+            s"commitMs=${so.allUpdatesTimeMs + so.allRemovalsTimeMs + so.commitTimeMs} " +
+            s"mem=${so.memoryUsedBytes})").mkString(" ")
+          println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durMs{$dur} state$st")
+        }
+      })
     }
 
     // PROF_EXPLAIN=<dir>: after the timed runs (standing caches warm,

@@ -53,7 +53,14 @@ object ScaleProbe {
     // one-off NOTES entries — panel membership keeps the read-back
     // and holdout paths under standing scale coverage
     "search_index_persist", "fallback_index_persist",
-    "quality_tuned").mkString(",")
+    "quality_tuned",
+    // the r14 rows (VERDICT r14 #7 / r15 #9): the five tuned-fit
+    // sidecar read-back paths and the streaming restart protocol had
+    // one-off NOTES_r14 probes only — panel membership keeps them
+    // under standing scale coverage
+    "ann_pq_fit_persist", "ivf_fit_persist", "ann_fit_persist",
+    "hybrid_fit_persist", "dedup_fit_persist",
+    "streaming_restart_resume").mkString(",")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -183,10 +183,22 @@ object SearchEngine {
   /** Full §3.1 plan over one collection's chunks table. Output columns:
     * doc_id, chunk_id, score, path, chunk_index, total_chunks, path_id
     * [+ content when included] [+ reranked_score when reranking]. */
+  /** `precomputedSparseHits`: the RAW sparse-leg hits (chunk_id, score)
+    * for THIS request — exactly what `rawSparseHits(filtered, req,
+    * fetchK, idx)` would return — computed once by a caller that
+    * serves several request VARIANTS differing only in the dense leg
+    * (HyDE expansion changes only denseQuery; the sparse leg always
+    * scores the ORIGINAL query, contracts/search.py:21-26). Each
+    * variant's plan would otherwise re-derive the identical sparse
+    * subtree: AQE cannot reuse stages across union legs (guide §2.4 —
+    * remove duplicated subtrees). Hybrid mode only; the caller owns
+    * the equivalence (same corpus, same query string, same fetchK, no
+    * row filters). */
   def search(chunks: DataFrame, req: SearchRequest,
              reranker: graft.plugins.Providers.Reranker =
                graft.plugins.Providers.MockReranker(),
-             sparseIndex: Option[Bm25.Index] = None): DataFrame = {
+             sparseIndex: Option[Bm25.Index] = None,
+             precomputedSparseHits: Option[DataFrame] = None): DataFrame = {
     // P2: user metadata filters push into the scan
     val filtered =
       if (req.filters.isEmpty) chunks
@@ -232,8 +244,10 @@ object SearchEngine {
             .agg(min("rank").as("rank"), max("score").as("score"))
         val d = prepared(
           denseLeg(filtered, req, fetchK).select("chunk_id", "score"))
-        val s = prepared(rawSparseHits(filtered, req, fetchK, idx)
-          .select("chunk_id", "score"))
+        val s = prepared(
+          precomputedSparseHits.getOrElse(
+              rawSparseHits(filtered, req, fetchK, idx))
+            .select("chunk_id", "score"))
         // J1 fusion, then payload enrichment from the dense-first union
         Rrf.fuse(d, s, "chunk_id", "score", fetchK, req.rrfK,
             preRanked = derived,
